@@ -1,0 +1,26 @@
+"""dup_ocropy_ray — a Ray-Data-native document-analysis engine.
+
+A brand-new engine with the query/data-processing capabilities of ocropy
+(ocropus-archive/DUP-ocropy): nlbin-style adaptive binarization,
+gpageseg-style column/line segmentation with reading order, and a
+bidirectional-LSTM + CTC line recognizer — re-expressed as streaming
+``ray.data.Dataset`` stages over zero-copy Arrow batches, plus the
+large-scale training-data operators (dedup, similarity search, text
+analysis) that a 100 TB pipeline needs.
+
+Layout:
+  functions/  pure numpy/python kernels (png codec, image ops, slice
+              algebra, morphology, text normalization, edit distance,
+              hashing) used inside ``map_batches`` UDFs
+  nn/         bidi-LSTM + CTC (forward, decode, training), codec
+  stages/     Ray Data stage UDFs (decode, binarize, segment, recognize,
+              reassemble, eval)
+  sources/    fixture/corpus synthesis + media store + readers
+  pipelines/  end-to-end pipeline compositions + query registry
+  state/      checkpoint / lineage / resume
+
+IMPORTANT: nothing in this package calls ``ray.init``/``ray.shutdown`` —
+the session is owned by the caller (driver, bench.py, or test fixture).
+"""
+
+__version__ = "0.1.0"

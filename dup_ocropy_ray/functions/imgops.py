@@ -1,0 +1,347 @@
+"""Numpy image-processing kernels (scipy.ndimage is not available here).
+
+These provide the filter primitives the binarization/segmentation stages
+need — behavioral equivalents of the scipy calls the reference makes
+(ocropus-nlbin, ocropus-gpageseg, ocrolib/morph.py), implemented from
+scratch on numpy. Exact scipy bit-parity is NOT a goal (goldens are pinned
+against these implementations; the correctness invariant is line-text
+level, see SURVEY.md §7.4).
+
+All filters use edge-replicate ("nearest") padding unless noted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- zoom / rotate
+
+
+def zoom(a: np.ndarray, factor: float) -> np.ndarray:
+    """Bilinear rescale by `factor` (reference: interpolation.zoom in
+    ocropus-nlbin:108-128)."""
+    a = np.asarray(a, dtype=np.float64)
+    h, w = a.shape
+    nh, nw = max(1, int(round(h * factor))), max(1, int(round(w * factor)))
+    if nh == h and nw == w:
+        return a.copy()
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
+    return _bilinear_sample(a, ys[:, None], xs[None, :])
+
+
+def zoom_to(a: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """Bilinear rescale to an exact (h, w)."""
+    a = np.asarray(a, dtype=np.float64)
+    h, w = a.shape
+    nh, nw = shape
+    if (nh, nw) == (h, w):
+        return a.copy()
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
+    return _bilinear_sample(a, ys[:, None], xs[None, :])
+
+
+def _bilinear_sample(a: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    h, w = a.shape
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    tl = a[y0, x0]
+    tr = a[y0, x1]
+    bl = a[y1, x0]
+    br = a[y1, x1]
+    top = tl + (tr - tl) * fx
+    bot = bl + (br - bl) * fx
+    return top + (bot - top) * fy
+
+
+def rotate(a: np.ndarray, angle_deg: float, cval: float = 0.0) -> np.ndarray:
+    """Rotate about the center, same output shape (reshape=False semantics,
+    reference: interpolation.rotate in ocropus-nlbin:71-81,131-144)."""
+    a = np.asarray(a, dtype=np.float64)
+    if abs(angle_deg) < 1e-12:
+        return a.copy()
+    h, w = a.shape
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(h) - cy, np.arange(w) - cx, indexing="ij")
+    # inverse map: output coord -> input coord
+    sy = c * yy - s * xx + cy
+    sx = s * yy + c * xx + cx
+    inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
+    out = np.full((h, w), cval, dtype=np.float64)
+    vals = _bilinear_sample(a, sy, sx)
+    out[inside] = vals[inside]
+    return out
+
+
+# ------------------------------------------------------------------- filters
+
+
+def _pad_axis(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (k, k)
+    return np.pad(a, pad, mode="edge")
+
+
+def gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    r = max(1, int(truncate * sigma + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / max(sigma, 1e-9)) ** 2)
+    return k / k.sum()
+
+
+def gaussian_filter1d(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
+    if sigma <= 0:
+        return np.asarray(a, dtype=np.float64).copy()
+    k = gaussian_kernel(sigma)
+    r = len(k) // 2
+    ap = _pad_axis(np.asarray(a, dtype=np.float64), r, axis)
+    out = np.zeros_like(np.asarray(a, dtype=np.float64))
+    sl = [slice(None)] * a.ndim
+    for i, kv in enumerate(k):
+        sl[axis] = slice(i, i + a.shape[axis])
+        out += kv * ap[tuple(sl)]
+    return out
+
+
+def gaussian_filter(a: np.ndarray, sigma) -> np.ndarray:
+    """Separable gaussian; sigma scalar or (sy, sx)."""
+    if np.isscalar(sigma):
+        sy = sx = float(sigma)
+    else:
+        sy, sx = sigma
+    out = np.asarray(a, dtype=np.float64)
+    if sy > 0:
+        out = gaussian_filter1d(out, sy, 0)
+    if sx > 0:
+        out = gaussian_filter1d(out, sx, 1)
+    return out
+
+
+def gaussian_gradient_y(a: np.ndarray, sigma) -> np.ndarray:
+    """First-order gaussian derivative along axis 0 (reference:
+    gaussian_filter(...,order=(1,0)) in ocropus-gpageseg:287-303)."""
+    if np.isscalar(sigma):
+        sy = sx = float(sigma)
+    else:
+        sy, sx = sigma
+    a = np.asarray(a, dtype=np.float64)
+    # derivative kernel along y
+    r = max(1, int(4.0 * sy + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / max(sy, 1e-9)) ** 2)
+    g /= g.sum()
+    dg = -(x / (max(sy, 1e-9) ** 2)) * g  # d/dy of gaussian
+    ap = _pad_axis(a, r, 0)
+    out = np.zeros_like(a)
+    for i, kv in enumerate(dg):
+        out += kv * ap[i : i + a.shape[0], :]
+    # note: correlation with dg ~= smoothed derivative; sign matches
+    # "bottom = positive gradient at lower edge of ink" once image is ink=1
+    if sx > 0:
+        out = gaussian_filter1d(out, sx, 1)
+    return out
+
+
+def uniform_filter1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
+    size = max(1, int(size))
+    if size == 1:
+        return np.asarray(a, dtype=np.float64).copy()
+    lo = size // 2
+    hi = size - 1 - lo
+    a = np.asarray(a, dtype=np.float64)
+    ap = _pad_axis(a, max(lo, hi), axis)
+    if lo != hi:
+        # trim asymmetric padding
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(max(lo, hi) - lo, ap.shape[axis] - (max(lo, hi) - hi))
+        ap = ap[tuple(sl)]
+    c = np.cumsum(ap, axis=axis)
+    sl_hi = [slice(None)] * a.ndim
+    sl_lo = [slice(None)] * a.ndim
+    sl_hi[axis] = slice(size - 1, size - 1 + a.shape[axis])
+    out = c[tuple(sl_hi)].copy()
+    sl_lo[axis] = slice(0, a.shape[axis] - 1)
+    head = [slice(None)] * a.ndim
+    head[axis] = slice(1, None)
+    out[tuple(head)] -= c[tuple(sl_lo)]
+    return out / size
+
+
+def uniform_filter(a: np.ndarray, size) -> np.ndarray:
+    if np.isscalar(size):
+        sy = sx = int(size)
+    else:
+        sy, sx = size
+    out = uniform_filter1d(a, sy, 0)
+    out = uniform_filter1d(out, sx, 1)
+    return out
+
+
+def maximum_filter1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
+    size = max(1, int(size))
+    if size == 1:
+        return np.asarray(a).copy()
+    lo = size // 2
+    hi = size - 1 - lo
+    a = np.asarray(a)
+    ap = _pad_axis(a, max(lo, hi), axis)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(max(lo, hi) - lo, ap.shape[axis] - (max(lo, hi) - hi))
+    ap = ap[tuple(sl)]
+    out = None
+    for i in range(size):
+        s = [slice(None)] * a.ndim
+        s[axis] = slice(i, i + a.shape[axis])
+        v = ap[tuple(s)]
+        out = v.copy() if out is None else np.maximum(out, v)
+    return out
+
+
+def maximum_filter(a: np.ndarray, size) -> np.ndarray:
+    if np.isscalar(size):
+        sy = sx = int(size)
+    else:
+        sy, sx = size
+    out = maximum_filter1d(a, sy, 0)
+    out = maximum_filter1d(out, sx, 1)
+    return out
+
+
+def minimum_filter(a: np.ndarray, size) -> np.ndarray:
+    a = np.asarray(a)
+    if np.issubdtype(a.dtype, np.bool_):
+        return ~maximum_filter(~a, size)
+    return -maximum_filter(-a.astype(np.float64), size)
+
+
+def percentile_filter(
+    a: np.ndarray, percentile: float, size, block_rows: int = 64
+) -> np.ndarray:
+    """Sliding-window percentile (reference: filters.percentile_filter in
+    ocropus-nlbin:108-128). Processes in row blocks to bound memory."""
+    if np.isscalar(size):
+        sy = sx = int(size)
+    else:
+        sy, sx = int(size[0]), int(size[1])
+    a = np.asarray(a, dtype=np.float64)
+    h, w = a.shape
+    ly, hy = sy // 2, sy - 1 - sy // 2
+    lx, hx = sx // 2, sx - 1 - sx // 2
+    ap = np.pad(a, ((ly, hy), (lx, hx)), mode="edge")
+    out = np.empty((h, w), dtype=np.float64)
+    try:
+        from numpy.lib.stride_tricks import sliding_window_view
+    except ImportError:  # pragma: no cover
+        sliding_window_view = None
+    for y0 in range(0, h, block_rows):
+        y1 = min(h, y0 + block_rows)
+        block = ap[y0 : y1 + sy - 1, :]
+        win = sliding_window_view(block, (sy, sx))  # (rows, w, sy, sx)
+        out[y0:y1] = np.percentile(win, percentile, axis=(2, 3))
+    return out
+
+
+# ------------------------------------------------------- connected components
+
+
+def label(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labeling (reference: morph.label →
+    scipy measurements.label default structure, ocrolib/morph.py:14-30).
+
+    Run-length two-pass with union-find over row runs. Returns
+    (int32 label image with background 0, number of labels).
+    """
+    b = np.asarray(binary) != 0
+    h, w = b.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]  # parent[i] for union-find; 0 = background
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
+    for y in range(h):
+        row = b[y]
+        # find runs [start, end)
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.nonzero(d == 1)[0] + 1)
+        ends = list(np.nonzero(d == -1)[0] + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts, ends):
+            lab = 0
+            # overlap with previous row runs (4-connectivity: column overlap)
+            while pi < len(prev_runs) and prev_runs[pi][1] <= s:
+                pi += 1
+            pj = pi
+            while pj < len(prev_runs) and prev_runs[pj][0] < e:
+                plab = find(prev_runs[pj][2])
+                if lab == 0:
+                    lab = plab
+                elif plab != lab:
+                    parent[max(plab, lab)] = min(plab, lab)
+                    lab = min(plab, lab)
+                pj += 1
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            labels[y, s:e] = lab
+            cur_runs.append((s, e, lab))
+        prev_runs = cur_runs
+    # flatten + renumber densely
+    n = len(parent)
+    roots = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        roots[i] = find(i)
+    uniq = np.unique(roots[1:]) if n > 1 else np.array([], dtype=np.int32)
+    remap = np.zeros(n, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    dense = remap[roots]
+    dense[0] = 0
+    labels = dense[labels]
+    return labels, int(len(uniq))
+
+
+def find_objects(labels: np.ndarray, nlabels: int | None = None):
+    """Bounding slices per label, like scipy find_objects (used throughout
+    ocrolib/morph.py and psegutils.py). Returns list indexed label-1;
+    entries are (slice_y, slice_x) or None for absent labels."""
+    lab = np.asarray(labels)
+    if nlabels is None:
+        nlabels = int(lab.max()) if lab.size else 0
+    if nlabels == 0:
+        return []
+    ys, xs = np.nonzero(lab)
+    ids = lab[ys, xs]
+    y0 = np.full(nlabels + 1, np.iinfo(np.int64).max, dtype=np.int64)
+    y1 = np.full(nlabels + 1, -1, dtype=np.int64)
+    x0 = np.full(nlabels + 1, np.iinfo(np.int64).max, dtype=np.int64)
+    x1 = np.full(nlabels + 1, -1, dtype=np.int64)
+    np.minimum.at(y0, ids, ys)
+    np.maximum.at(y1, ids, ys)
+    np.minimum.at(x0, ids, xs)
+    np.maximum.at(x1, ids, xs)
+    out = []
+    for i in range(1, nlabels + 1):
+        if y1[i] < 0:
+            out.append(None)
+        else:
+            out.append((slice(int(y0[i]), int(y1[i]) + 1), slice(int(x0[i]), int(x1[i]) + 1)))
+    return out

@@ -1,44 +1,143 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship OCR pipeline (binarize → segment →
+recognize → reassemble over an interleaved text+media corpus synthesized
+deterministically from the sf0.001 documents table). ``queries()`` /
+``oracle_sql()`` expose every operator family from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis)
+over the driver's parquet tables.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _ocr_corpus_dir(sf_dir: str, num_docs: int) -> dict:
+    """Synthesize (once, cached) the interleaved corpus whose page images
+    render the documents-table texts. Deterministic: same sf_dir ->
+    same bytes."""
+    import hashlib
+
+    from dup_ocropy_ray.sources.fixtures import build_corpus
+
+    key = hashlib.md5(f"{sf_dir}:{num_docs}:v1".encode()).hexdigest()[:10]
+    root = f"/tmp/ocr_corpus_{key}"
+    docs_path = os.path.join(root, "docs.parquet")
+    if not os.path.exists(docs_path):
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        ).column("text").to_pylist()
+        build_corpus(root, num_docs=num_docs, seed=42, texts=texts,
+                     skew_doc_pages=4)
+    return {
+        "docs": docs_path,
+        "media": os.path.join(root, "media.parquet"),
+        "groundtruth": os.path.join(root, "groundtruth.parquet"),
+    }
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the
+    reassembled interleaved docs Dataset."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(_SF0001, num_docs=12)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    return ocr_pipeline(docs, media_ref, recognizer_concurrency=2,
+                        resolver_concurrency=1)
+
+
+def _ocr_spans(sf_dir: str):
+    """OCR end-to-end as a query: reassembled spans flattened to rows
+    (doc_id, offset, kind, text, media_ref) — the span-sequence the
+    north-star invariant keys on. Rows-only oracle (not SQL-expressible)."""
+    import pandas as pd
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    out = ocr_pipeline(docs, media_ref, recognizer_concurrency=2,
+                       resolver_concurrency=1).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        for s in r["spans"]:
+            rows.append(
+                (r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"])
+            )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "offset", "kind", "text", "media_ref"]
+    ).sort_values(["doc_id", "offset"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dup_ocropy_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q.q_pricing_summary,
+        "revenue_filter": q.q_revenue_filter,
+        "top_orders": q.q_top_orders,
+        "revenue_by_nation": q.q_revenue_by_nation,
+        "events_hourly": q.q_events_hourly,
+        "distinct_users": q.q_distinct_users,
+        "events_props": q.q_events_props,
+        "part_stats": q.q_part_stats,
+        "sort_topk_events": q.q_sort_topk_events,
+        "dedup_exact": q.q_dedup_exact,
+        "dedup_ngram": q.q_dedup_ngram,
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "dedup_embedding": q.q_dedup_embedding,
+        "knn": q.q_knn,
+        "knn_ivf": q.q_knn_ivf,
+        "token_stats": q.q_token_stats,
+        "quality_by_source": q.q_quality_by_source,
+        "langid": q.q_langid,
+        "fingerprints": q.q_fingerprints,
+        "cer_pairs": q.q_cer_pairs,
+        "confusions": q.q_confusions,
+        "ocr_spans": _ocr_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dup_ocropy_ray.pipelines import queries as q
+
+    return {
+        "pricing_summary": q.SQL_PRICING,
+        "revenue_filter": q.SQL_REVENUE,
+        "top_orders": q.SQL_TOP_ORDERS,
+        "revenue_by_nation": q.SQL_REVENUE_BY_NATION,
+        "events_hourly": q.SQL_EVENTS_HOURLY,
+        "distinct_users": q.SQL_DISTINCT_USERS,
+        "events_props": q.SQL_EVENTS_PROPS,
+        "part_stats": q.SQL_PART_STATS,
+        "sort_topk_events": q.SQL_SORT_TOPK_EVENTS,
+        "dedup_exact": q.SQL_DEDUP_EXACT,
+        "dedup_ngram": q.SQL_DEDUP_NGRAM,
+        "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
+        "knn": q.SQL_KNN,
+        "token_stats": q.SQL_TOKEN_STATS,
+        "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
+        "langid": q._langid_sql(),
+        "cer_pairs": q.SQL_CER_PAIRS,
+        # minhash, simhash, knn_ivf, fingerprints, confusions, ocr_spans:
+        # intentionally omitted (not ANSI-SQL-expressible) -> rows-only check
+    }

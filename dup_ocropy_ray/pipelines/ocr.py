@@ -1,0 +1,176 @@
+"""The flagship pipeline: interleaved docs -> binarize -> segment ->
+recognize -> reassembled interleaved docs (SURVEY.md §3.4 lifecycle).
+
+Shape:
+
+    docs ──explode media spans──► page rows
+         ──MediaResolver (broadcast store, actor pool)──► +page_png
+         ──binarize_batch  (stateless tasks, B1-B6)──► +bin_png
+         ──segment_batch   (stateless tasks, G1-G16)──► +lines
+         ──explode_lines   (1 page → N line rows; the skew equalizer)
+         ──LineRecognizer  (actor pool, weights loaded once)──► +text
+    docs ──spans_to_union_rows──┐
+    page statuses ──────────────┼─► union ── groupby(doc_id).map_groups
+    recognized lines ───────────┘        └─► reassembled docs + counters
+
+Only small text rows enter the final shuffle; pixel columns are dropped
+at each stage boundary. Skew (multi-page docs) is equalized by the line
+explosion itself plus block repartitioning before the actor pool.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..sources.media import MediaResolver, put_media_store
+from ..stages.binarize import binarize_batch
+from ..stages.recognize import LineRecognizer
+from ..stages.reassemble import (
+    lines_to_union_rows,
+    page_status_union_rows,
+    reassemble_group,
+    spans_to_union_rows,
+)
+from ..stages.segment import explode_lines, segment_batch
+from ..state import checkpoint as ckpt
+
+
+def read_docs(path: str) -> rd.Dataset:
+    if path.endswith(".lance"):
+        return rd.read_lance(path)
+    return rd.read_parquet(path)
+
+
+def explode_media_spans(batch: pa.Table) -> pa.Table:
+    """docs -> page rows (doc_id, media_ref, span_offset)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    d, r, o = [], [], []
+    for doc, ss in zip(doc_ids, spans):
+        for s in ss:
+            if s["kind"] == "media":
+                d.append(doc)
+                r.append(s["media_ref"])
+                o.append(s["offset"])
+    return pa.table(
+        {
+            "doc_id": pa.array(d, pa.string()),
+            "media_ref": pa.array(r, pa.string()),
+            "span_offset": pa.array(o, pa.int32()),
+        }
+    )
+
+
+def ocr_pipeline(
+    docs: rd.Dataset,
+    media_store_ref,
+    model_path: str | None = None,
+    resolver_concurrency: int = 2,
+    recognizer_concurrency: int | tuple = 4,
+    page_batch_size: int = 8,
+    line_batch_size: int = 64,
+    seg_params: dict | None = None,
+) -> rd.Dataset:
+    """Compose the full chain lazily; nothing materializes until consumed."""
+    seg_params = seg_params or {}
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    pages = pages.map_batches(
+        MediaResolver,
+        fn_constructor_args=(media_store_ref,),
+        batch_format="pyarrow",
+        batch_size=page_batch_size,
+        concurrency=resolver_concurrency,
+    )
+    pages = pages.map_batches(
+        binarize_batch, batch_format="pyarrow", batch_size=page_batch_size
+    )
+    seg = pages.map_batches(
+        lambda t: segment_batch(t, **seg_params),
+        batch_format="pyarrow",
+        batch_size=page_batch_size,
+    )
+    page_status = seg.map_batches(page_status_union_rows, batch_format="pyarrow")
+    lines = seg.map_batches(explode_lines, batch_format="pyarrow")
+    rec = lines.map_batches(
+        LineRecognizer,
+        fn_constructor_kwargs={"model_path": model_path},
+        batch_format="pyarrow",
+        batch_size=line_batch_size,
+        concurrency=recognizer_concurrency,
+    )
+    rec_rows = rec.map_batches(lines_to_union_rows, batch_format="pyarrow")
+    span_rows = docs.map_batches(spans_to_union_rows, batch_format="pyarrow")
+    union = span_rows.union(rec_rows).union(page_status)
+    return union.groupby("doc_id").map_groups(reassemble_group, batch_format="pandas")
+
+
+def _doc_fragment_filter(num_fragments: int, frag: int):
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = pd.util.hash_array(__import__("numpy").asarray(ids, dtype=object))
+        keep = (h % num_fragments) == frag
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
+def run_ocr_with_checkpoint(
+    docs_path: str,
+    media_path: str,
+    out_root: str,
+    num_fragments: int = 4,
+    model_path: str | None = None,
+    **pipeline_kw,
+) -> dict:
+    """Resumable run: hash-partition docs into fragments; for each fragment
+    without a manifest, run the pipeline, write parquet, then commit the
+    manifest (lineage + counters) atomically. A killed run reprocesses at
+    most the one in-flight fragment (state/checkpoint.py)."""
+    os.makedirs(out_root, exist_ok=True)
+    media_ref = put_media_store(media_path)
+    pending = ckpt.pending_fragments(out_root, num_fragments)
+    for frag in pending:
+        docs = read_docs(docs_path).map_batches(
+            _doc_fragment_filter(num_fragments, frag), batch_format="pyarrow"
+        )
+        out = ocr_pipeline(docs, media_ref, model_path=model_path, **pipeline_kw)
+        frag_dir = ckpt.fragment_dir(out_root, frag)
+        tmp_dir = frag_dir + ".tmp"
+        result = out.materialize()
+        result.write_parquet(tmp_dir)
+        if os.path.exists(frag_dir):
+            import shutil
+
+            shutil.rmtree(frag_dir)
+        os.replace(tmp_dir, frag_dir)
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(frag_dir, f)) for f in os.listdir(frag_dir)
+             if f.endswith(".parquet")]
+        )
+        counters = {
+            "docs": tbl.num_rows,
+            "pages": int(pa.compute.sum(tbl.column("n_pages")).as_py() or 0),
+            "lines_segmented": int(pa.compute.sum(tbl.column("n_lines")).as_py() or 0),
+            "skipped_pages": int(
+                pa.compute.sum(tbl.column("n_skipped_pages")).as_py() or 0
+            ),
+            "chars_decoded": int(
+                pa.compute.sum(tbl.column("chars_decoded")).as_py() or 0
+            ),
+            "low_confidence_lines": int(
+                pa.compute.sum(tbl.column("low_confidence_lines")).as_py() or 0
+            ),
+        }
+        ckpt.commit_fragment(out_root, frag, counters)
+    return {
+        "fragments_run": pending,
+        "counters": ckpt.aggregate_counters(out_root),
+    }

@@ -1,0 +1,619 @@
+"""Query registry: every operator family exposed as a callable
+``fn(sf_dir) -> Dataset | DataFrame | pyarrow.Table`` plus (where
+SQL-expressible) a DuckDB oracle that must match value-for-value.
+
+Column-naming contract: every computed column is named identically in the
+Ray pipeline and the SQL (the driver hashes values after sorting columns
+by name). Float aggregates are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.edist import levenshtein, xlevenshtein
+from . import dedup, similarity, textstats
+from .relational import broadcast_join, grouped_agg, topk
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_pd(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+# --------------------------------------------------------------- relational
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate with per-batch pre-aggregation
+    (engine op A5-style global aggregation; ocropy analogue: error-rate
+    reduction ocropus-rpred:299-315)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.l_shipdate <= pd.Timestamp("1998-09-02")]
+        # exact integer cents per row (identical IEEE double -> identical
+        # floor on both engines) so the sums are order-independent
+        b = b.assign(
+            base_cents=np.floor(b.l_extendedprice * 100).astype("int64"),
+            disc_cents=np.floor(
+                (b.l_extendedprice * (1 - b.l_discount)) * 100
+            ).astype("int64"),
+        )
+        return b
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                    sums=["l_quantity", "base_cents", "disc_cents"])
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_l_quantity"].astype("int64"),
+            "sum_base_cents": g["sum_base_cents"].astype("int64"),
+            "sum_disc_cents": g["sum_disc_cents"].astype("int64"),
+            "avg_qty": np.round(g["sum_l_quantity"] / g["n"], 6),
+            "count_order": g["n"].astype("int64"),
+        }
+    )
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT                                    AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)                  AS sum_base_cents,
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+                                                                  AS sum_disc_cents,
+       round(sum(l_quantity) / count(*), 6)                       AS avg_qty,
+       count(*)                                                   AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_filter(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style filter + scalar aggregate; predicate pushed into the
+    batch scan (prune at the read: only 4 columns leave storage)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b.l_shipdate >= pd.Timestamp("1996-01-01"))
+            & (b.l_shipdate < pd.Timestamp("1998-01-01"))
+            & (b.l_discount >= 0.03)
+            & (b.l_discount <= 0.07)
+            & (b.l_quantity < 24)
+        )
+        sel = b[m]
+        cents = np.floor((sel.l_extendedprice * sel.l_discount) * 100).astype("int64")
+        return pd.DataFrame({"rev": [int(cents.sum())], "n": [len(sel)]})
+
+    parts = ds.map_batches(f, batch_format="pandas", batch_size=65536).to_pandas()
+    return pd.DataFrame(
+        {"revenue_cents": [int(parts.rev.sum())],
+         "n_items": [int(parts.n.sum())]}
+    )
+
+
+SQL_REVENUE = """
+SELECT sum(floor((l_extendedprice * l_discount) * 100)::BIGINT) AS revenue_cents,
+       count(*)                                                 AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (orders ⋈ customer) + global top-k without a global
+    sort (A6-style top-k; see relational.topk)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey", "c_name"]]
+    joined = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
+                            on="o_custkey")
+    best = topk(joined, ["o_totalprice", "o_orderkey"], 10, ascending=[False, True])
+    return pd.DataFrame(
+        {
+            "o_orderkey": best.o_orderkey.astype("int64"),
+            "c_name": best.c_name,
+            "o_totalprice": np.round(best.o_totalprice, 3),
+        }
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, c_name, round(o_totalprice, 3) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY orders.o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Two chained broadcast joins (lineitem ⋈ supplier ⋈ nation) +
+    pre-aggregated groupby."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _read_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    dim = dim[["s_suppkey", "n_name"]].rename(columns={"s_suppkey": "l_suppkey"})
+    joined = broadcast_join(li, dim, on="l_suppkey")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            rev_cents=np.floor(
+                (b.l_extendedprice * (1 - b.l_discount)) * 100
+            ).astype("int64")
+        )
+
+    joined = joined.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(joined, ["n_name"], sums=["rev_cents"])
+    return pd.DataFrame(
+        {
+            "n_name": g.n_name,
+            "revenue_cents": g.sum_rev_cents.astype("int64"),
+            "n_items": g.n.astype("int64"),
+        }
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate over the event stream (engine's
+    batch-window op; Ray Data has no watermarks — the window key is
+    data-derived, ray_guide 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b.event_type, "hour": b.ts.dt.floor("h"),
+             "value": b.value}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["event_type", "hour"], sums=["value"])
+    return pd.DataFrame(
+        {
+            "event_type": g.event_type,
+            "hour": g.hour,
+            "n": g.n.astype("int64"),
+            "sum_value": np.round(g.sum_value, 3),
+        }
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """count-distinct per group: two-level exact (dedup shuffle on
+    (type,user) partials then count)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    dd = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g.event_type.iloc[0]],
+             "n_users": [int(g.user_id.nunique())]}
+        )
+
+    out = dd.groupby("event_type").map_groups(per_group, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+
+def q_events_props(sf_dir: str) -> pd.DataFrame:
+    """Regex field extraction from a JSON-ish props column + aggregate."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.props.str.extract(r'"k": (\d+)')[0].fillna("0").astype("int64")
+        return pd.DataFrame({"event_type": b.event_type, "k": k})
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["event_type"], sums=["k"])
+    return pd.DataFrame(
+        {"event_type": g.event_type, "sum_k": g.sum_k.astype("int64"),
+         "n": g.n.astype("int64")}
+    )
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type,
+       sum(coalesce(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT, 0)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_part_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    g = grouped_agg(ds, ["p_brand"], sums=["p_retailprice"], maxs=["p_size"])
+    return pd.DataFrame(
+        {
+            "p_brand": g.p_brand,
+            "n": g.n.astype("int64"),
+            "sum_price": np.round(g.sum_p_retailprice, 3),
+            "max_size": g.max_p_size.astype("int64"),
+        }
+    )
+
+
+SQL_PART_STATS = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 3) AS sum_price,
+       max(p_size)::BIGINT AS max_size
+FROM part GROUP BY 1
+"""
+
+
+def q_sort_topk_events(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    best = topk(ds, ["value", "event_id"], 20, ascending=[False, True])
+    return pd.DataFrame(
+        {"event_id": best.event_id.astype("int64"),
+         "value": np.round(best.value, 6)}
+    )
+
+
+SQL_SORT_TOPK_EVENTS = """
+SELECT event_id, round(value, 6) AS value
+FROM events ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: min doc_id per distinct text (A12 analogue:
+    reference ocropus-linegen:124 line dedup)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds).to_pandas()
+    return pd.DataFrame({"doc_id": out.doc_id.astype("int64")})
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
+    """Exact token-set Jaccard pairs within (lang, source) partitions."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return b
+
+    out = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5).to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_a": out.doc_a.astype("int64"),
+            "doc_b": out.doc_b.astype("int64"),
+            "jaccard": out.jaccard,
+        }
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+"""
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only oracle —
+    LSH candidate generation is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup_pairs(ds, threshold=0.6)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (rows-only oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_dup_pairs(ds, max_hamming=6)
+
+
+def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup within label partitions."""
+    ds = _read(sf_dir, "embeddings")
+    out = dedup.embedding_dup_pairs(ds, threshold=0.35).to_pandas()
+    return pd.DataFrame(
+        {
+            "id_a": out.id_a.astype("int64"),
+            "id_b": out.id_b.astype("int64"),
+            "cosine": out.cosine,
+        }
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+# --------------------------------------------------------------- similarity
+
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.knn_brute(ds, np.asarray(q), k=10)
+
+
+SQL_KNN = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+         AS cos_sim
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN variant (rows-only oracle: approximate by
+    construction; nprobe=num_centroids degenerates to brute force)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=4)
+
+
+# ---------------------------------------------------------------- textstats
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": b.lang, "nt": b.text.fillna("").str.split().map(len)}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["lang"], sums=["nt"])
+    return pd.DataFrame(
+        {
+            "lang": g.lang,
+            "sum_tokens": g.sum_nt.astype("int64"),
+            "n_docs": g.n.astype("int64"),
+            "avg_tokens": np.round(g.sum_nt.astype(float) / g.n, 6),
+        }
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS nt FROM documents
+)
+SELECT lang, sum(nt)::BIGINT AS sum_tokens, count(*) AS n_docs,
+       round(sum(nt)::DOUBLE / count(*), 6) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    qt = textstats.quality_score_table(ds)
+    src = _read_pd(sf_dir, "documents", ["doc_id", "source"])
+    merged = qt.to_pandas().merge(src, on="doc_id")
+    g = merged.groupby("source", as_index=False).agg(
+        n_docs=("doc_id", "size"),
+        sum_tokens=("n_tokens", "sum"),
+        n_short=("is_short", "sum"),
+    )
+    return pd.DataFrame(
+        {
+            "source": g.source,
+            "n_docs": g.n_docs.astype("int64"),
+            "sum_tokens": g.sum_tokens.astype("int64"),
+            "n_short": g.n_short.astype("int64"),
+        }
+    )
+
+
+SQL_QUALITY_BY_SOURCE = """
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS sum_tokens,
+       sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short
+FROM documents GROUP BY 1
+"""
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Stopword-hit language ID accuracy per true lang."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = textstats.langid_table(ds).to_pandas()
+    truth = _read_pd(sf_dir, "documents", ["doc_id", "lang"])
+    m = pred.merge(truth, on="doc_id")
+    g = m.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"),
+        n_correct=("pred_lang", lambda s: int((s == m.loc[s.index, "lang"]).sum())),
+    )
+    g["n_docs"] = g.n_docs.astype("int64")
+    g["n_correct"] = g.n_correct.astype("int64")
+    return g
+
+
+def _langid_sql() -> str:
+    hit = {
+        lg: ", ".join(f"'{w}'" for w in ws)
+        for lg, ws in textstats.LANG_STOPWORDS.items()
+    }
+    h = {
+        lg: (
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"x -> x IN ({hit[lg]})))"
+        )
+        for lg in hit
+    }
+    return f"""
+WITH t AS (
+  SELECT lang,
+         {h['de']} AS h_de, {h['en']} AS h_en, {h['es']} AS h_es,
+         {h['fr']} AS h_fr, {h['zh']} AS h_zh
+  FROM documents
+), p AS (
+  SELECT lang,
+         CASE
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh
+             THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh'
+         END AS pred
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
+FROM p GROUP BY lang
+"""
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint stats per doc (rows-only oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.fingerprint_table(ds).to_pandas()
+
+
+# --------------------------------------------------------------------- eval
+
+
+def _paired_docs(sf_dir: str) -> rd.Dataset:
+    """Pair doc i with doc i+20 (same source by construction) via a
+    hash-partitioned Dataset.join — the large✕large join path."""
+    left = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def addkey(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column("pair_key", pc.add(b.column("doc_id"), 20))
+
+    left = left.map_batches(addkey, batch_format="pyarrow")
+    right = _read(sf_dir, "documents", ["doc_id", "text"])
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=8,
+        on=("pair_key",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+
+def q_cer_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit distance between paired docs (A1 levenshtein + A4 join)."""
+    joined = _paired_docs(sf_dir)
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        cols = {c for c in b.columns}
+        a_txt = b["text_a"] if "text_a" in cols else b["text"]
+        b_txt = b["text_b"]
+        ids = b["doc_id_a"] if "doc_id_a" in cols else b["doc_id"]
+        d = [
+            levenshtein((x or "")[:40], (y or "")[:40])
+            for x, y in zip(a_txt, b_txt)
+        ]
+        return pd.DataFrame({"doc_id": ids.astype("int64"),
+                             "dist": pd.array(d, dtype="int64")})
+
+    out = joined.map_batches(dist, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CER_PAIRS = """
+SELECT a.doc_id AS doc_id,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))::BIGINT AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 20
+"""
+
+
+def q_confusions(sf_dir: str) -> pd.DataFrame:
+    """Global confusion top-k over paired docs (A2 xlevenshtein + A6
+    confusion aggregation: flat_map pairs -> groupby count -> top-k).
+    Rows-only oracle (alignment is not SQL-expressible)."""
+    joined = _paired_docs(sf_dir)
+
+    def confs(b: pd.DataFrame) -> pd.DataFrame:
+        cols = set(b.columns)
+        a_txt = b["text_a"] if "text_a" in cols else b["text"]
+        b_txt = b["text_b"]
+        rows = []
+        for x, y in zip(a_txt, b_txt):
+            x = (x or "")[:30]
+            y = (y or "")[:30]
+            if not y:
+                continue
+            _, cs = xlevenshtein(x, y, context=1)
+            rows.extend(cs)
+        return pd.DataFrame(rows, columns=["pred", "gt"]) if rows else pd.DataFrame(
+            {"pred": pd.array([], dtype="string"),
+             "gt": pd.array([], dtype="string")}
+        )
+
+    pairs = joined.map_batches(confs, batch_format="pandas")
+    counts = pairs.groupby(["pred", "gt"]).count()
+    top = counts.sort("count()", descending=True).limit(20).to_pandas()
+    return top.rename(columns={"count()": "n"})

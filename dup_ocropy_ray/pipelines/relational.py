@@ -1,0 +1,104 @@
+"""Relational building blocks on Ray Data, scale-first:
+
+- ``grouped_agg``: partial aggregation inside map_batches (one row per key
+  per batch) before the shuffle — the groupby exchanges pre-aggregated
+  partials, not raw rows (ray_guide "Aggregation at scale").
+- ``broadcast_join``: small side ``ray.put`` once, pandas merge per batch
+  in an actor pool — no shuffle (ray_guide "Joins and lookups").
+- ``topk``: per-block top-k then a tiny driver-side final merge — the
+  global sort never happens.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Group-by aggregate with per-batch partial combine.
+
+    Returns a pandas DataFrame with columns: keys + sum_<c> + n (+
+    min_<c>/max_<c>). Caller derives averages etc. from sums and n.
+    """
+    keys = list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False, dropna=False)
+        parts = []
+        agg_spec = {}
+        for c in sums:
+            agg_spec[f"sum_{c}"] = (c, "sum")
+        for c in mins:
+            agg_spec[f"min_{c}"] = (c, "min")
+        for c in maxs:
+            agg_spec[f"max_{c}"] = (c, "max")
+        if counts:
+            agg_spec["n"] = (keys[0], "size")
+        return g.agg(**agg_spec)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    # the shuffle now only moves (keys x blocks) partial rows
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
+    aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in mins]
+    aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in maxs]
+    if counts:
+        aggs.append(Sum("n", alias_name="n"))
+    out = partials.groupby(keys).aggregate(*aggs)
+    return out.to_pandas()
+
+
+class _BroadcastMerge:
+    def __init__(self, small_ref, on, how):
+        self.small = ray.get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pd.DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """Join a Dataset against a small dimension table without a shuffle."""
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastMerge,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=concurrency,
+    )
+
+
+def topk(ds: rd.Dataset, by: Sequence[str] | str, k: int,
+         ascending: bool = False) -> pd.DataFrame:
+    """Global top-k without a global sort: block-local top-k, tiny final
+    merge on the driver."""
+    by = [by] if isinstance(by, str) else list(by)
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=ascending).head(k)
+
+    parts = ds.map_batches(block_topk, batch_format="pandas", batch_size=262144)
+    merged = parts.to_pandas()
+    return merged.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)

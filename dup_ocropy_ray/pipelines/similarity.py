@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: brute-force cosine top-k — per-batch numpy matmul
+  against a broadcast query matrix (the baseline; scales linearly and
+  parallelizes perfectly).
+- ``knn_ivf``: IVF-style two-stage search — coarse centroids (trained
+  once on a sample, broadcast), batches probe only the nearest
+  ``nprobe`` partitions. The scale path: at 10^12 vectors the centroid
+  assignment is the partition key and only matching partitions are read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _stack(vecs) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1)
+    n[n == 0] = 1.0
+    return M / n[:, None]
+
+
+def knn_brute(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Top-k by cosine to `query`; ties broken by id. Per-block top-k,
+    tiny global merge."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_stack(batch[vec_col]))
+            cos = M @ self.q
+            out = pd.DataFrame({id_col: batch[id_col].values, "cos_sim": cos})
+            return out.sort_values(
+                ["cos_sim", id_col], ascending=[False, True]
+            ).head(k)
+
+
+    parts = ds.map_batches(Score, batch_format="pandas", batch_size=65536,
+                           concurrency=2).to_pandas()
+    out = parts.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out.reset_index(drop=True)
+
+
+def train_centroids(ds: rd.Dataset, num_centroids: int = 16, vec_col: str = "embedding",
+                    sample: int = 2048, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """k-means on a driver-side sample (the IVF coarse quantizer).
+    Deterministic in `seed`."""
+    take = ds.limit(sample).to_pandas()
+    X = _normalize(_stack(take[vec_col]))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = X[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) or 1.0)
+    return C
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF search: score only vectors whose nearest centroid is among the
+    query's nprobe closest. Exactness degrades gracefully with nprobe;
+    nprobe == num_centroids reduces to brute force."""
+    if centroids is None:
+        centroids = train_centroids(ds, num_centroids, vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
+    cref = ray.put((centroids, q, probe))
+
+    class Score:
+        def __init__(self):
+            self.C, self.q, self.probe = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_stack(batch[vec_col]))
+            assign = (M @ self.C.T).argmax(axis=1)
+            mask = np.isin(assign, list(self.probe))
+            if not mask.any():
+                return pd.DataFrame({id_col: [], "cos_sim": []})
+            cos = M[mask] @ self.q
+            out = pd.DataFrame(
+                {id_col: batch[id_col].values[mask], "cos_sim": cos}
+            )
+            return out.sort_values(
+                ["cos_sim", id_col], ascending=[False, True]
+            ).head(k)
+
+    parts = ds.map_batches(Score, batch_format="pandas", batch_size=65536,
+                           concurrency=2).to_pandas()
+    out = parts.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out.reset_index(drop=True)

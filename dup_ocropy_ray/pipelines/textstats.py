@@ -1,0 +1,119 @@
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All stages are vectorized pandas string ops inside map_batches; the
+heuristics are chosen to be exactly reproducible in ANSI SQL so the
+DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..functions import hashing
+
+# tiny per-language stopword lists for the lang-id heuristic (the classic
+# stopword-hit method; n-gram models would need training data)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+def token_count_table(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc whitespace token count + char count."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "n_tokens": toks.map(len).astype("int64"),
+                "n_chars_measured": batch["text"].fillna("").str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+def quality_score_table(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc quality features: mean word length, alpha ratio,
+    short-doc flag. All SQL-expressible."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = text.str.split()
+        n_tokens = toks.map(len)
+        n_chars = text.str.len()
+        alpha = text.str.count(r"[a-zA-Z]")
+        mwl = np.where(
+            n_tokens > 0,
+            (n_chars - (n_tokens - 1).clip(lower=0)) / n_tokens.replace(0, 1),
+            0.0,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "n_tokens": n_tokens.astype("int64"),
+                "alpha_ratio": np.round(
+                    np.where(n_chars > 0, alpha / n_chars.replace(0, 1), 0.0), 6
+                ),
+                "mean_word_len": np.round(mwl, 6),
+                "is_short": (n_chars < 100).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+def langid_table(ds: rd.Dataset) -> rd.Dataset:
+    """Stopword-hit language ID: per doc, count token hits per language
+    list; predict the argmax (ties -> lexicographically first language).
+    Reproducible in SQL with list_filter + greatest()."""
+    langs = sorted(LANG_STOPWORDS)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        out = {"doc_id": batch["doc_id"].values}
+        scores = []
+        for lg in langs:
+            sw = set(LANG_STOPWORDS[lg])
+            s = toks.map(lambda ts: sum(1 for t in ts if t in sw)).astype("int64")
+            out[f"hits_{lg}"] = s
+            scores.append(s.to_numpy())
+        S = np.stack(scores, axis=1)
+        out["pred_lang"] = [langs[i] for i in S.argmax(axis=1)]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+def fingerprint_table(ds: rd.Dataset, window: int = 8, keep_mod: int = 8) -> rd.Dataset:
+    """Winnowing-style fingerprints per doc: count + min fingerprint
+    (stable doc signature for clustering / copy detection)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n = []
+        mn = []
+        for t in batch["text"].fillna(""):
+            fp = hashing.rolling_fingerprints(t, window=window, keep_mod=keep_mod)
+            n.append(len(fp))
+            mn.append(int(fp.min()) if len(fp) else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "n_fingerprints": pd.array(n, dtype="int64"),
+                "min_fingerprint": pd.array(
+                    [m - (1 << 64) if m >= (1 << 63) else m for m in mn],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=16384)

@@ -1,0 +1,181 @@
+"""Document reassembly: interleave recognized text spans with the original
+spans in reading order (the output invariant: span-sequence equality on
+(kind, text, media_ref, order), BASELINE.json / FIXTURES.md).
+
+Implemented as ``groupby(doc_id).map_groups`` over a union of two small
+row kinds (original span rows + recognized line rows) — pixel data never
+enters the shuffle (SURVEY.md §7.4 "never carry pixel data through the
+groupby"). Within a group rows sort by (span_offset, line_order); text
+spans for a page follow that page's media span in reading order
+(reference semantics: ocropus-gpageseg:440-449 reading-order renumber +
+ocropus-hocr:65-159 in-order assembly).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+OUT_SPAN = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+OUT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(OUT_SPAN)),
+        pa.field("n_pages", pa.int64()),
+        pa.field("n_lines", pa.int64()),
+        pa.field("n_skipped_pages", pa.int64()),
+        pa.field("chars_decoded", pa.int64()),
+        pa.field("low_confidence_lines", pa.int64()),
+    ]
+)
+
+# union row schema: original spans have rowtype='span', recognized lines
+# 'line', page statuses 'page'
+UNION_FIELDS = [
+    ("doc_id", pa.string()),
+    ("rowtype", pa.string()),
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("span_offset", pa.int32()),
+    ("line_order", pa.int32()),
+    ("status", pa.string()),
+    ("confidence", pa.float64()),
+]
+UNION_SCHEMA = pa.schema([pa.field(n, t) for n, t in UNION_FIELDS])
+
+
+def spans_to_union_rows(batch: pa.Table) -> pa.Table:
+    """Explode original docs (doc_id, spans) into union rows."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    rows = []
+    for d, ss in zip(doc_ids, spans):
+        for s in ss:
+            rows.append(
+                {
+                    "doc_id": d,
+                    "rowtype": "span",
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                    "span_offset": s["offset"],
+                    "line_order": -1,
+                    "status": "ok",
+                    "confidence": 1.0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=UNION_SCHEMA)
+
+
+def lines_to_union_rows(batch: pa.Table) -> pa.Table:
+    """Recognized line rows -> union rows."""
+    cols = {n: batch.column(n).to_pylist() for n in
+            ("doc_id", "media_ref", "span_offset", "line_order", "text",
+             "confidence", "rec_status")}
+    rows = []
+    for i in range(batch.num_rows):
+        rows.append(
+            {
+                "doc_id": cols["doc_id"][i],
+                "rowtype": "line",
+                "kind": "text",
+                "text": cols["text"][i],
+                "media_ref": cols["media_ref"][i],
+                "span_offset": cols["span_offset"][i],
+                "line_order": cols["line_order"][i],
+                "status": cols["rec_status"][i],
+                "confidence": cols["confidence"][i],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=UNION_SCHEMA)
+
+
+def page_status_union_rows(batch: pa.Table) -> pa.Table:
+    """Page rows (post-segmentation) -> page-status union rows so skip
+    accounting reconciles (rows in == rows out + skips)."""
+    rows = []
+    for i in range(batch.num_rows):
+        st = batch.column("seg_status")[i].as_py()
+        rows.append(
+            {
+                "doc_id": batch.column("doc_id")[i].as_py(),
+                "rowtype": "page",
+                "kind": "media",
+                "text": None,
+                "media_ref": batch.column("media_ref")[i].as_py(),
+                "span_offset": batch.column("span_offset")[i].as_py(),
+                "line_order": -1,
+                "status": st,
+                "confidence": 1.0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=UNION_SCHEMA)
+
+
+def reassemble_group(g: pd.DataFrame) -> pa.Table:
+    """Per-doc reassembly (runs inside groupby(doc_id).map_groups)."""
+    doc_id = g["doc_id"].iloc[0]
+    spans = g[g.rowtype == "span"].sort_values("span_offset")
+    lines = g[g.rowtype == "line"]
+    pages = g[g.rowtype == "page"]
+    page_status = dict(zip(pages["span_offset"], pages["status"]))
+    out = []
+    n_lines = 0
+    chars = 0
+    low_conf = 0
+    n_pages = 0
+    n_skipped = 0
+    for _, s in spans.iterrows():
+        out.append(
+            {
+                "kind": s["kind"],
+                "text": s["text"],
+                "media_ref": s["media_ref"],
+                "offset": len(out),
+            }
+        )
+        if s["kind"] == "media":
+            n_pages += 1
+            if page_status.get(s["span_offset"], "ok") != "ok":
+                n_skipped += 1
+            mine = lines[lines.span_offset == s["span_offset"]].sort_values(
+                "line_order"
+            )
+            for _, l in mine.iterrows():
+                if l["status"] != "ok":
+                    continue
+                out.append(
+                    {
+                        "kind": "text",
+                        "text": l["text"],
+                        "media_ref": None,
+                        "offset": len(out),
+                    }
+                )
+                n_lines += 1
+                chars += len(l["text"] or "")
+                if l["confidence"] < 0.6:
+                    low_conf += 1
+    return pa.Table.from_pylist(
+        [
+            {
+                "doc_id": doc_id,
+                "spans": out,
+                "n_pages": n_pages,
+                "n_lines": n_lines,
+                "n_skipped_pages": n_skipped,
+                "chars_decoded": chars,
+                "low_confidence_lines": low_conf,
+            }
+        ],
+        schema=OUT_SCHEMA,
+    )

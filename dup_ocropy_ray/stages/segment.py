@@ -1,0 +1,448 @@
+"""Page/line segmentation stage (gpageseg semantics).
+
+Re-implements the reference's segmentation chain G1-G16 as one fused
+numpy kernel per page plus an explode step to per-line rows:
+- scale estimation (reference ocrolib/psegutils.py:45-53)
+- page guards incl. component count (reference ocropus-gpageseg:118-130)
+- horizontal-line removal (:339-345)
+- whitespace column separators by convolution (:223-245) and optional
+  black separators by morphology (:177-186)
+- gradient baseline/topline maps (:287-303), line seeds (:306-332)
+- label propagation + spreading (:366-375, ocrolib/morph.py:174-188)
+- line records + filtering (ocrolib/psegutils.py:65-80)
+- reading order partial order + topological sort (psegutils.py:127-181)
+- reading-order renumber 0x010000+(i+1) (:444-449)
+- noise removal + masked line extraction (:458-464, psegutils.py:88-125)
+
+Exposed as a stateless ``map_batches`` UDF (`segment_batch`) that turns one
+page row into a `lines` list column; `explode_lines` flat-maps pages to
+line rows so the recognizer pool sees balanced batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import png, sl
+from ..functions.imgops import (
+    find_objects,
+    gaussian_filter,
+    gaussian_gradient,
+    label,
+    maximum_filter,
+    uniform_filter,
+)
+from ..functions.morph import (
+    propagate_labels,
+    r_dilation,
+    r_erosion,
+    remove_small_components,
+    select_regions,
+    spread_labels,
+)
+
+# defaults per reference ocropus-gpageseg:41-79
+DEFAULTS = dict(
+    minscale=12.0,
+    maxlines=300,
+    threshold=0.2,
+    noise=8,
+    usegauss=False,
+    vscale=1.0,
+    hscale=1.0,
+    maxseps=0,
+    sepwiden=10,
+    maxcolseps=3,
+    csminheight=10,
+    pad=3,
+    expand=3,
+)
+
+
+def check_page_components(ink: np.ndarray) -> str:
+    """Extra page guard: component count within [10, w*h/900]
+    (reference ocropus-gpageseg:118-130); `ink` is the ink=1 image."""
+    h, w = ink.shape
+    slots = int(w * h / (30 * 30))
+    _, ncomps = label(ink > np.mean(ink))
+    if ncomps < 10:
+        return f"too few connected components for a page image (got {ncomps})"
+    if ncomps > slots:
+        return f"too many connected components for a page image ({ncomps} > {slots})"
+    return ""
+
+
+def binary_objects(binary: np.ndarray):
+    labels, n = label(binary)
+    return find_objects(labels, n)
+
+
+def estimate_scale(binary: np.ndarray) -> float:
+    """Median sqrt-area of non-overlapping components in (3,100)
+    (reference ocrolib/psegutils.py:45-53)."""
+    objects = sorted(binary_objects(binary), key=sl.area)
+    scalemap = np.zeros(binary.shape)
+    for o in objects:
+        if o is None or np.amax(scalemap[o]) > 0:
+            continue
+        scalemap[o] = sl.area(o) ** 0.5
+    sel = scalemap[(scalemap > 3) & (scalemap < 100)]
+    if sel.size == 0:
+        return float("nan")
+    return float(np.median(sel))
+
+
+def compute_boxmap(binary: np.ndarray, scale: float, threshold=(0.5, 4)) -> np.ndarray:
+    """Mask of components whose sqrt-area is within threshold*scale
+    (reference ocrolib/psegutils.py:55-63)."""
+    boxmap = np.zeros(binary.shape, dtype=np.uint8)
+    for o in binary_objects(binary):
+        if o is None:
+            continue
+        a = sl.area(o) ** 0.5
+        if a < threshold[0] * scale or a > threshold[1] * scale:
+            continue
+        boxmap[o] = 1
+    return boxmap
+
+
+def remove_hlines(binary: np.ndarray, scale: float, maxsize: float = 10) -> np.ndarray:
+    """Drop components wider than maxsize*scale (reference
+    ocropus-gpageseg:339-345)."""
+    labels, n = label(binary)
+    objects = find_objects(labels, n)
+    for i, b in enumerate(objects):
+        if b is not None and sl.dim1(b) > maxsize * scale:
+            region = labels[b]
+            region[region == i + 1] = 0
+    return (labels != 0).astype(np.uint8)
+
+
+def compute_colseps_conv(
+    binary: np.ndarray, scale: float, csminheight: float = 10, maxcolseps: int = 3
+) -> np.ndarray:
+    """Whitespace column separators by smoothing + vertical-edge gradient
+    (reference ocropus-gpageseg:223-245)."""
+    smoothed = gaussian_filter(binary.astype(np.float64), (scale, scale * 0.5))
+    smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
+    thresh = smoothed < np.amax(smoothed) * 0.1
+    grad = gaussian_gradient(binary.astype(np.float64), (scale, scale * 0.5), axis=1)
+    grad = uniform_filter(grad, (10.0 * scale, 1))
+    grad = grad > 0.5 * np.amax(grad)
+    seps = np.minimum(
+        thresh, maximum_filter(grad.astype(np.float64), (int(scale), int(5 * scale))) > 0
+    )
+    seps = maximum_filter(seps.astype(np.float64), (int(2 * scale), 1)) > 0
+    seps = select_regions(seps, sl.dim0, min_v=csminheight * scale, nbest=maxcolseps)
+    return seps.astype(np.uint8)
+
+
+def compute_separators_morph(
+    binary: np.ndarray, scale: float, sepwiden: int = 10, maxseps: int = 2
+) -> np.ndarray:
+    """Vertical black (ruled) separators (reference ocropus-gpageseg:177-186)."""
+    d0 = int(max(5, scale / 4))
+    d1 = int(max(5, scale)) + sepwiden
+    thick = r_dilation(binary.astype(np.float64), (d0, d1))
+    vert = r_dilation(r_erosion(thick, (int(10 * scale), 1)), (int(10 * scale), 1))
+    vert = r_erosion(vert, (d0 // 2 or 1, sepwiden or 1))
+    vert = select_regions(vert > 0.5, sl.dim1, min_v=3, nbest=2 * maxseps)
+    vert = select_regions(vert, sl.dim0, min_v=20 * scale, nbest=maxseps)
+    return vert.astype(np.uint8)
+
+
+def compute_gradmaps(binary: np.ndarray, scale: float, usegauss: bool,
+                     vscale: float, hscale: float):
+    """Baseline/topline gradient maps (reference ocropus-gpageseg:287-303)."""
+    boxmap = compute_boxmap(binary, scale)
+    cleaned = boxmap * binary
+    if usegauss:
+        grad = gaussian_gradient(
+            cleaned.astype(np.float64), (vscale * 0.3 * scale, hscale * 6 * scale), axis=0
+        )
+    else:
+        grad = gaussian_gradient(
+            cleaned.astype(np.float64), (max(4, vscale * 0.3 * scale), hscale * scale),
+            axis=0,
+        )
+        grad = uniform_filter(grad, (vscale, hscale * 6 * scale))
+
+    def norm_max(v):
+        m = np.amax(v)
+        return v / m if m > 0 else v
+
+    top = norm_max((grad > 0) * grad)
+    bottom = norm_max((grad < 0) * (-grad))
+    return bottom, top, boxmap
+
+
+def compute_line_seeds(
+    binary: np.ndarray,
+    bottom: np.ndarray,
+    top: np.ndarray,
+    colseps: np.ndarray,
+    scale: float,
+    threshold: float = 0.2,
+    vscale: float = 1.0,
+) -> np.ndarray:
+    """Mark regions between detected baselines and toplines as line seeds
+    (reference ocropus-gpageseg:306-332)."""
+    t = threshold
+    vrange = int(vscale * scale)
+    bmarked = maximum_filter(
+        (bottom == maximum_filter(bottom, (vrange, 1))).astype(np.float64), (2, 2)
+    )
+    bmarked = bmarked * (bottom > t * np.amax(bottom) * t) * (1 - colseps)
+    tmarked = maximum_filter(
+        (top == maximum_filter(top, (vrange, 1))).astype(np.float64), (2, 2)
+    )
+    tmarked = tmarked * (top > t * np.amax(top) * t / 2) * (1 - colseps)
+    tmarked = maximum_filter(tmarked, (1, 20))
+    seeds = np.zeros(binary.shape, dtype=np.int32)
+    delta = max(3, int(scale / 2))
+    bm = bmarked > 0
+    tm = tmarked > 0
+    for x in range(binary.shape[1]):
+        transitions = sorted(
+            [(y, 1) for y in np.nonzero(bm[:, x])[0]]
+            + [(y, 0) for y in np.nonzero(tm[:, x])[0]]
+        )[::-1]
+        transitions.append((0, 0))
+        for l in range(len(transitions) - 1):
+            y0, s0 = transitions[l]
+            if s0 == 0:
+                continue
+            seeds[max(0, y0 - delta) : y0, x] = 1
+            y1, s1 = transitions[l + 1]
+            if s1 == 0 and (y0 - y1) < 5 * scale:
+                seeds[y1:y0, x] = 1
+    seeds = maximum_filter(seeds.astype(np.float64), (1, int(1 + scale))) > 0
+    seeds = seeds * (1 - colseps)
+    seed_labels, _ = label(seeds > 0)
+    return seed_labels
+
+
+def compute_segmentation(binary: np.ndarray, scale: float, **params) -> np.ndarray:
+    """Complete line segmentation of an ink=1 binary page
+    (reference ocropus-gpageseg:348-375). Returns int32 label image."""
+    p = dict(DEFAULTS, **params)
+    binary = np.asarray(binary, dtype=np.uint8)
+    binary = remove_hlines(binary, scale)
+    colseps = compute_colseps_conv(binary, scale, p["csminheight"], p["maxcolseps"])
+    if p["maxseps"] > 0:
+        seps = compute_separators_morph(binary, scale, p["sepwiden"], p["maxseps"])
+        colseps = np.maximum(colseps, seps)
+        binary = np.minimum(binary, 1 - seps)
+    bottom, top, boxmap = compute_gradmaps(
+        binary, scale, p["usegauss"], p["vscale"], p["hscale"]
+    )
+    seeds = compute_line_seeds(
+        binary, bottom, top, colseps, scale, p["threshold"], p["vscale"]
+    )
+    llabels = propagate_labels(boxmap, seeds, conflict=0)
+    spread = spread_labels(seeds, maxdist=scale)
+    llabels = np.where(llabels > 0, llabels, spread * binary)
+    return (llabels * binary).astype(np.int32)
+
+
+def compute_lines(segmentation: np.ndarray, scale: float):
+    """Label image -> line records [(label, bounds)] dropping lines
+    narrower than 2*scale or shorter than scale (reference
+    ocrolib/psegutils.py:65-80)."""
+    objects = find_objects(segmentation)
+    lines = []
+    for i, o in enumerate(objects):
+        if o is None:
+            continue
+        if sl.dim1(o) < 2 * scale or sl.dim0(o) < scale:
+            continue
+        mask = segmentation[o] == i + 1
+        if not mask.any():
+            continue
+        lines.append({"label": i + 1, "bounds": o, "mask": mask})
+    return lines
+
+
+def reading_order(bounds_list) -> np.ndarray:
+    """Pairwise partial reading order over line bboxes (reference
+    ocrolib/psegutils.py:127-164): u before v if u is above v with x
+    overlap, or left of v with no separating line between them."""
+    n = len(bounds_list)
+    order = np.zeros((n, n), dtype=np.uint8)
+
+    def x_overlaps(u, v):
+        return u[1].start < v[1].stop and u[1].stop > v[1].start
+
+    def separates(w, u, v):
+        if w[0].stop < min(u[0].start, v[0].start):
+            return False
+        if w[0].start > max(u[0].stop, v[0].stop):
+            return False
+        return w[1].start < u[1].stop and w[1].stop > v[1].start
+
+    for i, u in enumerate(bounds_list):
+        for j, v in enumerate(bounds_list):
+            if x_overlaps(u, v):
+                if u[0].start < v[0].start:
+                    order[i, j] = 1
+            elif u[1].stop < v[1].start:
+                if not any(separates(w, u, v) for w in bounds_list):
+                    order[i, j] = 1
+    return order
+
+
+def topsort(order: np.ndarray) -> list[int]:
+    """DFS topological sort with the reference's iteration/tie-break order
+    (reference ocrolib/psegutils.py:166-181) — the emitted sequence IS the
+    reading order the span invariant keys on."""
+    n = len(order)
+    visited = np.zeros(n, dtype=bool)
+    out: list[int] = []
+
+    def visit(k: int):
+        if visited[k]:
+            return
+        visited[k] = True
+        for l in np.nonzero(order[:, k])[0]:
+            visit(int(l))
+        out.append(k)
+
+    for k in range(n):
+        visit(k)
+    return out
+
+
+def extract_masked(
+    image: np.ndarray, line: dict, pad: int = 3, expand: int = 3
+) -> np.ndarray:
+    """Cut a line bbox (+pad) from the white=1 image, blank other lines'
+    ink via the expanded mask, background-fill (reference
+    ocrolib/psegutils.py:88-125)."""
+    o = line["bounds"]
+    mask = line["mask"].astype(np.uint8)
+    if pad > 0:
+        mask = np.pad(mask, pad, mode="constant", constant_values=0)
+    cut_img = sl.cut(image, o, margin=pad, bg=1.0)
+    if expand > 0:
+        mask = maximum_filter(mask.astype(np.float64), (expand, expand)) > 0
+    return np.where(mask, cut_img, np.amax(cut_img))
+
+
+def segment_page(bin_white1: np.ndarray, **params) -> dict:
+    """Full segmentation of a binarized page ({0,1}, 1 = white background).
+    Returns {status, scale, lines: [{order,y0,x0,y1,x1,png}]}."""
+    p = dict(DEFAULTS, **params)
+    ink = (1 - np.asarray(bin_white1)).astype(np.uint8)  # invert: ink=1
+    reason = check_page_components(ink)
+    if reason:
+        return {"status": reason, "scale": 0.0, "lines": []}
+    scale = estimate_scale(ink)
+    if np.isnan(scale) or scale > 1000.0:
+        return {"status": f"bad scale ({scale:g})", "scale": 0.0, "lines": []}
+    if scale < p["minscale"]:
+        return {"status": f"scale ({scale:g}) less than minscale", "scale": scale,
+                "lines": []}
+    segmentation = compute_segmentation(ink, scale, **params)
+    nlines_raw = int(segmentation.max())
+    if nlines_raw > p["maxlines"]:
+        return {"status": f"too many lines ({nlines_raw})", "scale": scale, "lines": []}
+    lines = compute_lines(segmentation, scale)
+    order = reading_order([l["bounds"] for l in lines])
+    lsort = topsort(order)
+    cleaned = remove_small_components(ink, p["noise"])
+    white = (1 - cleaned).astype(np.float64)  # white=1 background for extraction
+    out_lines = []
+    for rank, idx in enumerate(lsort):
+        l = lines[idx]
+        img = extract_masked(white, l, pad=p["pad"], expand=p["expand"])
+        o = l["bounds"]
+        out_lines.append(
+            {
+                "order": rank,
+                "y0": int(o[0].start),
+                "x0": int(o[1].start),
+                "y1": int(o[0].stop),
+                "x1": int(o[1].stop),
+                "png": png.encode_gray(img),
+            }
+        )
+    return {"status": "", "scale": float(scale), "lines": out_lines}
+
+
+LINE_ITEM = pa.struct(
+    [
+        pa.field("order", pa.int32()),
+        pa.field("y0", pa.int32()),
+        pa.field("x0", pa.int32()),
+        pa.field("y1", pa.int32()),
+        pa.field("x1", pa.int32()),
+        pa.field("png", pa.binary()),
+    ]
+)
+
+
+def segment_batch(batch: pa.Table, **params) -> pa.Table:
+    """Stateless map_batches UDF: bin_png -> lines list column + status."""
+    bins = batch.column("bin_png").to_pylist()
+    statuses = batch.column("bin_status").to_pylist()
+    out_lines: list[list[dict]] = []
+    out_status: list[str] = []
+    scales: list[float] = []
+    for data, st in zip(bins, statuses):
+        if st != "ok" or data is None:
+            out_lines.append([])
+            out_status.append(st if st != "ok" else "no binary image")
+            scales.append(0.0)
+            continue
+        try:
+            binary = png.decode_binary(data)
+            r = segment_page(binary, **params)
+        except Exception as e:
+            r = {"status": f"error: {type(e).__name__}: {e}", "scale": 0.0, "lines": []}
+        out_lines.append(r["lines"])
+        out_status.append(r["status"] if r["status"] else "ok")
+        scales.append(r["scale"])
+    out = batch.drop_columns(["bin_png"] + (["nrm_png"] if "nrm_png" in batch.column_names else []))
+    out = out.append_column("lines", pa.array(out_lines, type=pa.list_(LINE_ITEM)))
+    out = out.append_column("seg_status", pa.array(out_status, type=pa.string()))
+    out = out.append_column("seg_scale", pa.array(scales, type=pa.float64()))
+    return out
+
+
+def explode_lines(batch: pa.Table) -> pa.Table:
+    """Pages -> line rows (the 1→N flat_map point, SURVEY.md G16).
+    Output: doc_id, media_ref, span_offset, line_order, bbox, line_png."""
+    doc_ids, refs, offs = (
+        batch.column("doc_id").to_pylist(),
+        batch.column("media_ref").to_pylist(),
+        batch.column("span_offset").to_pylist(),
+    )
+    lines = batch.column("lines").to_pylist()
+    rows = {k: [] for k in
+            ("doc_id", "media_ref", "span_offset", "line_order", "y0", "x0", "y1",
+             "x1", "line_png")}
+    for d, r, o, ls in zip(doc_ids, refs, offs, lines):
+        for l in ls:
+            rows["doc_id"].append(d)
+            rows["media_ref"].append(r)
+            rows["span_offset"].append(o)
+            rows["line_order"].append(l["order"])
+            rows["y0"].append(l["y0"])
+            rows["x0"].append(l["x0"])
+            rows["y1"].append(l["y1"])
+            rows["x1"].append(l["x1"])
+            rows["line_png"].append(l["png"])
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "span_offset": pa.array(rows["span_offset"], pa.int32()),
+            "line_order": pa.array(rows["line_order"], pa.int32()),
+            "y0": pa.array(rows["y0"], pa.int32()),
+            "x0": pa.array(rows["x0"], pa.int32()),
+            "y1": pa.array(rows["y1"], pa.int32()),
+            "x1": pa.array(rows["x1"], pa.int32()),
+            "line_png": pa.array(rows["line_png"], pa.binary()),
+        }
+    )

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Train the fixture recognizer model on deterministic synthetic lines.
+
+Standalone script (owns no Ray session — pure numpy). Mirrors the
+reference's training regime (reference ocropus-rtrain:267-339: SGD over
+rendered lines with CTC alignment; their published curves need tens of
+thousands of line presentations) but runs vectorized mini-batch BPTT with
+length-bucketed batches and Adam, which reaches the same point ~20x
+faster. The resulting weights are committed at
+dup_ocropy_ray/models/fixture_model.npz and loaded once per recognizer
+actor.
+
+Usage: python scripts/train_fixture_model.py [--steps 6000] [--ns 60]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dup_ocropy_ray.functions.edist import levenshtein
+from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer, prepare_line
+from dup_ocropy_ray.sources.fixtures import training_lines
+from dup_ocropy_ray.sources.glyphs import CHARSET
+from dup_ocropy_ray.stages.lineest import normalize_line
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--nlines", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--ns", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--max-chars", type=int, default=14)
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dup_ocropy_ray", "models", "fixture_model.npz"))
+    args = ap.parse_args()
+
+    charset = ["", "~"] + sorted(set(CHARSET))
+    net = BiLSTMRecognizer(ni=48, ns=args.ns, charset=charset, seed=args.seed)
+    pairs = training_lines(num=args.nlines, seed=args.seed,
+                           max_chars=args.max_chars)
+    inputs = [prepare_line(normalize_line(img)) for _, img in pairs]
+    texts = [t for t, _ in pairs]
+
+    # length buckets: sort once, batches take adjacent entries -> minimal pad
+    order = np.argsort([x.shape[0] for x in inputs])
+    nb = max(1, len(order) // args.batch)
+    buckets = [order[i * args.batch : (i + 1) * args.batch] for i in range(nb)]
+    rng = np.random.default_rng(args.seed)
+
+    eval_idx = list(range(0, len(pairs), max(1, len(pairs) // 40)))
+    best_cer = 1e9
+    t0 = time.time()
+    for st in range(args.steps):
+        bucket = buckets[int(rng.integers(len(buckets)))]
+        batch = [(inputs[i], texts[i]) for i in bucket]
+        net.train_minibatch_batched(batch, lr=args.lr, step=st + 1)
+        if (st + 1) % args.eval_every == 0:
+            errs = tot = 0
+            for j in eval_idx:
+                pred = net.predict_string(inputs[j])
+                errs += levenshtein(pred, texts[j])
+                tot += len(texts[j])
+            cer = errs / max(1, tot)
+            print(
+                f"step {st+1} samples {(st+1)*args.batch} cer {cer:.4f} "
+                f"elapsed {time.time()-t0:.0f}s",
+                flush=True,
+            )
+            if cer < best_cer:
+                best_cer = cer
+                os.makedirs(os.path.dirname(args.out), exist_ok=True)
+                net.save_npz(args.out)
+            if cer == 0.0:
+                break
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if best_cer > 0:
+        net.save_npz(args.out)
+    print(f"done best_cer {best_cer:.4f} saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Stage-kernel tests: binarize, segment, lineest (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from dup_ocropy_ray.functions import png
+from dup_ocropy_ray.sources import glyphs
+from dup_ocropy_ray.sources.fixtures import build_corpus, training_lines
+from dup_ocropy_ray.stages.binarize import binarize_page, check_page, normalize_raw_image
+from dup_ocropy_ray.stages.lineest import check_line, normalize_line
+from dup_ocropy_ray.stages.segment import (
+    estimate_scale,
+    reading_order,
+    segment_page,
+    topsort,
+)
+
+LINES = ["the quick brown fox", "pack my box with", "five dozen jugs", "of liquid here"]
+
+
+@pytest.fixture(scope="module")
+def page():
+    return glyphs.render_page(LINES)
+
+
+@pytest.fixture(scope="module")
+def binarized(page):
+    return binarize_page(page)
+
+
+def test_normalize_raw_image():
+    assert normalize_raw_image(np.zeros((5, 5))) is None
+    out = normalize_raw_image(np.array([[0.2, 0.8]]))
+    assert out.min() == 0.0 and out.max() == 1.0
+
+
+def test_check_page_guards():
+    ok = np.zeros((700, 700))
+    ok[100:110, 100:200] = 1.0
+    assert check_page(ok) == ""
+    assert "not tall enough" in check_page(np.zeros((100, 700)))
+    assert "too tall" in check_page(np.zeros((10001, 700)))
+
+
+def test_binarize_clean_page_preserves_ink(page, binarized):
+    r = binarized
+    assert r["status"] == ""
+    ink_raw = (page < 0.5).mean()
+    ink_bin = (r["bin"] == 0).mean()
+    assert abs(ink_raw - ink_bin) < 0.005
+    assert r["nrm"].shape == page.shape
+
+
+def test_binarize_small_page_skips():
+    small = np.ones((120, 200))
+    small[40:60, 40:120] = 0.0
+    assert "not tall enough" in binarize_page(small)["status"]
+
+
+def test_segment_finds_lines_in_reading_order(page, binarized):
+    r = segment_page(binarized["bin"])
+    assert r["status"] == ""
+    assert len(r["lines"]) == len(LINES)
+    orders = [l["order"] for l in r["lines"]]
+    assert orders == sorted(orders) == list(range(len(LINES)))
+    tops = [l["y0"] for l in sorted(r["lines"], key=lambda l: l["order"])]
+    assert tops == sorted(tops)  # single column: reading order == top-down
+
+
+def test_segment_line_images_decode(page, binarized):
+    r = segment_page(binarized["bin"])
+    for l in r["lines"]:
+        img = png.decode_gray(l["png"])
+        assert img.shape[0] >= 20 and img.shape[1] > img.shape[0]
+        assert (img < 0.5).sum() > 50  # has ink
+
+
+def test_segment_rejects_blank_page():
+    blank = np.ones((700, 700), dtype=np.uint8)
+    r = segment_page(blank)
+    assert r["status"] != "" and r["lines"] == []
+
+
+def test_estimate_scale_on_glyph_page(binarized):
+    ink = (1 - binarized["bin"]).astype(np.uint8)
+    s = estimate_scale(ink)
+    assert 12 < s < 40
+
+
+def test_reading_order_two_columns():
+    # two columns: left column lines 0,1; right column lines 2,3
+    b = [
+        (slice(0, 10), slice(0, 40)),
+        (slice(20, 30), slice(0, 40)),
+        (slice(0, 10), slice(60, 100)),
+        (slice(20, 30), slice(60, 100)),
+    ]
+    order = reading_order(b)
+    seq = topsort(order)
+    # column-major: 0,1 then 2,3
+    assert seq.index(0) < seq.index(1)
+    assert seq.index(2) < seq.index(3)
+    assert seq.index(0) < seq.index(2)
+
+
+def test_normalize_line_height():
+    img = glyphs.render_line("hello world")
+    norm = normalize_line(img)
+    assert norm.shape[0] == 48
+    assert norm.shape[1] > 48
+    # still white-background
+    assert norm.mean() > 0.5
+
+
+def test_check_line_guards():
+    line = glyphs.render_line("hello world")
+    ink = np.amax(line) - line
+    assert check_line(ink) == ""
+    assert "not tall enough" in check_line(np.zeros((10, 100)) + (np.arange(100) % 2))
+    wide = np.zeros((30, 4500))
+    wide[10:20, ::10] = 1
+    assert "too wide" in check_line(wide)
+
+
+def test_build_corpus_shapes(tmp_path):
+    paths = build_corpus(str(tmp_path), num_docs=4, seed=1, skew_doc_pages=2)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(paths["docs"])
+    media = pq.read_table(paths["media"])
+    gt = pq.read_table(paths["groundtruth"])
+    assert docs.num_rows == 4
+    assert media.num_rows == paths["num_pages"] == 2 + 1 + 1 + 1
+    # edge-case doc page has no gt lines
+    assert set(gt.column("doc_id").to_pylist()) <= {"doc-000000", "doc-000001", "doc-000002"}
+    # deterministic: same seed -> same bytes
+    paths2 = build_corpus(str(tmp_path / "again"), num_docs=4, seed=1, skew_doc_pages=2)
+    media2 = pq.read_table(paths2["media"])
+    assert media.column("bytes").to_pylist() == media2.column("bytes").to_pylist()
+
+
+def test_training_lines_deterministic():
+    a = training_lines(num=5, seed=3)
+    b = training_lines(num=5, seed=3)
+    assert [t for t, _ in a] == [t for t, _ in b]
+    assert all((x == y).all() for (_, x), (_, y) in zip(a, b))

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "ocr_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
+   "pages_per_sec": ..., "lines_per_sec": ...}
+
+Headline = the flagship OCR pipeline (binarize→segment→recognize→
+reassemble) over a deterministic corpus derived from $GRAFT_SF_DIR's
+documents table, plus per-query timings for a representative operator
+subset.
+
+  python bench.py                 # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # same job at 8 vs 32 CPUs in fresh
+                                  # processes -> scaling efficiency
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "240"))
+
+QUERY_SUBSET = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "knn",
+    "token_stats",
+    "cer_pairs",
+]
+
+
+def build_bench_corpus() -> dict:
+    """Deterministic OCR corpus from the sf documents table; cached by
+    content key so repeated runs skip rendering."""
+    import hashlib
+
+    from dup_ocropy_ray.sources.fixtures import build_corpus
+
+    key = hashlib.md5(f"{SF_DIR}:{BENCH_PAGES}:v2".encode()).hexdigest()[:10]
+    root = f"/tmp/bench_corpus_{key}"
+    docs_path = os.path.join(root, "docs.parquet")
+    if not os.path.exists(docs_path):
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+        ).column("text").to_pylist()
+        # num_docs such that pages ≈ BENCH_PAGES (1 page/doc + 4-page skew doc)
+        build_corpus(root, num_docs=BENCH_PAGES - 3, seed=42, texts=texts,
+                     skew_doc_pages=4, include_edge_cases=False)
+    return {"docs": docs_path, "media": os.path.join(root, "media.parquet")}
+
+
+def main():
+    import ray
+
+    corpus = build_bench_corpus()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    # warm the page cache (untimed)
+    read_docs(corpus["docs"]).count()
+
+    media_ref = put_media_store(corpus["media"])
+    t0 = time.time()
+    out = ocr_pipeline(
+        read_docs(corpus["docs"]),
+        media_ref,
+        resolver_concurrency=2,
+        page_concurrency=(2, max(2, NUM_CPUS - NUM_CPUS // 4 - 3)),
+        recognizer_concurrency=(1, max(2, NUM_CPUS // 4)),
+    )
+    df = out.to_pandas()
+    ocr_sec = time.time() - t0
+    pages = int(df["n_pages"].sum())
+    lines = int(df["n_lines"].sum())
+
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    qtimes = {}
+    for name in QUERY_SUBSET:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "ocr_e2e_sec",
+        "value": round(ocr_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": pages,
+        "lines": lines,
+        "pages_per_sec": round(pages / ocr_sec, 2),
+        "lines_per_sec": round(lines / ocr_sec, 2),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pages": r_hi["pages"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

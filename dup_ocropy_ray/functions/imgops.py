@@ -150,8 +150,45 @@ def gaussian_gradient(a: np.ndarray, sigma, axis: int = 0) -> np.ndarray:
     for i, kv in enumerate(dg):
         sl[axis] = slice(i, i + a.shape[axis])
         out += kv * ap[tuple(sl)]
-    if s_other > 0:
+    if s_other > 8:
+        out = box_gaussian_filter1d(out, s_other, 1 - axis)
+    elif s_other > 0:
         out = gaussian_filter1d(out, s_other, 1 - axis)
+    return out
+
+
+def box_gaussian_filter1d(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
+    """O(n) gaussian approximation by a cascade of three box filters
+    (variance of n boxes of width w is n(w²-1)/12 — standard fast-gaussian
+    construction). Used for the large-sigma page-level smoothing where the
+    downstream consumer thresholds robustly; the exact kernel stays in
+    use for small sigmas and the recognition path."""
+    if sigma <= 0:
+        return np.asarray(a, dtype=np.float64).copy()
+    # three boxes with total variance ~= sigma^2
+    w = int(np.sqrt(sigma * sigma * 12.0 / 3.0 + 1.0))
+    if w % 2 == 0:
+        w += 1
+    out = np.asarray(a, dtype=np.float64)
+    for _ in range(3):
+        out = uniform_filter1d(out, w, axis)
+    return out
+
+
+def gaussian_filter_fast(a: np.ndarray, sigma) -> np.ndarray:
+    """Separable gaussian using the box cascade for sigma > 8 per axis."""
+    if np.isscalar(sigma):
+        sy = sx = float(sigma)
+    else:
+        sy, sx = sigma
+    out = np.asarray(a, dtype=np.float64)
+    for s, ax in ((sy, 0), (sx, 1)):
+        if s <= 0:
+            continue
+        if s > 8:
+            out = box_gaussian_filter1d(out, s, ax)
+        else:
+            out = gaussian_filter1d(out, s, ax)
     return out
 
 
@@ -191,23 +228,53 @@ def uniform_filter(a: np.ndarray, size) -> np.ndarray:
 
 
 def maximum_filter1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
+    """Sliding maximum, van Herk/Gil-Werman: O(n) independent of window
+    size (three passes of block cummax). Edge-replicate padding."""
     size = max(1, int(size))
     if size == 1:
         return np.asarray(a).copy()
+    a = np.asarray(a)
+    if size <= 4:
+        # tiny windows: shifted-max is faster than the block machinery
+        lo = size // 2
+        hi = size - 1 - lo
+        ap = _pad_axis(a, max(lo, hi), axis)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(max(lo, hi) - lo, ap.shape[axis] - (max(lo, hi) - hi))
+        ap = ap[tuple(sl)]
+        out = None
+        for i in range(size):
+            s = [slice(None)] * a.ndim
+            s[axis] = slice(i, i + a.shape[axis])
+            v = ap[tuple(s)]
+            out = v.copy() if out is None else np.maximum(out, v)
+        return out
+    moved = np.moveaxis(a, axis, -1)
+    n = moved.shape[-1]
     lo = size // 2
     hi = size - 1 - lo
-    a = np.asarray(a)
-    ap = _pad_axis(a, max(lo, hi), axis)
-    sl = [slice(None)] * a.ndim
-    sl[axis] = slice(max(lo, hi) - lo, ap.shape[axis] - (max(lo, hi) - hi))
-    ap = ap[tuple(sl)]
-    out = None
-    for i in range(size):
-        s = [slice(None)] * a.ndim
-        s[axis] = slice(i, i + a.shape[axis])
-        v = ap[tuple(s)]
-        out = v.copy() if out is None else np.maximum(out, v)
-    return out
+    # padded length m = n + size - 1; window i covers p[i : i + size]
+    p = np.concatenate(
+        [
+            np.repeat(moved[..., :1], lo, axis=-1),
+            moved,
+            np.repeat(moved[..., -1:], hi, axis=-1),
+        ],
+        axis=-1,
+    )
+    m = p.shape[-1]
+    nblocks = -(-m // size)
+    pad_tail = nblocks * size - m
+    if pad_tail:
+        p = np.concatenate([p, np.repeat(p[..., -1:], pad_tail, axis=-1)], axis=-1)
+    blocks = p.reshape(*p.shape[:-1], nblocks, size)
+    f = np.maximum.accumulate(blocks, axis=-1).reshape(*p.shape[:-1], -1)
+    b = np.maximum.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
+        *p.shape[:-1], -1
+    )
+    # out[i] = max(p[i:i+size]) = max(b[i], f[i+size-1]) for i in [0, n)
+    out = np.maximum(b[..., :n], f[..., size - 1 : size - 1 + n])
+    return np.moveaxis(out, -1, axis)
 
 
 def maximum_filter(a: np.ndarray, size) -> np.ndarray:
@@ -267,7 +334,18 @@ def label(binary: np.ndarray) -> tuple[np.ndarray, int]:
     b = np.asarray(binary) != 0
     h, w = b.shape
     labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]  # parent[i] for union-find; 0 = background
+    if not b.any():
+        return labels, 0
+    # bulk run extraction: one diff over the zero-padded image
+    bp = np.zeros((h, w + 2), dtype=np.int8)
+    bp[:, 1:-1] = b
+    d = np.diff(bp, axis=1)
+    sy, sx = np.nonzero(d == 1)  # run starts (col index in original coords)
+    ey, ex = np.nonzero(d == -1)  # run ends (exclusive)
+    # starts/ends are row-major sorted and pair up 1:1 within each row
+    row_first = np.searchsorted(sy, np.arange(h), side="left")
+    row_last = np.searchsorted(sy, np.arange(h), side="right")
+    parent: list[int] = [0]  # union-find; 0 = background
 
     def find(x: int) -> int:
         root = x
@@ -277,27 +355,25 @@ def label(binary: np.ndarray) -> tuple[np.ndarray, int]:
             parent[x], x = root, parent[x]
         return root
 
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
+    sx_l = sx.tolist()
+    ex_l = ex.tolist()
+    run_label = [0] * len(sx_l)
+    prev_lo = prev_hi = 0  # run index range of the previous row
     for y in range(h):
-        row = b[y]
-        # find runs [start, end)
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.nonzero(d == 1)[0] + 1)
-        ends = list(np.nonzero(d == -1)[0] + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        pi = 0
-        for s, e in zip(starts, ends):
+        lo, hi = int(row_first[y]), int(row_last[y])
+        if lo == hi:
+            prev_lo = prev_hi = lo
+            continue
+        pi = prev_lo
+        for r in range(lo, hi):
+            s = sx_l[r]
+            e = ex_l[r]
             lab = 0
-            # overlap with previous row runs (4-connectivity: column overlap)
-            while pi < len(prev_runs) and prev_runs[pi][1] <= s:
+            while pi < prev_hi and ex_l[pi] <= s:
                 pi += 1
             pj = pi
-            while pj < len(prev_runs) and prev_runs[pj][0] < e:
-                plab = find(prev_runs[pj][2])
+            while pj < prev_hi and sx_l[pj] < e:
+                plab = find(run_label[pj])
                 if lab == 0:
                     lab = plab
                 elif plab != lab:
@@ -307,9 +383,9 @@ def label(binary: np.ndarray) -> tuple[np.ndarray, int]:
             if lab == 0:
                 parent.append(len(parent))
                 lab = len(parent) - 1
+            run_label[r] = lab
             labels[y, s:e] = lab
-            cur_runs.append((s, e, lab))
-        prev_runs = cur_runs
+        prev_lo, prev_hi = lo, hi
     # flatten + renumber densely
     n = len(parent)
     roots = np.zeros(n, dtype=np.int32)

@@ -553,8 +553,30 @@ class BiLSTMRecognizer:
         self.out.adam(lr, step)
         return tot_err / max(1, len(samples))
 
+    def _aligned(self, y: np.ndarray, xs: np.ndarray, codes: list[int],
+                 ink_prior: bool) -> np.ndarray:
+        """CTC alignment, optionally constrained by an ink prior: the
+        space class may not claim frames with ink and glyph classes may
+        not claim empty frames. This shapes TRAINING targets only (decode
+        is untouched) and blocks the degenerate alignment where the
+        space label expands over glyph ink."""
+        if not ink_prior:
+            return ctc_align_targets(y, codes)
+        sp = self.codec.char2code.get(" ")
+        ink = xs.sum(axis=1)
+        m = np.ones_like(y)
+        inky = ink > 2.0
+        if sp is not None:
+            m[inky, sp] = 1e-6
+        first_glyph = (sp + 1) if sp is not None else 1
+        m[~inky, first_glyph:] = 1e-6
+        ym = y * m
+        ym /= ym.sum(axis=1, keepdims=True)
+        return ctc_align_targets(ym, codes)
+
     def train_minibatch_batched(self, samples: list[tuple[np.ndarray, str]],
-                                lr: float, step: int) -> float:
+                                lr: float, step: int,
+                                ink_prior: bool = True) -> float:
         """Vectorized mini-batch training: pad sequences to Tmax, run one
         batched forward/backward (all per-timestep ops are (B, Ns)
         matmuls), CTC-align each sample on its un-padded frames, one Adam
@@ -581,7 +603,8 @@ class BiLSTMRecognizer:
         tot_err = 0.0
         for b, (_, text) in enumerate(samples):
             L = int(lengths[b])
-            aligned = ctc_align_targets(y[b, :L], self.codec.encode(text))
+            aligned = self._aligned(y[b, :L], xs[b, :L], self.codec.encode(text),
+                                    ink_prior)
             dpre[b, :L] = (y[b, :L] - aligned) / B
             tot_err += float(np.abs(aligned - y[b, :L]).sum()) / max(1, L)
         # softmax layer batched backward

@@ -33,7 +33,6 @@ from ..stages.binarize import binarize_batch
 from ..stages.recognize import LineRecognizer
 from ..stages.reassemble import (
     lines_to_union_rows,
-    page_status_union_rows,
     reassemble_group,
     spans_to_union_rows,
 )
@@ -67,18 +66,36 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
     )
 
 
-def ocr_pipeline(
+class PageProcessor:
+    """Actor-pool stage fusing binarize (B1-B6) + segment (G1-G16) +
+    line explosion for one page batch. A callable class (not a bare
+    function) so it gets its OWN actor pool and Ray cannot fuse the
+    page-heavy work into the recognizer's (smaller) pool."""
+
+    def __init__(self, seg_params: dict | None = None, keep_nrm: bool = False):
+        self.seg_params = seg_params or {}
+        self.keep_nrm = keep_nrm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = binarize_batch(batch, keep_nrm=self.keep_nrm)
+        s = segment_batch(b, **self.seg_params)
+        return explode_lines(s, page_markers=True)
+
+
+def ocr_recognized_lines(
     docs: rd.Dataset,
     media_store_ref,
     model_path: str | None = None,
     resolver_concurrency: int = 2,
+    page_concurrency: int | tuple = 4,
     recognizer_concurrency: int | tuple = 4,
-    page_batch_size: int = 8,
+    page_batch_size: int = 4,
     line_batch_size: int = 64,
     seg_params: dict | None = None,
 ) -> rd.Dataset:
-    """Compose the full chain lazily; nothing materializes until consumed."""
-    seg_params = seg_params or {}
+    """docs -> recognized line rows (doc_id, media_ref, span_offset,
+    line_order, bbox, text, confidence, rec_status, page_status), with
+    page-marker rows (line_order=-1) carrying segmentation statuses."""
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
     pages = pages.map_batches(
         MediaResolver,
@@ -87,26 +104,30 @@ def ocr_pipeline(
         batch_size=page_batch_size,
         concurrency=resolver_concurrency,
     )
-    pages = pages.map_batches(
-        binarize_batch, batch_format="pyarrow", batch_size=page_batch_size
-    )
-    seg = pages.map_batches(
-        lambda t: segment_batch(t, **seg_params),
+    lines = pages.map_batches(
+        PageProcessor,
+        fn_constructor_kwargs={"seg_params": seg_params},
         batch_format="pyarrow",
         batch_size=page_batch_size,
+        concurrency=page_concurrency,
     )
-    page_status = seg.map_batches(page_status_union_rows, batch_format="pyarrow")
-    lines = seg.map_batches(explode_lines, batch_format="pyarrow")
-    rec = lines.map_batches(
+    return lines.map_batches(
         LineRecognizer,
         fn_constructor_kwargs={"model_path": model_path},
         batch_format="pyarrow",
         batch_size=line_batch_size,
         concurrency=recognizer_concurrency,
     )
+
+
+def ocr_pipeline(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
+    """Compose the full chain lazily; nothing materializes until consumed.
+    One pass over the pixels: page accounting rides the line stream as
+    marker rows (explode_lines(page_markers=True))."""
+    rec = ocr_recognized_lines(docs, media_store_ref, **kw)
     rec_rows = rec.map_batches(lines_to_union_rows, batch_format="pyarrow")
     span_rows = docs.map_batches(spans_to_union_rows, batch_format="pyarrow")
-    union = span_rows.union(rec_rows).union(page_status)
+    union = span_rows.union(rec_rows)
     return union.groupby("doc_id").map_groups(reassemble_group, batch_format="pandas")
 
 

@@ -27,11 +27,14 @@ def grouped_agg(
     counts: bool = True,
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
+    distributed: bool = False,
 ) -> pd.DataFrame:
     """Group-by aggregate with per-batch partial combine.
 
     Returns a pandas DataFrame with columns: keys + sum_<c> + n (+
     min_<c>/max_<c>). Caller derives averages etc. from sums and n.
+    Set distributed=True when key cardinality is unbounded (the final
+    combine then runs as a Ray groupby instead of on the driver).
     """
     keys = list(keys)
 
@@ -50,16 +53,27 @@ def grouped_agg(
         return g.agg(**agg_spec)
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    # the shuffle now only moves (keys x blocks) partial rows
-    from ray.data.aggregate import Max, Min, Sum
+    if distributed:
+        # unbounded key cardinality: hash-shuffle the partials
+        from ray.data.aggregate import Max, Min, Sum
 
-    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
-    aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in mins]
-    aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in maxs]
+        aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
+        aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in mins]
+        aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in maxs]
+        if counts:
+            aggs.append(Sum("n", alias_name="n"))
+        return partials.groupby(keys).aggregate(*aggs).to_pandas()
+    # bounded key cardinality (the common analytic case): the partial
+    # output is <= distinct_keys x blocks rows — a tiny driver-side final
+    # combine, the same mergeability argument as sketch aggregation. This
+    # avoids the all-to-all Aggregate op entirely.
+    pdf = partials.to_pandas()
+    spec = {f"sum_{c}": (f"sum_{c}", "sum") for c in sums}
+    spec |= {f"min_{c}": (f"min_{c}", "min") for c in mins}
+    spec |= {f"max_{c}": (f"max_{c}", "max") for c in maxs}
     if counts:
-        aggs.append(Sum("n", alias_name="n"))
-    out = partials.groupby(keys).aggregate(*aggs)
-    return out.to_pandas()
+        spec["n"] = ("n", "sum")
+    return pdf.groupby(keys, as_index=False, dropna=False).agg(**spec)
 
 
 class _BroadcastMerge:

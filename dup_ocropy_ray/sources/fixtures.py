@@ -147,10 +147,15 @@ def training_lines(num: int = 400, seed: int = 7, max_chars: int = 26):
     pairs = []
     chars = [c for c in glyphs.CHARSET if c != " "]
     for i in range(num):
-        if i < len(chars) * 3:
-            # guarantee early coverage of every character
+        if i < len(chars) * 2:
+            # space-free coverage lines first: every char seen in context
             c = chars[i % len(chars)]
-            text = (c + " ") * 3 + c
+            other = chars[int(rng.integers(len(chars)))]
+            text = (c + other + c + c)[: max_chars]
+        elif i < len(chars) * 3:
+            # spaced coverage
+            c = chars[i % len(chars)]
+            text = (c + " ") * 2 + c
         else:
             k = int(rng.integers(2, 6))
             text = " ".join(rng.choice(_WORDS, size=k))

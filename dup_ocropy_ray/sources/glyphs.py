@@ -19,9 +19,9 @@ from functools import lru_cache
 import numpy as np
 
 GLYPH_H = 32  # nominal glyph cell height (ink box)
-GLYPH_W = 20  # nominal ink width
+GLYPH_W = 10  # nominal ink width
 ADVANCE = GLYPH_W + 4  # x advance per glyph
-SPACE_ADVANCE = 14
+SPACE_ADVANCE = 10
 LEADING = 56  # baseline-to-baseline distance on a page
 FONT_SEED = 20240817
 
@@ -57,21 +57,19 @@ def glyph(ch: str) -> np.ndarray:
         return np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
     idx = CHARSET.index(ch) if ch in CHARSET else 37 + (ord(ch) % 7)
     canvas = np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
-    canvas[:, 0:4] = 1  # full-height stem
-    spans = {
-        0: (0, 11),
-        1: (11, 22),
-        2: (21, GLYPH_H),
-        3: (0, GLYPH_H),
-    }
-    v = idx
-    for c in range(3):
-        d = v % 4
+    # five 2-px columns, each carrying a 20-px band whose vertical offset
+    # (4 choices) encodes one base-4 digit of the char index. EVERY column
+    # is class-distinctive — there is no class-invariant stem for the CTC
+    # alignment to park character mass on. Offsets differ by <=12 < 20 so
+    # adjacent columns always overlap vertically: one connected component
+    # with area 5*2*20=200 (sqrt 14.1 > the segmenter's minscale 12).
+    offsets = (0, 4, 8, 12)
+    band_h = 20
+    v = idx + 1  # avoid the all-zeros code so no glyph is a plain rectangle
+    for c in range(5):
+        o = offsets[v % 4]
         v //= 4
-        y0, y1 = spans[d]
-        canvas[y0:y1, 4 + 4 * c : 8 + 4 * c] = 1
-    # trailing serif row keeps the rightmost band attached to the stem
-    canvas[GLYPH_H // 2 - 1 : GLYPH_H // 2 + 1, 4:16] = 1
+        canvas[o : o + band_h, 2 * c : 2 * c + 2] = 1
     return canvas
 
 

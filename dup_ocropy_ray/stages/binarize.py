@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..functions import png
 from ..functions.imgops import (
-    gaussian_filter,
+    gaussian_filter_fast,
     maximum_filter,
     percentile_filter,
     rotate,
@@ -111,8 +111,8 @@ def estimate_thresholds(
     est = flat[o0 : d0 - o0, o1 : d1 - o1]
     if escale > 0:
         e = escale
-        v = est - gaussian_filter(est, e * 20.0)
-        v = np.sqrt(np.clip(gaussian_filter(v**2, e * 20.0), 0, None))
+        v = est - gaussian_filter_fast(est, e * 20.0)
+        v = np.sqrt(np.clip(gaussian_filter_fast(v**2, e * 20.0), 0, None))
         v = v > 0.3 * v.max()
         v = maximum_filter(v.astype(np.float64), (int(e * 50), 1)) > 0
         v = maximum_filter(v.astype(np.float64), (1, int(e * 50))) > 0

@@ -77,22 +77,30 @@ def spans_to_union_rows(batch: pa.Table) -> pa.Table:
 
 
 def lines_to_union_rows(batch: pa.Table) -> pa.Table:
-    """Recognized line rows -> union rows."""
-    cols = {n: batch.column(n).to_pylist() for n in
-            ("doc_id", "media_ref", "span_offset", "line_order", "text",
-             "confidence", "rec_status")}
+    """Recognized line rows -> union rows. Marker rows (line_order = -1,
+    emitted by explode_lines(page_markers=True)) become 'page' accounting
+    rows carrying the page's seg status; real lines become 'line' rows."""
+    names = ("doc_id", "media_ref", "span_offset", "line_order", "text",
+             "confidence", "rec_status")
+    cols = {n: batch.column(n).to_pylist() for n in names}
+    pstat = (
+        batch.column("page_status").to_pylist()
+        if "page_status" in batch.column_names
+        else ["ok"] * batch.num_rows
+    )
     rows = []
     for i in range(batch.num_rows):
+        is_marker = cols["line_order"][i] is not None and cols["line_order"][i] < 0
         rows.append(
             {
                 "doc_id": cols["doc_id"][i],
-                "rowtype": "line",
-                "kind": "text",
-                "text": cols["text"][i],
+                "rowtype": "page" if is_marker else "line",
+                "kind": "media" if is_marker else "text",
+                "text": None if is_marker else cols["text"][i],
                 "media_ref": cols["media_ref"][i],
                 "span_offset": cols["span_offset"][i],
                 "line_order": cols["line_order"][i],
-                "status": cols["rec_status"][i],
+                "status": pstat[i] if is_marker else cols["rec_status"][i],
                 "confidence": cols["confidence"][i],
             }
         )

@@ -50,6 +50,13 @@ class LineRecognizer:
             reason = check_line(np.amax(gray) - gray)
             if reason:
                 return None, reason
+        # trim to the ink columns: extracted crops carry a few px of
+        # horizontal margin (extract_masked pad), while the model's
+        # training lines start at their first ink column — canonicalize so
+        # line-start timing matches the training distribution
+        ink_cols = np.nonzero((gray < 0.5 * (gray.max() + gray.min())).any(axis=0))[0]
+        if len(ink_cols):
+            gray = gray[:, ink_cols[0] : ink_cols[-1] + 1]
         norm = normalize_line(gray)
         return prepare_line(norm, self.pad), ""
 
@@ -61,6 +68,9 @@ class LineRecognizer:
         statuses = ["ok"] * n
         prepared: list[tuple[int, np.ndarray]] = []
         for i, data in enumerate(pngs):
+            if data is None:  # page-marker row: passes through untouched
+                statuses[i] = "marker"
+                continue
             try:
                 xs, reason = self._prepare(data)
             except Exception as e:

@@ -27,7 +27,7 @@ import pyarrow as pa
 from ..functions import png, sl
 from ..functions.imgops import (
     find_objects,
-    gaussian_filter,
+    gaussian_filter_fast,
     gaussian_gradient,
     label,
     maximum_filter,
@@ -78,19 +78,23 @@ def binary_objects(binary: np.ndarray):
     return find_objects(labels, n)
 
 
-def estimate_scale(binary: np.ndarray) -> float:
+def estimate_scale_from_objects(objects, shape) -> float:
     """Median sqrt-area of non-overlapping components in (3,100)
     (reference ocrolib/psegutils.py:45-53)."""
-    objects = sorted(binary_objects(binary), key=sl.area)
-    scalemap = np.zeros(binary.shape)
-    for o in objects:
-        if o is None or np.amax(scalemap[o]) > 0:
+    objs = sorted((o for o in objects if o is not None), key=sl.area)
+    scalemap = np.zeros(shape)
+    for o in objs:
+        if np.amax(scalemap[o]) > 0:
             continue
         scalemap[o] = sl.area(o) ** 0.5
     sel = scalemap[(scalemap > 3) & (scalemap < 100)]
     if sel.size == 0:
         return float("nan")
     return float(np.median(sel))
+
+
+def estimate_scale(binary: np.ndarray) -> float:
+    return estimate_scale_from_objects(binary_objects(binary), binary.shape)
 
 
 def compute_boxmap(binary: np.ndarray, scale: float, threshold=(0.5, 4)) -> np.ndarray:
@@ -124,7 +128,7 @@ def compute_colseps_conv(
 ) -> np.ndarray:
     """Whitespace column separators by smoothing + vertical-edge gradient
     (reference ocropus-gpageseg:223-245)."""
-    smoothed = gaussian_filter(binary.astype(np.float64), (scale, scale * 0.5))
+    smoothed = gaussian_filter_fast(binary.astype(np.float64), (scale, scale * 0.5))
     smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
     thresh = smoothed < np.amax(smoothed) * 0.1
     grad = gaussian_gradient(binary.astype(np.float64), (scale, scale * 0.5), axis=1)
@@ -156,6 +160,13 @@ def compute_gradmaps(binary: np.ndarray, scale: float, usegauss: bool,
                      vscale: float, hscale: float):
     """Baseline/topline gradient maps (reference ocropus-gpageseg:287-303)."""
     boxmap = compute_boxmap(binary, scale)
+    return compute_gradmaps_from_boxmap(binary, boxmap, scale, usegauss,
+                                        vscale, hscale)
+
+
+def compute_gradmaps_from_boxmap(binary: np.ndarray, boxmap: np.ndarray,
+                                 scale: float, usegauss: bool,
+                                 vscale: float, hscale: float):
     cleaned = boxmap * binary
     if usegauss:
         grad = gaussian_gradient(
@@ -223,24 +234,73 @@ def compute_line_seeds(
     return seed_labels
 
 
-def compute_segmentation(binary: np.ndarray, scale: float, **params) -> np.ndarray:
+def compute_segmentation(
+    binary: np.ndarray,
+    scale: float,
+    labels: np.ndarray | None = None,
+    objects=None,
+    **params,
+) -> np.ndarray:
     """Complete line segmentation of an ink=1 binary page
-    (reference ocropus-gpageseg:348-375). Returns int32 label image."""
+    (reference ocropus-gpageseg:348-375). Returns int32 label image.
+
+    When the caller passes the page's component labeling (labels,
+    objects), hline-removal / boxmap / label-propagation reuse it instead
+    of relabeling — the page is labeled once per segmentation."""
     p = dict(DEFAULTS, **params)
     binary = np.asarray(binary, dtype=np.uint8)
-    binary = remove_hlines(binary, scale)
+    if labels is None:
+        labels, n = label(binary)
+        objects = find_objects(labels, n)
+    n = len(objects)
+    # hline removal: drop components wider than maxsize*scale (G3)
+    keep = np.ones(n + 1, dtype=bool)
+    keep[0] = False
+    for i, o in enumerate(objects):
+        if o is not None and sl.dim1(o) > 10 * scale:
+            keep[i + 1] = False
+    binary = (keep[labels] & (binary > 0)).astype(np.uint8)
     colseps = compute_colseps_conv(binary, scale, p["csminheight"], p["maxcolseps"])
+    reuse_components = True
     if p["maxseps"] > 0:
         seps = compute_separators_morph(binary, scale, p["sepwiden"], p["maxseps"])
         colseps = np.maximum(colseps, seps)
         binary = np.minimum(binary, 1 - seps)
-    bottom, top, boxmap = compute_gradmaps(
-        binary, scale, p["usegauss"], p["vscale"], p["hscale"]
+        reuse_components = False  # black seps cut components; relabel below
+    # boxmap (G10): components with sqrt-area in (0.5, 4) * scale
+    if reuse_components:
+        boxkeep = np.zeros(n + 1, dtype=bool)
+        for i, o in enumerate(objects):
+            if o is None or not keep[i + 1]:
+                continue
+            a = sl.area(o) ** 0.5
+            if 0.5 * scale <= a <= 4 * scale:
+                boxkeep[i + 1] = True
+        boxmap = boxkeep[labels].astype(np.uint8)
+    else:
+        boxmap = compute_boxmap(binary, scale)
+    bottom, top, _ = compute_gradmaps_from_boxmap(
+        binary, boxmap, scale, p["usegauss"], p["vscale"], p["hscale"]
     )
     seeds = compute_line_seeds(
         binary, bottom, top, colseps, scale, p["threshold"], p["vscale"]
     )
-    llabels = propagate_labels(boxmap, seeds, conflict=0)
+    if reuse_components:
+        # propagate seed labels component-wise on the existing labeling
+        mask = (boxmap > 0) & (seeds > 0)
+        comp = labels[mask]
+        sd = seeds[mask]
+        first = np.zeros(n + 1, dtype=np.int64)
+        bad = np.zeros(n + 1, dtype=bool)
+        for c, s in zip(comp.tolist(), sd.tolist()):
+            if first[c] == 0:
+                first[c] = s
+            elif first[c] != s:
+                bad[c] = True
+        first[bad] = 0
+        llabels = np.where(boxmap > 0, first[labels], 0).astype(np.int32)
+    else:
+        llabels = propagate_labels(boxmap, seeds, conflict=0)
     spread = spread_labels(seeds, maxdist=scale)
     llabels = np.where(llabels > 0, llabels, spread * binary)
     return (llabels * binary).astype(np.int32)
@@ -334,16 +394,25 @@ def segment_page(bin_white1: np.ndarray, **params) -> dict:
     Returns {status, scale, lines: [{order,y0,x0,y1,x1,png}]}."""
     p = dict(DEFAULTS, **params)
     ink = (1 - np.asarray(bin_white1)).astype(np.uint8)  # invert: ink=1
-    reason = check_page_components(ink)
-    if reason:
-        return {"status": reason, "scale": 0.0, "lines": []}
-    scale = estimate_scale(ink)
+    # label ONCE; all downstream component logic reuses this labeling
+    labels, n = label(ink)
+    objects = find_objects(labels, n)
+    h, w = ink.shape
+    slots = int(w * h / (30 * 30))
+    if n < 10:
+        return {"status": f"too few connected components for a page image (got {n})",
+                "scale": 0.0, "lines": []}
+    if n > slots:
+        return {"status": f"too many connected components ({n} > {slots})",
+                "scale": 0.0, "lines": []}
+    scale = estimate_scale_from_objects(objects, ink.shape)
     if np.isnan(scale) or scale > 1000.0:
         return {"status": f"bad scale ({scale:g})", "scale": 0.0, "lines": []}
     if scale < p["minscale"]:
         return {"status": f"scale ({scale:g}) less than minscale", "scale": scale,
                 "lines": []}
-    segmentation = compute_segmentation(ink, scale, **params)
+    segmentation = compute_segmentation(ink, scale, labels=labels, objects=objects,
+                                        **params)
     nlines_raw = int(segmentation.max())
     if nlines_raw > p["maxlines"]:
         return {"status": f"too many lines ({nlines_raw})", "scale": scale, "lines": []}
@@ -410,29 +479,48 @@ def segment_batch(batch: pa.Table, **params) -> pa.Table:
     return out
 
 
-def explode_lines(batch: pa.Table) -> pa.Table:
+def explode_lines(batch: pa.Table, page_markers: bool = False) -> pa.Table:
     """Pages -> line rows (the 1→N flat_map point, SURVEY.md G16).
-    Output: doc_id, media_ref, span_offset, line_order, bbox, line_png."""
+    Output: doc_id, media_ref, span_offset, line_order, bbox, line_png,
+    page_status.
+
+    With page_markers=True, each page additionally emits ONE marker row
+    (line_order=-1, line_png=None) carrying its seg_status, so the page
+    accounting travels in the same stream as the lines — the heavy
+    binarize/segment work runs exactly once."""
     doc_ids, refs, offs = (
         batch.column("doc_id").to_pylist(),
         batch.column("media_ref").to_pylist(),
         batch.column("span_offset").to_pylist(),
     )
     lines = batch.column("lines").to_pylist()
+    statuses = (
+        batch.column("seg_status").to_pylist()
+        if "seg_status" in batch.column_names
+        else ["ok"] * len(doc_ids)
+    )
     rows = {k: [] for k in
             ("doc_id", "media_ref", "span_offset", "line_order", "y0", "x0", "y1",
-             "x1", "line_png")}
-    for d, r, o, ls in zip(doc_ids, refs, offs, lines):
+             "x1", "line_png", "page_status")}
+
+    def emit(d, r, o, order, y0, x0, y1, x1, png, st):
+        rows["doc_id"].append(d)
+        rows["media_ref"].append(r)
+        rows["span_offset"].append(o)
+        rows["line_order"].append(order)
+        rows["y0"].append(y0)
+        rows["x0"].append(x0)
+        rows["y1"].append(y1)
+        rows["x1"].append(x1)
+        rows["line_png"].append(png)
+        rows["page_status"].append(st)
+
+    for d, r, o, ls, st in zip(doc_ids, refs, offs, lines, statuses):
+        if page_markers:
+            emit(d, r, o, -1, 0, 0, 0, 0, None, st)
         for l in ls:
-            rows["doc_id"].append(d)
-            rows["media_ref"].append(r)
-            rows["span_offset"].append(o)
-            rows["line_order"].append(l["order"])
-            rows["y0"].append(l["y0"])
-            rows["x0"].append(l["x0"])
-            rows["y1"].append(l["y1"])
-            rows["x1"].append(l["x1"])
-            rows["line_png"].append(l["png"])
+            emit(d, r, o, l["order"], l["y0"], l["x0"], l["y1"], l["x1"],
+                 l["png"], "ok")
     return pa.table(
         {
             "doc_id": pa.array(rows["doc_id"], pa.string()),
@@ -444,5 +532,6 @@ def explode_lines(batch: pa.Table) -> pa.Table:
             "y1": pa.array(rows["y1"], pa.int32()),
             "x1": pa.array(rows["x1"], pa.int32()),
             "line_png": pa.array(rows["line_png"], pa.binary()),
+            "page_status": pa.array(rows["page_status"], pa.string()),
         }
     )

@@ -1,0 +1,102 @@
+"""End-to-end Ray pipeline tests: structure, skip accounting, resume."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    from dup_ocropy_ray.sources.fixtures import build_corpus
+
+    root = tmp_path_factory.mktemp("pipecorpus")
+    return build_corpus(str(root), num_docs=6, seed=42, skew_doc_pages=3)
+
+
+def test_ocr_pipeline_structure(ray_session, corpus):
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    out = ocr_pipeline(docs, media_ref, recognizer_concurrency=1, resolver_concurrency=1,
+                       page_concurrency=1).to_pandas()
+    assert len(out) == 6
+    byid = out.set_index("doc_id")
+    # skew doc fans out to 3 pages
+    assert byid.loc["doc-000000", "n_pages"] == 3
+    # edge-case doc: page skipped, zero lines
+    assert byid.loc["doc-000005", "n_skipped_pages"] == 1
+    assert byid.loc["doc-000005", "n_lines"] == 0
+    # spans structure: first span is the passthrough title, then media
+    spans = byid.loc["doc-000001", "spans"]
+    assert spans[0]["kind"] == "text" and spans[0]["text"].startswith("title of")
+    assert spans[1]["kind"] == "media"
+    # offsets are the 0..n-1 output order
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    # every line span follows its page's media span
+    kinds = [s["kind"] for s in spans]
+    assert kinds.count("media") == 1
+
+
+def test_ocr_line_counts_match_groundtruth(ray_session, corpus):
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    gt = pq.read_table(corpus["groundtruth"]).to_pandas()
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    out = ocr_pipeline(docs, media_ref, recognizer_concurrency=1, resolver_concurrency=1,
+                       page_concurrency=1).to_pandas()
+    n_gt = gt.groupby("doc_id").size()
+    for _, row in out.iterrows():
+        want = int(n_gt.get(row["doc_id"], 0))
+        assert row["n_lines"] == want, (row["doc_id"], row["n_lines"], want)
+
+
+def test_checkpoint_resume(ray_session, corpus, tmp_path):
+    from dup_ocropy_ray.pipelines.ocr import run_ocr_with_checkpoint
+    from dup_ocropy_ray.state import checkpoint as ckpt
+
+    out_root = str(tmp_path / "out")
+    r1 = run_ocr_with_checkpoint(
+        corpus["docs"], corpus["media"], out_root, num_fragments=2,
+        recognizer_concurrency=1, resolver_concurrency=1, page_concurrency=1,
+    )
+    assert sorted(r1["fragments_run"]) == [0, 1]
+    assert ckpt.pending_fragments(out_root, 2) == []
+    c = r1["counters"]
+    assert c["docs"] == 6 and c["pages"] == 8 and c["skipped_pages"] == 1
+    # rerun: nothing pending, counters unchanged
+    r2 = run_ocr_with_checkpoint(
+        corpus["docs"], corpus["media"], out_root, num_fragments=2,
+        recognizer_concurrency=1, resolver_concurrency=1, page_concurrency=1,
+    )
+    assert r2["fragments_run"] == []
+    assert r2["counters"] == c
+    # simulate kill: delete one manifest -> only that fragment reruns
+    os.remove(os.path.join(out_root, "_manifest", "00001.json"))
+    r3 = run_ocr_with_checkpoint(
+        corpus["docs"], corpus["media"], out_root, num_fragments=2,
+        recognizer_concurrency=1, resolver_concurrency=1, page_concurrency=1,
+    )
+    assert r3["fragments_run"] == [1]
+    assert r3["counters"] == c
+
+
+def test_media_join_path(ray_session, corpus):
+    """Scale path: hash-partitioned Dataset.join instead of broadcast."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.ocr import explode_media_spans, read_docs
+    from dup_ocropy_ray.sources.media import resolve_media_join
+
+    docs = read_docs(corpus["docs"])
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    media = rd.read_parquet(corpus["media"])
+    joined = resolve_media_join(pages, media, num_partitions=2).to_pandas()
+    assert len(joined) == 8
+    assert joined["page_png"].map(lambda b: b[:4] == b"\x89PNG").all()

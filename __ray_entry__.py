@@ -58,8 +58,7 @@ def entry() -> Any:
     paths = _ocr_corpus_dir(_SF0001, num_docs=12)
     docs = read_docs(paths["docs"])
     media_ref = put_media_store(paths["media"])
-    return ocr_pipeline(docs, media_ref, recognizer_concurrency=2,
-                        resolver_concurrency=1)
+    return ocr_pipeline(docs, media_ref, recognizer_concurrency=(1, 2))
 
 
 def _ocr_spans(sf_dir: str):
@@ -74,8 +73,7 @@ def _ocr_spans(sf_dir: str):
     paths = _ocr_corpus_dir(sf_dir, num_docs=8)
     docs = read_docs(paths["docs"])
     media_ref = put_media_store(paths["media"])
-    out = ocr_pipeline(docs, media_ref, recognizer_concurrency=2,
-                       resolver_concurrency=1).to_pandas()
+    out = ocr_pipeline(docs, media_ref, recognizer_concurrency=(1, 2)).to_pandas()
     rows = []
     for _, r in out.iterrows():
         for s in r["spans"]:

@@ -86,9 +86,7 @@ def main():
     out = ocr_pipeline(
         read_docs(corpus["docs"]),
         media_ref,
-        resolver_concurrency=2,
-        page_concurrency=(2, max(2, NUM_CPUS - NUM_CPUS // 4 - 3)),
-        recognizer_concurrency=(1, max(2, NUM_CPUS // 4)),
+        recognizer_concurrency=(max(1, NUM_CPUS // 8), max(2, NUM_CPUS // 4)),
     )
     df = out.to_pandas()
     ocr_sec = time.time() - t0

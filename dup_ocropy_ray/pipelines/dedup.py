@@ -26,6 +26,12 @@ import ray.data as rd
 
 from ..functions import hashing
 
+# coarse shuffle fan-out for bucketed dedup ops: the shuffle key is
+# hash(bucket) % _DEDUP_PARTITIONS so the all-to-all moves O(partitions)
+# groups; the per-bucket work happens vectorized inside each partition.
+# At cluster scale raise this to ~4-8x the executor slot count.
+_DEDUP_PARTITIONS = 64
+
 
 # ------------------------------------------------------------------ exact
 
@@ -37,19 +43,24 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     co-locate; collisions are resolved inside the group by comparing the
     actual text."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["_h"] = hashing.hash_strings(batch[text_col].to_numpy(dtype=object))
+        h = hashing.hash_strings(batch[text_col].to_numpy(dtype=object))
+        # coarse partition of the hash space: equal texts still co-locate,
+        # but the shuffle has O(partitions) groups, not O(distinct texts) —
+        # the per-group UDF-call overhead is what kills tiny groups
+        batch["_part"] = (h % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
         return batch
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the partition: one C-level groupby-head
         return (
             g.sort_values(id_col).groupby(text_col, as_index=False, sort=False).head(1)
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas", batch_size=65536)
-    out = hashed.groupby("_h").map_groups(first_per_text, batch_format="pandas")
-    return out.drop_columns(["_h"])
+    hashed = ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+    out = hashed.groupby("_part").map_groups(first_per_text, batch_format="pandas")
+    return out.drop_columns(["_part"])
 
 
 # ------------------------------------------------------------- minhash LSH
@@ -81,7 +92,15 @@ def minhash_candidates(
             ids.extend([doc] * num_bands)
             bands.extend(range(num_bands))
             buckets.extend(bk.tolist())
-        return pd.DataFrame({id_col: ids, "band_id": bands, "bucket": buckets})
+        out = pd.DataFrame({id_col: ids, "band_id": bands, "bucket": buckets})
+        # coarse shuffle key (see _DEDUP_PARTITIONS): buckets are tiny,
+        # so the groupby runs on their hash-partition, not per bucket
+        out["_part"] = (
+            (out["band_id"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + out["bucket"].to_numpy(np.uint64))
+            % np.uint64(_DEDUP_PARTITIONS)
+        ).astype(np.int64)
+        return out
 
     return ds.map_batches(sig_rows, batch_format="pandas", batch_size=4096)
 
@@ -102,16 +121,27 @@ def minhash_dedup_pairs(
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                               shingle_k, seed)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        # vectorized C-level groupby inside the partition; the python
+        # loop runs only over multi-doc buckets (rare by construction)
+        sizes = g.groupby(["band_id", "bucket"])[id_col].nunique()
+        multi = set(sizes[sizes >= 2].index)
+        if multi:
+            for key, sub in g.groupby(["band_id", "bucket"]):
+                if key not in multi:
+                    continue
+                ids = sorted(set(sub[id_col]))
+                rows.extend(
+                    (x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]
+                )
+        if not rows:
             return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates()
 
     pairs = (
-        cand.groupby(["band_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        cand.groupby("_part")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -125,8 +155,8 @@ def minhash_dedup_pairs(
 
     texts = ds.map_batches(pick, batch_format="pandas").to_pandas()
     sh = {
-        r[id_col]: set(hashing.word_shingles(r[text_col] or "", shingle_k))
-        for _, r in texts.iterrows()
+        i: set(hashing.word_shingles(t or "", shingle_k))
+        for i, t in zip(texts[id_col], texts[text_col])
     }
     jac = [
         hashing.jaccard(sh.get(x, set()), sh.get(y, set()))
@@ -160,29 +190,58 @@ def simhash_table(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 
 def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash banding + Hamming verify."""
+    """Near-dup pairs by SimHash banding + Hamming verify. One shuffle:
+    per-doc rows explode to 4 (band_id, band_val) rows, partitioned on
+    hash(band_id, band_val) % _DEDUP_PARTITIONS; pairs are generated
+    vectorized inside each partition (python loop only over multi-doc
+    buckets)."""
     tbl = simhash_table(ds, text_col, id_col)
-    frames = []
-    for bnd in range(4):
-        def bucket_pairs(g: pd.DataFrame, _b=bnd) -> pd.DataFrame:
-            rows = []
-            recs = list(zip(g[id_col], g["simhash"]))
-            recs.sort()
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    d = hashing.hamming64(recs[i][1], recs[j][1])
-                    if d <= max_hamming:
-                        rows.append((recs[i][0], recs[j][0], d))
-            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
-        frames.append(
-            tbl.groupby(f"band{bnd}").map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas()
-        )
-    allp = pd.concat(frames, ignore_index=True)
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bnd in range(4):
+            frames.append(pd.DataFrame({
+                id_col: b[id_col],
+                "simhash": b["simhash"],
+                "band_id": bnd,
+                "band_val": b[f"band{bnd}"],
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        out["_part"] = (
+            (out["band_id"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + out["band_val"].to_numpy(np.uint64))
+            % np.uint64(_DEDUP_PARTITIONS)
+        ).astype(np.int64)
+        return out
+
+    rows = tbl.map_batches(explode, batch_format="pandas", batch_size=65536)
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        sizes = g.groupby(["band_id", "band_val"])[id_col].nunique()
+        multi = set(sizes[sizes >= 2].index)
+        if multi:
+            for key, sub in g.groupby(["band_id", "band_val"]):
+                if key not in multi:
+                    continue
+                recs = sorted(set(zip(sub[id_col], sub["simhash"])))
+                for i in range(len(recs)):
+                    for j in range(i + 1, len(recs)):
+                        d = hashing.hamming64(recs[i][1], recs[j][1])
+                        if d <= max_hamming:
+                            out.append((recs[i][0], recs[j][0], d))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    allp = rows.groupby("_part").map_groups(
+        partition_pairs, batch_format="pandas"
+    ).to_pandas()
     if allp.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    return allp.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return (
+        allp.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 # ----------------------------------------------------------- ngram jaccard

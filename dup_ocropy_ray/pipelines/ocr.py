@@ -41,6 +41,9 @@ from ..state import checkpoint as ckpt
 
 
 def read_docs(path: str) -> rd.Dataset:
+    from ..tuning import configure_data_context
+
+    configure_data_context()
     if path.endswith(".lance"):
         return rd.read_lance(path)
     return rd.read_parquet(path)
@@ -67,10 +70,10 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
 
 
 class PageProcessor:
-    """Actor-pool stage fusing binarize (B1-B6) + segment (G1-G16) +
-    line explosion for one page batch. A callable class (not a bare
-    function) so it gets its OWN actor pool and Ray cannot fuse the
-    page-heavy work into the recognizer's (smaller) pool."""
+    """Stage fusing binarize (B1-B6) + segment (G1-G16) + line explosion
+    for one page batch. Stateless — runs as an elastic task pool by
+    default (every idle CPU picks up page work); pass an explicit
+    ``page_concurrency`` to pin it to an actor pool instead."""
 
     def __init__(self, seg_params: dict | None = None, keep_nrm: bool = False):
         self.seg_params = seg_params or {}
@@ -82,41 +85,77 @@ class PageProcessor:
         return explode_lines(s, page_markers=True)
 
 
+def _resolve_media_fn(batch: pa.Table, store_ref=None) -> pa.Table:
+    """Task-pool media resolution: the store is a ``ray.put`` broadcast —
+    fetched zero-copy from the local object store (one transfer per node
+    on a cluster, never re-shipped per batch)."""
+    store = ray.get(store_ref)
+    refs = batch.column("media_ref").to_pylist()
+    return batch.append_column(
+        "page_png", pa.array([store[r] for r in refs], pa.binary())
+    )
+
+
 def ocr_recognized_lines(
     docs: rd.Dataset,
     media_store_ref,
     model_path: str | None = None,
-    resolver_concurrency: int = 2,
-    page_concurrency: int | tuple = 4,
-    recognizer_concurrency: int | tuple = 4,
-    page_batch_size: int = 4,
+    resolver_concurrency: int | None = None,
+    page_concurrency: int | tuple | None = None,
+    recognizer_concurrency: int | tuple = (1, 8),
+    page_batch_size: int = 1,
     line_batch_size: int = 64,
     seg_params: dict | None = None,
 ) -> rd.Dataset:
     """docs -> recognized line rows (doc_id, media_ref, span_offset,
     line_order, bbox, text, confidence, rec_status, page_status), with
-    page-marker rows (line_order=-1) carrying segmentation statuses."""
+    page-marker rows (line_order=-1) carrying segmentation statuses.
+
+    resolver/page stages default to ELASTIC TASK POOLS (stateless; any
+    idle CPU picks up page work — no static CPU split between stages);
+    the recognizer is an autoscaling actor pool (weights loaded once per
+    actor) kept UNFUSED from the upstream task stage via
+    ``ray_remote_args_fn`` so page work never serializes into the
+    (smaller, GPU-flippable) recognizer pool."""
+    import functools
+
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
-    pages = pages.map_batches(
-        MediaResolver,
-        fn_constructor_args=(media_store_ref,),
-        batch_format="pyarrow",
-        batch_size=page_batch_size,
-        concurrency=resolver_concurrency,
-    )
-    lines = pages.map_batches(
-        PageProcessor,
-        fn_constructor_kwargs={"seg_params": seg_params},
-        batch_format="pyarrow",
-        batch_size=page_batch_size,
-        concurrency=page_concurrency,
-    )
+    if resolver_concurrency is None:
+        pages = pages.map_batches(
+            functools.partial(_resolve_media_fn, store_ref=media_store_ref),
+            batch_format="pyarrow",
+            batch_size=page_batch_size,
+        )
+    else:
+        pages = pages.map_batches(
+            MediaResolver,
+            fn_constructor_args=(media_store_ref,),
+            batch_format="pyarrow",
+            batch_size=page_batch_size,
+            concurrency=resolver_concurrency,
+        )
+    if page_concurrency is None:
+        proc = PageProcessor(seg_params=seg_params)
+        lines = pages.map_batches(
+            lambda b, _p=proc: _p(b),
+            batch_format="pyarrow",
+            batch_size=page_batch_size,
+        )
+    else:
+        lines = pages.map_batches(
+            PageProcessor,
+            fn_constructor_kwargs={"seg_params": seg_params},
+            batch_format="pyarrow",
+            batch_size=page_batch_size,
+            concurrency=page_concurrency,
+        )
     return lines.map_batches(
         LineRecognizer,
         fn_constructor_kwargs={"model_path": model_path},
         batch_format="pyarrow",
         batch_size=line_batch_size,
         concurrency=recognizer_concurrency,
+        ray_remote_args_fn=lambda: {"num_cpus": 1},
     )
 
 

@@ -21,6 +21,9 @@ from .relational import broadcast_join, grouped_agg, topk
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    from ..tuning import configure_data_context
+
+    configure_data_context()
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 

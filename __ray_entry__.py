@@ -85,6 +85,32 @@ def _ocr_spans(sf_dir: str):
     ).sort_values(["doc_id", "offset"]).reset_index(drop=True)
 
 
+def _hocr(sf_dir: str):
+    """hOCR HTML sink over the OCR corpus (rows-only oracle)."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_hocr, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    out = ocr_hocr(docs, media_ref, recognizer_concurrency=(1, 2)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dewarp(sf_dir: str):
+    """Standalone line dewarp geometry (rows-only oracle)."""
+    from dup_ocropy_ray.pipelines.ocr import dewarp_line_stats, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    out = dewarp_line_stats(docs, media_ref).to_pandas()
+    return out.sort_values(["doc_id", "media_ref", "line_order"]).reset_index(
+        drop=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dup_ocropy_ray.pipelines import queries as q
 
@@ -111,7 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,
         "cer_pairs": q.q_cer_pairs,
         "confusions": q.q_confusions,
+        "sessions": q.q_sessions,
+        "moving_avg": q.q_moving_avg,
+        "asof_join": q.q_asof_join,
+        "testset_split": q.q_testset_split,
+        "project_text": q.q_project_text,
         "ocr_spans": _ocr_spans,
+        "hocr": _hocr,
+        "dewarp": _dewarp,
     }
 
 
@@ -136,6 +169,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
         "langid": q._langid_sql(),
         "cer_pairs": q.SQL_CER_PAIRS,
-        # minhash, simhash, knn_ivf, fingerprints, confusions, ocr_spans:
-        # intentionally omitted (not ANSI-SQL-expressible) -> rows-only check
+        "sessions": q.SQL_SESSIONS,
+        "moving_avg": q.SQL_MOVING_AVG,
+        "asof_join": q.SQL_ASOF_JOIN,
+        "testset_split": q.SQL_TESTSET_SPLIT,
+        "project_text": q.SQL_PROJECT_TEXT,
+        # minhash, simhash, knn_ivf, fingerprints, confusions, ocr_spans,
+        # hocr, dewarp: intentionally omitted (not ANSI-SQL-expressible)
+        # -> rows-only check
     }

@@ -170,6 +170,77 @@ def ocr_pipeline(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
     return union.groupby("doc_id").map_groups(reassemble_group, batch_format="pandas")
 
 
+def ocr_hocr(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
+    """docs -> (doc_id, html) hOCR documents (reference ocropus-hocr
+    sink, SURVEY.md S9/A8/A9): recognized lines grouped per doc and
+    formatted in reading order with the median-xheight paragraph
+    heuristic."""
+    from ..stages.hocr import hocr_from_lines
+
+    rec = ocr_recognized_lines(docs, media_store_ref, **kw)
+    return hocr_from_lines(rec)
+
+
+def dewarp_line_stats(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
+    """Standalone dewarp tool (reference ocropus-dewarp:42-53, R13):
+    segment pages, center-normalize each line, return the dewarped
+    geometry (doc_id, media_ref, line_order, dw_h, dw_w, ink_frac)."""
+    import numpy as np
+
+    from ..functions import png as _png
+    from ..stages.lineest import normalize_line
+
+    rec = ocr_recognized_lines  # noqa: F841  (doc pointer)
+
+    import functools
+
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    pages = pages.map_batches(
+        functools.partial(_resolve_media_fn, store_ref=media_store_ref),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    proc = PageProcessor(seg_params=kw.get("seg_params"))
+    lines = pages.map_batches(
+        lambda b, _p=proc: _p(b), batch_format="pyarrow", batch_size=1
+    )
+
+    def dewarp(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in
+                ("doc_id", "media_ref", "line_order", "dw_h", "dw_w", "ink_frac")}
+        for doc, ref, order, data in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("line_order").to_pylist(),
+            batch.column("line_png").to_pylist(),
+        ):
+            if data is None or order < 0:
+                continue
+            gray = _png.decode_gray(data)
+            if gray.size == 0 or gray.max() == gray.min():
+                continue
+            norm = normalize_line(gray)
+            ink = 1.0 - norm / max(norm.max(), 1e-9)
+            rows["doc_id"].append(doc)
+            rows["media_ref"].append(ref)
+            rows["line_order"].append(order)
+            rows["dw_h"].append(norm.shape[0])
+            rows["dw_w"].append(norm.shape[1])
+            rows["ink_frac"].append(round(float((ink > 0.5).mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "line_order": pa.array(rows["line_order"], pa.int32()),
+                "dw_h": pa.array(rows["dw_h"], pa.int32()),
+                "dw_w": pa.array(rows["dw_w"], pa.int32()),
+                "ink_frac": pa.array(rows["ink_frac"], pa.float64()),
+            }
+        )
+
+    return lines.map_batches(dewarp, batch_format="pyarrow")
+
+
 def _doc_fragment_filter(num_fragments: int, frag: int):
     import pandas as pd
 

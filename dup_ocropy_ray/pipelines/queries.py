@@ -220,6 +220,172 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min gap) — the ordered-window op
+    Ray Data lacks; one shuffle on user_id (pipelines/windows.py)."""
+    from .windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds).to_pandas()
+    for c in ("user_id", "n_sessions", "max_session_events", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), g AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n)::BIGINT AS max_session_events,
+       sum(n)::BIGINT AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Trailing-4-event rolling mean per user, final value (MovingStats
+    A10 analogue, reference ocrolib/common.py:871-882)."""
+    from .windows import rolling_last
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = rolling_last(ds, window=4).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["last_ma"] = np.round(out["last_ma"], 6)
+    return out
+
+
+SQL_MOVING_AVG = """
+WITH m AS (
+  SELECT user_id,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+)
+SELECT user_id, round(ma, 6) AS last_ma FROM m WHERE rn = 1
+"""
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (events -> latest order with o_orderdate <= ts for
+    custkey = user_id + 1), aggregated per event_type. Custom operator:
+    union + one hash shuffle + per-key searchsorted (windows.py)."""
+    from .windows import asof_join_aggregate
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return asof_join_aggregate(events, orders)
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_type,
+       count(*) AS n_events,
+       count(j.o_orderkey) AS n_matched,
+       coalesce(sum(floor(j.o_totalprice * 100)::BIGINT), 0) AS sum_price_cents
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) j ON true
+GROUP BY e.event_type
+"""
+
+
+def q_testset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash train/test split (A11 analogue, reference
+    ocrolib/common.py:851-854 pseudo-random index hash)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b.doc_id.to_numpy(np.int64) * 2654435761) % 4294967296
+        return pd.DataFrame(
+            {"split": np.where(h % 10 < 8, "train", "test"),
+             "n_chars": b.n_chars}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["split"], sums=["n_chars"])
+    return pd.DataFrame(
+        {"split": g.split, "n_docs": g.n.astype("int64"),
+         "sum_chars": g.sum_n_chars.astype("int64")}
+    )
+
+
+SQL_TESTSET_SPLIT = """
+SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_project_text(sf_dir: str) -> pd.DataFrame:
+    """project_text comparison projections (A3, reference
+    ocrolib/common.py:60-81) aggregated per lang: projected lengths under
+    nospace / letters / digits."""
+    from ..functions.text import project_text
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b.text.fillna("")
+        return pd.DataFrame(
+            {
+                "lang": b.lang,
+                "len_nospace": txt.map(
+                    lambda s: len(project_text(s, "nospace"))).astype("int64"),
+                "len_letters": txt.map(
+                    lambda s: len(project_text(s, "letters"))).astype("int64"),
+                "len_digits": txt.map(
+                    lambda s: len(project_text(s, "digits"))).astype("int64"),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["lang"], sums=["len_nospace", "len_letters", "len_digits"])
+    return pd.DataFrame(
+        {
+            "lang": g.lang,
+            "n_docs": g.n.astype("int64"),
+            "sum_nospace": g.sum_len_nospace.astype("int64"),
+            "sum_letters": g.sum_len_letters.astype("int64"),
+            "sum_digits": g.sum_len_digits.astype("int64"),
+        }
+    )
+
+
+# mirrors project_text's normalize (whitespace collapse; homographs are
+# no-ops on this corpus's charset) + dot-row collapse + [~_] strip
+_SQL_EXACT = (
+    "regexp_replace(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),"
+    " '( *[.] *){4,}', '....', 'g'), '[~_]', '', 'g')"
+)
+
+SQL_PROJECT_TEXT = f"""
+WITH t AS (SELECT lang, {_SQL_EXACT} AS e FROM documents)
+SELECT lang, count(*) AS n_docs,
+       sum(length(regexp_replace(e, '\\s', '', 'g')))::BIGINT AS sum_nospace,
+       sum(length(regexp_replace(e, '[^A-Za-z]', '', 'g')))::BIGINT AS sum_letters,
+       sum(length(regexp_replace(e, '[^0-9]', '', 'g')))::BIGINT AS sum_digits
+FROM t GROUP BY lang
+"""
+
+
 def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     """count-distinct per group: two-level exact (dedup shuffle on
     (type,user) partials then count)."""

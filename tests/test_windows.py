@@ -1,0 +1,82 @@
+"""Window/session/as-of operators (pipelines/windows.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: two sessions (gap 45 min between event 2 and 3)
+    for i, mins in enumerate([0, 10, 20, 65, 70]):
+        rows.append((1, base + pd.Timedelta(minutes=mins), float(i)))
+    # user 2: one session
+    for i, mins in enumerate([0, 29, 58]):
+        rows.append((2, base + pd.Timedelta(minutes=mins), 10.0 + i))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+
+def test_sessionize(events):
+    from dup_ocropy_ray.pipelines.windows import sessionize
+
+    out = sessionize(rd.from_pandas(events)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "max_session_events"] == 3
+    assert out.loc[1, "n_events"] == 5
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "n_events"] == 3
+
+
+def test_rolling_last(events):
+    from dup_ocropy_ray.pipelines.windows import rolling_last
+
+    out = rolling_last(rd.from_pandas(events), window=4).to_pandas()
+    byid = out.set_index("user_id")
+    # user 1: last 4 values = 1,2,3,4 -> 2.5; user 2: all 3 -> 11.0
+    assert byid.loc[1, "last_ma"] == pytest.approx(2.5)
+    assert byid.loc[2, "last_ma"] == pytest.approx(11.0)
+
+
+def test_asof_join_aggregate(events):
+    from dup_ocropy_ray.pipelines.windows import asof_join_aggregate
+
+    ev = events.assign(event_type=["a", "a", "b", "b", "a", "b", "a", "b"])
+    base = pd.Timestamp("2023-12-01")
+    orders = pd.DataFrame(
+        {
+            # custkey = user_id + 1; user 1 -> custkey 2 has two orders,
+            # the later one (key 7) before all events; user 2 -> custkey 3
+            # has one order AFTER every event (never matches)
+            "o_custkey": [2, 2, 3],
+            "o_orderdate": [base, base + pd.Timedelta(days=5),
+                            pd.Timestamp("2025-01-01")],
+            "o_orderkey": [6, 7, 8],
+            "o_totalprice": [100.0, 250.5, 999.0],
+        }
+    )
+    out = asof_join_aggregate(
+        rd.from_pandas(ev[["user_id", "ts", "event_type"]]),
+        rd.from_pandas(orders),
+    ).set_index("event_type")
+    # user 1 events always match order 7 (250.5 -> 25050 cents)
+    assert out.loc["a", "n_events"] == 4
+    # events: user1 has types a,a,b,b,a ; user2: b,a,b
+    assert out.loc["a", "n_matched"] == 3  # user 1's three 'a' events
+    assert out.loc["a", "sum_price_cents"] == 3 * 25050
+    assert out.loc["b", "n_matched"] == 2
+    assert out.loc["b", "sum_price_cents"] == 2 * 25050
+
+
+def test_sessionize_single_event_users(ray_session):
+    from dup_ocropy_ray.pipelines.windows import sessionize
+
+    df = pd.DataFrame(
+        {"user_id": [5], "ts": [pd.Timestamp("2024-06-01")], "value": [1.0]}
+    )
+    out = sessionize(rd.from_pandas(df)).to_pandas()
+    assert out.iloc[0]["n_sessions"] == 1
+    assert out.iloc[0]["n_events"] == 1

@@ -26,7 +26,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "240"))
+# 720 pages: long enough that fixed startup (~5s: session, worker ramp,
+# parquet read) stays under ~10% of the 32-CPU wall, so the scaling
+# comparison measures the pipeline, not the harness.
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "720"))
 
 QUERY_SUBSET = [
     "pricing_summary",
@@ -86,7 +89,7 @@ def main():
     out = ocr_pipeline(
         read_docs(corpus["docs"]),
         media_ref,
-        recognizer_concurrency=(max(1, NUM_CPUS // 8), max(2, NUM_CPUS // 4)),
+        recognizer_concurrency=(max(1, NUM_CPUS // 8), max(2, NUM_CPUS // 2)),
     )
     df = out.to_pandas()
     ocr_sec = time.time() - t0

@@ -14,6 +14,16 @@ from __future__ import annotations
 
 import numpy as np
 
+# Working dtype for all image kernels. Pages are 8-bit-sourced values in
+# [0, 1]; every consumer thresholds or takes percentiles, so float32's 7
+# significant digits are ample — and halving memory traffic matters: the
+# page stage is memory-bandwidth-bound at high task concurrency.
+FLOAT = np.float32
+
+
+def _f(a: np.ndarray) -> np.ndarray:
+    return np.asarray(a, dtype=FLOAT)
+
 
 # ---------------------------------------------------------------- zoom / rotate
 
@@ -21,7 +31,7 @@ import numpy as np
 def zoom(a: np.ndarray, factor: float) -> np.ndarray:
     """Bilinear rescale by `factor` (reference: interpolation.zoom in
     ocropus-nlbin:108-128)."""
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     h, w = a.shape
     nh, nw = max(1, int(round(h * factor))), max(1, int(round(w * factor)))
     if nh == h and nw == w:
@@ -33,7 +43,7 @@ def zoom(a: np.ndarray, factor: float) -> np.ndarray:
 
 def zoom_to(a: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
     """Bilinear rescale to an exact (h, w)."""
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     h, w = a.shape
     nh, nw = shape
     if (nh, nw) == (h, w):
@@ -63,7 +73,7 @@ def _bilinear_sample(a: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarra
 def rotate(a: np.ndarray, angle_deg: float, cval: float = 0.0) -> np.ndarray:
     """Rotate about the center, same output shape (reshape=False semantics,
     reference: interpolation.rotate in ocropus-nlbin:71-81,131-144)."""
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     if abs(angle_deg) < 1e-12:
         return a.copy()
     h, w = a.shape
@@ -75,7 +85,7 @@ def rotate(a: np.ndarray, angle_deg: float, cval: float = 0.0) -> np.ndarray:
     sy = c * yy - s * xx + cy
     sx = s * yy + c * xx + cx
     inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
-    out = np.full((h, w), cval, dtype=np.float64)
+    out = np.full((h, w), cval, dtype=FLOAT)
     vals = _bilinear_sample(a, sy, sx)
     out[inside] = vals[inside]
     return out
@@ -99,11 +109,11 @@ def gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 def gaussian_filter1d(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
     if sigma <= 0:
-        return np.asarray(a, dtype=np.float64).copy()
+        return _f(a).copy()
     k = gaussian_kernel(sigma)
     r = len(k) // 2
-    ap = _pad_axis(np.asarray(a, dtype=np.float64), r, axis)
-    out = np.zeros_like(np.asarray(a, dtype=np.float64))
+    ap = _pad_axis(_f(a), r, axis)
+    out = np.zeros_like(_f(a))
     sl = [slice(None)] * a.ndim
     for i, kv in enumerate(k):
         sl[axis] = slice(i, i + a.shape[axis])
@@ -117,7 +127,7 @@ def gaussian_filter(a: np.ndarray, sigma) -> np.ndarray:
         sy = sx = float(sigma)
     else:
         sy, sx = sigma
-    out = np.asarray(a, dtype=np.float64)
+    out = _f(a)
     if sy > 0:
         out = gaussian_filter1d(out, sy, 0)
     if sx > 0:
@@ -136,7 +146,7 @@ def gaussian_gradient(a: np.ndarray, sigma, axis: int = 0) -> np.ndarray:
         sy, sx = sigma
     s_axis = sy if axis == 0 else sx
     s_other = sx if axis == 0 else sy
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     r = max(1, int(4.0 * s_axis + 0.5))
     x = np.arange(-r, r + 1, dtype=np.float64)
     g = np.exp(-0.5 * (x / max(s_axis, 1e-9)) ** 2)
@@ -164,12 +174,12 @@ def box_gaussian_filter1d(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
     downstream consumer thresholds robustly; the exact kernel stays in
     use for small sigmas and the recognition path."""
     if sigma <= 0:
-        return np.asarray(a, dtype=np.float64).copy()
+        return _f(a).copy()
     # three boxes with total variance ~= sigma^2
     w = int(np.sqrt(sigma * sigma * 12.0 / 3.0 + 1.0))
     if w % 2 == 0:
         w += 1
-    out = np.asarray(a, dtype=np.float64)
+    out = _f(a)
     for _ in range(3):
         out = uniform_filter1d(out, w, axis)
     return out
@@ -181,7 +191,7 @@ def gaussian_filter_fast(a: np.ndarray, sigma) -> np.ndarray:
         sy = sx = float(sigma)
     else:
         sy, sx = sigma
-    out = np.asarray(a, dtype=np.float64)
+    out = _f(a)
     for s, ax in ((sy, 0), (sx, 1)):
         if s <= 0:
             continue
@@ -195,10 +205,10 @@ def gaussian_filter_fast(a: np.ndarray, sigma) -> np.ndarray:
 def uniform_filter1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
     size = max(1, int(size))
     if size == 1:
-        return np.asarray(a, dtype=np.float64).copy()
+        return _f(a).copy()
     lo = size // 2
     hi = size - 1 - lo
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     ap = _pad_axis(a, max(lo, hi), axis)
     if lo != hi:
         # trim asymmetric padding
@@ -291,7 +301,7 @@ def minimum_filter(a: np.ndarray, size) -> np.ndarray:
     a = np.asarray(a)
     if np.issubdtype(a.dtype, np.bool_):
         return ~maximum_filter(~a, size)
-    return -maximum_filter(-a.astype(np.float64), size)
+    return -maximum_filter(-_f(a), size)
 
 
 def percentile_filter(
@@ -303,12 +313,12 @@ def percentile_filter(
         sy = sx = int(size)
     else:
         sy, sx = int(size[0]), int(size[1])
-    a = np.asarray(a, dtype=np.float64)
+    a = _f(a)
     h, w = a.shape
     ly, hy = sy // 2, sy - 1 - sy // 2
     lx, hx = sx // 2, sx - 1 - sx // 2
     ap = np.pad(a, ((ly, hy), (lx, hx)), mode="edge")
-    out = np.empty((h, w), dtype=np.float64)
+    out = np.empty((h, w), dtype=FLOAT)
     try:
         from numpy.lib.stride_tricks import sliding_window_view
     except ImportError:  # pragma: no cover

@@ -12,7 +12,7 @@ self-contained encoder/decoder built on ``zlib`` per the public PNG spec
   (ocrolib/common.py:155-179).
 
 Images flow through the Ray pipeline as encoded PNG ``binary`` columns and
-are decoded to float64 [0,1] arrays only inside map_batches UDFs.
+are decoded to float32 [0,1] arrays only inside map_batches UDFs.
 """
 
 from __future__ import annotations
@@ -133,12 +133,12 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """PNG bytes -> float64 grayscale in [0,1] (channel mean for color),
+    """PNG bytes -> float32 grayscale in [0,1] (channel mean for color),
     matching reference read_image_gray semantics (ocrolib/common.py:155-179)."""
     a = decode(data)
     if a.ndim == 3:
         a = a[..., :3].mean(axis=2)
-    return a.astype(np.float64) / 255.0
+    return a.astype(np.float32) / np.float32(255.0)
 
 
 def decode_binary(data: bytes, threshold: float = 0.5) -> np.ndarray:

@@ -53,15 +53,16 @@ def prepare_line(line: np.ndarray, pad: int = 16) -> np.ndarray:
     """Normalized line image -> time-major input sequence: scale to [0,1],
     invert (ink=1), transpose so rows are x-positions, pad `pad` blank
     frames at both ends (reference ocrolib/lstm.py:47-56)."""
-    line = np.asarray(line, dtype=np.float64)
+    line = np.asarray(line, dtype=np.float32)
     mx = line.max()
     if mx > 0:
         line = line / mx
-    line = 1.0 - line
+    line = np.float32(1.0) - line
     seq = line.T
     if pad > 0:
         w = seq.shape[1]
-        seq = np.vstack([np.zeros((pad, w)), seq, np.zeros((pad, w))])
+        z = np.zeros((pad, w), dtype=np.float32)
+        seq = np.vstack([z, seq, z])
     return seq
 
 
@@ -253,13 +254,15 @@ class LSTMLayer:
         ns = self.ns
         ni = self.ni
         Wall = np.vstack([self.Wi, self.Wf, self.Wc, self.Wo])  # (4ns, 1+ni+ns)
+        dt = Wall.dtype  # float32 for inference-loaded models
         Wx = Wall[:, : 1 + ni].T  # bias + input part
         Wh = Wall[:, 1 + ni :].T  # recurrent part
+        xs = np.asarray(xs, dtype=dt)
         # precompute input contribution for all timesteps at once
-        xin = np.concatenate([np.ones((B, T, 1)), xs], axis=2) @ Wx  # (B,T,4ns)
-        hs = np.zeros((B, T, ns))
-        h = np.zeros((B, ns))
-        c = np.zeros((B, ns))
+        xin = np.concatenate([np.ones((B, T, 1), dtype=dt), xs], axis=2) @ Wx
+        hs = np.zeros((B, T, ns), dtype=dt)
+        h = np.zeros((B, ns), dtype=dt)
+        c = np.zeros((B, ns), dtype=dt)
         if cache:
             cs = np.zeros((B, T, ns))
             gi = np.zeros((B, T, ns))
@@ -637,7 +640,11 @@ class BiLSTMRecognizer:
         np.savez_compressed(path, **arrs)
 
     @classmethod
-    def load_npz(cls, path: str) -> "BiLSTMRecognizer":
+    def load_npz(cls, path: str, dtype=np.float32) -> "BiLSTMRecognizer":
+        """Load for inference. Weights are cast to ``dtype`` (float32 by
+        default: halves the matmul bandwidth in the recognizer actors; the
+        trained weights carry far fewer than 7 significant digits). Pass
+        ``dtype=np.float64`` to resume training at full precision."""
         d = np.load(path)
         ni, ns, nc = (int(v) for v in d["shape"])
         charset = [str(c) for c in d["charset"]]
@@ -645,8 +652,8 @@ class BiLSTMRecognizer:
         assert net.codec.size() == nc, "charset/codec size mismatch"
         for name, layer in (("fwd", net.fwd), ("bwd", net.bwd)):
             for k in layer.params():
-                setattr(layer, k, d[f"{name}_{k}"])
+                setattr(layer, k, d[f"{name}_{k}"].astype(dtype))
             layer._zero_moments()
-        net.out.W = d["out_W"]
+        net.out.W = d["out_W"].astype(dtype)
         net.out.mom = np.zeros_like(net.out.W)
         return net

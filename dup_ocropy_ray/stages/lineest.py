@@ -40,7 +40,7 @@ class CenterNormalizer:
         smoothed = gaussian_filter(line, (h * 0.5, h * self.smoothness))
         smoothed = smoothed + 0.001 * uniform_filter(smoothed, (h * 0.5, w))
         self.shape = (h, w)
-        a = np.argmax(smoothed, axis=0).astype(np.float64)
+        a = np.argmax(smoothed, axis=0).astype(np.float32)
         a = gaussian_filter1d(a, h * self.extra, axis=0)
         self.center = np.array(a, dtype=np.int64)
         deltas = np.abs(np.arange(h)[:, None] - self.center[None, :])
@@ -72,7 +72,7 @@ def normalize_line(raw_line_white1: np.ndarray, target_height: int = TARGET_HEIG
     but the dewarp cuts from the original with white fill, exactly as the
     reference does (ocropus-rpred:158-163: measure(inverted),
     normalize(line, cval=amax)). Feed the result to ``prepare_line``."""
-    line = np.asarray(raw_line_white1, dtype=np.float64)
+    line = np.asarray(raw_line_white1, dtype=np.float32)
     ink = np.amax(line) - line
     mx = ink.max()
     if mx > 0:

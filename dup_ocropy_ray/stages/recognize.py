@@ -94,7 +94,7 @@ class LineRecognizer:
             group = prepared[k:j]
             Tmax = group[-1][1].shape[0]
             B = len(group)
-            xs = np.zeros((B, Tmax, self.net.ni))
+            xs = np.zeros((B, Tmax, self.net.ni), dtype=np.float32)
             lengths = np.zeros(B, dtype=np.int64)
             for b, (_, x) in enumerate(group):
                 lengths[b] = x.shape[0]

@@ -128,16 +128,16 @@ def compute_colseps_conv(
 ) -> np.ndarray:
     """Whitespace column separators by smoothing + vertical-edge gradient
     (reference ocropus-gpageseg:223-245)."""
-    smoothed = gaussian_filter_fast(binary.astype(np.float64), (scale, scale * 0.5))
+    smoothed = gaussian_filter_fast(binary.astype(np.float32), (scale, scale * 0.5))
     smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
     thresh = smoothed < np.amax(smoothed) * 0.1
-    grad = gaussian_gradient(binary.astype(np.float64), (scale, scale * 0.5), axis=1)
+    grad = gaussian_gradient(binary.astype(np.float32), (scale, scale * 0.5), axis=1)
     grad = uniform_filter(grad, (10.0 * scale, 1))
     grad = grad > 0.5 * np.amax(grad)
     seps = np.minimum(
-        thresh, maximum_filter(grad.astype(np.float64), (int(scale), int(5 * scale))) > 0
+        thresh, maximum_filter(grad.astype(np.float32), (int(scale), int(5 * scale))) > 0
     )
-    seps = maximum_filter(seps.astype(np.float64), (int(2 * scale), 1)) > 0
+    seps = maximum_filter(seps.astype(np.float32), (int(2 * scale), 1)) > 0
     seps = select_regions(seps, sl.dim0, min_v=csminheight * scale, nbest=maxcolseps)
     return seps.astype(np.uint8)
 
@@ -148,7 +148,7 @@ def compute_separators_morph(
     """Vertical black (ruled) separators (reference ocropus-gpageseg:177-186)."""
     d0 = int(max(5, scale / 4))
     d1 = int(max(5, scale)) + sepwiden
-    thick = r_dilation(binary.astype(np.float64), (d0, d1))
+    thick = r_dilation(binary.astype(np.float32), (d0, d1))
     vert = r_dilation(r_erosion(thick, (int(10 * scale), 1)), (int(10 * scale), 1))
     vert = r_erosion(vert, (d0 // 2 or 1, sepwiden or 1))
     vert = select_regions(vert > 0.5, sl.dim1, min_v=3, nbest=2 * maxseps)
@@ -170,11 +170,11 @@ def compute_gradmaps_from_boxmap(binary: np.ndarray, boxmap: np.ndarray,
     cleaned = boxmap * binary
     if usegauss:
         grad = gaussian_gradient(
-            cleaned.astype(np.float64), (vscale * 0.3 * scale, hscale * 6 * scale), axis=0
+            cleaned.astype(np.float32), (vscale * 0.3 * scale, hscale * 6 * scale), axis=0
         )
     else:
         grad = gaussian_gradient(
-            cleaned.astype(np.float64), (max(4, vscale * 0.3 * scale), hscale * scale),
+            cleaned.astype(np.float32), (max(4, vscale * 0.3 * scale), hscale * scale),
             axis=0,
         )
         grad = uniform_filter(grad, (vscale, hscale * 6 * scale))
@@ -202,11 +202,11 @@ def compute_line_seeds(
     t = threshold
     vrange = int(vscale * scale)
     bmarked = maximum_filter(
-        (bottom == maximum_filter(bottom, (vrange, 1))).astype(np.float64), (2, 2)
+        (bottom == maximum_filter(bottom, (vrange, 1))).astype(np.float32), (2, 2)
     )
     bmarked = bmarked * (bottom > t * np.amax(bottom) * t) * (1 - colseps)
     tmarked = maximum_filter(
-        (top == maximum_filter(top, (vrange, 1))).astype(np.float64), (2, 2)
+        (top == maximum_filter(top, (vrange, 1))).astype(np.float32), (2, 2)
     )
     tmarked = tmarked * (top > t * np.amax(top) * t / 2) * (1 - colseps)
     tmarked = maximum_filter(tmarked, (1, 20))
@@ -228,7 +228,7 @@ def compute_line_seeds(
             y1, s1 = transitions[l + 1]
             if s1 == 0 and (y0 - y1) < 5 * scale:
                 seeds[y1:y0, x] = 1
-    seeds = maximum_filter(seeds.astype(np.float64), (1, int(1 + scale))) > 0
+    seeds = maximum_filter(seeds.astype(np.float32), (1, int(1 + scale))) > 0
     seeds = seeds * (1 - colseps)
     seed_labels, _ = label(seeds > 0)
     return seed_labels
@@ -385,7 +385,7 @@ def extract_masked(
         mask = np.pad(mask, pad, mode="constant", constant_values=0)
     cut_img = sl.cut(image, o, margin=pad, bg=1.0)
     if expand > 0:
-        mask = maximum_filter(mask.astype(np.float64), (expand, expand)) > 0
+        mask = maximum_filter(mask.astype(np.float32), (expand, expand)) > 0
     return np.where(mask, cut_img, np.amax(cut_img))
 
 
@@ -420,7 +420,7 @@ def segment_page(bin_white1: np.ndarray, **params) -> dict:
     order = reading_order([l["bounds"] for l in lines])
     lsort = topsort(order)
     cleaned = remove_small_components(ink, p["noise"])
-    white = (1 - cleaned).astype(np.float64)  # white=1 background for extraction
+    white = (1 - cleaned).astype(np.float32)  # white=1 background for extraction
     out_lines = []
     for rank, idx in enumerate(lsort):
         l = lines[idx]

@@ -106,6 +106,8 @@ def ocr_recognized_lines(
     page_batch_size: int = 1,
     line_batch_size: int = 64,
     seg_params: dict | None = None,
+    recognizer_kwargs: dict | None = None,
+    media_join_partitions: int = 8,
 ) -> rd.Dataset:
     """docs -> recognized line rows (doc_id, media_ref, span_offset,
     line_order, bbox, text, confidence, rec_status, page_status), with
@@ -116,11 +118,22 @@ def ocr_recognized_lines(
     the recognizer is an autoscaling actor pool (weights loaded once per
     actor) kept UNFUSED from the upstream task stage via
     ``ray_remote_args_fn`` so page work never serializes into the
-    (smaller, GPU-flippable) recognizer pool."""
+    (smaller, GPU-flippable) recognizer pool.
+
+    ``media_store_ref`` is either a ``ray.ObjectRef`` to a broadcast
+    {media_ref: bytes} dict (small-side lookup: put once, read zero-copy
+    per node) or a ``ray.data.Dataset`` of (media_ref, bytes) — the
+    100 TB path, resolved with a hash-partitioned ``Dataset.join`` so
+    neither side materializes on one node."""
     import functools
 
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
-    if resolver_concurrency is None:
+    if isinstance(media_store_ref, rd.Dataset):
+        from ..sources.media import resolve_media_join
+
+        pages = resolve_media_join(pages, media_store_ref,
+                                   num_partitions=media_join_partitions)
+    elif resolver_concurrency is None:
         pages = pages.map_batches(
             functools.partial(_resolve_media_fn, store_ref=media_store_ref),
             batch_format="pyarrow",
@@ -151,12 +164,23 @@ def ocr_recognized_lines(
         )
     return lines.map_batches(
         LineRecognizer,
-        fn_constructor_kwargs={"model_path": model_path},
+        fn_constructor_kwargs={"model_path": model_path,
+                               **(recognizer_kwargs or {})},
         batch_format="pyarrow",
         batch_size=line_batch_size,
         concurrency=recognizer_concurrency,
         ray_remote_args_fn=lambda: {"num_cpus": 1},
     )
+
+
+def ocr_correction_html(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
+    """docs -> (doc_id, html) correction pages with base64-embedded line
+    images + editable transcripts (reference ocropus-gtedit sink, S10)."""
+    from ..stages.gtedit import correction_html_from_lines
+
+    kw.setdefault("recognizer_kwargs", {})["keep_png"] = True
+    rec = ocr_recognized_lines(docs, media_store_ref, **kw)
+    return correction_html_from_lines(rec)
 
 
 def ocr_pipeline(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:

@@ -35,11 +35,13 @@ class LineRecognizer:
     """Actor-pool UDF: line_png -> (text, confidence, rec_status)."""
 
     def __init__(self, model_path: str | None = None, pad: int = 16,
-                 nocheck: bool = False, bucket_width: int = 32):
+                 nocheck: bool = False, bucket_width: int = 32,
+                 keep_png: bool = False):
         self.net = BiLSTMRecognizer.load_npz(model_path or DEFAULT_MODEL)
         self.pad = pad
         self.nocheck = nocheck
         self.bucket_width = bucket_width
+        self.keep_png = keep_png  # retain line_png (gtedit correction sink)
 
     def _prepare(self, data: bytes):
         """PNG -> (T,48) input or (None, reason)."""
@@ -112,7 +114,7 @@ class LineRecognizer:
                 else:
                     confs[i] = float(y[:, 0].mean())
             k = j
-        out = batch.drop_columns(["line_png"])
+        out = batch if self.keep_png else batch.drop_columns(["line_png"])
         out = out.append_column("text", pa.array(texts, pa.string()))
         out = out.append_column("confidence", pa.array(confs, pa.float64()))
         out = out.append_column("rec_status", pa.array(statuses, pa.string()))

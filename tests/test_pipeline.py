@@ -87,6 +87,52 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     assert r3["counters"] == c
 
 
+def test_gtedit_roundtrip(ray_session, corpus):
+    """Correction-HTML sink and its inverse parser (S10): every ok line's
+    PNG and transcript survive the HTML round trip."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_correction_html, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+    from dup_ocropy_ray.stages.gtedit import extract_correction_html
+
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    out = ocr_correction_html(
+        docs, media_ref, recognizer_concurrency=1, page_concurrency=1
+    ).to_pandas()
+    assert len(out) >= 4  # docs with at least one recognized line
+    total = 0
+    for _, row in out.iterrows():
+        recs = extract_correction_html(row["html"])
+        assert recs, row["doc_id"]
+        for r in recs:
+            assert r["png"][:4] == b"\x89PNG"
+            assert "#" in r["line_id"]
+        total += len(recs)
+    assert total > 10
+
+
+def test_ocr_pipeline_media_join_mode(ray_session, corpus):
+    """Full pipeline with the 100TB-path media resolution: a
+    hash-partitioned Dataset.join instead of the broadcast store."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    docs = read_docs(corpus["docs"])
+    media_ds = rd.read_parquet(corpus["media"])
+    out = ocr_pipeline(docs, media_ds, recognizer_concurrency=1,
+                       page_concurrency=1, media_join_partitions=2).to_pandas()
+    # identical doc/page/line accounting as the broadcast path
+    bref = put_media_store(corpus["media"])
+    ref = ocr_pipeline(docs, bref, recognizer_concurrency=1,
+                       page_concurrency=1).to_pandas()
+    a = out.set_index("doc_id").sort_index()
+    b = ref.set_index("doc_id").sort_index()
+    assert (a["n_lines"] == b["n_lines"]).all()
+    assert (a["n_pages"] == b["n_pages"]).all()
+
+
 def test_media_join_path(ray_session, corpus):
     """Scale path: hash-partitioned Dataset.join instead of broadcast."""
     import ray.data as rd

@@ -64,6 +64,53 @@ def encode_gray(img: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_rgb(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> RGB PNG (color type 2, filter 0)."""
+    a = np.asarray(img)
+    assert a.ndim == 3 and a.shape[2] == 3, a.shape
+    a = a.astype(np.uint8)
+    h, w, _ = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_segmentation(seg: np.ndarray) -> bytes:
+    """int32 label image -> RGB PNG in the reference's disk convention
+    (ocrolib/common.py:270-289 write_page_segmentation): label packed as
+    24-bit R<<16|G<<8|B, background 0 stored WHITE (0xFFFFFF)."""
+    s = np.asarray(seg).astype(np.uint32)
+    s = np.where(s == 0, np.uint32(0xFFFFFF), s)
+    rgb = np.stack(
+        [(s >> 16) & 255, (s >> 8) & 255, s & 255], axis=-1
+    ).astype(np.uint8)
+    return encode_rgb(rgb)
+
+
+def decode_segmentation(data: bytes) -> np.ndarray:
+    """Inverse of encode_segmentation: RGB PNG -> int32 label image with
+    background 0 (white pixels map back to 0, the in-memory convention —
+    ocrolib/common.py:236-268 read_page_segmentation)."""
+    rgb = decode(data)
+    if rgb.ndim == 2:  # grayscale-stored segmentation: treat as B channel
+        s = rgb.astype(np.int32)
+    else:
+        s = (
+            (rgb[..., 0].astype(np.int32) << 16)
+            | (rgb[..., 1].astype(np.int32) << 8)
+            | rgb[..., 2].astype(np.int32)
+        )
+    s[s == 0xFFFFFF] = 0
+    return s
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters. raw: (h, 1+stride) bytes incl. filter byte."""
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -436,7 +436,16 @@ def segment_page(bin_white1: np.ndarray, **params) -> dict:
                 "png": png.encode_gray(img),
             }
         )
-    return {"status": "", "scale": float(scale), "lines": out_lines}
+    result = {"status": "", "scale": float(scale), "lines": out_lines}
+    if p.get("keep_pseg"):
+        # G14 relabel in reading order as 0x010000 + (rank+1) (reference
+        # ocropus-gpageseg:444-449), serialized in the reference's RGB
+        # disk convention (S5)
+        remap = np.zeros(int(segmentation.max()) + 1, dtype=np.int32)
+        for rank, idx in enumerate(lsort):
+            remap[lines[idx]["label"]] = 0x010000 + rank + 1
+        result["pseg_png"] = png.encode_segmentation(remap[segmentation])
+    return result
 
 
 LINE_ITEM = pa.struct(

@@ -144,3 +144,25 @@ def test_training_lines_deterministic():
     b = training_lines(num=5, seed=3)
     assert [t for t, _ in a] == [t for t, _ in b]
     assert all((x == y).all() for (_, x), (_, y) in zip(a, b))
+
+
+def test_page_segmentation_png_roundtrip():
+    """S5/G14: pseg serialized in the reference's RGB convention —
+    labels 0x010000+(rank+1) in reading order, white disk background."""
+    import numpy as np
+
+    from dup_ocropy_ray.functions import png
+    from dup_ocropy_ray.sources.glyphs import render_page
+    from dup_ocropy_ray.stages.segment import segment_page
+
+    page = render_page(["the quick brown fox jumps", "over the lazy dog today",
+                        "pack my box with five dozen", "liquor jugs and words"])
+    r = segment_page((page > 0.5).astype(np.uint8), keep_pseg=True)
+    assert r["status"] == ""
+    seg = png.decode_segmentation(r["pseg_png"])
+    labs = sorted(set(seg.ravel()) - {0})
+    assert labs == [0x010000 + i + 1 for i in range(len(r["lines"]))]
+    # white background on disk maps back to 0 in memory
+    rgb = png.decode(r["pseg_png"])
+    assert (rgb[0, 0] == 255).all()
+    assert (png.decode_segmentation(png.encode_segmentation(seg)) == seg).all()

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_embedding": q.q_dedup_embedding,
         "knn": q.q_knn,
+        "knn_multi": q.q_knn_multi,
         "knn_ivf": q.q_knn_ivf,
         "token_stats": q.q_token_stats,
         "quality_by_source": q.q_quality_by_source,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
         "knn": q.SQL_KNN,
+        "knn_multi": q.SQL_KNN_MULTI,
         "token_stats": q.SQL_TOKEN_STATS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
         "langid": q._langid_sql(),

@@ -580,6 +580,34 @@ LIMIT 10
 """
 
 
+def q_knn_multi(sf_dir: str) -> pd.DataFrame:
+    """Multi-query brute-force kNN: one matmul per block against the
+    broadcast query matrix (vec_ids 0,1,2), top-5 each."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _read_pd(sf_dir, "embeddings").set_index("vec_id")
+    qids = [0, 1, 2]
+    Q = np.stack([np.asarray(qdf.loc[i, "embedding"]) for i in qids])
+    out = similarity.knn_batch(ds, Q, qids, k=5)
+    out["qid"] = out["qid"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+SQL_KNN_MULTI = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+)
+SELECT q.qid, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (
+  PARTITION BY q.qid
+  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+) <= 5
+"""
+
+
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN variant (rows-only oracle: approximate by
     construction; nprobe=num_centroids degenerates to brute force)."""

@@ -61,6 +61,45 @@ def knn_brute(
     return out.reset_index(drop=True)
 
 
+def knn_batch(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Multi-query brute-force kNN: ONE (batch x queries) matmul per
+    block against the broadcast query MATRIX (put once, read zero-copy
+    per node), per-(block, query) top-k partials, tiny global merge.
+    Returns (qid, vec_id, cos_sim) with k rows per query."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((Q, list(query_ids)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm, qids = ray.get(qref)
+        M = _normalize(_stack(batch[vec_col]))
+        S = M @ Qm.T  # (rows, nq)
+        frames = []
+        ids = batch[id_col].values
+        for j, qid in enumerate(qids):
+            part = pd.DataFrame({"qid": qid, id_col: ids, "cos_sim": S[:, j]})
+            frames.append(
+                part.sort_values(["cos_sim", id_col], ascending=[False, True])
+                .head(k)
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(score, batch_format="pandas", batch_size=65536).to_pandas()
+    out = (
+        parts.sort_values(["qid", "cos_sim", id_col], ascending=[True, False, True])
+        .groupby("qid", as_index=False)
+        .head(k)
+    )
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out.reset_index(drop=True)
+
+
 def train_centroids(ds: rd.Dataset, num_centroids: int = 16, vec_col: str = "embedding",
                     sample: int = 2048, iters: int = 10, seed: int = 0) -> np.ndarray:
     """k-means on a driver-side sample (the IVF coarse quantizer).

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..functions.imgops import gaussian_filter, gaussian_filter1d, uniform_filter, zoom_to
+from ..functions.imgops import (
+    box_gaussian_filter1d,
+    gaussian_filter1d,
+    gaussian_filter_fast,
+    uniform_filter,
+    zoom_to,
+)
 
 TARGET_HEIGHT = 48
 
@@ -37,7 +43,16 @@ class CenterNormalizer:
     def measure(self, line: np.ndarray) -> None:
         """`line` is an ink=1 float image (inverted)."""
         h, w = line.shape
-        smoothed = gaussian_filter(line, (h * 0.5, h * self.smoothness))
+        # horizontal smoothing (sigma ≈ h, across a much wider image) uses
+        # the O(n) box cascade; the VERTICAL pass stays exact — its sigma
+        # (h/2) is comparable to the image height, where box vs gaussian
+        # diverge badly and the argmax'd center curve would collapse.
+        # Training (scripts/train_fixture_model.py) shares this exact code
+        # path, so the model sees the same normalization distribution.
+        sx = h * self.smoothness
+        smoothed = box_gaussian_filter1d(line, sx, 1) if sx > 8 else (
+            gaussian_filter1d(line, sx, 1) if sx > 0 else line)
+        smoothed = gaussian_filter1d(smoothed, h * 0.5, 0)
         smoothed = smoothed + 0.001 * uniform_filter(smoothed, (h * 0.5, w))
         self.shape = (h, w)
         a = np.argmax(smoothed, axis=0).astype(np.float32)

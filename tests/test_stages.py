@@ -166,3 +166,33 @@ def test_page_segmentation_png_roundtrip():
     rgb = png.decode(r["pseg_png"])
     assert (rgb[0, 0] == 255).all()
     assert (png.decode_segmentation(png.encode_segmentation(seg)) == seg).all()
+
+
+def test_recognizer_text_quality():
+    """End-to-end text quality gate on rendered lines: mean CER vs the
+    rendered ground truth must stay low. Guards against silent model /
+    normalization drift (blank predictions pass all structural checks)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dup_ocropy_ray.functions import png
+    from dup_ocropy_ray.functions.edist import levenshtein
+    from dup_ocropy_ray.sources.glyphs import render_line
+    from dup_ocropy_ray.stages.recognize import LineRecognizer
+
+    texts = [
+        "the fast key order sort",
+        "pack my box with five dozen",
+        "window small hash scan",
+        "data slow small filter",
+    ]
+    rec = LineRecognizer()
+    b = pa.table({"line_png": pa.array(
+        [png.encode_gray(render_line(t)) for t in texts], pa.binary())})
+    out = rec(b)
+    preds = out.column("text").to_pylist()
+    assert all(s == "ok" for s in out.column("rec_status").to_pylist())
+    errs = sum(levenshtein(p, t) for p, t in zip(preds, texts))
+    total = sum(len(t) for t in texts)
+    cer = errs / total
+    assert cer < 0.35, (cer, preds)

@@ -111,6 +111,20 @@ def _dewarp(sf_dir: str):
     )
 
 
+def _media_features(sf_dir: str):
+    """Image decode + feature extraction over the media table (multimodal
+    actor-pool stage; rows-only oracle)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.stages.multimodal import ImageFeatures
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    ds = rd.read_parquet(paths["media"])
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=2,
+                         concurrency=2).to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dup_ocropy_ray.pipelines import queries as q
 
@@ -146,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_spans": _ocr_spans,
         "hocr": _hocr,
         "dewarp": _dewarp,
+        "media_features": _media_features,
     }
 
 

@@ -1,0 +1,170 @@
+"""Multimodal column stages: opaque ``binary`` media + typed metadata.
+
+Images are first-class here (our own PNG codec — decode, resize,
+feature-extract are REAL and tested). Audio/video libraries are not in
+this environment, so those decoders are STUBS behind import guards with
+a deterministic fake mode: the Ray-side plumbing (schema, actor-pool
+signature, batch sizing, output layout) is real and tested, and dropping
+in a real decoder is a one-function change.
+
+All stages are callable classes for ``map_batches(Cls, concurrency=N)``
+actor pools — setup (codec tables, target shapes) happens once per
+actor, per-batch work is vectorized where the payload allows. Batches of
+large binary payloads should stay SMALL (the caller sets batch_size so
+batch x concurrency fits the worker heap; see SURVEY.md §7.4 wide rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import png as _png
+from ..functions.imgops import zoom_to
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("media_ref", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("mean_lum", pa.float64()),
+        pa.field("ink_frac", pa.float64()),
+        pa.field("aspect", pa.float64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+class ImageFeatures:
+    """media bytes -> typed feature row (decode + reduce, per image)."""
+
+    def __init__(self, bytes_col: str = "bytes", ref_col: str = "media_ref"):
+        self.bytes_col = bytes_col
+        self.ref_col = ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("media_ref", "width", "height", "mean_lum",
+                                "ink_frac", "aspect", "status")}
+        for ref, data in zip(
+            batch.column(self.ref_col).to_pylist(),
+            batch.column(self.bytes_col).to_pylist(),
+        ):
+            rows["media_ref"].append(ref)
+            try:
+                g = _png.decode_gray(data)
+                h, w = g.shape
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_lum"].append(round(float(g.mean()), 6))
+                rows["ink_frac"].append(round(float((g < 0.5).mean()), 6))
+                rows["aspect"].append(round(w / max(h, 1), 6))
+                rows["status"].append("ok")
+            except Exception as e:  # malformed payload -> status row, never fail
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["mean_lum"].append(0.0)
+                rows["ink_frac"].append(0.0)
+                rows["aspect"].append(0.0)
+                rows["status"].append(f"decode_error: {type(e).__name__}")
+        return pa.table(
+            {
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "mean_lum": pa.array(rows["mean_lum"], pa.float64()),
+                "ink_frac": pa.array(rows["ink_frac"], pa.float64()),
+                "aspect": pa.array(rows["aspect"], pa.float64()),
+                "status": pa.array(rows["status"], pa.string()),
+            }
+        )
+
+
+class ImageResize:
+    """media bytes -> thumbnail PNG bytes at a fixed max dimension."""
+
+    def __init__(self, max_dim: int = 128, bytes_col: str = "bytes",
+                 out_col: str = "thumb_png"):
+        self.max_dim = max_dim
+        self.bytes_col = bytes_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        for data in batch.column(self.bytes_col).to_pylist():
+            try:
+                g = _png.decode_gray(data)
+                h, w = g.shape
+                s = self.max_dim / max(h, w, 1)
+                if s < 1.0:
+                    g = zoom_to(g, (max(1, int(h * s)), max(1, int(w * s))))
+                thumbs.append(_png.encode_gray(g))
+            except Exception:
+                thumbs.append(None)
+        return batch.append_column(self.out_col, pa.array(thumbs, pa.binary()))
+
+
+class AudioFeatures:
+    """STUB: audio bytes -> (duration_s, rms). No audio codec ships in
+    this container; with fake=True a deterministic byte-level proxy keeps
+    the plumbing testable, otherwise raises NotImplementedError."""
+
+    def __init__(self, fake: bool = False, bytes_col: str = "bytes"):
+        try:  # pragma: no cover - not installed here
+            import soundfile  # noqa: F401
+
+            self._lib = soundfile
+        except ImportError:
+            self._lib = None
+        self.fake = fake
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lib is None and not self.fake:
+            raise NotImplementedError(
+                "no audio codec in this environment; construct with "
+                "fake=True for the deterministic stub"
+            )
+        durs, rms = [], []
+        for data in batch.column(self.bytes_col).to_pylist():
+            if self._lib is not None and not self.fake:
+                raise NotImplementedError("real audio path not wired")
+            b = np.frombuffer(data or b"", dtype=np.uint8)
+            durs.append(round(len(b) / 16000.0, 6))  # fake 16kHz/8-bit
+            rms.append(round(float(np.sqrt(np.mean((b / 255.0) ** 2)))
+                             if len(b) else 0.0, 6))
+        out = batch.append_column("duration_s", pa.array(durs, pa.float64()))
+        return out.append_column("rms", pa.array(rms, pa.float64()))
+
+
+class VideoFrameSample:
+    """STUB: video bytes -> N evenly-spaced 'frames'. Fake mode slices the
+    byte stream into N deterministic chunks and hashes them — the output
+    layout (list<binary> frames per row) is the real contract."""
+
+    def __init__(self, num_frames: int = 4, fake: bool = False,
+                 bytes_col: str = "bytes"):
+        try:  # pragma: no cover - not installed here
+            import av  # noqa: F401
+
+            self._lib = av
+        except ImportError:
+            self._lib = None
+        self.num_frames = num_frames
+        self.fake = fake
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lib is None and not self.fake:
+            raise NotImplementedError(
+                "no video codec in this environment; construct with "
+                "fake=True for the deterministic stub"
+            )
+        frames_col = []
+        for data in batch.column(self.bytes_col).to_pylist():
+            data = data or b""
+            n = self.num_frames
+            step = max(1, len(data) // n)
+            frames_col.append([data[i * step: (i + 1) * step] for i in range(n)])
+        return batch.append_column(
+            "frames", pa.array(frames_col, pa.list_(pa.binary()))
+        )

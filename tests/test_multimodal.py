@@ -1,0 +1,66 @@
+"""Multimodal stages: real image decode/resize/features, stubbed
+audio/video with real Ray plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def media_table(ray_session, tmp_path_factory):
+    from dup_ocropy_ray.sources.fixtures import build_corpus
+
+    root = tmp_path_factory.mktemp("mm")
+    paths = build_corpus(str(root), num_docs=4, seed=11)
+    return paths["media"]
+
+
+def test_image_features_stage(ray_session, media_table):
+    from dup_ocropy_ray.stages.multimodal import ImageFeatures
+
+    ds = rd.read_parquet(media_table)
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=2,
+                         concurrency=1).to_pandas()
+    ok = out[out.status == "ok"]
+    assert len(ok) == len(out)
+    # regular pages are >=600px; the corpus includes one small edge-case page
+    assert (ok.width >= 600).sum() >= len(ok) - 1
+    assert ((ok.ink_frac > 0) & (ok.ink_frac < 0.5)).all()
+
+
+def test_image_features_malformed(ray_session):
+    from dup_ocropy_ray.stages.multimodal import ImageFeatures
+
+    b = pa.table({"media_ref": ["x"], "bytes": [b"not a png"]})
+    out = ImageFeatures()(b)
+    assert out.column("status")[0].as_py().startswith("decode_error")
+
+
+def test_image_resize(ray_session, media_table):
+    from dup_ocropy_ray.functions import png
+    from dup_ocropy_ray.stages.multimodal import ImageResize
+
+    ds = rd.read_parquet(media_table)
+    out = ds.map_batches(ImageResize, fn_constructor_kwargs={"max_dim": 64},
+                         batch_format="pyarrow", batch_size=2,
+                         concurrency=1).to_pandas()
+    for t in out.thumb_png:
+        g = png.decode_gray(t)
+        assert max(g.shape) <= 64
+
+
+def test_audio_video_stubs(ray_session):
+    from dup_ocropy_ray.stages.multimodal import AudioFeatures, VideoFrameSample
+
+    b = pa.table({"media_ref": ["a"], "bytes": [bytes(range(256)) * 4]})
+    with pytest.raises(NotImplementedError):
+        AudioFeatures()(b)
+    out = AudioFeatures(fake=True)(b)
+    assert out.column("duration_s")[0].as_py() == pytest.approx(1024 / 16000)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample()(b)
+    out = VideoFrameSample(num_frames=4, fake=True)(b)
+    frames = out.column("frames")[0].as_py()
+    assert len(frames) == 4 and all(len(f) == 256 for f in frames)

@@ -104,7 +104,8 @@ def ocr_recognized_lines(
     page_concurrency: int | tuple | None = None,
     recognizer_concurrency: int | tuple = (1, 8),
     page_batch_size: int = 1,
-    line_batch_size: int = 64,
+    line_batch_size: int = 256,  # big batches fill the length buckets ->
+    # fewer per-timestep python loops; ~2x less recognizer CPU than 64
     seg_params: dict | None = None,
     recognizer_kwargs: dict | None = None,
     media_join_partitions: int = 8,

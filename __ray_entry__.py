@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": q.q_knn_multi,
         "knn_ivf": q.q_knn_ivf,
         "token_stats": q.q_token_stats,
+        "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
         "langid": q.q_langid,
         "fingerprints": q.q_fingerprints,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": q.SQL_KNN,
         "knn_multi": q.SQL_KNN_MULTI,
         "token_stats": q.SQL_TOKEN_STATS,
+        "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
         "langid": q._langid_sql(),
         "cer_pairs": q.SQL_CER_PAIRS,

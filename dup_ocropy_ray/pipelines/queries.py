@@ -649,6 +649,38 @@ FROM t GROUP BY lang
 """
 
 
+# BPE-ish pre-tokenizer pattern (word / number / punct classes) — kept
+# RE2-compatible so DuckDB's regexp_extract_all is an exact oracle
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """Regex (BPE-style pre-tokenizer) token counting per lang."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": b.lang,
+             "nt": b.text.fillna("").str.count(BPE_PATTERN).astype("int64")}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["lang"], sums=["nt"])
+    return pd.DataFrame(
+        {"lang": g.lang, "sum_bpe_tokens": g.sum_nt.astype("int64"),
+         "n_docs": g.n.astype("int64")}
+    )
+
+
+SQL_BPE_TOKENS = f"""
+SELECT lang,
+       sum(len(regexp_extract_all(text, '{BPE_PATTERN}')))::BIGINT
+         AS sum_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     qt = textstats.quality_score_table(ds)

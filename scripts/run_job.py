@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Cluster job entry point — the `ray job submit` target.
+
+    ray job submit --working-dir . -- \
+        python scripts/run_job.py --docs /data/docs.parquet \
+        --media /data/media.parquet --out /data/ocr_out --fragments 64
+
+Runs the flagship OCR pipeline fragment-by-fragment with checkpoint/lineage
+manifests: a killed job rerun with the same --out resumes, skipping every
+fragment whose manifest exists (at most the one in-flight fragment is
+reprocessed). Counters (docs, pages, lines segmented, skipped pages, chars
+decoded, low-confidence lines) aggregate across manifests.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="interleaved docs table (parquet/lance)")
+    ap.add_argument("--media", required=True, help="media blob table (media_ref, bytes)")
+    ap.add_argument("--out", required=True, help="output root (fragment dirs + manifests)")
+    ap.add_argument("--fragments", type=int, default=16)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--recognizer-min", type=int, default=2)
+    ap.add_argument("--recognizer-max", type=int, default=16)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+
+    from dup_ocropy_ray.pipelines.ocr import run_ocr_with_checkpoint
+
+    result = run_ocr_with_checkpoint(
+        args.docs,
+        args.media,
+        args.out,
+        num_fragments=args.fragments,
+        model_path=args.model,
+        recognizer_concurrency=(args.recognizer_min, args.recognizer_max),
+    )
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--ns", type=int, default=60)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--max-chars", type=int, default=10)
+    ap.add_argument("--max-chars", type=int, default=26)  # MATCH corpus wrap width
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

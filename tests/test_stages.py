@@ -195,4 +195,4 @@ def test_recognizer_text_quality():
     errs = sum(levenshtein(p, t) for p, t in zip(preds, texts))
     total = sum(len(t) for t in texts)
     cer = errs / total
-    assert cer < 0.35, (cer, preds)
+    assert cer < 0.15, (cer, preds)

@@ -114,8 +114,8 @@ def estimate_thresholds(
         v = est - gaussian_filter_fast(est, e * 20.0)
         v = np.sqrt(np.clip(gaussian_filter_fast(v**2, e * 20.0), 0, None))
         v = v > 0.3 * v.max()
-        v = maximum_filter(v.astype(np.float32), (int(e * 50), 1)) > 0
-        v = maximum_filter(v.astype(np.float32), (1, int(e * 50))) > 0
+        v = maximum_filter(v.astype(np.uint8), (int(e * 50), 1)) > 0
+        v = maximum_filter(v.astype(np.uint8), (1, int(e * 50))) > 0
         sel = est[v]
         if sel.size == 0:
             sel = est.ravel()

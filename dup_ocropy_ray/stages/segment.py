@@ -135,9 +135,9 @@ def compute_colseps_conv(
     grad = uniform_filter(grad, (10.0 * scale, 1))
     grad = grad > 0.5 * np.amax(grad)
     seps = np.minimum(
-        thresh, maximum_filter(grad.astype(np.float32), (int(scale), int(5 * scale))) > 0
+        thresh, maximum_filter(grad.astype(np.uint8), (int(scale), int(5 * scale))) > 0
     )
-    seps = maximum_filter(seps.astype(np.float32), (int(2 * scale), 1)) > 0
+    seps = maximum_filter(seps.astype(np.uint8), (int(2 * scale), 1)) > 0
     seps = select_regions(seps, sl.dim0, min_v=csminheight * scale, nbest=maxcolseps)
     return seps.astype(np.uint8)
 
@@ -202,11 +202,11 @@ def compute_line_seeds(
     t = threshold
     vrange = int(vscale * scale)
     bmarked = maximum_filter(
-        (bottom == maximum_filter(bottom, (vrange, 1))).astype(np.float32), (2, 2)
+        (bottom == maximum_filter(bottom, (vrange, 1))).astype(np.uint8), (2, 2)
     )
     bmarked = bmarked * (bottom > t * np.amax(bottom) * t) * (1 - colseps)
     tmarked = maximum_filter(
-        (top == maximum_filter(top, (vrange, 1))).astype(np.float32), (2, 2)
+        (top == maximum_filter(top, (vrange, 1))).astype(np.uint8), (2, 2)
     )
     tmarked = tmarked * (top > t * np.amax(top) * t / 2) * (1 - colseps)
     tmarked = maximum_filter(tmarked, (1, 20))
@@ -228,7 +228,7 @@ def compute_line_seeds(
             y1, s1 = transitions[l + 1]
             if s1 == 0 and (y0 - y1) < 5 * scale:
                 seeds[y1:y0, x] = 1
-    seeds = maximum_filter(seeds.astype(np.float32), (1, int(1 + scale))) > 0
+    seeds = maximum_filter(seeds.astype(np.uint8), (1, int(1 + scale))) > 0
     seeds = seeds * (1 - colseps)
     seed_labels, _ = label(seeds > 0)
     return seed_labels
@@ -385,7 +385,7 @@ def extract_masked(
         mask = np.pad(mask, pad, mode="constant", constant_values=0)
     cut_img = sl.cut(image, o, margin=pad, bg=1.0)
     if expand > 0:
-        mask = maximum_filter(mask.astype(np.float32), (expand, expand)) > 0
+        mask = maximum_filter(mask.astype(np.uint8), (expand, expand)) > 0
     return np.where(mask, cut_img, np.amax(cut_img))
 
 

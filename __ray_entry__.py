@@ -29,9 +29,11 @@ def _ocr_corpus_dir(sf_dir: str, num_docs: int) -> dict:
     same bytes."""
     import hashlib
 
-    from dup_ocropy_ray.sources.fixtures import build_corpus
+    from dup_ocropy_ray.sources.fixtures import build_corpus, renderer_version
 
-    key = hashlib.md5(f"{sf_dir}:{num_docs}:v1".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"{sf_dir}:{num_docs}:{renderer_version()}".encode()
+    ).hexdigest()[:10]
     root = f"/tmp/ocr_corpus_{key}"
     docs_path = os.path.join(root, "docs.parquet")
     if not os.path.exists(docs_path):

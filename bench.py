@@ -11,8 +11,9 @@ documents table, plus per-query timings for a representative operator
 subset.
 
   python bench.py                 # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling       # same job at 8 vs 32 CPUs in fresh
-                                  # processes -> scaling efficiency
+  python bench.py --scaling       # same job at N vs 4N CPUs (default
+                                  # 4 vs 16) in fresh processes ->
+                                  # scaling efficiency
 """
 
 import json
@@ -49,9 +50,11 @@ def build_bench_corpus() -> dict:
     content key so repeated runs skip rendering."""
     import hashlib
 
-    from dup_ocropy_ray.sources.fixtures import build_corpus
+    from dup_ocropy_ray.sources.fixtures import build_corpus, renderer_version
 
-    key = hashlib.md5(f"{SF_DIR}:{BENCH_PAGES}:v2".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"{SF_DIR}:{BENCH_PAGES}:{renderer_version()}".encode()
+    ).hexdigest()[:10]
     root = f"/tmp/bench_corpus_{key}"
     docs_path = os.path.join(root, "docs.parquet")
     if not os.path.exists(docs_path):

@@ -54,6 +54,21 @@ def _write_table(table: pa.Table, path: str) -> str:
         return path + ".parquet"
 
 
+def renderer_version() -> str:
+    """Content hash of the rendering code — cache keys for corpora built
+    from these modules MUST include it, or stale /tmp corpora rendered by
+    an older glyph renderer silently mismatch a model trained on the
+    current one."""
+    import hashlib
+
+    h = hashlib.md5()
+    for mod in ("glyphs.py", "fixtures.py"):
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), mod),
+                  "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def build_corpus(
     root: str,
     num_docs: int = 20,

@@ -113,6 +113,32 @@ def _dewarp(sf_dir: str):
     )
 
 
+def _gtedit(sf_dir: str):
+    """Correction-HTML sink (reference ocropus-gtedit, S10; rows-only
+    oracle — base64-embedded images aren't SQL-expressible)."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_correction_html, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    out = ocr_correction_html(docs, media_ref, recognizer_concurrency=(1, 2)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _debug_html(sf_dir: str):
+    """Debug/results-browser HTML sink (reference
+    ocropus-visualize-results, S11; rows-only oracle)."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_debug_html, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    out = ocr_debug_html(docs, media_ref, recognizer_concurrency=(1, 2)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _media_features(sf_dir: str):
     """Image decode + feature extraction over the media table (multimodal
     actor-pool stage; rows-only oracle)."""
@@ -162,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project_text": q.q_project_text,
         "ocr_spans": _ocr_spans,
         "hocr": _hocr,
+        "gtedit": _gtedit,
+        "debug_html": _debug_html,
         "dewarp": _dewarp,
         "media_features": _media_features,
     }
@@ -196,6 +224,6 @@ def oracle_sql() -> dict[str, str]:
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         # minhash, simhash, knn_ivf, fingerprints, confusions, ocr_spans,
-        # hocr, dewarp: intentionally omitted (not ANSI-SQL-expressible)
-        # -> rows-only check
+        # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
+        # ANSI-SQL-expressible) -> rows-only check
     }

@@ -151,6 +151,7 @@ def decode(data: bytes) -> np.ndarray:
     idat = []
     w = h = depth = ctype = None
     interlace = 0
+    palette = None
     n = len(data)
     while pos + 8 <= n:
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -159,6 +160,8 @@ def decode(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -167,13 +170,17 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth != 8 or interlace != 0:
         raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + stride)
     out = _unfilter(raw, h, stride, channels)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[out.reshape(h, w)]  # indexed -> (h, w, 3)
     if channels == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, channels)

@@ -77,6 +77,41 @@ def project_text(s: str, kind: str = "exact") -> str:
         raise ValueError(f"unknown projection: {kind}") from None
 
 
+def gt_explode(s: str) -> list[str]:
+    """Split a ground-truth transcription into codec symbols, where a
+    multi-character symbol (ligature / digraph, 1-4 chars) is written
+    ``_xx_``; ``\\001``/``\\002`` escape literal ``_`` and ``\\``
+    (reference ocrolib/common.py:826-836)."""
+    parts = re.split(r"_(.{1,4})_", s)
+    result: list[str] = []
+    for i, e in enumerate(parts):
+        if i % 2 == 0:
+            result.extend(e)
+        else:
+            result.append(e)
+    result = [c.replace("\001", "_") for c in result]
+    result = [c.replace("\002", "\\") for c in result]
+    return result
+
+
+def gt_implode(symbols: list[str]) -> str:
+    """Inverse of gt_explode: symbol list -> transcription string
+    (reference ocrolib/common.py:838-849)."""
+    out: list[str] = []
+    for c in symbols:
+        if c == "_":
+            out.append("___")
+        elif len(c) <= 1:
+            out.append(c)
+        elif len(c) <= 4:
+            out.append("_" + c + "_")
+        else:
+            raise ValueError(
+                f"cannot create ground truth transcription for: {symbols!r}"
+            )
+    return "".join(out)
+
+
 def requote(s: str) -> str:
     return re.sub(r"''", '"', str(s))
 

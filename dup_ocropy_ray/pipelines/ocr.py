@@ -91,8 +91,14 @@ def _resolve_media_fn(batch: pa.Table, store_ref=None) -> pa.Table:
     on a cluster, never re-shipped per batch)."""
     store = ray.get(store_ref)
     refs = batch.column("media_ref").to_pylist()
-    return batch.append_column(
+    out = batch.append_column(
         "page_png", pa.array([store[r] for r in refs], pa.binary())
+    )
+    # G7: a sibling "<ref>.mask" entry is a user separator mask
+    # (reference ocropus-gpageseg:268-276 reads base+".mask.png");
+    # column is always attached (null where absent) for schema stability
+    return out.append_column(
+        "mask_png", pa.array([store.get(r + ".mask") for r in refs], pa.binary())
     )
 
 
@@ -182,6 +188,17 @@ def ocr_correction_html(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
     kw.setdefault("recognizer_kwargs", {})["keep_png"] = True
     rec = ocr_recognized_lines(docs, media_store_ref, **kw)
     return correction_html_from_lines(rec)
+
+
+def ocr_debug_html(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
+    """docs -> (doc_id, html) debug/results-browser pages with page
+    thumbnails + per-line image/text (reference ocropus-visualize-results
+    sink, S11)."""
+    from ..stages.debug_html import debug_html_from_lines
+
+    kw.setdefault("recognizer_kwargs", {})["keep_png"] = True
+    rec = ocr_recognized_lines(docs, media_store_ref, **kw)
+    return debug_html_from_lines(rec, media_store_ref=media_store_ref)
 
 
 def ocr_pipeline(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:

@@ -141,6 +141,39 @@ def build_corpus(
                     {"doc_id": doc_id, "media_ref": ref, "line_order": i, "gt_text": t}
                 )
             num_pages += 1
+        if is_edge:
+            # two-column page with a user separator mask (G7 apply_mask,
+            # reference ocropus-gpageseg:268-276 + tests/table.mask.png):
+            # reading order = left column top-down, then right column
+            left = make_doc_texts(rng, 3)
+            right = make_doc_texts(rng, 3)
+            pl = glyphs.render_page(left, min_width=400)
+            pr = glyphs.render_page(right, min_width=400)
+            h = max(pl.shape[0], pr.shape[0])
+
+            def _padh(p):
+                out = np.ones((h, p.shape[1]))
+                out[: p.shape[0]] = p
+                return out
+
+            page = np.hstack([_padh(pl), _padh(pr)])
+            mask = np.zeros(page.shape, dtype=np.float64)
+            mid = page.shape[1] // 2
+            mask[:, mid - 2 : mid + 2] = 1.0  # bright stripe = separator
+            ref = f"mem://{doc_id}/page-mask.png"
+            media_rows.append({"media_ref": ref, "bytes": png.encode_gray(page)})
+            media_rows.append(
+                {"media_ref": ref + ".mask", "bytes": png.encode_gray(mask)}
+            )
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+            )
+            offset += 1
+            for i, t in enumerate(left + right):
+                gt_rows.append(
+                    {"doc_id": doc_id, "media_ref": ref, "line_order": i, "gt_text": t}
+                )
+            num_pages += 1
         doc_rows.append({"doc_id": doc_id, "spans": spans})
 
     docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)
@@ -176,4 +209,44 @@ def training_lines(num: int = 400, seed: int = 7, max_chars: int = 26):
             text = " ".join(rng.choice(_WORDS, size=k))
             text = text[:max_chars].strip()
         pairs.append((text, glyphs.render_line(text)))
+    return pairs
+
+
+def training_lines_from_pages(
+    num_pages: int = 200,
+    seed: int = 11,
+    max_line_chars: int = 24,
+    lines_per_page: tuple[int, int] = (3, 8),
+):
+    """(text, crop) training pairs whose images went through the REAL
+    binarize→segment→extract_masked chain, so the recognizer trains on
+    the exact distribution inference sees (mask padding, neighbor-ink
+    removal, threshold artifacts) — the residual gap that clean
+    ``render_line`` images can't cover. Pages are simple line stacks, so
+    reading-order rank equals render order; pages where segmentation
+    disagrees on the line count are dropped rather than misaligned.
+    Mirrors reference ocropus-linegen's role (ocropus-linegen:174-240)
+    but with the production page chain as the degradation model."""
+    from dup_ocropy_ray.stages.binarize import binarize_page
+    from dup_ocropy_ray.stages.segment import segment_page
+
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(num_pages):
+        lines = [
+            t[:max_line_chars].strip()
+            for t in make_doc_texts(rng, int(rng.integers(*lines_per_page)))
+        ]
+        lines = [t for t in lines if t]
+        if not lines:
+            continue
+        b = binarize_page(glyphs.render_page(lines))
+        if b["status"]:
+            continue
+        s = segment_page(b["bin"])
+        if s["status"] or len(s["lines"]) != len(lines):
+            continue
+        recs = sorted(s["lines"], key=lambda r: r["order"])
+        for text, rec in zip(lines, recs):
+            pairs.append((text, png.decode_gray(rec["png"])))
     return pairs

@@ -42,7 +42,13 @@ class MediaResolver:
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         blobs = [self.store.get(r) for r in refs]
-        return batch.append_column("page_png", pa.array(blobs, pa.binary()))
+        out = batch.append_column("page_png", pa.array(blobs, pa.binary()))
+        # G7: sibling "<ref>.mask" = user separator mask (reference
+        # ocropus-gpageseg:268-276); null where absent
+        return out.append_column(
+            "mask_png",
+            pa.array([self.store.get(r + ".mask") for r in refs], pa.binary()),
+        )
 
 
 def resolve_media_join(pages, media, num_partitions: int = 16):

@@ -267,6 +267,14 @@ def compute_segmentation(
         colseps = np.maximum(colseps, seps)
         binary = np.minimum(binary, 1 - seps)
         reuse_components = False  # black seps cut components; relabel below
+    mask = p.get("mask")
+    if mask is not None:
+        # G7 apply_mask: user-provided separator mask merged into colseps
+        # and carved out of the ink (reference ocropus-gpageseg:268-276)
+        mask = np.asarray(mask, dtype=np.uint8)
+        colseps = np.maximum(colseps, mask)
+        binary = np.minimum(binary, 1 - colseps)
+        reuse_components = False  # mask may cut components; relabel below
     # boxmap (G10): components with sqrt-area in (0.5, 4) * scale
     if reuse_components:
         boxkeep = np.zeros(n + 1, dtype=bool)
@@ -464,10 +472,15 @@ def segment_batch(batch: pa.Table, **params) -> pa.Table:
     """Stateless map_batches UDF: bin_png -> lines list column + status."""
     bins = batch.column("bin_png").to_pylist()
     statuses = batch.column("bin_status").to_pylist()
+    masks = (
+        batch.column("mask_png").to_pylist()
+        if "mask_png" in batch.column_names
+        else [None] * len(bins)
+    )
     out_lines: list[list[dict]] = []
     out_status: list[str] = []
     scales: list[float] = []
-    for data, st in zip(bins, statuses):
+    for data, st, mk in zip(bins, statuses, masks):
         if st != "ok" or data is None:
             out_lines.append([])
             out_status.append(st if st != "ok" else "no binary image")
@@ -475,13 +488,23 @@ def segment_batch(batch: pa.Table, **params) -> pa.Table:
             continue
         try:
             binary = png.decode_binary(data)
-            r = segment_page(binary, **params)
+            kw = dict(params)
+            if mk is not None:
+                # G7: sibling .mask.png media span; bright pixels mark
+                # separator regions (reference apply_mask feeds
+                # read_image_binary output — 1 where bright — straight
+                # into maximum(colseps, mask), ocropus-gpageseg:268-276)
+                kw["mask"] = png.decode_binary(mk)
+            r = segment_page(binary, **kw)
         except Exception as e:
             r = {"status": f"error: {type(e).__name__}: {e}", "scale": 0.0, "lines": []}
         out_lines.append(r["lines"])
         out_status.append(r["status"] if r["status"] else "ok")
         scales.append(r["scale"])
-    out = batch.drop_columns(["bin_png"] + (["nrm_png"] if "nrm_png" in batch.column_names else []))
+    out = batch.drop_columns(
+        ["bin_png"]
+        + [c for c in ("nrm_png", "mask_png") if c in batch.column_names]
+    )
     out = out.append_column("lines", pa.array(out_lines, type=pa.list_(LINE_ITEM)))
     out = out.append_column("seg_status", pa.array(out_status, type=pa.string()))
     out = out.append_column("seg_scale", pa.array(scales, type=pa.float64()))

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dup_ocropy_ray.functions.edist import levenshtein
 from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer, prepare_line
-from dup_ocropy_ray.sources.fixtures import training_lines
+from dup_ocropy_ray.sources.fixtures import training_lines, training_lines_from_pages
 from dup_ocropy_ray.sources.glyphs import CHARSET
 from dup_ocropy_ray.stages.lineest import normalize_line
 
@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--max-chars", type=int, default=26)  # MATCH corpus wrap width
+    ap.add_argument("--pages", type=int, default=250,
+                    help="extra pages pushed through the real binarize→"
+                         "segment→extract chain; their crops are the "
+                         "inference distribution (0 disables)")
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -48,6 +52,12 @@ def main():
     net = BiLSTMRecognizer(ni=48, ns=args.ns, charset=charset, seed=args.seed)
     pairs = training_lines(num=args.nlines, seed=args.seed,
                            max_chars=args.max_chars)
+    if args.pages > 0:
+        crop_pairs = training_lines_from_pages(num_pages=args.pages,
+                                               seed=args.seed + 1000)
+        print(f"page-extracted crops: {len(crop_pairs)} lines "
+              f"from {args.pages} pages", flush=True)
+        pairs = pairs + crop_pairs
     inputs = [prepare_line(normalize_line(img)) for _, img in pairs]
     texts = [t for t, _ in pairs]
 
@@ -83,8 +93,11 @@ def main():
             if cer == 0.0:
                 break
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if best_cer > 0:
+    # the best checkpoint was already saved inside the loop on every eval
+    # improvement; an unconditional final save here would clobber it with
+    # possibly-worse last-step weights
+    if best_cer >= 1e9:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
         net.save_npz(args.out)
     print(f"done best_cer {best_cer:.4f} saved {args.out}")
 

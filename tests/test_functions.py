@@ -209,3 +209,54 @@ def test_rolling_fingerprints_overlap():
     f1 = set(hashing.rolling_fingerprints(t1, keep_mod=4).tolist())
     f2 = set(hashing.rolling_fingerprints(t2, keep_mod=4).tolist())
     assert f1 and f2 and len(f1 & f2) > 0
+
+
+# ------------------------------------------------------------ gt encoding
+
+
+def test_gt_explode_implode_roundtrip():
+    from dup_ocropy_ray.functions.text import gt_explode, gt_implode
+
+    assert gt_explode("abc") == ["a", "b", "c"]
+    # multi-char symbol written _xx_ (ligature/digraph)
+    assert gt_explode("a_ffi_b") == ["a", "ffi", "b"]
+    # escaped literal underscore
+    assert gt_explode("a_\001_b") == ["a", "_", "b"]
+    for s in ["hello", "a_ffi_x_st_z"]:
+        assert gt_implode(gt_explode(s)) == s
+    assert gt_implode(["_"]) == "___"
+    assert gt_implode(["a", "qu", "z"]) == "a_qu_z"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gt_implode(["toolong"])
+
+
+def test_png_palette_decode():
+    """Color type 3 (indexed) PNGs decode via PLTE lookup — the format the
+    reference's tests/table.mask.png fixture uses."""
+    import struct as _struct
+    import zlib as _zlib
+
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    plte = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0])  # black, white, red
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(tag, body):
+        c = tag + body
+        return _struct.pack(">I", len(body)) + c + _struct.pack(
+            ">I", _zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = png.decode(data)
+    assert out.shape == (2, 3, 3)
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(out[0, 1], [255, 255, 255])
+    np.testing.assert_array_equal(out[1, 0], [255, 0, 0])

@@ -25,9 +25,11 @@ def test_image_features_stage(ray_session, media_table):
                          concurrency=1).to_pandas()
     ok = out[out.status == "ok"]
     assert len(ok) == len(out)
+    # the ".mask" sibling entry is dark-background (high ink fraction)
+    pages = ok[~ok.media_ref.str.endswith(".mask")]
     # regular pages are >=600px; the corpus includes one small edge-case page
-    assert (ok.width >= 600).sum() >= len(ok) - 1
-    assert ((ok.ink_frac > 0) & (ok.ink_frac < 0.5)).all()
+    assert (pages.width >= 600).sum() >= len(pages) - 1
+    assert ((pages.ink_frac > 0) & (pages.ink_frac < 0.5)).all()
 
 
 def test_image_features_malformed(ray_session):

@@ -28,9 +28,10 @@ def test_ocr_pipeline_structure(ray_session, corpus):
     byid = out.set_index("doc_id")
     # skew doc fans out to 3 pages
     assert byid.loc["doc-000000", "n_pages"] == 3
-    # edge-case doc: page skipped, zero lines
+    # edge-case doc: small page skipped; the masked two-column page (G7)
+    # still yields its 6 lines
     assert byid.loc["doc-000005", "n_skipped_pages"] == 1
-    assert byid.loc["doc-000005", "n_lines"] == 0
+    assert byid.loc["doc-000005", "n_lines"] == 6
     # spans structure: first span is the passthrough title, then media
     spans = byid.loc["doc-000001", "spans"]
     assert spans[0]["kind"] == "text" and spans[0]["text"].startswith("title of")
@@ -69,7 +70,7 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     assert sorted(r1["fragments_run"]) == [0, 1]
     assert ckpt.pending_fragments(out_root, 2) == []
     c = r1["counters"]
-    assert c["docs"] == 6 and c["pages"] == 8 and c["skipped_pages"] == 1
+    assert c["docs"] == 6 and c["pages"] == 9 and c["skipped_pages"] == 1
     # rerun: nothing pending, counters unchanged
     r2 = run_ocr_with_checkpoint(
         corpus["docs"], corpus["media"], out_root, num_fragments=2,
@@ -144,5 +145,51 @@ def test_media_join_path(ray_session, corpus):
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
     media = rd.read_parquet(corpus["media"])
     joined = resolve_media_join(pages, media, num_partitions=2).to_pandas()
-    assert len(joined) == 8
+    assert len(joined) == 9
     assert joined["page_png"].map(lambda b: b[:4] == b"\x89PNG").all()
+
+
+def test_debug_html_sink(ray_session, corpus):
+    """S11 debug/results-browser sink: per-doc HTML with page thumbnail,
+    per-line text + half-width image (reference ocropus-visualize-results)."""
+    from dup_ocropy_ray.pipelines.ocr import ocr_debug_html, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    out = ocr_debug_html(
+        docs, media_ref, recognizer_concurrency=1, page_concurrency=1
+    ).to_pandas()
+    assert len(out) == 6
+    byid = out.set_index("doc_id")["html"]
+    h = byid["doc-000001"]
+    assert h.count("class='thumb'") == 1  # one page thumbnail
+    assert "<font color='#000066'>" in h  # recognized text in ref style
+    assert "data:image/png;base64," in h
+    # skipped page surfaces its status
+    assert "<font color='red'>" in byid["doc-000005"]
+
+
+def test_masked_page_reading_order_and_text(ray_session, corpus):
+    """G7 end-to-end: the corpus's masked two-column page segments into
+    its 6 gt lines, column-major, and the recognized text matches gt."""
+    from dup_ocropy_ray.functions.edist import levenshtein
+    from dup_ocropy_ray.pipelines.ocr import ocr_recognized_lines, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    gt = pq.read_table(corpus["groundtruth"]).to_pandas()
+    gt = gt[gt["media_ref"].str.endswith("page-mask.png")]
+    assert len(gt) == 6
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    rec = ocr_recognized_lines(
+        docs, media_ref, recognizer_concurrency=1, page_concurrency=1
+    ).to_pandas()
+    rec = rec[
+        rec["media_ref"].str.endswith("page-mask.png") & (rec["line_order"] >= 0)
+    ].sort_values("line_order")
+    assert len(rec) == 6
+    pairs = list(zip(rec["text"], gt.sort_values("line_order")["gt_text"]))
+    errs = sum(levenshtein(p, t) for p, t in pairs)
+    total = sum(len(t) for _, t in pairs)
+    assert errs / total < 0.25, pairs

@@ -130,9 +130,14 @@ def test_build_corpus_shapes(tmp_path):
     media = pq.read_table(paths["media"])
     gt = pq.read_table(paths["groundtruth"])
     assert docs.num_rows == 4
-    assert media.num_rows == paths["num_pages"] == 2 + 1 + 1 + 1
-    # edge-case doc page has no gt lines
-    assert set(gt.column("doc_id").to_pylist()) <= {"doc-000000", "doc-000001", "doc-000002"}
+    # pages: 2 (skew doc) + 1 + 1 + 2 (edge doc: small + masked 2-col);
+    # media additionally carries the ".mask" sibling entry
+    assert paths["num_pages"] == 6
+    assert media.num_rows == 7
+    # edge-case doc's SMALL page has no gt lines; its masked page has 6
+    gt_edge = gt.to_pandas().query("doc_id == 'doc-000003'")
+    assert len(gt_edge) == 6
+    assert gt_edge["media_ref"].str.endswith("page-mask.png").all()
     # deterministic: same seed -> same bytes
     paths2 = build_corpus(str(tmp_path / "again"), num_docs=4, seed=1, skew_doc_pages=2)
     media2 = pq.read_table(paths2["media"])
@@ -196,3 +201,35 @@ def test_recognizer_text_quality():
     total = sum(len(t) for t in texts)
     cer = errs / total
     assert cer < 0.15, (cer, preds)
+
+
+def test_apply_mask_splits_columns(binarized):
+    """G7 apply_mask: a bright separator stripe through the text splits
+    each line at the stripe and reorders column-major (reference
+    ocropus-gpageseg:268-276)."""
+    r0 = segment_page(binarized["bin"])
+    n0 = len(r0["lines"])
+    mask = np.zeros_like(binarized["bin"])
+    mask[:, 197:203] = 1
+    r1 = segment_page(binarized["bin"], mask=mask)
+    assert len(r1["lines"]) == 2 * n0
+    # column-major: first half of the orders all left of the stripe
+    ordered = sorted(r1["lines"], key=lambda l: l["order"])
+    assert all(l["x1"] <= 203 for l in ordered[:n0])
+    assert all(l["x0"] >= 197 for l in ordered[n0:])
+
+
+def test_training_lines_from_pages_match_render():
+    """Page-extracted training crops align with their gt text and carry
+    the extraction chain's conventions (white=1 background, float)."""
+    from dup_ocropy_ray.sources.fixtures import training_lines_from_pages
+
+    pairs = training_lines_from_pages(num_pages=6, seed=11)
+    assert len(pairs) >= 10
+    for text, img in pairs:
+        assert text and img.ndim == 2
+        assert img.max() <= 1.0 and img.min() >= 0.0
+        assert img.mean() > 0.5  # mostly white background
+    # deterministic
+    pairs2 = training_lines_from_pages(num_pages=6, seed=11)
+    assert [t for t, _ in pairs] == [t for t, _ in pairs2]

@@ -70,9 +70,13 @@ def _bilinear_sample(a: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarra
     return top + (bot - top) * fy
 
 
-def rotate(a: np.ndarray, angle_deg: float, cval: float = 0.0) -> np.ndarray:
+def rotate(
+    a: np.ndarray, angle_deg: float, cval: float = 0.0, order: int = 1
+) -> np.ndarray:
     """Rotate about the center, same output shape (reshape=False semantics,
-    reference: interpolation.rotate in ocropus-nlbin:71-81,131-144)."""
+    reference: interpolation.rotate in ocropus-nlbin:71-81,131-144).
+    order=0 is nearest-neighbor — what the reference's skew SWEEP uses
+    (ocropus-nlbin:74, order=0) and ~4x cheaper than bilinear."""
     a = _f(a)
     if abs(angle_deg) < 1e-12:
         return a.copy()
@@ -86,7 +90,12 @@ def rotate(a: np.ndarray, angle_deg: float, cval: float = 0.0) -> np.ndarray:
     sx = s * yy + c * xx + cx
     inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
     out = np.full((h, w), cval, dtype=FLOAT)
-    vals = _bilinear_sample(a, sy, sx)
+    if order == 0:
+        yi = np.clip(np.rint(sy).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.rint(sx).astype(np.int64), 0, w - 1)
+        vals = a[yi, xi]
+    else:
+        vals = _bilinear_sample(a, sy, sx)
     out[inside] = vals[inside]
     return out
 

@@ -85,11 +85,12 @@ def estimate_local_whitelevel(
 def estimate_skew_angle(image: np.ndarray, angles: np.ndarray) -> float:
     """Pick the rotation maximizing row-mean variance (reference
     ocropus-nlbin:71-81). Runs on a 4x-downsampled copy for speed — the
-    variance objective is resolution-robust."""
+    variance objective is resolution-robust — and with nearest-neighbor
+    sampling, matching the reference's order=0 sweep."""
     small = zoom(image, 0.25)
     best_a, best_v = 0.0, -1.0
     for a in angles:
-        v = rotate(small, a, cval=1.0).mean(axis=1)
+        v = rotate(small, a, cval=1.0, order=0).mean(axis=1)
         v = float(np.var(v))
         if v > best_v:
             best_a, best_v = float(a), v

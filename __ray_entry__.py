@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "knn_multi": q.q_knn_multi,
         "knn_ivf": q.q_knn_ivf,
+        "kmeans": q.q_kmeans,
         "token_stats": q.q_token_stats,
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
@@ -223,7 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": q.SQL_ASOF_JOIN,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
-        # minhash, simhash, knn_ivf, fingerprints, confusions, ocr_spans,
+        # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check
     }

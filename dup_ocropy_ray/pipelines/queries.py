@@ -846,3 +846,31 @@ def q_confusions(sf_dir: str) -> pd.DataFrame:
     counts = pairs.groupby(["pred", "gt"]).count()
     top = counts.sort("count()", descending=True).limit(20).to_pandas()
     return top.rename(columns={"count()": "n"})
+
+
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical k-means over the embeddings table (Lloyd
+    iterations = streaming passes with per-batch partial sums; centroids
+    broadcast per iteration). Deterministic init (k smallest vec_ids).
+    Iterative -> rows-only oracle. Output: per-cluster size + mean
+    similarity-to-centroid, ordered by cluster id."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = similarity.kmeans_fit(ds, k=8, iters=5)
+    assigned = similarity.kmeans_assign(ds, C)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster").agg(
+            size=("vec_id", "size"), sim_sum=("centroid_sim", "sum")
+        )
+        return g.reset_index()
+
+    # per-batch partials (<= k rows each) -> tiny driver reduce
+    parts = assigned.map_batches(part, batch_format="pandas").to_pandas()
+    g = parts.groupby("cluster").agg(size=("size", "sum"), sim_sum=("sim_sum", "sum"))
+    g["avg_sim"] = (g["sim_sum"] / g["size"]).round(6)
+    return (
+        g.reset_index()[["cluster", "size", "avg_sim"]]
+        .astype({"cluster": "int64", "size": "int64"})
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )

@@ -161,3 +161,78 @@ def knn_ivf(
     out = parts.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Distributed Lloyd k-means on unit-normalized vectors (spherical
+    k-means): every iteration is ONE streaming pass — each batch emits k
+    partial rows (per-cluster vector sum + count), the driver reduces
+    the tiny partials and re-broadcasts centroids via ``ray.put``. No
+    shuffle; the only driver-side data is k x dim. Init = the k
+    smallest-``id_col`` vectors (deterministic; seeded subsample would
+    also do). At 100 TB you would ``materialize()`` (or persist) the
+    input once so iterations re-read blocks from the object store
+    instead of storage."""
+    init = (
+        ds.sort(id_col).limit(k).to_pandas()
+        if id_col
+        else ds.limit(k).to_pandas()
+    )
+    C = _normalize(_stack(init[vec_col]))
+    k = len(C)
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pd.DataFrame, _cref=cref) -> pd.DataFrame:
+            Ci = ray.get(_cref)
+            X = _normalize(_stack(batch[vec_col]))
+            a = (X @ Ci.T).argmax(axis=1)
+            sums = np.zeros_like(Ci)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=len(Ci)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(len(Ci)),
+                    "vsum": list(sums),
+                    "count": counts,
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for _, r in parts.iterrows():
+            sums[int(r["cluster"])] += np.asarray(r["vsum"])
+            counts[int(r["cluster"])] += int(r["count"])
+        nz = counts > 0
+        C[nz] = _normalize(sums[nz] / counts[nz, None])
+    return C
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Attach a ``cluster`` column: nearest (cosine) centroid per row.
+    Centroids are a ``ray.put`` broadcast read once per task."""
+    cref = ray.put(np.asarray(centroids))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Ci = ray.get(cref)
+        X = _normalize(_stack(batch[vec_col]))
+        sim = X @ Ci.T
+        batch = batch.copy()
+        batch["cluster"] = sim.argmax(axis=1).astype(np.int64)
+        batch["centroid_sim"] = np.round(sim.max(axis=1), 6)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

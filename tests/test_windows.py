@@ -80,3 +80,29 @@ def test_sessionize_single_event_users(ray_session):
     out = sessionize(rd.from_pandas(df)).to_pandas()
     assert out.iloc[0]["n_sessions"] == 1
     assert out.iloc[0]["n_events"] == 1
+
+
+def test_kmeans_separable_blobs(ray_session):
+    """Distributed Lloyd k-means recovers a clean 3-blob partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(3)
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.05, size=3)
+        rows.append({"vec_id": i, "embedding": v.tolist(), "true": c})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    C = kmeans_fit(ds, k=3, iters=5)
+    assert C.shape == (3, 3)
+    out = kmeans_assign(ds, C).to_pandas()
+    # every true blob maps to exactly one k-means cluster
+    m = out.groupby("true")["cluster"].nunique()
+    assert (m == 1).all()
+    assert out.groupby("cluster").size().tolist() == [30, 30, 30]
+    assert (out["centroid_sim"] > 0.9).all()

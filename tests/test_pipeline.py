@@ -193,3 +193,32 @@ def test_masked_page_reading_order_and_text(ray_session, corpus):
     errs = sum(levenshtein(p, t) for p, t in pairs)
     total = sum(len(t) for _, t in pairs)
     assert errs / total < 0.25, pairs
+
+
+def test_hocr_structure(ray_session, corpus):
+    """S9/A8/A9: hOCR docs carry ocr_page divs per page, ocr_line spans
+    with bbox titles in reading order, and paragraph breaks at gaps
+    larger than the median x-height."""
+    import re
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_hocr, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    gt = pq.read_table(corpus["groundtruth"]).to_pandas()
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    out = ocr_hocr(
+        docs, media_ref, recognizer_concurrency=1, page_concurrency=1
+    ).to_pandas().set_index("doc_id")
+    # skew doc: one ocr_page div per its 3 pages
+    h0 = out.loc["doc-000000", "html"]
+    assert h0.count("class='ocr_page'") == 3
+    # line count matches gt; bboxes are well-formed and top-sorted per page
+    n_lines = h0.count("class='ocr_line'")
+    assert n_lines == len(gt[gt.doc_id == "doc-000000"])
+    boxes = [
+        tuple(map(int, m))
+        for m in re.findall(r"title='bbox (\d+) (\d+) (\d+) (\d+)'", h0)
+    ]
+    assert all(x0 < x1 and y0 < y1 for x0, y0, x1, y1 in boxes)
+    assert "class='ocr_par'" in h0

@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q.q_sessions,
         "moving_avg": q.q_moving_avg,
         "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "ocr_spans": _ocr_spans,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": q.SQL_SESSIONS,
         "moving_avg": q.SQL_MOVING_AVG,
         "asof_join": q.SQL_ASOF_JOIN,
+        "range_join": q.SQL_RANGE_JOIN,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,

@@ -874,3 +874,30 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
         .sort_values("cluster")
         .reset_index(drop=True)
     )
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) self-join: follow-up orders by the same customer
+    within 90 days of each anchor order, aggregated per anchor priority.
+    Custom wide operator: one hash shuffle + per-key searchsorted
+    intervals + prefix sums (windows.py:range_join_aggregate)."""
+    from .windows import range_join_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderpriority",
+                    "o_totalprice"])
+    return range_join_aggregate(orders, window_days=90)
+
+
+SQL_RANGE_JOIN = """
+SELECT a.o_orderpriority,
+       count(*) AS n_pairs,
+       sum(floor(b.o_totalprice * 100)::BIGINT) AS sum_price_cents
+FROM orders a JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderkey <> a.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 90 DAY
+GROUP BY a.o_orderpriority
+ORDER BY a.o_orderpriority
+"""

@@ -163,3 +163,85 @@ def asof_join_aggregate(
             "sum_price_cents": out["sum_price_cents"].astype("int64"),
         }
     )
+
+
+def range_join_aggregate(
+    orders: rd.Dataset,
+    window_days: int = 90,
+) -> pd.DataFrame:
+    """Range (interval) self-join: each order matches the same customer's
+    FOLLOW-UP orders with o_orderdate in [own date, own date +
+    window_days), excluding itself. Aggregated to (o_orderpriority of the
+    anchor order, n_pairs, sum_price_cents).
+
+    Scale shape: ONE hash shuffle on the customer key, then per-key
+    vectorized interval resolution — order dates sorted once per key,
+    each anchor's window resolved with two searchsorteds and a prefix
+    cumsum for the price sum (self-pair subtracted exactly). No
+    broadcast, no per-pair materialization: a customer with m orders
+    costs O(m log m), not O(m^2)."""
+    import pyarrow as pa
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_custkey"),
+                "ts": b.column("o_orderdate"),
+                "grp": b.column("o_orderpriority"),
+                "price": b.column("o_totalprice"),
+            }
+        )
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    win = np.timedelta64(window_days, "D")
+
+    _EMPTY = pd.DataFrame(
+        {
+            "grp": pd.Series([], dtype="object"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        cents = np.floor(g["price"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(ts, ts, side="left")
+        hi = np.searchsorted(ts, ts + win, side="left")
+        # every anchor's own row lies in [lo, hi): subtract the self-pair
+        n = hi - lo - 1
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "grp": g["grp"].to_numpy()[keep],
+                "n_pairs": n[keep],
+                "cents": cs[hi[keep]] - cs[lo[keep]] - cents[keep],
+            }
+        )
+
+    rows = tagged.groupby("k").map_groups(per_key, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _EMPTY
+        return b.groupby("grp", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), cents=("cents", "sum")
+        )
+
+    parts = rows.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "grp" not in parts.columns:
+        parts = _EMPTY
+    out = parts.groupby("grp", as_index=False).agg(
+        n_pairs=("n_pairs", "sum"), cents=("cents", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "o_orderpriority": out["grp"],
+            "n_pairs": out["n_pairs"].astype("int64"),
+            "sum_price_cents": out["cents"].astype("int64"),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)

@@ -106,3 +106,39 @@ def test_kmeans_separable_blobs(ray_session):
     assert (m == 1).all()
     assert out.groupby("cluster").size().tolist() == [30, 30, 30]
     assert (out["centroid_sim"] > 0.9).all()
+
+
+def test_range_join_self(ray_session):
+    """Interval self-join: follow-ups within the window counted exactly,
+    self-pair excluded, duplicates on the same date handled."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.windows import range_join_aggregate
+
+    rows = [
+        # cust 1: three orders, 2nd and 3rd within 10 days of the 1st
+        dict(o_custkey=1, o_orderdate=pd.Timestamp("2020-01-01"),
+             o_orderpriority="P1", o_totalprice=10.0),
+        dict(o_custkey=1, o_orderdate=pd.Timestamp("2020-01-05"),
+             o_orderpriority="P2", o_totalprice=20.0),
+        dict(o_custkey=1, o_orderdate=pd.Timestamp("2020-01-09"),
+             o_orderpriority="P1", o_totalprice=30.0),
+        # cust 2: two orders on the SAME date -> each is the other's pair
+        dict(o_custkey=2, o_orderdate=pd.Timestamp("2020-06-01"),
+             o_orderpriority="P1", o_totalprice=5.0),
+        dict(o_custkey=2, o_orderdate=pd.Timestamp("2020-06-01"),
+             o_orderpriority="P1", o_totalprice=7.0),
+        # cust 3: lone order -> no pairs
+        dict(o_custkey=3, o_orderdate=pd.Timestamp("2020-01-01"),
+             o_orderpriority="P2", o_totalprice=99.0),
+    ]
+    out = range_join_aggregate(rd.from_pandas(pd.DataFrame(rows)),
+                               window_days=10).set_index("o_orderpriority")
+    # P1 anchors: 2020-01-01 (pairs: 01-05, 01-09 -> 2), 2020-01-09 (0),
+    # cust2 both (1 each) -> 4 pairs; cents 2000+3000 + 700 + 500
+    assert out.loc["P1", "n_pairs"] == 4
+    assert out.loc["P1", "sum_price_cents"] == 2000 + 3000 + 700 + 500
+    # P2 anchor 2020-01-05: pair 01-09 only
+    assert out.loc["P2", "n_pairs"] == 1
+    assert out.loc["P2", "sum_price_cents"] == 3000

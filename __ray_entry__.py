@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": q.q_moving_avg,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
+        "value_quantiles": q.q_value_quantiles,
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "ocr_spans": _ocr_spans,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": q.SQL_MOVING_AVG,
         "asof_join": q.SQL_ASOF_JOIN,
         "range_join": q.SQL_RANGE_JOIN,
+        "value_quantiles": q.SQL_VALUE_QUANTILES,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,

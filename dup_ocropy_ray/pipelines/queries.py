@@ -901,3 +901,48 @@ FROM orders a JOIN orders b
 GROUP BY a.o_orderpriority
 ORDER BY a.o_orderpriority
 """
+
+
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles by group via sparse counting
+    histograms: each batch emits (event_type, cents, count) partials —
+    bounded by the value domain, not the row count — and the driver
+    merges the tiny histograms and reads quantiles off the cumulative
+    counts (ceil-rank, matching quantile_disc). The scale pattern for
+    bounded/discretized domains: no sort, no sampling, one pass."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(cents=np.floor(b.value * 100).astype("int64"))
+        return (
+            b.groupby(["event_type", "cents"]).size().reset_index(name="cnt")
+        )
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["event_type", "cents"], as_index=False)["cnt"].sum()
+    rows = []
+    for et, h in hist.groupby("event_type"):
+        h = h.sort_values("cents")
+        cnt = h["cnt"].to_numpy()
+        val = h["cents"].to_numpy()
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+
+        def pick(q):
+            return int(val[np.searchsorted(cum, int(np.ceil(q * n)), "left")])
+
+        rows.append((et, pick(0.5), pick(0.9), pick(0.99)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "p50_cents", "p90_cents", "p99_cents"]
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_disc(floor(value * 100)::BIGINT, 0.5)  AS p50_cents,
+       quantile_disc(floor(value * 100)::BIGINT, 0.9)  AS p90_cents,
+       quantile_disc(floor(value * 100)::BIGINT, 0.99) AS p99_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

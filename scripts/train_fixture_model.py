@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ns", type=int, default=60)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr-half-life", type=int, default=0,
+                    help="halve lr every N steps (0 = constant)")
+    ap.add_argument("--init", default=None,
+                    help="warm-start from an existing .npz checkpoint")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--max-chars", type=int, default=26)  # MATCH corpus wrap width
     ap.add_argument("--pages", type=int, default=250,
@@ -49,7 +53,10 @@ def main():
     args = ap.parse_args()
 
     charset = ["", "~"] + sorted(set(CHARSET))
-    net = BiLSTMRecognizer(ni=48, ns=args.ns, charset=charset, seed=args.seed)
+    if args.init:
+        net = BiLSTMRecognizer.load_npz(args.init, dtype=np.float64)
+    else:
+        net = BiLSTMRecognizer(ni=48, ns=args.ns, charset=charset, seed=args.seed)
     pairs = training_lines(num=args.nlines, seed=args.seed,
                            max_chars=args.max_chars)
     if args.pages > 0:
@@ -73,7 +80,10 @@ def main():
     for st in range(args.steps):
         bucket = buckets[int(rng.integers(len(buckets)))]
         batch = [(inputs[i], texts[i]) for i in bucket]
-        net.train_minibatch_batched(batch, lr=args.lr, step=st + 1)
+        lr = args.lr * (
+            0.5 ** (st / args.lr_half_life) if args.lr_half_life else 1.0
+        )
+        net.train_minibatch_batched(batch, lr=lr, step=st + 1)
         if (st + 1) % args.eval_every == 0:
             errs = tot = 0
             for j in eval_idx:

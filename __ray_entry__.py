@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "value_quantiles": q.q_value_quantiles,
+        "join_revenue_priority": q.q_join_revenue_priority,
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "ocr_spans": _ocr_spans,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": q.SQL_ASOF_JOIN,
         "range_join": q.SQL_RANGE_JOIN,
         "value_quantiles": q.SQL_VALUE_QUANTILES,
+        "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,

@@ -946,3 +946,52 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
+    """Large x large hash join (lineitem ⋈ orders on the order key) via
+    Ray Data's native ``Dataset.join`` — both sides shuffle on the key
+    (no broadcast; contrast q_top_orders' broadcast join). Revenue cents
+    are computed per batch BEFORE the join so only two small columns
+    move through the shuffle."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b.l_orderkey,
+                "rev_cents": np.floor(
+                    (b.l_extendedprice * (1 - b.l_discount)) * 100
+                ).astype("int64"),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pandas", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents"])
+    return pd.DataFrame(
+        {
+            "o_orderpriority": g.o_orderpriority,
+            "revenue_cents": g.sum_rev_cents.astype("int64"),
+            "n_items": g.n.astype("int64"),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_JOIN_REVENUE_PRIORITY = """
+SELECT o_orderpriority,
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

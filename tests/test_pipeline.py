@@ -222,3 +222,25 @@ def test_hocr_structure(ray_session, corpus):
     ]
     assert all(x0 < x1 and y0 < y1 for x0, y0, x1, y1 in boxes)
     assert "class='ocr_par'" in h0
+
+
+def test_poison_pill_media_skips_not_fails(ray_session, corpus, tmp_path):
+    """Skip-don't-fail (reference safe_process1 semantics): corrupt media
+    bytes become a skipped-page status row; every other doc is unaffected."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+
+    media = pq.read_table(corpus["media"]).to_pandas()
+    media.loc[media.index[1], "bytes"] = b"corrupt \x00 not a png"
+    tbl = pa.Table.from_pandas(media, preserve_index=False)
+    store = dict(zip(tbl.column("media_ref").to_pylist(),
+                     tbl.column("bytes").to_pylist()))
+    sref = ray.put(store)
+    docs = read_docs(corpus["docs"])
+    out = ocr_pipeline(docs, sref, recognizer_concurrency=1,
+                       page_concurrency=1).to_pandas()
+    assert len(out) == 6  # no doc dropped
+    # exactly one extra skipped page beyond the corpus's small-page skip
+    assert int(out["n_skipped_pages"].sum()) == 2

@@ -139,6 +139,33 @@ def _debug_html(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _llocs(sf_dir: str):
+    """Per-character locations + probabilities (reference .llocs/.prob
+    side outputs, ocropus-rpred:170-203; rows-only oracle)."""
+    import pandas as pd
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_recognized_lines, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    rec = ocr_recognized_lines(
+        docs, media_ref, recognizer_concurrency=(1, 2),
+        recognizer_kwargs={"keep_llocs": True},
+    ).to_pandas()
+    rows = []
+    for _, r in rec.iterrows():
+        if r["line_order"] < 0 or r["llocs"] is None:
+            continue
+        for e in r["llocs"]:
+            rows.append((r["doc_id"], r["media_ref"], int(r["line_order"]),
+                         e["ch"], e["x"], e["prob"]))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "media_ref", "line_order", "ch", "x", "prob"]
+    ).sort_values(["doc_id", "media_ref", "line_order", "x"]).reset_index(drop=True)
+
+
 def _media_features(sf_dir: str):
     """Image decode + feature extraction over the media table (multimodal
     actor-pool stage; rows-only oracle)."""
@@ -195,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gtedit": _gtedit,
         "debug_html": _debug_html,
         "dewarp": _dewarp,
+        "llocs": _llocs,
         "media_features": _media_features,
     }
 

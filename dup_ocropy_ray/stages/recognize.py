@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..functions import png
 from ..functions.text import normalize_text
-from ..nn.lstm import BiLSTMRecognizer, ctc_best_path, prepare_line
+from ..nn.lstm import BiLSTMRecognizer, prepare_line, translate_back
 from .lineest import check_line, normalize_line
 
 DEFAULT_MODEL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -36,22 +36,26 @@ class LineRecognizer:
 
     def __init__(self, model_path: str | None = None, pad: int = 16,
                  nocheck: bool = False, bucket_width: int = 32,
-                 keep_png: bool = False):
+                 keep_png: bool = False, keep_llocs: bool = False):
         self.net = BiLSTMRecognizer.load_npz(model_path or DEFAULT_MODEL)
         self.pad = pad
         self.nocheck = nocheck
         self.bucket_width = bucket_width
         self.keep_png = keep_png  # retain line_png (gtedit correction sink)
+        # emit per-char locations + probabilities (reference .llocs/.prob
+        # side outputs, ocropus-rpred:170-203)
+        self.keep_llocs = keep_llocs
 
     def _prepare(self, data: bytes):
-        """PNG -> (T,48) input or (None, reason)."""
+        """PNG -> ((T,48) input, reason, raw ink width) — raw width feeds
+        the reference's lloc position scaling (ocropus-rpred:173)."""
         gray = png.decode_gray(data)
         if gray.size == 0 or gray.max() == gray.min():
-            return None, "image is blank"
+            return None, "image is blank", 0
         if not self.nocheck:
             reason = check_line(np.amax(gray) - gray)
             if reason:
-                return None, reason
+                return None, reason, 0
         # trim to the ink columns: extracted crops carry a few px of
         # horizontal margin (extract_masked pad), while the model's
         # training lines start at their first ink column — canonicalize so
@@ -60,7 +64,7 @@ class LineRecognizer:
         if len(ink_cols):
             gray = gray[:, ink_cols[0] : ink_cols[-1] + 1]
         norm = normalize_line(gray)
-        return prepare_line(norm, self.pad), ""
+        return prepare_line(norm, self.pad), "", gray.shape[1]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pngs = batch.column("line_png").to_pylist()
@@ -68,18 +72,21 @@ class LineRecognizer:
         texts: list[str] = [""] * n
         confs = np.zeros(n)
         statuses = ["ok"] * n
+        raw_w = np.zeros(n, dtype=np.int64)
+        llocs: list[list | None] = [None] * n
         prepared: list[tuple[int, np.ndarray]] = []
         for i, data in enumerate(pngs):
             if data is None:  # page-marker row: passes through untouched
                 statuses[i] = "marker"
                 continue
             try:
-                xs, reason = self._prepare(data)
+                xs, reason, w = self._prepare(data)
             except Exception as e:
-                xs, reason = None, f"error: {type(e).__name__}: {e}"
+                xs, reason, w = None, f"error: {type(e).__name__}: {e}", 0
             if xs is None:
                 statuses[i] = reason
             else:
+                raw_w[i] = w
                 prepared.append((i, xs))
         # length-bucketed batched inference
         prepared.sort(key=lambda p: p[1].shape[0])
@@ -104,7 +111,9 @@ class LineRecognizer:
             ys = self.net.forward_batch(xs, lengths)
             for b, (i, _) in enumerate(group):
                 y = ys[b, : int(lengths[b])]
-                codes = ctc_best_path(y)
+                # R8: the reference's region decode, not plain best-path
+                # (lstm.translate_back, ocrolib/lstm.py:741-753)
+                codes = translate_back(y)
                 raw = self.net.codec.decode(codes)
                 texts[i] = normalize_text(raw)
                 if codes:
@@ -113,9 +122,35 @@ class LineRecognizer:
                     confs[i] = float(emit.mean()) if emit.size else 0.0
                 else:
                     confs[i] = float(y[:, 0].mean())
+                if self.keep_llocs:
+                    # reference ocropus-rpred:170-203: per-char location
+                    # in RAW line pixels + per-char probability
+                    T = int(lengths[b])
+                    sc = raw_w[i] / max(1, T - 2 * self.pad)
+                    pos = translate_back(y, pos=1)
+                    pr = translate_back(y, pos=2)
+                    llocs[i] = [
+                        {
+                            "ch": self.net.codec.decode([c]),
+                            "x": round(float((t - self.pad) * sc), 1),
+                            "prob": round(float(p), 6),
+                        }
+                        for (t, c), (_, p) in zip(pos, pr)
+                    ]
             k = j
         out = batch if self.keep_png else batch.drop_columns(["line_png"])
         out = out.append_column("text", pa.array(texts, pa.string()))
         out = out.append_column("confidence", pa.array(confs, pa.float64()))
         out = out.append_column("rec_status", pa.array(statuses, pa.string()))
+        if self.keep_llocs:
+            lloc_t = pa.list_(
+                pa.struct(
+                    [
+                        pa.field("ch", pa.string()),
+                        pa.field("x", pa.float64()),
+                        pa.field("prob", pa.float64()),
+                    ]
+                )
+            )
+            out = out.append_column("llocs", pa.array(llocs, lloc_t))
         return out

@@ -233,3 +233,26 @@ def test_training_lines_from_pages_match_render():
     # deterministic
     pairs2 = training_lines_from_pages(num_pages=6, seed=11)
     assert [t for t, _ in pairs] == [t for t, _ in pairs2]
+
+
+def test_recognizer_llocs():
+    """R8 side outputs (.llocs/.prob analogues): per-char positions are
+    monotone in raw line pixels, probs in [0,1], chars match the raw
+    decode (reference ocropus-rpred:170-203)."""
+    import pyarrow as pa
+
+    from dup_ocropy_ray.stages.recognize import LineRecognizer
+
+    rec = LineRecognizer(keep_llocs=True)
+    texts = ["the fast key order sort", "window small hash scan"]
+    b = pa.table({"line_png": pa.array(
+        [png.encode_gray(glyphs.render_line(t)) for t in texts], pa.binary())})
+    out = rec(b)
+    for i, t in enumerate(texts):
+        ll = out.column("llocs")[i].as_py()
+        assert len(ll) >= len(t) - 3
+        xs = [e["x"] for e in ll]
+        assert xs == sorted(xs)
+        assert all(0.0 <= e["prob"] <= 1.0 for e in ll)
+        # first emission lands within the first couple of glyphs
+        assert 0 <= xs[0] < 45

@@ -166,6 +166,62 @@ def _llocs(sf_dir: str):
     ).sort_values(["doc_id", "media_ref", "line_order", "x"]).reset_index(drop=True)
 
 
+def _alocs(sf_dir: str):
+    """Gt-ALIGNED per-character locations via CTC forward-backward
+    (reference .alocs side output, ocropus-rpred:183-196; rows-only
+    oracle). Gt is a broadcast lookup; alignment runs in an actor pool."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from dup_ocropy_ray.pipelines.ocr import ocr_recognized_lines, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+    from dup_ocropy_ray.stages.recognize import AlignedLocs
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=6)
+    docs = read_docs(paths["docs"])
+    media_ref = put_media_store(paths["media"])
+    rec = ocr_recognized_lines(
+        docs, media_ref, recognizer_concurrency=(1, 2),
+        recognizer_kwargs={"keep_png": True},
+    )
+    gt = pq.read_table(paths["groundtruth"]).to_pandas()
+    gtd = {
+        (r.doc_id, r.media_ref, int(r.line_order)): r.gt_text
+        for r in gt.itertuples()
+    }
+    gref = ray.put(gtd)
+
+    def attach(b: pa.Table) -> pa.Table:
+        d = ray.get(gref)
+        vals = [
+            d.get((a, m, int(o))) if o is not None and o >= 0 else None
+            for a, m, o in zip(
+                b.column("doc_id").to_pylist(),
+                b.column("media_ref").to_pylist(),
+                b.column("line_order").to_pylist(),
+            )
+        ]
+        return b.append_column("gt_text", pa.array(vals, pa.string()))
+
+    out = (
+        rec.map_batches(attach, batch_format="pyarrow")
+        .map_batches(AlignedLocs, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    rows = []
+    for _, r in out.iterrows():
+        if r["alocs"] is None:
+            continue
+        for e in r["alocs"]:
+            rows.append((r["doc_id"], r["media_ref"], int(r["line_order"]),
+                         e["ch"], e["x"]))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "media_ref", "line_order", "ch", "x"]
+    ).sort_values(["doc_id", "media_ref", "line_order", "x"]).reset_index(drop=True)
+
+
 def _media_features(sf_dir: str):
     """Image decode + feature extraction over the media table (multimodal
     actor-pool stage; rows-only oracle)."""
@@ -223,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debug_html": _debug_html,
         "dewarp": _dewarp,
         "llocs": _llocs,
+        "alocs": _alocs,
         "media_features": _media_features,
     }
 

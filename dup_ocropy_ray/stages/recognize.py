@@ -154,3 +154,57 @@ class LineRecognizer:
             )
             out = out.append_column("llocs", pa.array(llocs, lloc_t))
         return out
+
+
+class AlignedLocs:
+    """Actor-pool UDF for the reference's ``.alocs`` side output
+    (ocropus-rpred:183-196): per-char locations from the CTC
+    forward-backward ALIGNMENT of the network outputs to the ground-truth
+    transcript, rather than from the free decode. Consumes line rows that
+    carry ``line_png`` + ``gt_text``; emits an ``alocs`` list column."""
+
+    def __init__(self, model_path: str | None = None, pad: int = 16):
+        self.net = BiLSTMRecognizer.load_npz(model_path or DEFAULT_MODEL)
+        self.pad = pad
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..nn.lstm import ctc_align_targets
+
+        pngs = batch.column("line_png").to_pylist()
+        gts = batch.column("gt_text").to_pylist()
+        out_locs: list[list | None] = []
+        for data, gt in zip(pngs, gts):
+            if data is None or not gt:
+                out_locs.append(None)
+                continue
+            try:
+                gray = png.decode_gray(data)
+                ink = np.nonzero(
+                    (gray < 0.5 * (gray.max() + gray.min())).any(axis=0)
+                )[0]
+                if len(ink):
+                    gray = gray[:, ink[0] : ink[-1] + 1]
+                raw_w = gray.shape[1]
+                xs = prepare_line(normalize_line(gray), self.pad)
+                y = self.net.forward(xs)
+                codes = self.net.codec.encode(gt)
+                aligned = ctc_align_targets(y, codes)
+                pos = translate_back(aligned, pos=1)
+                sc = raw_w / max(1, len(y) - 2 * self.pad)
+                out_locs.append(
+                    [
+                        {
+                            "ch": self.net.codec.decode([c]),
+                            "x": round(float((t - self.pad) * sc), 1),
+                        }
+                        for t, c in pos
+                    ]
+                )
+            except Exception:
+                out_locs.append(None)
+        t = pa.list_(
+            pa.struct([pa.field("ch", pa.string()), pa.field("x", pa.float64())])
+        )
+        return batch.drop_columns(["line_png"]).append_column(
+            "alocs", pa.array(out_locs, t)
+        )

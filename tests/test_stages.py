@@ -256,3 +256,27 @@ def test_recognizer_llocs():
         assert all(0.0 <= e["prob"] <= 1.0 for e in ll)
         # first emission lands within the first couple of glyphs
         assert 0 <= xs[0] < 45
+
+
+def test_aligned_locs_match_gt():
+    """Alocs (gt-aligned CTC locations): alignment emits exactly the gt
+    characters in order with monotone positions — even where the free
+    decode might err (reference ocropus-rpred:183-196)."""
+    import pyarrow as pa
+
+    from dup_ocropy_ray.stages.recognize import AlignedLocs
+
+    gt = "pack my box with five dozen"
+    b = pa.table({
+        "line_png": pa.array([png.encode_gray(glyphs.render_line(gt))], pa.binary()),
+        "gt_text": pa.array([gt], pa.string()),
+    })
+    out = AlignedLocs()(b)
+    al = out.column("alocs")[0].as_py()
+    # alignment reproduces the gt char sequence (spaces usually align to
+    # blank, so compare the non-space sequence)
+    want = [c for c in gt if c != " "]
+    got = [e["ch"] for e in al if e["ch"] != " "]
+    assert got == want, (got, want)
+    xs = [e["x"] for e in al]
+    assert xs == sorted(xs)

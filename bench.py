@@ -42,6 +42,9 @@ QUERY_SUBSET = [
     "knn",
     "token_stats",
     "cer_pairs",
+    "range_join",
+    "value_quantiles",
+    "join_revenue_priority",
 ]
 
 

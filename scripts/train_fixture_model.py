@@ -74,7 +74,12 @@ def main():
     buckets = [order[i * args.batch : (i + 1) * args.batch] for i in range(nb)]
     rng = np.random.default_rng(args.seed)
 
-    eval_idx = list(range(0, len(pairs), max(1, len(pairs) // 40)))
+    # HELD-OUT eval (disjoint seed): checkpoint selection must target
+    # generalization — training-set CER overstates quality ~10x once the
+    # model starts memorizing the finite line pool
+    held = training_lines_from_pages(num_pages=40, seed=args.seed + 9999)
+    eval_inputs = [prepare_line(normalize_line(img)) for _, img in held]
+    eval_texts = [t for t, _ in held]
     best_cer = 1e9
     t0 = time.time()
     for st in range(args.steps):
@@ -86,10 +91,10 @@ def main():
         net.train_minibatch_batched(batch, lr=lr, step=st + 1)
         if (st + 1) % args.eval_every == 0:
             errs = tot = 0
-            for j in eval_idx:
-                pred = net.predict_string(inputs[j])
-                errs += levenshtein(pred, texts[j])
-                tot += len(texts[j])
+            for xs_e, t_e in zip(eval_inputs, eval_texts):
+                pred = net.predict_string(xs_e)
+                errs += levenshtein(pred, t_e)
+                tot += len(t_e)
             cer = errs / max(1, tot)
             print(
                 f"step {st+1} samples {(st+1)*args.batch} cer {cer:.4f} "

@@ -56,13 +56,10 @@ class LineRecognizer:
             reason = check_line(np.amax(gray) - gray)
             if reason:
                 return None, reason, 0
-        # trim to the ink columns: extracted crops carry a few px of
-        # horizontal margin (extract_masked pad), while the model's
-        # training lines start at their first ink column — canonicalize so
-        # line-start timing matches the training distribution
-        ink_cols = np.nonzero((gray < 0.5 * (gray.max() + gray.min())).any(axis=0))[0]
-        if len(ink_cols):
-            gray = gray[:, ink_cols[0] : ink_cols[-1] + 1]
+        # NO ink-column trimming: the model trains on raw extracted crops
+        # (with their extract_masked pad margins), and the reference feeds
+        # the raw line image too (ocropus-rpred:144-167) — trimming here
+        # measured 16x worse CER from the distribution mismatch
         norm = normalize_line(gray)
         return prepare_line(norm, self.pad), "", gray.shape[1]
 

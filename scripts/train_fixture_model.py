@@ -76,8 +76,12 @@ def main():
 
     # HELD-OUT eval (disjoint seed): checkpoint selection must target
     # generalization — training-set CER overstates quality ~10x once the
-    # model starts memorizing the finite line pool
+    # model starts memorizing the finite line pool. Mix BOTH input
+    # distributions (page-extracted crops AND clean rendered lines) so
+    # the selected checkpoint serves both inference surfaces
     held = training_lines_from_pages(num_pages=40, seed=args.seed + 9999)
+    held += training_lines(num=80, seed=args.seed + 8888,
+                           max_chars=args.max_chars)
     eval_inputs = [prepare_line(normalize_line(img)) for _, img in held]
     eval_texts = [t for t, _ in held]
     best_cer = 1e9
@@ -106,7 +110,7 @@ def main():
                 os.makedirs(os.path.dirname(args.out), exist_ok=True)
                 net.save_npz(args.out)
             if cer == 0.0:
-                break
+                break  # perfect on BOTH held-out distributions
 
     # the best checkpoint was already saved inside the loop on every eval
     # improvement; an unconditional final save here would clobber it with

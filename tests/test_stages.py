@@ -200,7 +200,10 @@ def test_recognizer_text_quality():
     errs = sum(levenshtein(p, t) for p, t in zip(preds, texts))
     total = sum(len(t) for t in texts)
     cer = errs / total
-    assert cer < 0.15, (cer, preds)
+    # page-extracted crops (the pipeline's real input) measure ~0.00 CER;
+    # clean rendered lines are slightly off-distribution (~0.03) — gate
+    # with margin against silent drift
+    assert cer < 0.08, (cer, preds)
 
 
 def test_apply_mask_splits_columns(binarized):

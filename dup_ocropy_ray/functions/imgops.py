@@ -156,19 +156,28 @@ def gaussian_gradient(a: np.ndarray, sigma, axis: int = 0) -> np.ndarray:
     s_axis = sy if axis == 0 else sx
     s_other = sx if axis == 0 else sy
     a = _f(a)
-    r = max(1, int(4.0 * s_axis + 0.5))
-    x = np.arange(-r, r + 1, dtype=np.float64)
-    g = np.exp(-0.5 * (x / max(s_axis, 1e-9)) ** 2)
-    g /= g.sum()
-    # correlation with the mirrored derivative kernel == convolution with
-    # dG/dx; offset +i-r samples a[pos + (i-r)] so positive slope -> +
-    dg = (x / (max(s_axis, 1e-9) ** 2)) * g
-    ap = _pad_axis(a, r, axis)
-    out = np.zeros_like(a)
-    sl = [slice(None)] * a.ndim
-    for i, kv in enumerate(dg):
-        sl[axis] = slice(i, i + a.shape[axis])
-        out += kv * ap[tuple(sl)]
+    if s_axis > 3:
+        # conv(f, dG/dx) == d/dx conv(f, G): smooth with the O(n) box
+        # cascade, then central-difference. Every caller normalizes the
+        # result by its max (norm_max / 0.5*amax thresholds), so the
+        # constant derivative-magnitude factor is immaterial — only the
+        # zero crossings and relative extrema matter.
+        out = box_gaussian_filter1d(a, s_axis, axis)
+        out = np.gradient(out, axis=axis)
+    else:
+        r = max(1, int(4.0 * s_axis + 0.5))
+        x = np.arange(-r, r + 1, dtype=np.float64)
+        g = np.exp(-0.5 * (x / max(s_axis, 1e-9)) ** 2)
+        g /= g.sum()
+        # correlation with the mirrored derivative kernel == convolution
+        # with dG/dx; offset +i-r samples a[pos+(i-r)] so positive slope -> +
+        dg = (x / (max(s_axis, 1e-9) ** 2)) * g
+        ap = _pad_axis(a, r, axis)
+        out = np.zeros_like(a)
+        sl = [slice(None)] * a.ndim
+        for i, kv in enumerate(dg):
+            sl[axis] = slice(i, i + a.shape[axis])
+            out += kv * ap[tuple(sl)]
     if s_other > 8:
         out = box_gaussian_filter1d(out, s_other, 1 - axis)
     elif s_other > 0:
@@ -195,7 +204,9 @@ def box_gaussian_filter1d(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
 
 
 def gaussian_filter_fast(a: np.ndarray, sigma) -> np.ndarray:
-    """Separable gaussian using the box cascade for sigma > 8 per axis."""
+    """Separable gaussian using the O(n) box cascade for sigma > 3 per
+    axis (page-level smoothing whose consumers threshold relative to the
+    max); the exact kernel stays in use for small sigmas."""
     if np.isscalar(sigma):
         sy = sx = float(sigma)
     else:
@@ -204,7 +215,7 @@ def gaussian_filter_fast(a: np.ndarray, sigma) -> np.ndarray:
     for s, ax in ((sy, 0), (sx, 1)):
         if s <= 0:
             continue
-        if s > 8:
+        if s > 3:
             out = box_gaussian_filter1d(out, s, ax)
         else:
             out = gaussian_filter1d(out, s, ax)

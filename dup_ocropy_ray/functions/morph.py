@@ -74,14 +74,25 @@ def spread_labels(labels: np.ndarray, maxdist: float = 9999999) -> np.ndarray:
     morph.spread_labels ocrolib/morph.py:126-133; the iterative variant
     assigns by chamfer distance — ties may differ, which only affects
     pixels equidistant between two lines)."""
-    out = np.asarray(labels).astype(np.int32).copy()
+    lab = np.asarray(labels).astype(np.int32)
     steps = int(np.ceil(maxdist))
+    ys, xs = np.nonzero(lab)
+    if len(ys) == 0:
+        return lab.copy()
+    # the spread front advances <=1 px per step: restrict the iteration
+    # to the seed bounding box padded by maxdist (page margins never
+    # receive labels and would otherwise be re-scanned every step)
+    h, w = lab.shape
+    y0, y1 = max(0, ys.min() - steps), min(h, ys.max() + 1 + steps)
+    x0, x1 = max(0, xs.min() - steps), min(w, xs.max() + 1 + steps)
+    out = lab.copy()
+    sub = out[y0:y1, x0:x1]
     for _ in range(steps):
-        bg = out == 0
+        bg = sub == 0
         if not bg.any():
             break
-        grown = maximum_filter(out, 3)
-        out[bg] = grown[bg]
+        grown = maximum_filter(sub, 3)
+        sub[bg] = grown[bg]
     return out
 
 

@@ -84,17 +84,36 @@ def estimate_local_whitelevel(
 
 def estimate_skew_angle(image: np.ndarray, angles: np.ndarray) -> float:
     """Pick the rotation maximizing row-mean variance (reference
-    ocropus-nlbin:71-81). Runs on a 4x-downsampled copy for speed — the
-    variance objective is resolution-robust — and with nearest-neighbor
-    sampling, matching the reference's order=0 sweep."""
+    ocropus-nlbin:71-81), coarse-to-fine: full sweep on a 4x-downsampled
+    copy (nearest-neighbor, matching the reference's order=0), then the
+    top candidate and its grid neighbors re-scored at 2x downsampling.
+    The refine step removes the 0.25-zoom argmax artifact that pinned
+    clean pages at a spurious ±0.375° (whose full-page rotate cost more
+    than the whole sweep)."""
+    def sweep(img, angs):
+        return [
+            float(np.var(rotate(img, a, cval=1.0, order=0).mean(axis=1)))
+            for a in angs
+        ]
+
+    def best(angs, scores):
+        # sub-pixel rotations are identity on a downsampled image, so
+        # small angles TIE exactly; break ties toward zero (what the
+        # full-resolution sweep resolves to) instead of argmax order
+        vmax = max(scores)
+        tied = [a for a, v in zip(angs, scores) if v >= vmax - 1e-12]
+        return min(tied, key=abs)
+
     small = zoom(image, 0.25)
-    best_a, best_v = 0.0, -1.0
-    for a in angles:
-        v = rotate(small, a, cval=1.0, order=0).mean(axis=1)
-        v = float(np.var(v))
-        if v > best_v:
-            best_a, best_v = float(a), v
-    return best_a
+    scores = sweep(small, angles)
+    vmax = max(scores)
+    # refine the WHOLE coarse tie set (plus grid neighbors) at 2x: the
+    # 4x image can't separate sub-degree angles, the 2x one can
+    idx = [i for i, v in enumerate(scores) if v >= vmax - 1e-12]
+    lo, hi = max(0, idx[0] - 1), min(len(angles) - 1, idx[-1] + 1)
+    cand = list(angles[lo : hi + 1])
+    med = zoom(image, 0.5)
+    return best(cand, sweep(med, cand))
 
 
 def estimate_thresholds(

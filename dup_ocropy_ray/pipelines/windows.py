@@ -79,121 +79,169 @@ def asof_join_aggregate(
     events: rd.Dataset,
     orders: rd.Dataset,
     group_col: str = "event_type",
+    num_partitions: int = 32,
 ) -> pd.DataFrame:
     """As-of join: each event matches the LATEST order of the same
     customer with o_orderdate <= ts (tie-break: max o_orderkey), where
     custkey = user_id + 1. Aggregated to (event_type, n_events,
     n_matched, sum_price_cents).
 
-    Implementation: both sides tagged and unioned, ONE hash shuffle on
-    the key, per-key vectorized searchsorted of event timestamps into the
-    (orderdate, orderkey)-sorted order history. No broadcast — scales to
-    arbitrarily many keys."""
+    Scale shape: both sides tagged and unioned, ONE hash shuffle into
+    ``num_partitions`` buckets (never one group per key — per-group UDF
+    overhead measured 4-5x), then fully vectorized per partition: keys
+    rank-encoded and composed with the microsecond timestamp into one
+    int64 sort key; every event resolves with a single searchsorted
+    against the (key, date, orderkey)-lexsorted order history."""
     import pyarrow as pa
 
-    def tag_events(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["user_id"].to_numpy(np.int64) + 1
+        return pd.DataFrame(
             {
-                "k": pc.add(b.column("user_id"), 1),
-                "side": pa.array(["e"] * b.num_rows),
-                "ts": b.column("ts"),
-                "grp": b.column(group_col),
-                "okey": pa.nulls(b.num_rows, pa.int64()),
-                "price": pa.nulls(b.num_rows, pa.float64()),
+                "part": (k * 2654435761 % 4294967296) % num_partitions,
+                "k": k,
+                "side": "e",
+                "ts": b["ts"],
+                "grp": b[group_col],
+                "okey": np.int64(0),
+                "price": 0.0,
             }
         )
 
-    def tag_orders(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame(
             {
-                "k": b.column("o_custkey"),
-                "side": pa.array(["o"] * b.num_rows),
-                "ts": b.column("o_orderdate"),
-                "grp": pa.nulls(b.num_rows, pa.string()),
-                "okey": b.column("o_orderkey"),
-                "price": b.column("o_totalprice"),
+                "part": (k * 2654435761 % 4294967296) % num_partitions,
+                "k": k,
+                "side": "o",
+                "ts": b["o_orderdate"],
+                "grp": "",
+                "okey": b["o_orderkey"].to_numpy(np.int64),
+                "price": b["o_totalprice"],
             }
         )
 
-    both = events.map_batches(tag_events, batch_format="pyarrow").union(
-        orders.map_batches(tag_orders, batch_format="pyarrow")
+    both = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = pd.DataFrame(
+        {
+            "grp": pd.Series([], dtype="object"),
+            "matched": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["side"] == "e"]
-        od = g[g["side"] == "o"].sort_values(["ts", "okey"])
+        od = g[g["side"] == "o"]
         if len(ev) == 0:
-            return pd.DataFrame()
+            return _EMPTY
         if len(od) == 0:
             return pd.DataFrame(
                 {
-                    "grp": ev["grp"],
-                    "matched": np.zeros(len(ev), dtype=bool),
+                    "grp": ev["grp"].to_numpy(),
+                    "matched": np.zeros(len(ev), dtype=np.int64),
                     "cents": np.zeros(len(ev), dtype=np.int64),
                 }
             )
-        od_ts = od["ts"].to_numpy()
-        idx = np.searchsorted(od_ts, ev["ts"].to_numpy(), side="right") - 1
-        matched = idx >= 0
-        price = od["price"].to_numpy(dtype=np.float64)
-        cents = np.zeros(len(ev), dtype=np.int64)
-        cents[matched] = np.floor(price[idx[matched]] * 100).astype(np.int64)
-        return pd.DataFrame({"grp": ev["grp"].values, "matched": matched,
-                             "cents": cents})
+        allk = np.concatenate([ev["k"].to_numpy(np.int64),
+                               od["k"].to_numpy(np.int64)])
+        _, kid_all = np.unique(allk, return_inverse=True)
+        kid_e, kid_o = kid_all[: len(ev)], kid_all[len(ev) :]
+        all_ts = np.concatenate([ev["ts"].to_numpy(), od["ts"].to_numpy()])
+        tmin = all_ts.min()
+        nts = (all_ts - tmin).astype("timedelta64[us]").astype(np.int64)
+        span = np.int64(nts.max()) + 2
+        comb_e = kid_e * span + nts[: len(ev)]
+        comb_o = kid_o * span + nts[len(ev) :]
+        okey = od["okey"].to_numpy(np.int64)
+        order = np.lexsort((okey, comb_o))  # date asc, okey asc within ties
+        cs = comb_o[order]
+        cents_o = np.floor(od["price"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )[order]
+        pos = np.searchsorted(cs, comb_e, side="right") - 1
+        valid = pos >= 0
+        # the candidate must belong to the event's key
+        valid &= np.where(valid, cs[np.maximum(pos, 0)] // span == kid_e, False)
+        cents = np.where(valid, cents_o[np.maximum(pos, 0)], 0)
+        return pd.DataFrame(
+            {
+                "grp": ev["grp"].to_numpy(),
+                "matched": valid.astype(np.int64),
+                "cents": cents,
+            }
+        )
 
-    rows = both.groupby("k").map_groups(per_key, batch_format="pandas")
+    rows = both.groupby("part").map_groups(per_part, batch_format="pandas")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("grp", as_index=False).agg(
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"grp": pd.Series([], dtype="object"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "n_matched": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64")}
+            )
+        return b.groupby("grp", as_index=False).agg(
             n_events=("grp", "size"),
             n_matched=("matched", "sum"),
-            sum_price_cents=("cents", "sum"),
+            cents=("cents", "sum"),
         )
-        return g
 
     parts = rows.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.groupby("grp", as_index=False).sum()
+    out = parts.groupby("grp", as_index=False).agg(
+        n_events=("n_events", "sum"),
+        n_matched=("n_matched", "sum"),
+        cents=("cents", "sum"),
+    )
     return pd.DataFrame(
         {
             "event_type": out["grp"],
             "n_events": out["n_events"].astype("int64"),
             "n_matched": out["n_matched"].astype("int64"),
-            "sum_price_cents": out["sum_price_cents"].astype("int64"),
+            "sum_price_cents": out["cents"].astype("int64"),
         }
-    )
+    ).sort_values("event_type").reset_index(drop=True)
 
 
 def range_join_aggregate(
     orders: rd.Dataset,
     window_days: int = 90,
+    num_partitions: int = 32,
 ) -> pd.DataFrame:
     """Range (interval) self-join: each order matches the same customer's
     FOLLOW-UP orders with o_orderdate in [own date, own date +
     window_days), excluding itself. Aggregated to (o_orderpriority of the
     anchor order, n_pairs, sum_price_cents).
 
-    Scale shape: ONE hash shuffle on the customer key, then per-key
-    vectorized interval resolution — order dates sorted once per key,
-    each anchor's window resolved with two searchsorteds and a prefix
-    cumsum for the price sum (self-pair subtracted exactly). No
-    broadcast, no per-pair materialization: a customer with m orders
-    costs O(m log m), not O(m^2)."""
-    import pyarrow as pa
+    Scale shape: ONE hash shuffle into ``num_partitions`` buckets (NOT
+    one group per key — per-group UDF overhead measured 4-5x on the
+    dedup ops), then fully vectorized per partition: keys are
+    rank-encoded and composed with the microsecond timestamp into a
+    single int64 sort key, so every anchor's window resolves with two
+    global searchsorteds and a prefix cumsum. A customer with m orders
+    costs O(m log m), never O(m^2); no broadcast, no per-pair
+    materialization. Int64 headroom bounds keys-per-partition at ~40k
+    for a 7-year time range — size num_partitions to the key count."""
+    win_us = np.int64(window_days) * 86_400_000_000
 
-    def tag(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame(
             {
-                "k": b.column("o_custkey"),
-                "ts": b.column("o_orderdate"),
-                "grp": b.column("o_orderpriority"),
-                "price": b.column("o_totalprice"),
+                "part": (k * 2654435761 % 4294967296) % num_partitions,
+                "k": k,
+                "ts": b["o_orderdate"],
+                "grp": b["o_orderpriority"],
+                "price": b["o_totalprice"],
             }
         )
 
-    tagged = orders.map_batches(tag, batch_format="pyarrow")
-    win = np.timedelta64(window_days, "D")
+    tagged = orders.map_batches(tag, batch_format="pandas")
 
     _EMPTY = pd.DataFrame(
         {
@@ -203,15 +251,23 @@ def range_join_aggregate(
         }
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _EMPTY
+        k = g["k"].to_numpy(np.int64)
         ts = g["ts"].to_numpy()
+        nts = (ts - ts.min()).astype("timedelta64[us]").astype(np.int64)
+        _, kid = np.unique(k, return_inverse=True)
+        span = np.int64(nts.max()) + win_us + 2
+        comb = kid.astype(np.int64) * span + nts
         cents = np.floor(g["price"].to_numpy(dtype=np.float64) * 100).astype(
             np.int64
         )
-        cs = np.concatenate([[0], np.cumsum(cents)])
-        lo = np.searchsorted(ts, ts, side="left")
-        hi = np.searchsorted(ts, ts + win, side="left")
+        order = np.argsort(comb, kind="stable")
+        cs = comb[order]
+        cum = np.concatenate([[0], np.cumsum(cents[order])])
+        lo = np.searchsorted(cs, comb, side="left")
+        hi = np.searchsorted(cs, comb + win_us, side="left")
         # every anchor's own row lies in [lo, hi): subtract the self-pair
         n = hi - lo - 1
         keep = n > 0
@@ -219,11 +275,9 @@ def range_join_aggregate(
             {
                 "grp": g["grp"].to_numpy()[keep],
                 "n_pairs": n[keep],
-                "cents": cs[hi[keep]] - cs[lo[keep]] - cents[keep],
+                "cents": cum[hi[keep]] - cum[lo[keep]] - cents[keep],
             }
         )
-
-    rows = tagged.groupby("k").map_groups(per_key, batch_format="pandas")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -232,6 +286,7 @@ def range_join_aggregate(
             n_pairs=("n_pairs", "sum"), cents=("cents", "sum")
         )
 
+    rows = tagged.groupby("part").map_groups(per_part, batch_format="pandas")
     parts = rows.map_batches(partial, batch_format="pandas").to_pandas()
     if len(parts) == 0 or "grp" not in parts.columns:
         parts = _EMPTY

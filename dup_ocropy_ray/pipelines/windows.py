@@ -27,30 +27,72 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Per-key gap sessionization -> (key, n_sessions, max_session_events,
     n_events). A new session starts when the time since the previous
-    event (ordered by ts) exceeds ``gap``."""
+    event (ordered by ts) exceeds ``gap``.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].to_numpy())
-        if len(ts) == 0:
-            return pd.DataFrame()
-        brk = np.empty(len(ts), dtype=bool)
-        brk[0] = True
-        brk[1:] = np.diff(ts) > np.timedelta64(int(gap.total_seconds() * 1e6), "us")
-        sid = np.cumsum(brk)
-        sizes = np.bincount(sid)[1:]
+    Scale shape: hash shuffle into ``num_partitions`` buckets, then ONE
+    vectorized pass per partition — events lexsorted by (key, ts),
+    session breaks found with a single diff, per-key stats with
+    bincount/reduceat at key boundaries. Never one UDF call per key."""
+    gap_us = np.int64(gap.total_seconds() * 1e6)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_sessions": [int(sid[-1])],
-                "max_session_events": [int(sizes.max())],
-                "n_events": [len(ts)],
+                "part": (k * 2654435761 % 4294967296) % num_partitions,
+                "k": k,
+                "ts": b[ts_col],
             }
         )
 
-    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"),
+                 "n_sessions": pd.Series([], dtype="int64"),
+                 "max_session_events": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64")}
+            )
+        k = g["k"].to_numpy(np.int64)
+        nts = (g["ts"].to_numpy() - g["ts"].to_numpy().min()).astype(
+            "timedelta64[us]"
+        ).astype(np.int64)
+        order = np.lexsort((nts, k))
+        ks, ts = k[order], nts[order]
+        new_key = np.empty(len(ks), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        sess_sizes = np.bincount(sid)
+        # sessions are contiguous per key: session's key = key at its start
+        sess_key_start = np.nonzero(brk)[0]
+        key_start = np.nonzero(new_key)[0]
+        # per-key session counts: which key block each session start falls in
+        key_of_sess = np.searchsorted(key_start, sess_key_start, side="right") - 1
+        n_sessions = np.bincount(key_of_sess, minlength=len(key_start))
+        sess_bounds = np.searchsorted(key_of_sess, np.arange(len(key_start)))
+        max_sess = np.maximum.reduceat(sess_sizes, sess_bounds)
+        n_events = np.diff(np.append(key_start, len(ks)))
+        return pd.DataFrame(
+            {
+                key_col: ks[key_start],
+                "n_sessions": n_sessions.astype(np.int64),
+                "max_session_events": max_sess.astype(np.int64),
+                "n_events": n_events.astype(np.int64),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def rolling_last(
@@ -59,20 +101,51 @@ def rolling_last(
     ts_col: str = "ts",
     value_col: str = "value",
     window: int = 4,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Rolling mean over the trailing ``window`` events per key, ordered
-    by (ts, tie-break cols); returns the FINAL window's mean per key —
-    (key, last_ma). MovingStats equivalent (common.py:871-882)."""
+    by ts; returns the FINAL window's mean per key — (key, last_ma).
+    MovingStats equivalent (common.py:871-882). Partition-vectorized:
+    one lexsort per bucket, tail means via prefix sums at key ends."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        v = g[value_col].to_numpy(dtype=np.float64)
-        tail = v[-window:] if len(v) else np.array([0.0])
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64)
         return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], "last_ma": [float(tail.mean())]}
+            {
+                "part": (k * 2654435761 % 4294967296) % num_partitions,
+                "k": k,
+                "ts": b[ts_col],
+                "v": b[value_col].astype(np.float64),
+            }
         )
 
-    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"),
+                 "last_ma": pd.Series([], dtype="float64")}
+            )
+        k = g["k"].to_numpy(np.int64)
+        nts = (g["ts"].to_numpy() - g["ts"].to_numpy().min()).astype(
+            "timedelta64[us]"
+        ).astype(np.int64)
+        order = np.lexsort((nts, k))
+        ks, v = k[order], g["v"].to_numpy(np.float64)[order]
+        new_key = np.empty(len(ks), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        key_start = np.nonzero(new_key)[0]
+        key_end = np.append(key_start[1:], len(ks))  # exclusive
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        tail_start = np.maximum(key_start, key_end - window)
+        means = (cs[key_end] - cs[tail_start]) / (key_end - tail_start)
+        return pd.DataFrame({key_col: ks[key_start], "last_ma": means})
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def asof_join_aggregate(

@@ -205,11 +205,30 @@ def ocr_pipeline(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:
     """Compose the full chain lazily; nothing materializes until consumed.
     One pass over the pixels: page accounting rides the line stream as
     marker rows (explode_lines(page_markers=True))."""
+    import pandas as pd
+
+    from ..stages.reassemble import reassemble_partition
+
+    reassembly_partitions = kw.pop("reassembly_partitions", 32)
     rec = ocr_recognized_lines(docs, media_store_ref, **kw)
     rec_rows = rec.map_batches(lines_to_union_rows, batch_format="pyarrow")
     span_rows = docs.map_batches(spans_to_union_rows, batch_format="pyarrow")
     union = span_rows.union(rec_rows)
-    return union.groupby("doc_id").map_groups(reassemble_group, batch_format="pandas")
+
+    def addpart(b: pd.DataFrame) -> pd.DataFrame:
+        # hash-bucket docs so reassembly runs one UDF call per BUCKET
+        # (pd.util.hash_array is deterministic across processes)
+        b = b.copy()
+        b["doc_part"] = (
+            pd.util.hash_array(b["doc_id"].to_numpy(object))
+            % reassembly_partitions
+        ).astype("int64")
+        return b
+
+    union = union.map_batches(addpart, batch_format="pandas")
+    return union.groupby("doc_part").map_groups(
+        reassemble_partition, batch_format="pandas"
+    )
 
 
 def ocr_hocr(docs: rd.Dataset, media_store_ref, **kw) -> rd.Dataset:

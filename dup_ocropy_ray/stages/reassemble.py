@@ -187,3 +187,14 @@ def reassemble_group(g: pd.DataFrame) -> pa.Table:
         ],
         schema=OUT_SCHEMA,
     )
+
+
+def reassemble_partition(g: pd.DataFrame) -> pa.Table:
+    """Partition-level reassembly: one UDF call handles ALL docs hashed
+    into this bucket (pandas groupby inside) — never one map_groups call
+    per document, which at corpus scale means millions of tiny UDF
+    invocations."""
+    tables = [reassemble_group(doc) for _, doc in g.groupby("doc_id", sort=True)]
+    if not tables:
+        return pa.Table.from_pylist([], schema=OUT_SCHEMA)
+    return pa.concat_tables(tables)

@@ -89,4 +89,6 @@ def debug_html_from_lines(rec_lines: rd.Dataset, media_store_ref=None) -> rd.Dat
             schema=DEBUG_HTML_SCHEMA,
         )
 
-    return rec_lines.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from .reassemble import map_docs_partitioned
+
+    return map_docs_partitioned(rec_lines, per_doc, DEBUG_HTML_SCHEMA)

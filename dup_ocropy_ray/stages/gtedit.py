@@ -66,7 +66,9 @@ def correction_html_from_lines(rec_lines: rd.Dataset) -> rd.Dataset:
             schema=GTEDIT_SCHEMA,
         )
 
-    return rec_lines.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from .reassemble import map_docs_partitioned
+
+    return map_docs_partitioned(rec_lines, per_doc, GTEDIT_SCHEMA)
 
 
 def extract_correction_html(html_text: str) -> list[dict]:

@@ -79,4 +79,6 @@ def hocr_from_lines(rec_lines: rd.Dataset) -> rd.Dataset:
             [{"doc_id": doc_id, "html": _doc_html(g)}], schema=HOCR_SCHEMA
         )
 
-    return rec_lines.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from .reassemble import map_docs_partitioned
+
+    return map_docs_partitioned(rec_lines, per_doc, HOCR_SCHEMA)

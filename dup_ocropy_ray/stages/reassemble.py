@@ -198,3 +198,40 @@ def reassemble_partition(g: pd.DataFrame) -> pa.Table:
     if not tables:
         return pa.Table.from_pylist([], schema=OUT_SCHEMA)
     return pa.concat_tables(tables)
+
+
+def map_docs_partitioned(
+    rec_lines: "rd.Dataset",
+    per_doc,
+    schema: pa.Schema,
+    num_partitions: int = 32,
+) -> "rd.Dataset":
+    """Run a per-document formatting UDF over hash-bucketed partitions:
+    one map_groups call per BUCKET with a pandas groupby inside, instead
+    of one call per doc_id (millions of tiny UDF invocations at corpus
+    scale). ``per_doc(g) -> pa.Table`` keeps its per-doc signature."""
+    import ray.data as rd  # noqa: F401
+
+    def addpart(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["doc_part"] = (
+            pd.util.hash_array(b["doc_id"].to_numpy(object)) % num_partitions
+        ).astype("int64")
+        return b
+
+    def per_part(g: pd.DataFrame) -> pa.Table:
+        tables = [
+            t
+            for _, doc in g.groupby("doc_id", sort=True)
+            for t in [per_doc(doc)]
+            if t.num_rows
+        ]
+        if not tables:
+            return pa.Table.from_pylist([], schema=schema)
+        return pa.concat_tables(tables)
+
+    return (
+        rec_lines.map_batches(addpart, batch_format="pandas")
+        .groupby("doc_part")
+        .map_groups(per_part, batch_format="pandas")
+    )

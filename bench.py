@@ -134,14 +134,15 @@ def main():
 
 def scaling():
     def run_once(ncpu: int) -> dict:
-        # scaling uses a longer corpus (2x the headline default): at the
+        # scaling uses a longer corpus (4x the headline default): at the
         # scale this engine targets, runs are hours long and fixed startup
-        # (session, worker ramp, read) is noise — 1440 pages keeps it
-        # under ~5% of the faster leg's wall here
+        # (session, worker ramp, read) is noise — 2880 pages keeps it
+        # under ~5% of the faster leg's wall (1440 pages measured 0.82
+        # purely from startup weight where 2880 measures 0.93)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_QUERIES="0",
                    GRAFT_BENCH_PAGES=os.environ.get(
-                       "GRAFT_BENCH_PAGES", str(2 * BENCH_PAGES)))
+                       "GRAFT_BENCH_PAGES", str(4 * BENCH_PAGES)))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -174,6 +174,24 @@ def build_corpus(
                     {"doc_id": doc_id, "media_ref": ref, "line_order": i, "gt_text": t}
                 )
             num_pages += 1
+            # skewed page (B4 estimate_skew + deskew end-to-end,
+            # reference ocropus-nlbin:71-81,131-144): rendered straight,
+            # rotated 0.75 deg; the chain must deskew and still read it
+            from dup_ocropy_ray.functions.imgops import rotate as _rot
+
+            sk_lines = make_doc_texts(rng, 4)
+            sk_img = _rot(glyphs.render_page(sk_lines), 0.75, cval=1.0)
+            ref = f"mem://{doc_id}/page-skewed.png"
+            media_rows.append({"media_ref": ref, "bytes": png.encode_gray(sk_img)})
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+            )
+            offset += 1
+            for i, t in enumerate(sk_lines):
+                gt_rows.append(
+                    {"doc_id": doc_id, "media_ref": ref, "line_order": i, "gt_text": t}
+                )
+            num_pages += 1
         doc_rows.append({"doc_id": doc_id, "spans": spans})
 
     docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)

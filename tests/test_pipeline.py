@@ -29,9 +29,9 @@ def test_ocr_pipeline_structure(ray_session, corpus):
     # skew doc fans out to 3 pages
     assert byid.loc["doc-000000", "n_pages"] == 3
     # edge-case doc: small page skipped; the masked two-column page (G7)
-    # still yields its 6 lines
+    # yields its 6 lines and the skewed page (B4) its 4
     assert byid.loc["doc-000005", "n_skipped_pages"] == 1
-    assert byid.loc["doc-000005", "n_lines"] == 6
+    assert byid.loc["doc-000005", "n_lines"] == 10
     # spans structure: first span is the passthrough title, then media
     spans = byid.loc["doc-000001", "spans"]
     assert spans[0]["kind"] == "text" and spans[0]["text"].startswith("title of")
@@ -70,7 +70,7 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     assert sorted(r1["fragments_run"]) == [0, 1]
     assert ckpt.pending_fragments(out_root, 2) == []
     c = r1["counters"]
-    assert c["docs"] == 6 and c["pages"] == 9 and c["skipped_pages"] == 1
+    assert c["docs"] == 6 and c["pages"] == 10 and c["skipped_pages"] == 1
     # rerun: nothing pending, counters unchanged
     r2 = run_ocr_with_checkpoint(
         corpus["docs"], corpus["media"], out_root, num_fragments=2,
@@ -145,7 +145,7 @@ def test_media_join_path(ray_session, corpus):
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
     media = rd.read_parquet(corpus["media"])
     joined = resolve_media_join(pages, media, num_partitions=2).to_pandas()
-    assert len(joined) == 9
+    assert len(joined) == 10
     assert joined["page_png"].map(lambda b: b[:4] == b"\x89PNG").all()
 
 
@@ -244,3 +244,28 @@ def test_poison_pill_media_skips_not_fails(ray_session, corpus, tmp_path):
     assert len(out) == 6  # no doc dropped
     # exactly one extra skipped page beyond the corpus's small-page skip
     assert int(out["n_skipped_pages"].sum()) == 2
+
+
+def test_skewed_page_deskewed_and_read(ray_session, corpus):
+    """B4 end-to-end: the corpus's 0.75-degree-rotated page is deskewed
+    by binarize and its lines recognized against gt."""
+    from dup_ocropy_ray.functions.edist import levenshtein
+    from dup_ocropy_ray.pipelines.ocr import ocr_recognized_lines, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    gt = pq.read_table(corpus["groundtruth"]).to_pandas()
+    gt = gt[gt["media_ref"].str.endswith("page-skewed.png")]
+    assert len(gt) == 4
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    rec = ocr_recognized_lines(
+        docs, media_ref, recognizer_concurrency=1, page_concurrency=1
+    ).to_pandas()
+    rec = rec[
+        rec["media_ref"].str.endswith("page-skewed.png") & (rec["line_order"] >= 0)
+    ].sort_values("line_order")
+    assert len(rec) == 4
+    pairs = list(zip(rec["text"], gt.sort_values("line_order")["gt_text"]))
+    errs = sum(levenshtein(p, t) for p, t in pairs)
+    total = sum(len(t) for _, t in pairs)
+    assert errs / total < 0.1, pairs

@@ -130,14 +130,16 @@ def test_build_corpus_shapes(tmp_path):
     media = pq.read_table(paths["media"])
     gt = pq.read_table(paths["groundtruth"])
     assert docs.num_rows == 4
-    # pages: 2 (skew doc) + 1 + 1 + 2 (edge doc: small + masked 2-col);
-    # media additionally carries the ".mask" sibling entry
-    assert paths["num_pages"] == 6
-    assert media.num_rows == 7
-    # edge-case doc's SMALL page has no gt lines; its masked page has 6
+    # pages: 2 (skew doc) + 1 + 1 + 3 (edge doc: small + masked 2-col +
+    # skewed); media additionally carries the ".mask" sibling entry
+    assert paths["num_pages"] == 7
+    assert media.num_rows == 8
+    # edge-case doc's SMALL page has no gt lines; masked page has 6,
+    # skewed page 4
     gt_edge = gt.to_pandas().query("doc_id == 'doc-000003'")
-    assert len(gt_edge) == 6
-    assert gt_edge["media_ref"].str.endswith("page-mask.png").all()
+    assert len(gt_edge) == 10
+    assert set(gt_edge["media_ref"].str.split("/").str[-1]) == {
+        "page-mask.png", "page-skewed.png"}
     # deterministic: same seed -> same bytes
     paths2 = build_corpus(str(tmp_path / "again"), num_docs=4, seed=1, skew_doc_pages=2)
     media2 = pq.read_table(paths2["media"])

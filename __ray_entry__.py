@@ -179,7 +179,7 @@ def _alocs(sf_dir: str):
     from dup_ocropy_ray.sources.media import put_media_store
     from dup_ocropy_ray.stages.recognize import AlignedLocs
 
-    paths = _ocr_corpus_dir(sf_dir, num_docs=6)
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)  # shares the cache with siblings
     docs = read_docs(paths["docs"])
     media_ref = put_media_store(paths["media"])
     rec = ocr_recognized_lines(

@@ -127,7 +127,32 @@ def compute_colseps_conv(
     binary: np.ndarray, scale: float, csminheight: float = 10, maxcolseps: int = 3
 ) -> np.ndarray:
     """Whitespace column separators by smoothing + vertical-edge gradient
-    (reference ocropus-gpageseg:223-245)."""
+    (reference ocropus-gpageseg:223-245).
+
+    Runs at HALF resolution: every map here is smoothed by >= scale/2
+    pixels before thresholding, so whitespace-column detection is
+    insensitive to a 2x downsample (2-px boundary quantization is well
+    inside the smoothing blur); the mask upsamples by pixel doubling.
+    Halves the dominant filter cost of the segment stage."""
+    h, w = binary.shape
+    if min(h, w) >= 64 and scale >= 6:
+        # 2x2 max-pool over the even-cropped image (ink presence preserved)
+        bb = binary[: 2 * (h // 2), : 2 * (w // 2)]
+        small = np.maximum(
+            np.maximum(bb[0::2, 0::2], bb[1::2, 0::2]),
+            np.maximum(bb[0::2, 1::2], bb[1::2, 1::2]),
+        )
+        seps_small = _colseps_conv_full(small, scale / 2, csminheight, maxcolseps)
+        seps = np.zeros((h, w), dtype=np.uint8)
+        up = np.repeat(np.repeat(seps_small, 2, axis=0), 2, axis=1)
+        seps[: up.shape[0], : up.shape[1]] = up
+        return seps
+    return _colseps_conv_full(binary, scale, csminheight, maxcolseps)
+
+
+def _colseps_conv_full(
+    binary: np.ndarray, scale: float, csminheight: float = 10, maxcolseps: int = 3
+) -> np.ndarray:
     smoothed = gaussian_filter_fast(binary.astype(np.float32), (scale, scale * 0.5))
     smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
     thresh = smoothed < np.amax(smoothed) * 0.1

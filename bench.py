@@ -149,11 +149,15 @@ def scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-2: each level runs in a fresh process; min wall filters
-        # out one-off scheduler/OS noise (observed ±15% on the short leg)
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+    def run_pair(lo: int, hi: int):
+        # INTERLEAVED best-of-2 (lo,hi,lo,hi): ambient host load on this
+        # sandbox drifts +-50% over tens of minutes; running all lo legs
+        # then all hi legs bakes that drift into the RATIO, interleaving
+        # samples both levels under comparable conditions
+        a_lo, a_hi = run_once(lo), run_once(hi)
+        b_lo, b_hi = run_once(lo), run_once(hi)
+        pick = lambda a, b: a if a["value"] <= b["value"] else b
+        return pick(a_lo, b_lo), pick(a_hi, b_hi)
 
     # N vs 4N default is 4 vs 16: on ONE box, 32 workers saturate the
     # socket's memory bandwidth (raw kernel scaling 8->28 procs measured
@@ -163,7 +167,7 @@ def scaling():
     # GRAFT_SCALE_LO/HI (8/32 measured: eff ~0.70, bandwidth-bound).
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    r_lo, r_hi = run_pair(lo, hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({

@@ -23,4 +23,16 @@ IMPORTANT: nothing in this package calls ``ray.init``/``ray.shutdown`` —
 the session is owned by the caller (driver, bench.py, or test fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Quiet Ray's per-task "Failed to hash the schemas (for deduplication)"
+# warning: pyarrow Schemas with metadata are unhashable, and Ray's
+# pandas-block -> Arrow conversion attaches pandas metadata at shuffle
+# boundaries.  Reads are fixed at the source (tuning.parquet_schema); this
+# covers blocks produced by pandas-format UDFs.  Runs in every worker that
+# unpickles one of our UDFs (module import precedes task execution).
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)

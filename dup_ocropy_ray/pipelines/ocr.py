@@ -46,7 +46,9 @@ def read_docs(path: str) -> rd.Dataset:
     configure_data_context()
     if path.endswith(".lance"):
         return rd.read_lance(path)
-    return rd.read_parquet(path)
+    from ..tuning import parquet_schema
+
+    return rd.read_parquet(path, schema=parquet_schema(path))
 
 
 def explode_media_spans(batch: pa.Table) -> pa.Table:
@@ -91,8 +93,11 @@ def _resolve_media_fn(batch: pa.Table, store_ref=None) -> pa.Table:
     on a cluster, never re-shipped per batch)."""
     store = ray.get(store_ref)
     refs = batch.column("media_ref").to_pylist()
+    # .get: a dangling media_ref yields a null page_png, which flows into
+    # binarize_batch's poison-pill handling as a skip-status row (matches
+    # the MediaResolver actor path; skip-don't-fail invariant)
     out = batch.append_column(
-        "page_png", pa.array([store[r] for r in refs], pa.binary())
+        "page_png", pa.array([store.get(r) for r in refs], pa.binary())
     )
     # G7: a sibling "<ref>.mask" entry is a user separator mask
     # (reference ocropus-gpageseg:268-276 reads base+".mask.png");
@@ -336,11 +341,15 @@ def run_ocr_with_checkpoint(
         out = ocr_pipeline(docs, media_ref, model_path=model_path, **pipeline_kw)
         frag_dir = ckpt.fragment_dir(out_root, frag)
         tmp_dir = frag_dir + ".tmp"
+        # a run killed mid-write leaves partial part files in .tmp; Ray's
+        # write_parquet appends by default, so clear before retrying or the
+        # committed fragment would carry duplicate rows
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         result = out.materialize()
         result.write_parquet(tmp_dir)
         if os.path.exists(frag_dir):
-            import shutil
-
             shutil.rmtree(frag_dir)
         os.replace(tmp_dir, frag_dir)
         tbl = pa.concat_tables(

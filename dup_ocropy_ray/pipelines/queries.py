@@ -21,10 +21,12 @@ from .relational import broadcast_join, grouped_agg, topk
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    from ..tuning import configure_data_context
+    from ..tuning import configure_data_context, parquet_schema
 
     configure_data_context()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           schema=parquet_schema(path, columns))
 
 
 def _read_pd(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
@@ -76,8 +78,8 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)::BIGINT                                    AS sum_qty,
-       sum(floor(l_extendedprice * 100)::BIGINT)                  AS sum_base_cents,
-       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT          AS sum_base_cents,
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::BIGINT
                                                                   AS sum_disc_cents,
        round(sum(l_quantity) / count(*), 6)                       AS avg_qty,
        count(*)                                                   AS count_order
@@ -113,7 +115,7 @@ def q_revenue_filter(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_REVENUE = """
-SELECT sum(floor((l_extendedprice * l_discount) * 100)::BIGINT) AS revenue_cents,
+SELECT sum(floor((l_extendedprice * l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
        count(*)                                                 AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -179,7 +181,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
 SQL_REVENUE_BY_NATION = """
 SELECT n_name,
-       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::BIGINT
          AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
@@ -293,7 +295,7 @@ SQL_ASOF_JOIN = """
 SELECT e.event_type,
        count(*) AS n_events,
        count(j.o_orderkey) AS n_matched,
-       coalesce(sum(floor(j.o_totalprice * 100)::BIGINT), 0) AS sum_price_cents
+       coalesce(sum(floor(j.o_totalprice * 100)::BIGINT), 0)::BIGINT AS sum_price_cents
 FROM events e
 LEFT JOIN LATERAL (
   SELECT o.o_orderkey, o.o_totalprice
@@ -431,7 +433,7 @@ def q_events_props(sf_dir: str) -> pd.DataFrame:
 
 SQL_EVENTS_PROPS = """
 SELECT event_type,
-       sum(coalesce(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT, 0)) AS sum_k,
+       sum(coalesce(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT, 0))::BIGINT AS sum_k,
        count(*) AS n
 FROM events GROUP BY 1
 """
@@ -892,7 +894,7 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
 SQL_RANGE_JOIN = """
 SELECT a.o_orderpriority,
        count(*) AS n_pairs,
-       sum(floor(b.o_totalprice * 100)::BIGINT) AS sum_price_cents
+       sum(floor(b.o_totalprice * 100)::BIGINT)::BIGINT AS sum_price_cents
 FROM orders a JOIN orders b
   ON b.o_custkey = a.o_custkey
  AND b.o_orderkey <> a.o_orderkey
@@ -988,7 +990,7 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
 
 SQL_JOIN_REVENUE_PRIORITY = """
 SELECT o_orderpriority,
-       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+       sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::BIGINT
          AS revenue_cents,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -22,6 +22,40 @@ import pandas as pd
 import ray.data as rd
 
 
+def compose_sort_keys(kid: np.ndarray, nts_us: np.ndarray, extra_us: int = 0):
+    """Compose (key-rank, µs-timestamp) into ONE int64 sort key with
+    overflow-checked headroom: returns ``(comb, span, div)`` where
+    ``comb = kid * span + nts_us // div``.
+
+    ``kid`` must be dense ranks (np.unique return_inverse).  The naive
+    ``kid * span`` silently wraps int64 once ``n_keys * time_span_us``
+    exceeds 2**63 (~40k keys/partition over 7 years at µs resolution), so
+    when µs doesn't fit we coarsen the timestamp resolution (ms → s → min
+    → h → day) — exact whenever every timestamp and the window are
+    aligned to the coarser unit (always true for date/second-resolution
+    data) — and raise OverflowError with a num_partitions hint otherwise
+    rather than return wrong joins."""
+    n_keys = int(kid.max()) + 1 if len(kid) else 1
+    tmax = int(nts_us.max()) if len(nts_us) else 0
+    for div in (1, 1_000, 1_000_000, 60_000_000,
+                3_600_000_000, 86_400_000_000):
+        span = tmax // div + extra_us // div + 2
+        if n_keys * span >= 2**63:
+            continue
+        if div > 1 and (extra_us % div or (nts_us % div).any()):
+            raise OverflowError(
+                f"compose_sort_keys: {n_keys} keys x {tmax}us span "
+                f"overflows int64 at full resolution and timestamps are "
+                f"not aligned to {div}us; increase num_partitions"
+            )
+        comb = kid.astype(np.int64) * np.int64(span) + nts_us // div
+        return comb, np.int64(span), np.int64(div)
+    raise OverflowError(
+        f"compose_sort_keys: {n_keys} keys x {tmax}us span overflows "
+        f"int64 even at day resolution; increase num_partitions"
+    )
+
+
 def sessionize(
     events: rd.Dataset,
     key_col: str = "user_id",
@@ -227,9 +261,9 @@ def asof_join_aggregate(
         all_ts = np.concatenate([ev["ts"].to_numpy(), od["ts"].to_numpy()])
         tmin = all_ts.min()
         nts = (all_ts - tmin).astype("timedelta64[us]").astype(np.int64)
-        span = np.int64(nts.max()) + 2
-        comb_e = kid_e * span + nts[: len(ev)]
-        comb_o = kid_o * span + nts[len(ev) :]
+        comb_all, span, _div = compose_sort_keys(kid_all, nts)
+        comb_e = comb_all[: len(ev)]
+        comb_o = comb_all[len(ev) :]
         okey = od["okey"].to_numpy(np.int64)
         order = np.lexsort((okey, comb_o))  # date asc, okey asc within ties
         cs = comb_o[order]
@@ -298,8 +332,9 @@ def range_join_aggregate(
     single int64 sort key, so every anchor's window resolves with two
     global searchsorteds and a prefix cumsum. A customer with m orders
     costs O(m log m), never O(m^2); no broadcast, no per-pair
-    materialization. Int64 headroom bounds keys-per-partition at ~40k
-    for a 7-year time range — size num_partitions to the key count."""
+    materialization. Int64 headroom is overflow-checked by
+    compose_sort_keys (coarsens timestamp resolution when exact, raises
+    when not) — never silently wraps."""
     win_us = np.int64(window_days) * 86_400_000_000
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -331,8 +366,8 @@ def range_join_aggregate(
         ts = g["ts"].to_numpy()
         nts = (ts - ts.min()).astype("timedelta64[us]").astype(np.int64)
         _, kid = np.unique(k, return_inverse=True)
-        span = np.int64(nts.max()) + win_us + 2
-        comb = kid.astype(np.int64) * span + nts
+        comb, span, div = compose_sort_keys(kid, nts, extra_us=int(win_us))
+        win = win_us // div
         cents = np.floor(g["price"].to_numpy(dtype=np.float64) * 100).astype(
             np.int64
         )
@@ -340,7 +375,7 @@ def range_join_aggregate(
         cs = comb[order]
         cum = np.concatenate([[0], np.cumsum(cents[order])])
         lo = np.searchsorted(cs, comb, side="left")
-        hi = np.searchsorted(cs, comb + win_us, side="left")
+        hi = np.searchsorted(cs, comb + win, side="left")
         # every anchor's own row lies in [lo, hi): subtract the self-pair
         n = hi - lo - 1
         keep = n > 0

@@ -23,3 +23,28 @@ def configure_data_context(ctx: DataContext | None = None) -> DataContext:
     ctx = ctx or DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
     return ctx
+
+
+def parquet_schema(path: str, columns=None):
+    """Footer-only read of a parquet file's schema, with pandas/user
+    metadata stripped.  Passed to ``read_parquet(schema=...)`` so every
+    block's schema is hashable — pyarrow Schemas carrying metadata raise
+    ``unhashable type: 'dict'`` inside Ray's schema-dedup fast path
+    (transform_pyarrow.unify_schemas), which both defeats the early-exit
+    and spams a warning per task."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            return None
+        path = files[0]
+    sch = pq.read_schema(path)
+    if columns is not None:
+        return pa.schema([sch.field(c) for c in columns])
+    return sch.remove_metadata()

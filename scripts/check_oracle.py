@@ -30,8 +30,13 @@ def to_pandas(res):
     return res.to_pandas()  # ray Dataset
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame):
+    """Returns (canonical df, {col: dtype-kind}). The driver hashes raw
+    values, so a float64 oracle vs int64 engine column fails there even when
+    the values are numerically equal (DuckDB sum(BIGINT)->HUGEINT->float64).
+    We record dtype *kind* pre-coercion and compare kinds separately."""
     df = df[sorted(df.columns)].copy()
+    kinds = {c: df[c].dtype.kind for c in df.columns}
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
@@ -41,7 +46,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df.sort_values(list(df.columns)).reset_index(drop=True), kinds
 
 
 def main():
@@ -70,7 +75,7 @@ def main():
             continue
         t0 = time.time()
         try:
-            res = canon(to_pandas(fn(sf)))
+            res, res_kinds = canon(to_pandas(fn(sf)))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
@@ -80,7 +85,7 @@ def main():
             print(f"ok?  {name}: rows-only ({len(res)} rows, {dt:.1f}s)")
             continue
         try:
-            oracle = canon(con.sql(sqls[name]).df())
+            oracle, ora_kinds = canon(con.sql(sqls[name]).df())
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             failures += 1
@@ -90,6 +95,13 @@ def main():
             problems.append(f"rows {len(res)} vs {len(oracle)}")
         if list(res.columns) != list(oracle.columns):
             problems.append(f"cols {list(res.columns)} vs {list(oracle.columns)}")
+        else:
+            mism = [c for c in res.columns
+                    if {res_kinds[c], ora_kinds[c]} == {"i", "f"}
+                    or {res_kinds[c], ora_kinds[c]} == {"u", "f"}]
+            if mism:
+                problems.append(f"dtype-kind int/float mismatch (driver hash "
+                                f"would fail): {mism}")
         if not problems:
             if not res.equals(oracle):
                 # tolerate dtype-representation diffs, compare as values

@@ -269,3 +269,26 @@ def test_skewed_page_deskewed_and_read(ray_session, corpus):
     errs = sum(levenshtein(p, t) for p, t in pairs)
     total = sum(len(t) for _, t in pairs)
     assert errs / total < 0.1, pairs
+
+
+def test_media_join_no_masks_and_dangling_ref(ray_session):
+    """Join path edge cases: a corpus with ZERO mask entries must not
+    break the second join (empty right side), and a dangling media_ref
+    must surface as a null page_png row (left outer; skip-don't-fail),
+    never silently drop the page."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.sources.media import resolve_media_join
+
+    pages = rd.from_pandas(pd.DataFrame(
+        {"doc_id": ["d1", "d2"], "media_ref": ["p1", "p-missing"],
+         "span_offset": [0, 0]}))
+    media = rd.from_pandas(pd.DataFrame(
+        {"media_ref": ["p1"], "bytes": [b"\x89PNGx"]}))
+    out = resolve_media_join(pages, media, num_partitions=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert len(out) == 2
+    assert out.loc["d1", "page_png"] == b"\x89PNGx"
+    assert out.loc["d2", "page_png"] is None
+    assert out["mask_png"].isna().all()

@@ -142,3 +142,36 @@ def test_range_join_self(ray_session):
     # P2 anchor 2020-01-05: pair 01-09 only
     assert out.loc["P2", "n_pairs"] == 1
     assert out.loc["P2", "sum_price_cents"] == 3000
+
+
+def test_compose_sort_keys_overflow_fallback():
+    """int64 headroom: µs encoding silently wrapped past ~40k keys over a
+    multi-year span; the composer must coarsen resolution (exact for
+    date-aligned data) instead, and raise rather than wrap when the
+    timestamps genuinely need µs."""
+    import numpy as np
+    import pytest
+
+    from dup_ocropy_ray.pipelines.windows import compose_sort_keys
+
+    day = 86_400_000_000
+    # small case: µs resolution fits untouched
+    kid = np.array([0, 0, 1], dtype=np.int64)
+    nts = np.array([0, 5, 3], dtype=np.int64)
+    comb, span, div = compose_sort_keys(kid, nts)
+    assert div == 1 and list(comb) == [0, 5, span + 3]
+
+    # 1M keys over ~8 years of day-aligned dates: overflows at µs,
+    # exact at coarser resolution; ordering within/across keys preserved
+    kid = np.arange(1_000_000, dtype=np.int64)
+    nts = (np.arange(1_000_000, dtype=np.int64) % 3000) * day
+    comb, span, div = compose_sort_keys(kid, nts, extra_us=90 * day)
+    assert div > 1
+    assert (comb == kid * span + nts // div).all()
+    assert comb.max() < 2**63 and (np.diff(comb) > 0).all()
+
+    # same key count but µs-unaligned timestamps: must raise, not wrap
+    nts_bad = nts.copy()
+    nts_bad[1] += 1  # 1µs off any coarser grid
+    with pytest.raises(OverflowError):
+        compose_sort_keys(kid, nts_bad)

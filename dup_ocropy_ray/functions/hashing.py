@@ -132,3 +132,119 @@ def rolling_fingerprints(text: str, window: int = 8, keep_mod: int = 16) -> np.n
             acc += codes[j : j + n] * powers[j]
     sel = acc[(acc % np.uint64(keep_mod)) == 0]
     return np.unique(sel)
+
+
+# ------------------------------------------------- batch (vectorized) MinHash
+
+_SHINGLE_POLY_C = np.uint64(0x100000001B3)  # FNV-1a prime; uint64 wraparound
+
+
+def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-word shingle hashing for a whole batch of documents.
+
+    Returns ``(hashes, offsets)``: ``hashes`` is one uint64 array holding
+    every doc's shingle hashes back-to-back (doc order preserved),
+    ``offsets`` is int64 of length ``n_docs + 1`` delimiting each doc's
+    segment. A shingle hash is a wraparound polynomial over the k token
+    hashes — tokens are hashed ONCE for the whole batch (a single
+    ``hash_strings`` call), never per doc, and no shingle strings are
+    materialized. Docs with no tokens get zero shingles; docs with
+    ``0 < n_tokens < k`` get one shingle over all their tokens (matching
+    ``word_shingles`` semantics)."""
+    tok_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    nsh = np.where(counts == 0, 0, np.maximum(counts - k + 1, 1))
+    offsets = np.concatenate([[0], np.cumsum(nsh)]).astype(np.int64)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in tok_lists:
+        if t:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+    th = hash_strings(flat)
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    local = np.arange(total, dtype=np.int64) - tok_off[doc_of]
+    # valid start positions for FULL k-shingles (counts < k never qualify:
+    # counts - k is negative)
+    valid = local <= counts[doc_of] - k
+    with np.errstate(over="ignore"):
+        acc = th.copy()
+        for j in range(1, k):
+            nxt = np.zeros(total, dtype=np.uint64)
+            nxt[: total - j] = th[j:]
+            acc = acc * _SHINGLE_POLY_C + nxt
+        vals = acc
+        # short docs (0 < n_tokens < k): one shingle = polynomial over all
+        # their tokens, planted at the doc's first token position
+        for length in range(1, k):
+            docs = np.flatnonzero(counts == length)
+            if len(docs) == 0:
+                continue
+            starts = tok_off[docs]
+            sacc = th[starts].copy()
+            for j in range(1, length):
+                sacc = sacc * _SHINGLE_POLY_C + th[starts + j]
+            vals = vals.copy() if vals is acc else vals
+            vals[starts] = sacc
+            valid[starts] = True
+    return vals[valid], offsets
+
+
+def batch_minhash_signatures(
+    shingle_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray,
+    b: np.ndarray, _chunk: int | None = None,
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures from batched shingle
+    hashes (``batch_shingle_hashes`` layout). Per-doc minima come from ONE
+    ``np.minimum.reduceat`` per permutation chunk — no per-doc loop; the
+    permutation axis is chunked so the (chunk, total_shingles) temp stays
+    ~64 MB. Empty docs get the all-p sentinel signature (same as
+    ``minhash_signature`` on an empty set)."""
+    n_docs = len(offsets) - 1
+    num_perm = len(a)
+    p = np.uint64(_MERSENNE61)
+    sigs = np.full((n_docs, num_perm), p, dtype=np.uint64)
+    total = len(shingle_hashes)
+    if total == 0:
+        return sigs
+    x = (shingle_hashes % p).astype(np.uint64)
+    nsh = np.diff(offsets)
+    nonempty = nsh > 0
+    starts = offsets[:-1][nonempty]
+    chunk = _chunk or max(1, int(8_000_000 // total))
+    for c0 in range(0, num_perm, chunk):
+        ac = a[c0 : c0 + chunk, None]
+        bc = b[c0 : c0 + chunk, None]
+        with np.errstate(over="ignore"):
+            hp = (ac * x[None, :] + bc) % p
+        sigs[nonempty, c0 : c0 + chunk] = np.minimum.reduceat(
+            hp, starts, axis=1
+        ).T
+    return sigs
+
+
+def batch_minhash_bands(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_bands) uint64 LSH band keys — the vectorized-over-docs
+    twin of ``minhash_bands`` (identical per-row fold, so values match)."""
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    assert rows * num_bands == num_perm, "num_perm must divide into bands"
+    view = sigs[:, : rows * num_bands].reshape(n_docs, num_bands, rows)
+    out = np.zeros((n_docs, num_bands), dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            out = (out ^ view[:, :, r]) * mult
+    return out
+
+
+def batch_shingle_sets(texts, k: int = 3) -> list[np.ndarray]:
+    """Per-doc sorted-unique shingle-hash sets (for exact Jaccard verify),
+    sharing ``batch_shingle_hashes``'s one-pass vectorized hashing."""
+    vals, offsets = batch_shingle_hashes(texts, k)
+    return [np.unique(vals[offsets[i] : offsets[i + 1]])
+            for i in range(len(offsets) - 1)]

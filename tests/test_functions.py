@@ -260,3 +260,35 @@ def test_png_palette_decode():
     np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
     np.testing.assert_array_equal(out[0, 1], [255, 255, 255])
     np.testing.assert_array_equal(out[1, 0], [255, 0, 0])
+
+
+def test_batch_minhash_matches_per_doc():
+    """The batched reduceat signature path must equal per-doc
+    minhash_signature over the same shingle-hash segments, including the
+    permutation-chunked path and empty docs."""
+    import numpy as np
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "", "one two", "a b c d e f g", "single"]
+    vals, offs = hashing.batch_shingle_hashes(texts, 3)
+    a, b = hashing.minhash_params(64)
+    sigs = hashing.batch_minhash_signatures(vals, offs, a, b)
+    for i in range(len(texts)):
+        seg = vals[offs[i]:offs[i + 1]]
+        ref = hashing.minhash_signature(seg, a, b)
+        assert (sigs[i] == ref).all(), i
+    bands = hashing.batch_minhash_bands(sigs, 16)
+    for i in range(len(texts)):
+        assert (bands[i] == hashing.minhash_bands(sigs[i], 16)).all()
+    # shingle counts: n-k+1 full shingles, one for short docs, zero empty
+    assert list(np.diff(offs)) == [7, 0, 1, 5, 1]
+
+
+def test_batch_minhash_chunked_permutations():
+    """Chunked permutation path (chunk < num_perm) equals one-shot."""
+    texts = ["alpha beta gamma delta epsilon zeta", "eta theta iota"]
+    vals, offs = hashing.batch_shingle_hashes(texts, 2)
+    a, b = hashing.minhash_params(32)
+    full = hashing.batch_minhash_signatures(vals, offs, a, b)
+    chunked = hashing.batch_minhash_signatures(vals, offs, a, b, _chunk=5)
+    assert (full == chunked).all()

@@ -175,3 +175,35 @@ def test_compose_sort_keys_overflow_fallback():
     nts_bad[1] += 1  # 1µs off any coarser grid
     with pytest.raises(OverflowError):
         compose_sort_keys(kid, nts_bad)
+
+
+def test_minhash_dedup_distributed(ray_session):
+    """MinHash+LSH end-to-end: near-dup pair found and exact-Jaccard
+    verified with nothing text-sized on the driver; zero-dup corpus
+    returns an empty typed result (no empty-join crash)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import minhash_dedup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the quiet hills of the valley")
+    near = base.replace("quiet", "silent")
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [f"u{i}" for i in range(12)] + ["dupA", "dupB"],
+        "text": [f"utterly distinct {i} prose about topic-{i * 13} with "
+                 f"flavour {i * 29} and spice {i * 7}" for i in range(12)]
+                + [base, near],
+    }))
+    out = minhash_dedup_pairs(docs, threshold=0.6)
+    assert list(zip(out.doc_a, out.doc_b)) == [("dupA", "dupB")]
+    assert out.jaccard.iloc[0] > 0.65  # one word of ~21 shingles changed
+
+    lone = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "text": ["completely different words here",
+                 "nothing shared at all between them"],
+    }))
+    empty = minhash_dedup_pairs(lone, threshold=0.6)
+    assert len(empty) == 0 and list(empty.columns) == ["doc_a", "doc_b",
+                                                       "jaccard"]

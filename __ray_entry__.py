@@ -231,8 +231,10 @@ def _media_features(sf_dir: str):
 
     paths = _ocr_corpus_dir(sf_dir, num_docs=8)
     ds = rd.read_parquet(paths["media"])
+    # autoscaling actor pool (stateful decode stage); batch_size stays
+    # small because rows carry whole page PNGs (heap = batch x actors)
     out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=2,
-                         concurrency=2).to_pandas()
+                         concurrency=(1, 8)).to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
 
 

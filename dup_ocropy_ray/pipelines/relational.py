@@ -76,14 +76,11 @@ def grouped_agg(
     return pdf.groupby(keys, as_index=False, dropna=False).agg(**spec)
 
 
-class _BroadcastMerge:
-    def __init__(self, small_ref, on, how):
-        self.small = ray.get(small_ref)
-        self.on = on
-        self.how = how
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how)
+def _broadcast_merge(batch: pd.DataFrame, small_ref=None, on=None,
+                     how="inner") -> pd.DataFrame:
+    # ray.get of a ray.put'd object is a zero-copy local read after the
+    # first fetch per node — never re-shipped per batch
+    return batch.merge(ray.get(small_ref), on=on, how=how)
 
 
 def broadcast_join(
@@ -91,16 +88,18 @@ def broadcast_join(
     small: pd.DataFrame,
     on: Sequence[str] | str,
     how: str = "inner",
-    concurrency: int = 2,
 ) -> rd.Dataset:
-    """Join a Dataset against a small dimension table without a shuffle."""
+    """Join a Dataset against a small dimension table without a shuffle.
+    Elastic TASK pool (no concurrency cap): any idle CPU picks up batches,
+    so the stage never starves a big node or cluster the way a fixed
+    2-actor pool did."""
+    import functools
+
     ref = ray.put(small)
     return ds.map_batches(
-        _BroadcastMerge,
-        fn_constructor_args=(ref, on, how),
+        functools.partial(_broadcast_merge, small_ref=ref, on=on, how=how),
         batch_format="pandas",
         batch_size=65536,
-        concurrency=concurrency,
     )
 
 

@@ -41,21 +41,19 @@ def knn_brute(
     q = q / (np.linalg.norm(q) or 1.0)
     qref = ray.put(q)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # zero-copy local read of the broadcast query per task
+        qv = ray.get(qref)
+        M = _normalize(_stack(batch[vec_col]))
+        cos = M @ qv
+        out = pd.DataFrame({id_col: batch[id_col].values, "cos_sim": cos})
+        return out.sort_values(
+            ["cos_sim", id_col], ascending=[False, True]
+        ).head(k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            M = _normalize(_stack(batch[vec_col]))
-            cos = M @ self.q
-            out = pd.DataFrame({id_col: batch[id_col].values, "cos_sim": cos})
-            return out.sort_values(
-                ["cos_sim", id_col], ascending=[False, True]
-            ).head(k)
-
-
-    parts = ds.map_batches(Score, batch_format="pandas", batch_size=65536,
-                           concurrency=2).to_pandas()
+    # elastic task pool: a fixed 2-actor pool starves a 32-CPU node
+    parts = ds.map_batches(score, batch_format="pandas",
+                           batch_size=65536).to_pandas()
     out = parts.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)
@@ -138,26 +136,24 @@ def knn_ivf(
     probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
     cref = ray.put((centroids, q, probe))
 
-    class Score:
-        def __init__(self):
-            self.C, self.q, self.probe = ray.get(cref)
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        C, q, probe = ray.get(cref)  # zero-copy local read per task
+        M = _normalize(_stack(batch[vec_col]))
+        assign = (M @ C.T).argmax(axis=1)
+        mask = np.isin(assign, list(probe))
+        if not mask.any():
+            return pd.DataFrame({id_col: [], "cos_sim": []})
+        cos = M[mask] @ q
+        out = pd.DataFrame(
+            {id_col: batch[id_col].values[mask], "cos_sim": cos}
+        )
+        return out.sort_values(
+            ["cos_sim", id_col], ascending=[False, True]
+        ).head(k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            M = _normalize(_stack(batch[vec_col]))
-            assign = (M @ self.C.T).argmax(axis=1)
-            mask = np.isin(assign, list(self.probe))
-            if not mask.any():
-                return pd.DataFrame({id_col: [], "cos_sim": []})
-            cos = M[mask] @ self.q
-            out = pd.DataFrame(
-                {id_col: batch[id_col].values[mask], "cos_sim": cos}
-            )
-            return out.sort_values(
-                ["cos_sim", id_col], ascending=[False, True]
-            ).head(k)
-
-    parts = ds.map_batches(Score, batch_format="pandas", batch_size=65536,
-                           concurrency=2).to_pandas()
+    # elastic task pool: a fixed 2-actor pool starves a 32-CPU node
+    parts = ds.map_batches(score, batch_format="pandas",
+                           batch_size=65536).to_pandas()
     out = parts.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)

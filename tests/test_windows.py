@@ -207,3 +207,46 @@ def test_minhash_dedup_distributed(ray_session):
     empty = minhash_dedup_pairs(lone, threshold=0.6)
     assert len(empty) == 0 and list(empty.columns) == ["doc_a", "doc_b",
                                                        "jaccard"]
+
+
+def test_oversize_group_lsh_prefilter(ray_session):
+    """ngram/embedding dedup: groups over the cap switch to an LSH
+    prefilter + exact verify; the true near-dups must still be found
+    (here: exact path and prefilter path agree on an easy corpus)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{rng.integers(0, 5000)}" for _ in range(30))
+             for _ in range(40)]
+    texts += [texts[0] + " extra", texts[5]]
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(len(texts))],
+        "text": texts, "lang": "en", "source": "web",
+    })
+    ds = rd.from_pandas(docs)
+    exact = ngram_jaccard_pairs(ds, ["lang", "source"],
+                                threshold=0.5).to_pandas()
+    lsh = ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5,
+                              max_group_rows=5).to_pandas()
+    key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard.round(6)))
+    assert key(exact) == key(lsh) and len(exact) == 2
+
+    vecs = rng.standard_normal((40, 16))
+    vecs = np.concatenate([vecs, vecs[:3] + 0.01 * rng.standard_normal((3, 16))])
+    emb = pd.DataFrame({
+        "vec_id": [f"v{i:03d}" for i in range(len(vecs))],
+        "embedding": list(vecs), "label": "a",
+    })
+    eds = rd.from_pandas(emb)
+    ex = embedding_dup_pairs(eds, threshold=0.95).to_pandas()
+    ap = embedding_dup_pairs(eds, threshold=0.95,
+                             max_group_rows=5).to_pandas()
+    k2 = lambda df: sorted(zip(df.id_a, df.id_b))
+    assert k2(ex) == k2(ap) and len(ex) >= 3

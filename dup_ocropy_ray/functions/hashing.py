@@ -199,13 +199,16 @@ def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
 def batch_minhash_signatures(
     shingle_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray,
-    b: np.ndarray, _chunk: int | None = None,
+    b: np.ndarray,
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures from batched shingle
-    hashes (``batch_shingle_hashes`` layout). Per-doc minima come from ONE
-    ``np.minimum.reduceat`` per permutation chunk — no per-doc loop; the
-    permutation axis is chunked so the (chunk, total_shingles) temp stays
-    ~64 MB. Empty docs get the all-max sentinel signature (same as
+    hashes (``batch_shingle_hashes`` layout). One permutation at a time
+    into PREALLOCATED 1-D buffers (hash buffer reused across all perms,
+    per-doc minima via ``np.minimum.reduceat`` straight into a column
+    buffer) — no per-doc loop and, critically, no multi-MB temporaries:
+    the earlier (chunk, total) 2-D layout spent ~20x the kernel time
+    first-touching ~60 MB pages per chunk on a worker's first batch.
+    Empty docs get the all-max sentinel signature (same as
     ``minhash_signature`` on an empty set)."""
     n_docs = len(offsets) - 1
     num_perm = len(a)
@@ -217,15 +220,14 @@ def batch_minhash_signatures(
     nsh = np.diff(offsets)
     nonempty = nsh > 0
     starts = offsets[:-1][nonempty]
-    chunk = _chunk or max(1, int(8_000_000 // total))
-    for c0 in range(0, num_perm, chunk):
-        ac = a[c0 : c0 + chunk, None]
-        bc = b[c0 : c0 + chunk, None]
-        with np.errstate(over="ignore"):
-            hp = ac * x[None, :] + bc  # wraps mod 2^64 (multiply-shift)
-        sigs[nonempty, c0 : c0 + chunk] = np.minimum.reduceat(
-            hp, starts, axis=1
-        ).T
+    buf = np.empty(total, dtype=np.uint64)
+    col = np.empty(int(nonempty.sum()), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            np.multiply(x, a[i], out=buf)  # wraps mod 2^64 (multiply-shift)
+            np.add(buf, b[i], out=buf)
+            np.minimum.reduceat(buf, starts, out=col)
+            sigs[nonempty, i] = col
     return sigs
 
 

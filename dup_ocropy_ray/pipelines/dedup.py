@@ -120,158 +120,218 @@ def minhash_dup_pairs_ds(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 1234,
-    join_partitions: int = 4,
 ) -> rd.Dataset:
     """Near-duplicate pairs: LSH candidates -> exact Jaccard verify,
     END-TO-END DISTRIBUTED (returns a Dataset of (doc_a, doc_b, jaccard)).
 
-    Stages (nothing pair- or text-sized ever lands on the driver):
-    1. candidate pairs inside each LSH-bucket hash-partition, locally
-       deduped;
-    2. global pair dedupe: one shuffle on hash(doc_a)^mix(doc_b), exact
-       drop_duplicates inside each partition (equal pairs co-locate);
-    3. candidate doc ids: pairs explode to id rows, same-shuffle deduped;
-    4. shingle-hash sets for CANDIDATE DOCS ONLY: a left_semi hash join
-       of the corpus against the id set (no broadcast, no driver state —
-       candidates are rare by construction so the join output is small),
-       then one vectorized batch-hash pass;
-    5. verify: two hash joins attach sh_a / sh_b (sets encoded as raw
-       uint64 bytes — acero joins carry binary payloads, not lists) to
-       each pair; exact Jaccard via per-pair C-level ``np.intersect1d``
-       on sorted-unique uint64 sets; threshold filter.
+    Stages (nothing pair- or text-sized ever lands on the driver), all on
+    the repo's fixed-bucket shuffle pattern — groupby(hash % P) with a
+    vectorized partition body — NO Ray hash-join operators (each join
+    spins up its own aggregator actor pool; three of them dominated this
+    pipeline's wall time and their empty-partition blocks have no schema):
 
-    ``join_partitions`` sizes the three hash-join exchanges; each join
-    spins up that many aggregator actors, so keep partitions*3 within the
-    cluster's CPU budget (raise to ~2x executor slots on a real cluster).
-    """
+    1. candidate pairs inside each LSH-bucket hash-partition, locally
+       deduped (a pair may still surface from several bands / partitions);
+    2. ONE shuffle keyed by doc id over the union of
+       (a) corpus rows (id, text) and
+       (b) pair-side rows (key=member id, doc_a, doc_b, side) — each pair
+       exploded into two rows. Inside each partition: side rows are
+       globally deduped (equal (doc_a, doc_b, side) rows co-locate by
+       construction), shingle-hash sets are computed ONLY for docs some
+       local side row references (the prune that the left_semi join used
+       to do, now partition-local), and each side row leaves with its
+       member's set as raw uint64 bytes;
+    3. ONE candidate-scale shuffle keyed on hash(doc_a)^mix(doc_b): the
+       two sides of each pair co-locate, exact Jaccard via per-pair
+       C-level ``np.intersect1d`` on sorted-unique uint64 sets,
+       threshold filter.
+
+    At 100 TB the corpus text moves through stage 2's exchange exactly
+    once (same volume the semi-join exchanged); pair-scale traffic is
+    rare-by-construction. A Bloom filter over candidate ids broadcast
+    before stage 2 would prune the corpus leg to candidates only — add it
+    if real dup rates make the full-text leg dominate."""
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                               shingle_k, seed)
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        # vectorized C-level groupby inside the partition; the python
-        # loop runs only over multi-doc buckets (rare by construction)
-        sizes = g.groupby(["band_id", "bucket"])[id_col].nunique()
-        multi = set(sizes[sizes >= 2].index)
-        if multi:
-            for key, sub in g.groupby(["band_id", "bucket"]):
-                if key not in multi:
-                    continue
-                ids = sorted(set(sub[id_col]))
-                rows.extend(
-                    (x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]
-                )
-        if not rows:
-            dt = g[id_col].dtype
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=dt),
-                                 "doc_b": pd.Series([], dtype=dt)})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates()
+    # all UDFs below emit EXPLICITLY-SCHEMA'D ARROW tables, id columns typed
+    # from the input schema (metadata-only for parquet reads): empty
+    # partitions then carry the real schema, so Ray never logs per-block
+    # size-calc errors (np.vectorize over 0-row object columns) or RefBundle
+    # schema-mismatch warnings, and shuffle schema dedup hashes arrow
+    # schemas cleanly
+    _sch = ds.schema()  # ray.data.Schema; arrow types for arrow blocks,
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):  # numpy/py types for pandas
+        try:
+            id_type = pa.from_numpy_dtype(np.dtype(id_type))
+        except (pa.ArrowNotImplementedError, TypeError):
+            id_type = pa.string()  # object-dtype ids are strings here
+    _PAIRS_SCHEMA = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
+    _SIDED_SCHEMA = pa.schema([
+        ("doc_a", id_type), ("doc_b", id_type), ("side", pa.int8()),
+        ("sh", pa.binary()), ("_vpart", pa.int64()),
+    ])
+    _OUT_SCHEMA = pa.schema([
+        ("doc_a", id_type), ("doc_b", id_type), ("jaccard", pa.float64()),
+    ])
+
+    def partition_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = _PAIRS_SCHEMA.empty_table()
+        if len(g) == 0:
+            return empty
+        # fully vectorized all-pairs within (band_id, bucket) groups:
+        # lexsort rows by (group, id), then emit every i<j index pair per
+        # group with repeat/cumsum arithmetic — O(total_pairs), no Python
+        # loop over buckets
+        g = g.drop_duplicates(["band_id", "bucket", id_col])
+        key = (g["band_id"].to_numpy(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               + g["bucket"].to_numpy(np.uint64))
+        ids = g[id_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, key))
+        key = key[order]
+        ids = ids[order]
+        # per-row position within its group and group sizes
+        grp_change = np.concatenate([[True], key[1:] != key[:-1]])
+        grp_id = np.cumsum(grp_change) - 1
+        starts = np.flatnonzero(grp_change)
+        sizes = np.diff(np.concatenate([starts, [len(key)]]))
+        pos = np.arange(len(key)) - starts[grp_id]
+        # row i pairs with the (size - 1 - pos) rows after it in its group
+        nright = sizes[grp_id] - 1 - pos
+        total = int(nright.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(key)), nright)
+        # right index = left index + (1..nright) per left row, built from
+        # a global arange minus each segment's start offset
+        seg_off = np.concatenate([[0], np.cumsum(nright)])[:-1]
+        right = left + 1 + (np.arange(total) - np.repeat(seg_off, nright))
+        out = pd.DataFrame(
+            {"doc_a": ids[left], "doc_b": ids[right]}
+        ).drop_duplicates()
+        return pa.Table.from_arrays(
+            [pa.array(out["doc_a"], id_type),
+             pa.array(out["doc_b"], id_type)],
+            schema=_PAIRS_SCHEMA,
+        )
 
     raw_pairs = cand.groupby("_part").map_groups(
         partition_pairs, batch_format="pandas"
     )
 
-    # global pair dedupe (a pair can surface from many bands): equal pairs
-    # share a partition, so a local drop_duplicates is globally exact
-    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b.assign(_part=pd.Series([], dtype="int64"))
-        h = (hashing.hash_strings(b["doc_a"].to_numpy(dtype=object))
-             ^ (hashing.hash_strings(b["doc_b"].to_numpy(dtype=object))
-                * np.uint64(0x9E3779B97F4A7C15)))
-        return b.assign(_part=(h % np.uint64(_DEDUP_PARTITIONS)).astype("int64"))
+    mix = np.uint64(0x9E3779B97F4A7C15)
 
-    pairs = (
-        raw_pairs.map_batches(tag_pair, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
-                    batch_format="pandas")
-        .drop_columns(["_part"])
-    )
-    # pairs feed three consumers (id extraction + two joins); materialize
-    # the PAIR-SCALE dataset (small by construction — candidate pairs, not
-    # corpus) so the full-corpus signature pipeline doesn't re-execute per
-    # consumer. Blocks stay in the object store, nothing lands driver-side.
-    pairs = pairs.materialize()
-    # a corpus with ZERO candidate pairs would hand Ray's hash-join an
-    # empty (schema-less) side and fail on FieldRef — and there is nothing
-    # to verify anyway; the count is free on the materialized dataset
-    if pairs.count() == 0:
-        return rd.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.string()),
-            "doc_b": pa.array([], pa.string()),
-            "jaccard": pa.array([], pa.float64()),
-        }))
+    _UNION_SCHEMA = pa.schema([
+        ("key", id_type), ("text", pa.string()),
+        ("doc_a", id_type), ("doc_b", id_type),
+        ("side", pa.int8()), ("_part", pa.int64()),
+    ])
 
-    # candidate doc ids (distinct), as a join side
-    def pair_ids(b: pd.DataFrame) -> pd.DataFrame:
-        ids = pd.unique(
-            np.concatenate([b["doc_a"].to_numpy(dtype=object),
-                            b["doc_b"].to_numpy(dtype=object)])
-        ) if len(b) else np.array([], dtype=object)
-        return pd.DataFrame({id_col: pd.Series(ids, dtype="object")})
+    def _part_of(keys: np.ndarray) -> pa.Array:
+        h = hashing.hash_strings(keys)
+        return pa.array((h % np.uint64(_DEDUP_PARTITIONS)).astype("int64"))
 
-    need = pairs.map_batches(pair_ids, batch_format="pandas")
+    # pair-side rows: each candidate pair becomes two rows, keyed by one
+    # member each, sharing the corpus rows' shuffle key space
+    def explode_sides(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+        a_ids = b["doc_a"].to_numpy(dtype=object)
+        b_ids = b["doc_b"].to_numpy(dtype=object)
+        key = np.concatenate([a_ids, b_ids])
+        return pa.Table.from_arrays([
+            pa.array(key, id_type),
+            pa.nulls(2 * n, pa.string()),
+            pa.array(np.concatenate([a_ids, a_ids]), id_type),
+            pa.array(np.concatenate([b_ids, b_ids]), id_type),
+            pa.array(np.concatenate([np.zeros(n, np.int8),
+                                     np.ones(n, np.int8)])),
+            _part_of(key),
+        ], schema=_UNION_SCHEMA)
 
-    # shingle-hash sets for candidate docs only (semi-join prune, then one
-    # vectorized batch-hash pass); sets ride as list<uint64> columns
-    cand_docs = ds.select_columns([id_col, text_col]).join(
-        need, join_type="left_semi", num_partitions=join_partitions,
-        on=(id_col,),
+    def corpus_rows(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+        key = b[id_col].to_numpy(dtype=object)
+        return pa.Table.from_arrays([
+            pa.array(key, id_type),
+            pa.array(b[text_col].to_numpy(dtype=object), pa.string()),
+            pa.nulls(n, id_type),
+            pa.nulls(n, id_type),
+            pa.array(np.full(n, -1, dtype=np.int8)),
+            _part_of(key),
+        ], schema=_UNION_SCHEMA)
+
+    unioned = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(corpus_rows, batch_format="pandas")
+        .union(raw_pairs.map_batches(explode_sides, batch_format="pandas"))
     )
 
-    # sets ride the joins as raw little-endian uint64 BYTES: acero hash
-    # joins carry binary payloads but reject list-typed (or Ray tensor
-    # extension) non-key columns
-    def to_sets(t: pa.Table) -> pa.Table:
+    # shuffle 1 (corpus-scale): dedupe side rows, hash shingle sets for
+    # locally-referenced docs only, hand each side row its member's set as
+    # raw little-endian uint64 bytes (binary column — list columns don't
+    # survive the pandas block path losslessly)
+    def attach_sets(g: pd.DataFrame) -> pa.Table:
+        sides = g[g["side"] >= 0]
+        empty = _SIDED_SCHEMA.empty_table()
+        if len(sides) == 0:
+            return empty
+        sides = sides.drop_duplicates(["doc_a", "doc_b", "side"])
+        need = pd.unique(sides["key"])
+        docs = g[(g["side"] < 0) & g["key"].isin(need)]
+        if len(docs) == 0:
+            return empty
         sets_ = hashing.batch_shingle_sets(
-            t.column(text_col).to_pylist(), shingle_k
+            [t or "" for t in docs["text"]], shingle_k
         )
-        # arrow in/out: the id column keeps its real type (string/int64)
-        # even for EMPTY batches — a pandas round-trip would infer a
-        # null-typed column there and poison the join-side schema
-        return pa.table({
-            "doc_a": t.column(id_col),
-            "sh_a": pa.array([s.tobytes() for s in sets_], pa.binary()),
-        })
+        by_id = dict(zip(docs["key"], (s.tobytes() for s in sets_)))
+        sh = sides["key"].map(by_id)
+        sides = sides[sh.notna().to_numpy()]
+        sh = sh.dropna()
+        h = (hashing.hash_strings(sides["doc_a"].to_numpy(dtype=object))
+             ^ (hashing.hash_strings(sides["doc_b"].to_numpy(dtype=object))
+                * mix))
+        return pa.Table.from_arrays([
+            pa.array(sides["doc_a"].to_numpy(dtype=object), id_type),
+            pa.array(sides["doc_b"].to_numpy(dtype=object), id_type),
+            pa.array(sides["side"].to_numpy(np.int8)),
+            pa.array(sh.to_numpy(dtype=object), pa.binary()),
+            pa.array((h % np.uint64(_DEDUP_PARTITIONS)).astype("int64")),
+        ], schema=_SIDED_SCHEMA)
 
-    # candidate-scale; feeds both join sides (non-empty: pairs imply >= 2
-    # candidate docs). The repartition matters beyond balance: Ray's
-    # hash-join emits NO-COLUMN empty blocks for empty partitions, and a
-    # downstream join partition fed only those fails on FieldRef;
-    # repartition concat-normalizes every block to the real schema.
-    sets_a = (
-        cand_docs.map_batches(to_sets, batch_format="pyarrow")
-        .repartition(join_partitions)
-        .materialize()
-    )
-    sets_b = sets_a.map_batches(
-        lambda t: t.rename_columns(["doc_b", "sh_b"]),
-        batch_format="pyarrow",
+    sided = unioned.groupby("_part").map_groups(
+        attach_sets, batch_format="pandas"
     )
 
-    both = pairs.join(
-        sets_a, join_type="inner", num_partitions=join_partitions,
-        on=("doc_a",),
-    ).repartition(join_partitions).join(  # normalize no-column empties
-        sets_b, join_type="inner", num_partitions=join_partitions,
-        on=("doc_b",),
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        jac = np.empty(t.num_rows, dtype=np.float64)
-        for i, (A, B) in enumerate(zip(t.column("sh_a").to_pylist(),
-                                       t.column("sh_b").to_pylist())):
+    # shuffle 2 (candidate-scale): both sides of a pair co-locate; pivot
+    # and verify with exact Jaccard
+    def verify(g: pd.DataFrame) -> pa.Table:
+        empty = _OUT_SCHEMA.empty_table()
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+        ga = g[g["side"] == 0].set_index(["doc_a", "doc_b"])["sh"]
+        gb = g[g["side"] == 1].set_index(["doc_a", "doc_b"])["sh"]
+        both = pd.DataFrame({"sh_a": ga, "sh_b": gb}).dropna()
+        if len(both) == 0:
+            return empty
+        jac = np.empty(len(both), dtype=np.float64)
+        for i, (A, B) in enumerate(zip(both["sh_a"], both["sh_b"])):
             A = np.frombuffer(A or b"", dtype=np.uint64)
             B = np.frombuffer(B or b"", dtype=np.uint64)
             inter = np.intersect1d(A, B, assume_unique=True).size
             union = A.size + B.size - inter
             jac[i] = 1.0 if union == 0 else inter / union
         keep = jac >= threshold
-        out = t.select(["doc_a", "doc_b"]).filter(pa.array(keep))
-        return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+        idx = both.index[keep]
+        return pa.Table.from_arrays([
+            pa.array(idx.get_level_values(0).to_numpy(dtype=object), id_type),
+            pa.array(idx.get_level_values(1).to_numpy(dtype=object), id_type),
+            pa.array(jac[keep]),
+        ], schema=_OUT_SCHEMA)
 
-    return both.map_batches(verify, batch_format="pyarrow")
+    return sided.groupby("_vpart").map_groups(verify, batch_format="pandas")
 
 
 def minhash_dedup_pairs(

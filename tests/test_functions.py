@@ -284,11 +284,12 @@ def test_batch_minhash_matches_per_doc():
     assert list(np.diff(offs)) == [7, 0, 1, 5, 1]
 
 
-def test_batch_minhash_chunked_permutations():
-    """Chunked permutation path (chunk < num_perm) equals one-shot."""
-    texts = ["alpha beta gamma delta epsilon zeta", "eta theta iota"]
+def test_batch_minhash_empty_doc_sentinel():
+    """Empty docs in a mixed batch get the all-max sentinel signature."""
+    texts = ["alpha beta gamma delta epsilon zeta", "", "eta theta iota"]
     vals, offs = hashing.batch_shingle_hashes(texts, 2)
     a, b = hashing.minhash_params(32)
-    full = hashing.batch_minhash_signatures(vals, offs, a, b)
-    chunked = hashing.batch_minhash_signatures(vals, offs, a, b, _chunk=5)
-    assert (full == chunked).all()
+    sigs = hashing.batch_minhash_signatures(vals, offs, a, b)
+    assert (sigs[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    assert (sigs[0] == hashing.minhash_signature(vals[offs[0]:offs[1]], a, b)).all()
+    assert (sigs[2] == hashing.minhash_signature(vals[offs[2]:offs[3]], a, b)).all()

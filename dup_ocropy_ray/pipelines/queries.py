@@ -959,17 +959,21 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_orderkey": b.l_orderkey,
-                "rev_cents": np.floor(
-                    (b.l_extendedprice * (1 - b.l_discount)) * 100
-                ).astype("int64"),
-            }
-        )
+    def prep(t: pa.Table) -> pa.Table:
+        # arrow in/out: a pandas UDF output would re-enter the join as a
+        # Table.from_pandas block whose pandas-metadata dict makes the
+        # schema unhashable — Ray's hash-shuffle schema dedup then logs
+        # "Failed to hash the schemas" per aggregator block
+        import pyarrow.compute as pc
 
-    li = li.map_batches(prep, batch_format="pandas", batch_size=65536)
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(
         orders,

@@ -206,6 +206,17 @@ def build_corpus(
     return out
 
 
+def _random_char_words(rng: np.random.Generator, chars: list[str],
+                       n_words: int) -> str:
+    """Words of uniformly random charset chars — coverage for rare chars
+    (x, z, digits) in arbitrary neighbor contexts, which the English-ish
+    word pool never produces (no 'z' word, 'x' only inside 'index')."""
+    return " ".join(
+        "".join(rng.choice(chars, size=int(rng.integers(2, 6))))
+        for _ in range(n_words)
+    )
+
+
 def training_lines(num: int = 400, seed: int = 7, max_chars: int = 26):
     """(text, line_image) pairs for recognizer training — the reference's
     linegen-style training-set synthesis (ocropus-linegen:174-240)."""
@@ -222,6 +233,10 @@ def training_lines(num: int = 400, seed: int = 7, max_chars: int = 26):
             # spaced coverage
             c = chars[i % len(chars)]
             text = (c + " ") * 2 + c
+        elif rng.random() < 0.25:
+            # random-char words: rare chars beside arbitrary neighbors
+            text = _random_char_words(rng, chars, int(rng.integers(2, 5)))
+            text = text[:max_chars].strip()
         else:
             k = int(rng.integers(2, 6))
             text = " ".join(rng.choice(_WORDS, size=k))

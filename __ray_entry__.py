@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk_events": q.q_sort_topk_events,
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
+        "dedup_clusters": q.q_dedup_clusters,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_embedding": q.q_dedup_embedding,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk_events": q.SQL_SORT_TOPK_EVENTS,
         "dedup_exact": q.SQL_DEDUP_EXACT,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
+        "dedup_clusters": q.SQL_DEDUP_CLUSTERS,
         "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
         "knn": q.SQL_KNN,
         "knn_multi": q.SQL_KNN_MULTI,

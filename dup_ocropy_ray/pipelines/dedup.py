@@ -354,6 +354,153 @@ def minhash_dedup_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------- connected components
+
+
+def _arrow_id_type(ds: rd.Dataset, col: str) -> pa.DataType:
+    """Arrow type of ``col`` from a Dataset schema (numpy/py-typed for
+    pandas-block datasets; object-dtype means string ids here)."""
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types))[col]
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
+def connected_components(
+    edges: rd.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 32,
+) -> rd.Dataset:
+    """(doc_id, cluster_id) for every node of the undirected dup-pair
+    graph; cluster_id = MIN node id reachable — the collapse step that
+    turns any pair-producing dedup op's output into canonical keep/drop
+    groups (transitive: a~b, b~c puts a,b,c in one cluster even when
+    a,c never paired).
+
+    Distributed iterative min-label propagation on the fixed-bucket
+    shuffle pattern: per round, (1) one vertex-keyed shuffle co-locates
+    each node's current label with its incident edges and emits a
+    (neighbor, label) message per edge, (2) one more vertex-keyed
+    shuffle takes the min over incoming messages and the node's own
+    label. Rounds = graph diameter (near-dup components are clique-ish,
+    so 2-3 in practice; ``max_iters`` caps pathological chains).
+    Everything is EDGE/VERTEX-scale — the candidate graph, not the
+    corpus — and the per-round ``materialize()`` holds only (node,
+    label) rows in the object store; the driver sees a single changed
+    counter per round. That is the shape a multi-node cluster wants for
+    iterative graph steps; pointer-jumping (label doubling) would cut
+    rounds to O(log d) at the cost of a third shuffle per round — add
+    it if real graphs ever show long chains."""
+    id_type = _arrow_id_type(edges, a_col)
+    _SYM_SCHEMA = pa.schema([("v", id_type), ("u", id_type),
+                             ("lbl", id_type), ("_part", pa.int64())])
+    _LAB_SCHEMA = pa.schema([("v", id_type), ("lbl", id_type),
+                             ("changed", pa.int64()), ("_part", pa.int64())])
+    _MSG_SCHEMA = pa.schema([("node", id_type), ("cand", id_type),
+                             ("self", pa.int8()), ("_part2", pa.int64())])
+
+    def part_of(vals: np.ndarray) -> np.ndarray:
+        return (hashing.hash_strings(vals)
+                % np.uint64(_DEDUP_PARTITIONS)).astype("int64")
+
+    def sym_rows(b: pd.DataFrame) -> pa.Table:
+        a = b[a_col].to_numpy(dtype=object)
+        bb = b[b_col].to_numpy(dtype=object)
+        v = np.concatenate([a, bb])
+        u = np.concatenate([bb, a])
+        return pa.Table.from_arrays(
+            [pa.array(v, id_type), pa.array(u, id_type),
+             pa.nulls(len(v), id_type), pa.array(part_of(v))],
+            schema=_SYM_SCHEMA)
+
+    sym = edges.map_batches(
+        sym_rows, batch_format="pandas"
+    ).materialize()  # edge-scale; re-read every round, never re-computed
+    if sym.count() == 0:
+        return rd.from_arrow(pa.schema(
+            [("doc_id", id_type), ("cluster_id", id_type)]).empty_table())
+
+    def init_labels(g: pd.DataFrame) -> pa.Table:
+        v = pd.unique(g["v"])
+        return pa.Table.from_arrays(
+            [pa.array(v, id_type), pa.array(v, id_type),
+             pa.array(np.ones(len(v), dtype=np.int64)),
+             pa.array(part_of(v))], schema=_LAB_SCHEMA)
+
+    lab = sym.groupby("_part").map_groups(
+        init_labels, batch_format="pandas"
+    ).materialize()
+
+    def send_msgs(g: pd.DataFrame) -> pa.Table:
+        labs = g[g["u"].isna()]
+        if len(labs) == 0:
+            return _MSG_SCHEMA.empty_table()
+        lbl_of = dict(zip(labs["v"], labs["lbl"]))
+        es = g[g["u"].notna()]
+        node = np.concatenate([es["u"].to_numpy(dtype=object),
+                               labs["v"].to_numpy(dtype=object)])
+        cand = np.concatenate([es["v"].map(lbl_of).to_numpy(dtype=object),
+                               labs["lbl"].to_numpy(dtype=object)])
+        selff = np.concatenate([np.zeros(len(es), np.int8),
+                                np.ones(len(labs), np.int8)])
+        # CANONICALIZE before hashing: the unioned frame's nullable u/lbl
+        # columns coerce int ids to float64 in pandas, and
+        # hash(120.0) != hash(120) — partitioning on the raw objects sent
+        # a node's edge-derived messages and its self row to DIFFERENT
+        # partitions (stale duplicate labels). Round-trip through the
+        # arrow id type so every stage hashes identical representations.
+        node_arr = pa.array(node).cast(id_type)
+        cand_arr = pa.array(cand).cast(id_type)
+        node_canon = node_arr.to_numpy(zero_copy_only=False).astype(object)
+        return pa.Table.from_arrays(
+            [node_arr, cand_arr, pa.array(selff),
+             pa.array(part_of(node_canon))], schema=_MSG_SCHEMA)
+
+    def take_min(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _LAB_SCHEMA.empty_table()
+        new = g.groupby("node", sort=False)["cand"].min()
+        old = g[g["self"] == 1].set_index("node")["cand"]
+        old = old[~old.index.duplicated()]
+        new, old = new.align(old, join="left")
+        v = new.index.to_numpy(dtype=object)
+        changed = (old.isna() | (new != old)).to_numpy().astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(v, id_type),
+             pa.array(new.to_numpy(dtype=object), id_type),
+             pa.array(changed), pa.array(part_of(v))], schema=_LAB_SCHEMA)
+
+    for _ in range(max_iters):
+        # label rows ride the same vertex-keyed partition space as the
+        # symmetric edges: mark them with a null "u"
+        lab_as_union = lab.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("v"), pa.nulls(t.num_rows, id_type),
+                 t.column("lbl"), t.column("_part")], schema=_SYM_SCHEMA),
+            batch_format="pyarrow",
+        )
+        msgs = sym.union(lab_as_union).groupby("_part").map_groups(
+            send_msgs, batch_format="pandas"
+        )
+        lab = msgs.groupby("_part2").map_groups(
+            take_min, batch_format="pandas"
+        ).materialize()
+        if not lab.sum("changed"):
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("v"), t.column("lbl")],
+            names=["doc_id", "cluster_id"])
+
+    return lab.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 
 

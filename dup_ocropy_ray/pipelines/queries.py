@@ -524,6 +524,50 @@ WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
 """
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs collapsed to canonical clusters: connected
+    components over the (lang, source)-partitioned token-Jaccard dup
+    graph, cluster_id = min reachable doc_id (transitive — the keep/drop
+    grouping step after pair detection)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
+    out = dedup.connected_components(pairs).to_pandas()
+    return (
+        pd.DataFrame({
+            "doc_id": out.doc_id.astype("int64"),
+            "cluster_id": out.cluster_id.astype("int64"),
+        })
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(v, l) AS (
+  SELECT a AS v, a AS l FROM e
+  UNION
+  SELECT e.b AS v, reach.l FROM reach JOIN e ON e.a = reach.v
+)
+SELECT v AS doc_id, min(l) AS cluster_id
+FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only oracle —
     LSH candidate generation is not SQL-expressible)."""

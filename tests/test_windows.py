@@ -250,3 +250,37 @@ def test_oversize_group_lsh_prefilter(ray_session):
                              max_group_rows=5).to_pandas()
     k2 = lambda df: sorted(zip(df.id_a, df.id_b))
     assert k2(ex) == k2(ap) and len(ex) >= 3
+
+
+def test_connected_components(ray_session):
+    """Cluster collapse over dup pairs: transitive closure (a~b, b~c =>
+    one cluster), per-cluster canonical min id, INT ids survive the
+    nullable-union float64 coercion (hash(120.0) != hash(120) once sent
+    a node's messages to two partitions), and a chain needs several
+    propagation rounds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import connected_components
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "doc_a": ["a", "b", "x", "m"], "doc_b": ["b", "c", "y", "n"],
+    }))
+    cc = connected_components(edges).to_pandas()
+    got = dict(zip(cc.doc_id, cc.cluster_id))
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "m": "m", "n": "m", "x": "x", "y": "x"}
+    assert len(cc) == cc.doc_id.nunique()  # no duplicate label rows
+
+    n = 10  # int-id chain 0-1-...-9: diameter forces multi-round
+    chain = rd.from_pandas(pd.DataFrame({
+        "doc_a": list(range(n - 1)), "doc_b": list(range(1, n)),
+    }))
+    out = connected_components(chain).to_pandas()
+    assert len(out) == n and set(out.cluster_id) == {0}
+
+    empty = connected_components(rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+    })))
+    assert empty.count() == 0

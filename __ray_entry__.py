@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
         "dedup_clusters": q.q_dedup_clusters,
+        "dedup_keep": q.q_dedup_keep,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_embedding": q.q_dedup_embedding,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": q.SQL_DEDUP_EXACT,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "dedup_clusters": q.SQL_DEDUP_CLUSTERS,
+        "dedup_keep": q.SQL_DEDUP_KEEP,
         "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
         "knn": q.SQL_KNN,
         "knn_multi": q.SQL_KNN_MULTI,

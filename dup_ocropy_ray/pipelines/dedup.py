@@ -501,6 +501,98 @@ def connected_components(
     return lab.map_batches(finish, batch_format="pyarrow")
 
 
+def keep_best(
+    docs: rd.Dataset,
+    labels: rd.Dataset,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> rd.Dataset:
+    """(doc_id, cluster_id) of the KEPT document per dup cluster — the
+    final keep/drop decision after pair detection + cluster collapse:
+    each cluster keeps its highest-``score_col`` member (ties -> min
+    id); docs in no cluster keep themselves. ``docs`` is the scored
+    corpus (id + score only — callers prune text/payload columns before
+    calling, so the exchanges move metadata-width rows), ``labels`` is
+    ``connected_components`` output.
+
+    Two fixed-bucket shuffles, both metadata-scale: (1) doc-id-keyed to
+    attach each doc's cluster label (absent label = own id), (2)
+    cluster-keyed to pick the argmax-score member vectorized per
+    partition. No broadcast of the label map — dup sets at web scale can
+    be a double-digit percentage of the corpus, far past ray.put
+    comfort."""
+    id_type = _arrow_id_type(docs, id_col)
+    _UNION_SCHEMA = pa.schema([
+        ("key", id_type), ("score", pa.float64()), ("cluster", id_type),
+        ("_part", pa.int64()),
+    ])
+    _LABELED_SCHEMA = pa.schema([
+        ("doc_id", id_type), ("cluster_id", id_type),
+        ("score", pa.float64()), ("_part2", pa.int64()),
+    ])
+    _OUT_SCHEMA = pa.schema([("doc_id", id_type), ("cluster_id", id_type)])
+
+    def part_of(vals: np.ndarray) -> np.ndarray:
+        return (hashing.hash_strings(vals)
+                % np.uint64(_DEDUP_PARTITIONS)).astype("int64")
+
+    def doc_rows(b: pd.DataFrame) -> pa.Table:
+        key = b[id_col].to_numpy(dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(key, id_type),
+             pa.array(b[score_col].to_numpy(np.float64)),
+             pa.nulls(len(b), id_type), pa.array(part_of(key))],
+            schema=_UNION_SCHEMA)
+
+    def label_rows(b: pd.DataFrame) -> pa.Table:
+        key = b["doc_id"].to_numpy(dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(key, id_type),
+             pa.nulls(len(b), pa.float64()),
+             pa.array(b["cluster_id"].to_numpy(dtype=object), id_type),
+             pa.array(part_of(key))],
+            schema=_UNION_SCHEMA)
+
+    unioned = docs.map_batches(doc_rows, batch_format="pandas").union(
+        labels.map_batches(label_rows, batch_format="pandas"))
+
+    def attach_cluster(g: pd.DataFrame) -> pa.Table:
+        d = g[g["cluster"].isna()]
+        if len(d) == 0:
+            return _LABELED_SCHEMA.empty_table()
+        labs = g[g["cluster"].notna()]
+        cl_of = dict(zip(labs["key"], labs["cluster"]))
+        key = d["key"].to_numpy(dtype=object)
+        mapped = d["key"].map(cl_of)
+        cluster = mapped.where(mapped.notna(), d["key"]).to_numpy(dtype=object)
+        # canonicalize through the arrow id type before hashing: the
+        # nullable union frame coerces int ids to float64 in pandas and
+        # hash(120.0) != hash(120) (same trap as connected_components)
+        cl_arr = pa.array(cluster).cast(id_type)
+        cl_canon = cl_arr.to_numpy(zero_copy_only=False).astype(object)
+        return pa.Table.from_arrays(
+            [pa.array(key, id_type).cast(id_type), cl_arr,
+             pa.array(d["score"].to_numpy(np.float64)),
+             pa.array(part_of(cl_canon))],
+            schema=_LABELED_SCHEMA)
+
+    labeled = unioned.groupby("_part").map_groups(
+        attach_cluster, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _OUT_SCHEMA.empty_table()
+        best = (g.sort_values(["cluster_id", "score", "doc_id"],
+                              ascending=[True, False, True], kind="stable")
+                .groupby("cluster_id", sort=False, as_index=False).head(1))
+        return pa.Table.from_arrays(
+            [pa.array(best["doc_id"].to_numpy(dtype=object), id_type),
+             pa.array(best["cluster_id"].to_numpy(dtype=object), id_type)],
+            schema=_OUT_SCHEMA)
+
+    return labeled.groupby("_part2").map_groups(pick, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -568,6 +568,67 @@ FROM reach GROUP BY v ORDER BY doc_id
 """
 
 
+def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """The keep/drop decision a dedup pipeline ends with: per near-dup
+    cluster keep the longest document (ties -> min doc_id); docs in no
+    cluster keep themselves. Scores are computed in a pruned metadata
+    pass, so only (id, score) rows move through keep_best's shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
+    labels = dedup.connected_components(pairs)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "score": b["text"].str.len().astype("float64"),
+        })
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+    out = dedup.keep_best(scored, labels).to_pandas()
+    return (
+        pd.DataFrame({
+            "doc_id": out.doc_id.astype("int64"),
+            "cluster_id": out.cluster_id.astype("int64"),
+        })
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_DEDUP_KEEP = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(v, l) AS (
+  SELECT a AS v, a AS l FROM e
+  UNION
+  SELECT e.b AS v, reach.l FROM reach JOIN e ON e.a = reach.v
+), lab AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+)
+SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY coalesce(lab.cluster_id, d.doc_id)
+  ORDER BY length(d.text) DESC, d.doc_id
+) = 1
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only oracle —
     LSH candidate generation is not SQL-expressible)."""

@@ -284,3 +284,36 @@ def test_connected_components(ray_session):
         "doc_b": pd.Series([], dtype="int64"),
     })))
     assert empty.count() == 0
+
+
+def test_keep_best(ray_session):
+    """Per-cluster argmax-score keep/drop: highest score wins, ties break
+    to min doc_id, unlabeled docs keep themselves, string ids work."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import keep_best
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "m", "n", "solo"],
+        "score": [1.0, 5.0, 5.0, 2.0, 2.0, 0.5],
+    }))
+    labels = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "m", "n"],
+        "cluster_id": ["a", "a", "a", "m", "m"],
+    }))
+    out = keep_best(docs, labels).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    # cluster a: b and c tie at 5.0 -> b (min id); cluster m: m (tie,
+    # min id); solo has no label -> keeps itself
+    assert got == {"b": "a", "m": "m", "solo": "solo"}
+
+    # int ids survive the nullable-union float64 coercion
+    idocs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 20, 30], "score": [1.0, 9.0, 1.0],
+    }))
+    ilabels = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 20], "cluster_id": [10, 10],
+    }))
+    iout = keep_best(idocs, ilabels).to_pandas()
+    assert dict(zip(iout.doc_id, iout.cluster_id)) == {20: 10, 30: 30}

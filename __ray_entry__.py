@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
+        "top_docs_by_source": q.q_top_docs_by_source,
         "langid": q.q_langid,
         "fingerprints": q.q_fingerprints,
         "cer_pairs": q.q_cer_pairs,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": q.SQL_TOKEN_STATS,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
+        "top_docs_by_source": q.SQL_TOP_DOCS_BY_SOURCE,
         "langid": q._langid_sql(),
         "cer_pairs": q.SQL_CER_PAIRS,
         "sessions": q.SQL_SESSIONS,

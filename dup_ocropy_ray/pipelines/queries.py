@@ -17,6 +17,7 @@ import ray.data as rd
 
 from ..functions.edist import levenshtein, xlevenshtein
 from . import dedup, similarity, textstats
+from . import relational
 from .relational import broadcast_join, grouped_agg, topk
 
 
@@ -813,6 +814,46 @@ SELECT source, count(*) AS n_docs,
        sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS sum_tokens,
        sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short
 FROM documents GROUP BY 1
+"""
+
+
+def q_top_docs_by_source(sf_dir: str) -> pd.DataFrame:
+    """Top-3 longest documents (token count) per source — group-wise
+    top-k via per-batch pruning before one group-keyed shuffle (no
+    global sort; curation pipelines use this shape to pick best-of-group
+    exemplars)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "n_tokens": b["text"].fillna("").str.split().map(len).astype("int64"),
+        })
+
+    feats = ds.map_batches(feat, batch_format="pandas", batch_size=65536)
+    out = relational.grouped_topk(
+        feats, "source", ["n_tokens", "doc_id"], k=3,
+        ascending=[False, True],
+    ).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_tokens": "int64"})
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)[["doc_id", "source", "n_tokens"]]
+    )
+
+
+SQL_TOP_DOCS_BY_SOURCE = """
+SELECT doc_id, source, n_tokens FROM (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY len(regexp_split_to_array(trim(text), '\\s+')) DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY source, doc_id
 """
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -115,3 +116,45 @@ def topk(ds: rd.Dataset, by: Sequence[str] | str, k: int,
     parts = ds.map_batches(block_topk, batch_format="pandas", batch_size=262144)
     merged = parts.to_pandas()
     return merged.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    group_keys: Sequence[str] | str,
+    by: Sequence[str] | str,
+    k: int,
+    ascending: bool | Sequence[bool] = False,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Top-k rows PER GROUP without a global sort: each batch prunes to
+    at most k rows per group it sees (vectorized sort + groupby-head),
+    then ONE group-keyed bucket shuffle merges the prunes — exact,
+    because a row in a group's true top-k survives every local prune.
+    Shuffle traffic is O(k x groups-per-batch x batches), not corpus
+    rows; include a tie-break column in ``by`` for a deterministic
+    result. Unlike ``topk``, nothing lands on the driver — the merged
+    result is a Dataset (per-group output can be corpus-scale when the
+    group count is)."""
+    group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    by = [by] if isinstance(by, str) else list(by)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(by, ascending=ascending, kind="stable")
+                .groupby(group_keys, sort=False, dropna=False).head(k))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(batch[group_keys], index=False)
+        batch["_part"] = (h.to_numpy(dtype="uint64")
+                          % np.uint64(num_partitions)).astype("int64")
+        return batch
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return prune(g).drop(columns=["_part"])
+
+    return (
+        ds.map_batches(prune, batch_format="pandas", batch_size=262144)
+        .map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(merge, batch_format="pandas")
+    )

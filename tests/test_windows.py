@@ -317,3 +317,33 @@ def test_keep_best(ray_session):
     }))
     iout = keep_best(idocs, ilabels).to_pandas()
     assert dict(zip(iout.doc_id, iout.cluster_id)) == {20: 10, 30: 30}
+
+
+def test_grouped_topk(ray_session):
+    """Per-group top-k across multiple blocks equals the pandas
+    reference: local prunes can't drop a true top-k row, and mixed
+    ascending plus a tie-break column make the result deterministic."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.relational import grouped_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "grp": rng.choice(list("abcde"), size=200),
+        "score": rng.integers(0, 20, size=200),  # many ties
+        "id": np.arange(200),
+    })
+    got = (
+        grouped_topk(rd.from_pandas(df).repartition(4), "grp",
+                     ["score", "id"], k=3, ascending=[False, True])
+        .to_pandas().sort_values(["grp", "id"]).reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="stable")
+        .groupby("grp", sort=False).head(3)
+        .sort_values(["grp", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["grp", "score", "id"]],
+                                  want[["grp", "score", "id"]])

@@ -38,6 +38,7 @@ QUERY_SUBSET = [
     "events_hourly",
     "dedup_exact",
     "dedup_ngram",
+    "dedup_clusters",
     "dedup_minhash",
     "knn",
     "token_stats",

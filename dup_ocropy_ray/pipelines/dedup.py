@@ -375,6 +375,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """(doc_id, cluster_id) for every node of the undirected dup-pair
     graph; cluster_id = MIN node id reachable — the collapse step that
@@ -398,15 +399,12 @@ def connected_components(
     it if real graphs ever show long chains."""
     id_type = _arrow_id_type(edges, a_col)
     _SYM_SCHEMA = pa.schema([("v", id_type), ("u", id_type),
-                             ("lbl", id_type), ("_part", pa.int64())])
+                             ("lbl", id_type), ("chg", pa.int8()),
+                             ("_part", pa.int64())])
     _LAB_SCHEMA = pa.schema([("v", id_type), ("lbl", id_type),
                              ("changed", pa.int64()), ("_part", pa.int64())])
     _MSG_SCHEMA = pa.schema([("node", id_type), ("cand", id_type),
                              ("self", pa.int8()), ("_part2", pa.int64())])
-
-    def part_of(vals: np.ndarray) -> np.ndarray:
-        return (hashing.hash_strings(vals)
-                % np.uint64(_DEDUP_PARTITIONS)).astype("int64")
 
     def sym_rows(b: pd.DataFrame) -> pa.Table:
         a = b[a_col].to_numpy(dtype=object)
@@ -415,15 +413,46 @@ def connected_components(
         u = np.concatenate([bb, a])
         return pa.Table.from_arrays(
             [pa.array(v, id_type), pa.array(u, id_type),
-             pa.nulls(len(v), id_type), pa.array(part_of(v))],
+             pa.nulls(len(v), id_type), pa.nulls(len(v), pa.int8()),
+             pa.nulls(len(v), pa.int64())],
             schema=_SYM_SCHEMA)
 
-    sym = edges.map_batches(
-        sym_rows, batch_format="pandas"
-    ).materialize()  # edge-scale; re-read every round, never re-computed
-    if sym.count() == 0:
+    # edge-scale; re-read every round, never re-computed. Materialized
+    # BEFORE choosing the partition fan-out so the count doesn't
+    # re-execute the caller's (possibly expensive) pair pipeline.
+    sym_raw = edges.map_batches(sym_rows, batch_format="pandas").materialize()
+    n_sym = sym_raw.count()
+    if n_sym == 0:
         return rd.from_arrow(pa.schema(
             [("doc_id", id_type), ("cluster_id", id_type)]).empty_table())
+    if num_partitions is None:
+        # the loop pays ~2 shuffle executions per ROUND, so partition
+        # fan-out is pure per-round overhead until partitions are
+        # actually full; scale with edge volume (~250k rows/partition)
+        # instead of the corpus-sized _DEDUP_PARTITIONS default
+        num_partitions = int(min(_DEDUP_PARTITIONS,
+                                 max(4, n_sym // 250_000 + 1)))
+
+    def part_of(vals: np.ndarray) -> np.ndarray:
+        return (hashing.hash_strings(vals)
+                % np.uint64(num_partitions)).astype("int64")
+
+    def tag_sym(b: pd.DataFrame) -> pa.Table:
+        v = b["v"].to_numpy(dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(v, id_type),
+             pa.array(b["u"].to_numpy(dtype=object), id_type),
+             pa.nulls(len(b), id_type), pa.nulls(len(b), pa.int8()),
+             pa.array(part_of(v))],
+            schema=_SYM_SCHEMA)
+
+    # repartition(shuffle=False) everywhere below is a block-count
+    # compaction, not an exchange: Ray's sort shuffle emits one output
+    # block per INPUT block (empties included), so without compaction the
+    # per-round union feeds ever more blocks back into the next sort and
+    # round time grows linearly even as the frontier shrinks
+    sym = (sym_raw.map_batches(tag_sym, batch_format="pandas")
+           .repartition(num_partitions).materialize())
 
     def init_labels(g: pd.DataFrame) -> pa.Table:
         v = pd.unique(g["v"])
@@ -434,14 +463,20 @@ def connected_components(
 
     lab = sym.groupby("_part").map_groups(
         init_labels, batch_format="pandas"
-    ).materialize()
+    ).repartition(num_partitions).materialize()
 
     def send_msgs(g: pd.DataFrame) -> pa.Table:
         labs = g[g["u"].isna()]
         if len(labs) == 0:
             return _MSG_SCHEMA.empty_table()
         lbl_of = dict(zip(labs["v"], labs["lbl"]))
-        es = g[g["u"].notna()]
+        # DELTA propagation: only edges whose source label changed last
+        # round resend — correct for monotone min-propagation (a stable
+        # node's label already reached every neighbor the round after it
+        # last changed), and it shrinks late-round traffic from all edges
+        # to the frontier (converging components go quiet)
+        frontier = set(labs.loc[labs["chg"] == 1, "v"])
+        es = g[g["u"].notna() & g["v"].isin(frontier)]
         node = np.concatenate([es["u"].to_numpy(dtype=object),
                                labs["v"].to_numpy(dtype=object)])
         cand = np.concatenate([es["v"].map(lbl_of).to_numpy(dtype=object),
@@ -475,13 +510,18 @@ def connected_components(
              pa.array(new.to_numpy(dtype=object), id_type),
              pa.array(changed), pa.array(part_of(v))], schema=_LAB_SCHEMA)
 
-    for _ in range(max_iters):
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("DUP_CC_DEBUG")
+    for _round in range(max_iters):
+        _t0 = _time.time()
         # label rows ride the same vertex-keyed partition space as the
         # symmetric edges: mark them with a null "u"
         lab_as_union = lab.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("v"), pa.nulls(t.num_rows, id_type),
-                 t.column("lbl"), t.column("_part")], schema=_SYM_SCHEMA),
+                 t.column("lbl"), t.column("changed").cast(pa.int8()),
+                 t.column("_part")], schema=_SYM_SCHEMA),
             batch_format="pyarrow",
         )
         msgs = sym.union(lab_as_union).groupby("_part").map_groups(
@@ -489,8 +529,12 @@ def connected_components(
         )
         lab = msgs.groupby("_part2").map_groups(
             take_min, batch_format="pandas"
-        ).materialize()
-        if not lab.sum("changed"):
+        ).repartition(num_partitions).materialize()
+        changed = lab.sum("changed")
+        if _dbg:
+            print(f"[cc] round {_round} changed {changed} "
+                  f"sec {_time.time() - _t0:.2f}", flush=True)
+        if not changed:
             break
 
     def finish(t: pa.Table) -> pa.Table:

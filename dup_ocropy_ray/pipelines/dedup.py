@@ -773,11 +773,47 @@ def ngram_jaccard_pairs(
                     rows.append((recs[i][0], recs[j][0], round(jac, 6)))
         return rows
 
+    def _exact_dense(recs, toks):
+        """All-pairs token-set Jaccard via ONE docs x vocab binary-matrix
+        matmul: intersection counts are exact in float32 (integer sums
+        < 2^24), so results are bit-identical to the per-pair loop —
+        just BLAS instead of Python pair iteration."""
+        n = len(recs)
+        counts = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = np.empty(int(counts.sum()), dtype=object)
+        pos = 0
+        for t in toks:
+            for w in t:
+                flat[pos] = w
+                pos += 1
+        th = hashing.hash_strings(flat) if len(flat) else np.empty(
+            0, np.uint64)
+        vocab, inv = np.unique(th, return_inverse=True)
+        M = np.zeros((n, len(vocab)), dtype=np.float32)
+        M[np.repeat(np.arange(n), counts), inv] = 1.0
+        inter = (M @ M.T).astype(np.float64)
+        union = counts[:, None] + counts[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        iu, ju = np.triu_indices(n, 1)
+        keep = jac[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        return [(recs[i][0], recs[j][0], round(float(jac[i, j]), 6))
+                for i, j in zip(iu, ju)]
+
+    # dense matmul only while the docs x vocab matrix stays small; the
+    # per-pair loop is the exact fallback for mid-size skew, LSH beyond
+    _DENSE_BUDGET = 50_000_000  # float32 cells ~ 200 MB
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         recs = sorted(zip(g[id_col], g[text_col]))
         toks = [set((t or "").split()) for _, t in recs]
         if len(recs) <= max_group_rows:
-            rows = _exact(recs, toks)
+            vocab_ub = sum(len(t) for t in toks)
+            if len(recs) * max(1, vocab_ub) <= _DENSE_BUDGET:
+                rows = _exact_dense(recs, toks)
+            else:
+                rows = _exact(recs, toks)
         else:
             # LSH prefilter over the SAME whitespace token sets the exact
             # path uses (one hash_strings call over the flattened sets)

@@ -32,6 +32,11 @@ from ..functions import hashing
 # At cluster scale raise this to ~4-8x the executor slot count.
 _DEDUP_PARTITIONS = 64
 
+# exact n-gram Jaccard uses a dense docs x vocab matmul while the matrix
+# stays under this many float32 cells (~200 MB); module-level so tests
+# can force the per-pair-loop fallback
+_DENSE_BUDGET = 50_000_000
+
 
 # ------------------------------------------------------------------ exact
 
@@ -800,10 +805,6 @@ def ngram_jaccard_pairs(
         iu, ju = iu[keep], ju[keep]
         return [(recs[i][0], recs[j][0], round(float(jac[i, j]), 6))
                 for i, j in zip(iu, ju)]
-
-    # dense matmul only while the docs x vocab matrix stays small; the
-    # per-pair loop is the exact fallback for mid-size skew, LSH beyond
-    _DENSE_BUDGET = 50_000_000  # float32 cells ~ 200 MB
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         recs = sorted(zip(g[id_col], g[text_col]))

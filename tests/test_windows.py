@@ -319,6 +319,41 @@ def test_keep_best(ray_session):
     assert dict(zip(iout.doc_id, iout.cluster_id)) == {20: 10, 30: 30}
 
 
+def test_ngram_dense_matches_loop(ray_session):
+    """The dense docs x vocab matmul path and the per-pair loop fallback
+    produce identical pairs and jaccard values (budget patched to force
+    the loop)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines import dedup
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=12, replace=False))
+             for _ in range(30)]
+    texts += [texts[0] + " extra", texts[5]]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+        "lang": "en", "source": "web",
+    })
+    ds = rd.from_pandas(df)
+    dense = dedup.ngram_jaccard_pairs(
+        ds, ["lang", "source"], threshold=0.3).to_pandas()
+    old_budget = dedup._DENSE_BUDGET
+    try:
+        dedup._DENSE_BUDGET = 0  # force the per-pair loop
+        loop = dedup.ngram_jaccard_pairs(
+            ds, ["lang", "source"], threshold=0.3).to_pandas()
+    finally:
+        dedup._DENSE_BUDGET = old_budget
+    key = lambda d: d.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(dense), key(loop))
+    assert len(dense) >= 2  # the planted near-dup + exact-dup pairs
+
+
 def test_grouped_topk(ray_session):
     """Per-group top-k across multiple blocks equals the pandas
     reference: local prunes can't drop a true top-k row, and mixed

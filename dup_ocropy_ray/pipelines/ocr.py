@@ -114,6 +114,7 @@ def ocr_recognized_lines(
     resolver_concurrency: int | None = None,
     page_concurrency: int | tuple | None = None,
     recognizer_concurrency: int | tuple = (1, 8),
+    recognizer_num_gpus: float = 0.0,
     page_batch_size: int = 1,
     line_batch_size: int = 256,  # big batches fill the length buckets ->
     # fewer per-timestep python loops; ~2x less recognizer CPU than 64
@@ -174,6 +175,15 @@ def ocr_recognized_lines(
             batch_size=page_batch_size,
             concurrency=page_concurrency,
         )
+    # the GPU flip for a cluster with accelerator nodes: num_gpus>0
+    # schedules each recognizer actor onto a GPU slot (weights load once
+    # per actor either way); the batched-matmul kernel itself is numpy —
+    # swap BiLSTMRecognizer's matmuls for a device backend when one
+    # exists. Kept out of the remote args entirely at 0 so CPU-only
+    # clusters schedule identically to before.
+    rec_remote: dict = {"num_cpus": 1}
+    if recognizer_num_gpus:
+        rec_remote["num_gpus"] = recognizer_num_gpus
     return lines.map_batches(
         LineRecognizer,
         fn_constructor_kwargs={"model_path": model_path,
@@ -181,7 +191,7 @@ def ocr_recognized_lines(
         batch_format="pyarrow",
         batch_size=line_batch_size,
         concurrency=recognizer_concurrency,
-        ray_remote_args_fn=lambda: {"num_cpus": 1},
+        ray_remote_args_fn=lambda: dict(rec_remote),
     )
 
 

@@ -16,12 +16,36 @@ context); every reader/pipeline builder in this package calls it.
 
 from __future__ import annotations
 
+import logging
+
 from ray.data import DataContext
+
+
+class _DropEmptyBundleSchemaWarning(logging.Filter):
+    """Ray's sort shuffle emits EMPTY blocks for empty partitions without
+    consulting the UDF, and the streaming executor then warns 'Operator
+    produced a RefBundle with a different schema ... new schema: .' once
+    per empty bundle — dozens per bucketed-shuffle query even though
+    every UDF in this package returns explicitly-schema'd Arrow tables.
+    Only that exact Ray-internal message is dropped; real schema
+    mismatches (two NON-empty schemas) still log."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg.replace(
+                        "new schema: PandasBlockSchema(names=[], types=[]).",
+                        "new schema: ."))
 
 
 def configure_data_context(ctx: DataContext | None = None) -> DataContext:
     ctx = ctx or DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _DropEmptyBundleSchemaWarning)
+               for f in lg.filters):
+        lg.addFilter(_DropEmptyBundleSchemaWarning())
     return ctx
 
 

@@ -203,9 +203,10 @@ def test_recognizer_text_quality():
     total = sum(len(t) for t in texts)
     cer = errs / total
     # page-extracted crops (the pipeline's real input) measure ~0.00 CER;
-    # clean rendered lines are slightly off-distribution (~0.03) — gate
-    # with margin against silent drift
-    assert cer < 0.08, (cer, preds)
+    # clean rendered lines measured ~0.011 after the rare-char training
+    # pool (random-char words cover x/z beside arbitrary neighbors) —
+    # gate with ~4x margin against silent drift
+    assert cer < 0.04, (cer, preds)
 
 
 def test_apply_mask_splits_columns(binarized):

@@ -11,9 +11,14 @@ Scale notes (each documented against its shuffle):
 - simhash: signature per batch, bucket by the 4x16-bit band trick,
   verify Hamming distance within buckets.
 - ngram-jaccard: partition-scoped all-pairs (key = caller-chosen
-  partition columns) inside map_groups — exact, SQL-matchable.
+  partition columns) inside map_groups — exact, SQL-matchable; small
+  groups via one docs x vocab matmul, oversized via LSH prefilter.
 - embedding: cosine all-pairs within label partitions (numpy matmul per
   group).
+- connected_components: pairs -> transitive clusters (iterative
+  min-label propagation, delta frontier, per-round block compaction).
+- keep_best: clusters + scores -> the kept representative per cluster
+  (the final keep/drop decision), two metadata-scale shuffles.
 """
 
 from __future__ import annotations

@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.q_pricing_summary,
         "revenue_filter": q.q_revenue_filter,
         "top_orders": q.q_top_orders,
+        "customers_no_orders": q.q_customers_no_orders,
         "revenue_by_nation": q.q_revenue_by_nation,
         "events_hourly": q.q_events_hourly,
         "distinct_users": q.q_distinct_users,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": q.SQL_PRICING,
         "revenue_filter": q.SQL_REVENUE,
         "top_orders": q.SQL_TOP_ORDERS,
+        "customers_no_orders": q.SQL_CUSTOMERS_NO_ORDERS,
         "revenue_by_nation": q.SQL_REVENUE_BY_NATION,
         "events_hourly": q.SQL_EVENTS_HOURLY,
         "distinct_users": q.SQL_DISTINCT_USERS,

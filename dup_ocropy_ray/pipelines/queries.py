@@ -152,6 +152,45 @@ LIMIT 10
 """
 
 
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Customers with NO urgent (priority '1-URGENT') orders, counted
+    per nation — the native ``left_anti`` hash join (the keep/drop
+    complement to left_semi). The order side is filtered at the read and
+    pre-deduped to distinct customer keys per batch, so the anti-join
+    exchanges keys, not the orders table."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def distinct_urgent_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
+
+    keys = orders.map_batches(distinct_urgent_keys, batch_format="pyarrow",
+                              batch_size=262144)
+    anti = cust.join(keys, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
+    g = grouped_agg(anti, ["c_nationkey"])
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    m = g.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    return (
+        pd.DataFrame({"n_name": m.n_name, "n_custs": m.n.astype("int64")})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT n_name, count(*) AS n_custs
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Two chained broadcast joins (lineitem ⋈ supplier ⋈ nation) +
     pre-aggregated groupby."""

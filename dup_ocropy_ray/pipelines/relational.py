@@ -74,6 +74,12 @@ def grouped_agg(
     spec |= {f"max_{c}": (f"max_{c}", "max") for c in maxs}
     if counts:
         spec["n"] = ("n", "sum")
+    if len(pdf) == 0:
+        # zero input batches yield a column-less frame (e.g. an anti-join
+        # that filtered everything) — return the empty result WITH the
+        # contract columns instead of KeyError'ing downstream
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in keys}
+                            | {c: pd.Series(dtype="float64") for c in spec})
     return pdf.groupby(keys, as_index=False, dropna=False).agg(**spec)
 
 

@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": q.q_customers_no_orders,
         "revenue_by_nation": q.q_revenue_by_nation,
         "events_hourly": q.q_events_hourly,
+        "events_hopping": q.q_events_hopping,
         "distinct_users": q.q_distinct_users,
         "events_props": q.q_events_props,
         "part_stats": q.q_part_stats,
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": q.SQL_CUSTOMERS_NO_ORDERS,
         "revenue_by_nation": q.SQL_REVENUE_BY_NATION,
         "events_hourly": q.SQL_EVENTS_HOURLY,
+        "events_hopping": q.SQL_EVENTS_HOPPING,
         "distinct_users": q.SQL_DISTINCT_USERS,
         "events_props": q.SQL_EVENTS_PROPS,
         "part_stats": q.SQL_PART_STATS,

@@ -262,6 +262,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """HOPPING-window aggregate (1 h windows sliding every 15 min): each
+    event fans out to its 4 covering windows inside map_batches (pure
+    np.repeat arithmetic — the flat-map expansion pattern), then the
+    same partial-combine groupby as the tumbling case. Window
+    cardinality is time-span/hop x event types — bounded, so the final
+    combine stays tiny."""
+    hop_us = 900_000_000  # 15 min
+    n_win = 4             # 1 h window / 15 min hop
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = (ts_us // hop_us) * hop_us
+        starts = np.concatenate([base - i * hop_us for i in range(n_win)])
+        return pd.DataFrame({
+            "event_type": np.tile(b["event_type"].to_numpy(object), n_win),
+            "window_start": pd.to_datetime(starts, unit="us"),
+            "value": np.tile(b["value"].to_numpy(), n_win),
+        })
+
+    g = grouped_agg(
+        ds.map_batches(expand, batch_format="pandas", batch_size=65536),
+        ["event_type", "window_start"], sums=["value"])
+    return (
+        pd.DataFrame({
+            "event_type": g.event_type,
+            "window_start": g.window_start,
+            "n": g.n.astype("int64"),
+            "sum_value": np.round(g.sum_value, 3),
+        })
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // 900000000) - r.i) * 900000000)
+         AS window_start,
+       count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events CROSS JOIN range(0, 4) r(i)
+GROUP BY 1, 2
+"""
+
+
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization (30-min gap) — the ordered-window op
     Ray Data lacks; one shuffle on user_id (pipelines/windows.py)."""

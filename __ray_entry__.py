@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
         "top_docs_by_source": q.q_top_docs_by_source,
+        "top_terms_by_source": q.q_top_terms_by_source,
         "langid": q.q_langid,
         "fingerprints": q.q_fingerprints,
         "cer_pairs": q.q_cer_pairs,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
         "top_docs_by_source": q.SQL_TOP_DOCS_BY_SOURCE,
+        "top_terms_by_source": q.SQL_TOP_TERMS_BY_SOURCE,
         "langid": q._langid_sql(),
         "cer_pairs": q.SQL_CER_PAIRS,
         "sessions": q.SQL_SESSIONS,

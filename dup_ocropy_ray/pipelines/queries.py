@@ -930,6 +930,43 @@ def q_top_docs_by_source(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_terms_by_source(sf_dir: str) -> pd.DataFrame:
+    """Top-5 distinctive terms per source (integer tf/df score):
+    inverted-index two-level aggregation (term-keyed bucket shuffle
+    computes global doc frequency) + grouped_topk."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    scored = textstats.distinctive_terms(ds)
+    out = relational.grouped_topk(
+        scored, "source", ["score", "term"], k=5, ascending=[False, True],
+    ).to_pandas()
+    return (
+        out.astype({"tf": "int64", "df": "int64", "score": "int64"})
+        [["source", "term", "tf", "df", "score"]]
+        .sort_values(["source", "term"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOP_TERMS_BY_SOURCE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, count(*)::BIGINT AS tf,
+         count(DISTINCT doc_id)::BIGINT AS dfs
+  FROM tok GROUP BY 1, 2
+), t AS (
+  SELECT term, sum(dfs)::BIGINT AS df FROM st GROUP BY 1
+)
+SELECT source, term, tf, df, ((tf * 1000000) // df)::BIGINT AS score
+FROM st JOIN t USING (term)
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY score DESC, term) <= 5
+ORDER BY source, term
+"""
+
+
 SQL_TOP_DOCS_BY_SOURCE = """
 SELECT doc_id, source, n_tokens FROM (
   SELECT doc_id, source,

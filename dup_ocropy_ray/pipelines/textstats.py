@@ -94,6 +94,52 @@ def langid_table(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas", batch_size=65536)
 
 
+def distinctive_terms(
+    ds: rd.Dataset,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """(source, term, tf, df, score) — inverted-index-style two-level
+    aggregation: per-batch partial (source, term) counts (tf =
+    occurrences, dfs = docs-in-batch-in-source containing term), ONE
+    term-keyed bucket shuffle that both merges partials and computes
+    each term's global doc frequency (a term's rows all co-locate, and
+    every doc lives in exactly one source, so df = sum of dfs), then an
+    integer distinctiveness score tf*1e6 // df. Integer arithmetic keeps
+    the oracle comparison exact (a float idf would differ in the last
+    ulp between libms). Feed the result to ``grouped_topk`` for
+    top-terms-per-source."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        ex = pd.DataFrame({
+            "doc_id": b["doc_id"].repeat(toks.map(len)),
+            "source": b["source"].repeat(toks.map(len)),
+            "term": np.concatenate([t for t in toks if t] or [[]]),
+        })
+        g = ex.groupby(["source", "term"], as_index=False, sort=False).agg(
+            tf=("doc_id", "size"), dfs=("doc_id", "nunique"))
+        h = hashing.hash_strings(g["term"].to_numpy(dtype=object))
+        g["_part"] = (h % np.uint64(num_partitions)).astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby(["source", "term"], as_index=False, sort=False).agg(
+            tf=("tf", "sum"), dfs=("dfs", "sum"))
+        df_term = st.groupby("term", sort=False)["dfs"].sum()
+        df = st["term"].map(df_term).astype("int64")
+        return pd.DataFrame({
+            "source": st["source"], "term": st["term"],
+            "tf": st["tf"].astype("int64"), "df": df,
+            "score": (st["tf"].astype("int64") * 1_000_000) // df,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def fingerprint_table(ds: rd.Dataset, window: int = 8, keep_mod: int = 8) -> rd.Dataset:
     """Winnowing-style fingerprints per doc: count + min fingerprint
     (stable doc signature for clustering / copy detection)."""

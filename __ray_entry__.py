@@ -238,6 +238,23 @@ def _media_features(sf_dir: str):
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
+def _media_dups(sf_dir: str):
+    """Near-duplicate page images: dHash actor-pool decode + the 64-bit
+    banding/Hamming pipeline shared with SimHash text dedup (rows-only
+    oracle — image decode is not SQL-expressible). The fixture corpus
+    renders near-identical texts to near-identical pages, so real pairs
+    exist."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import image_dup_pairs
+
+    paths = _ocr_corpus_dir(sf_dir, num_docs=8)
+    media = rd.read_parquet(paths["media"])
+    # 3 = the 4-band guarantee bound (every pair within distance 3
+    # shares a band, so recall is exact up to the threshold)
+    return image_dup_pairs(media, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dup_ocropy_ray.pipelines import queries as q
 
@@ -289,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llocs": _llocs,
         "alocs": _alocs,
         "media_features": _media_features,
+        "media_dups": _media_dups,
     }
 
 

@@ -105,7 +105,10 @@ def simhash64(text: str, token_hash_cache: dict | None = None) -> int:
 
 
 def hamming64(a: int, b: int) -> int:
-    return bin(int(a) ^ int(b)).count("1")
+    # mask to the 64-bit pattern: signatures ride arrow as SIGNED int64,
+    # and python's bin() on a negative XOR counts magnitude bits, not
+    # two's-complement bits (hamming64(-1, 0) was 1, not 64)
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
 def jaccard(a: set, b: set) -> float:

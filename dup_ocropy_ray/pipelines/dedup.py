@@ -669,23 +669,26 @@ def simhash_table(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return ds.map_batches(f, batch_format="pandas", batch_size=8192)
 
 
-def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash banding + Hamming verify. One shuffle:
-    per-doc rows explode to 4 (band_id, band_val) rows, partitioned on
-    hash(band_id, band_val) % _DEDUP_PARTITIONS; pairs are generated
-    vectorized inside each partition (python loop only over multi-doc
-    buckets)."""
-    tbl = simhash_table(ds, text_col, id_col)
+def hamming64_dup_pairs(tbl: rd.Dataset, id_col: str, sig_col: str,
+                        max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs for ANY 64-bit signature column (SimHash text
+    sketches, image dHashes, ...) by 4x16-bit banding + Hamming verify —
+    two signatures within Hamming distance 3 share at least one band.
+    One shuffle: per-row signatures explode to 4 (band_id, band_val)
+    rows, partitioned on hash(band_id, band_val) % _DEDUP_PARTITIONS;
+    pairs are generated inside each partition (python loop only over
+    multi-row buckets, which are rare by construction)."""
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        sig = b[sig_col].to_numpy(np.int64).astype(np.uint64)
         frames = []
         for bnd in range(4):
             frames.append(pd.DataFrame({
                 id_col: b[id_col],
-                "simhash": b["simhash"],
+                sig_col: b[sig_col],
                 "band_id": bnd,
-                "band_val": b[f"band{bnd}"],
+                "band_val": ((sig >> np.uint64(16 * bnd))
+                             & np.uint64(0xFFFF)).astype(np.int64),
             }))
         out = pd.concat(frames, ignore_index=True)
         out["_part"] = (
@@ -705,7 +708,7 @@ def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",
             for key, sub in g.groupby(["band_id", "band_val"]):
                 if key not in multi:
                     continue
-                recs = sorted(set(zip(sub[id_col], sub["simhash"])))
+                recs = sorted(set(zip(sub[id_col], sub[sig_col])))
                 for i in range(len(recs)):
                     for j in range(i + 1, len(recs)):
                         d = hashing.hamming64(recs[i][1], recs[j][1])
@@ -723,6 +726,36 @@ def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by SimHash banding + Hamming verify (see
+    ``hamming64_dup_pairs`` for the shuffle shape)."""
+    return hamming64_dup_pairs(simhash_table(ds, text_col, id_col),
+                               id_col, "simhash", max_hamming)
+
+
+def image_dup_pairs(media: rd.Dataset, ref_col: str = "media_ref",
+                    bytes_col: str = "bytes", max_hamming: int = 6,
+                    concurrency=(1, 8)) -> pd.DataFrame:
+    """Near-duplicate IMAGES: dHash each blob in an actor-pool decode
+    stage (stages/multimodal.ImageDHash), then the same 64-bit banding +
+    Hamming pipeline as SimHash text dedup. Decode failures carry a
+    status row and never enter the pair search."""
+    from ..stages.multimodal import ImageDHash
+
+    def ok_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("status"), "ok"))
+
+    tbl = media.map_batches(
+        ImageDHash, fn_constructor_kwargs={
+            "bytes_col": bytes_col, "ref_col": ref_col},
+        batch_format="pyarrow", batch_size=4, concurrency=concurrency,
+    ).map_batches(ok_only, batch_format="pyarrow")
+    return hamming64_dup_pairs(tbl, ref_col, "dhash", max_hamming)
 
 
 # ----------------------------------------------------------- ngram jaccard

@@ -79,6 +79,44 @@ class ImageFeatures:
         )
 
 
+class ImageDHash:
+    """media bytes -> 64-bit difference hash (dHash): decode gray,
+    shrink to 8x9, emit one bit per horizontal gradient sign. Robust to
+    re-encoding/rescaling; pairs within a small Hamming distance are
+    near-duplicate images. Stored as int64 (arrow has no uint64-friendly
+    pandas path); feed to ``dedup.hamming64_dup_pairs``."""
+
+    def __init__(self, bytes_col: str = "bytes", ref_col: str = "media_ref"):
+        self.bytes_col = bytes_col
+        self.ref_col = ref_col
+        self.weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, hashes, status = [], [], []
+        for ref, data in zip(
+            batch.column(self.ref_col).to_pylist(),
+            batch.column(self.bytes_col).to_pylist(),
+        ):
+            refs.append(ref)
+            try:
+                g = _png.decode_gray(data)
+                small = zoom_to(g.astype(np.float32), (8, 9))
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                with np.errstate(over="ignore"):
+                    h = (bits.astype(np.uint64) * self.weights).sum(
+                        dtype=np.uint64)
+                hashes.append(int(np.array(h, np.uint64).astype(np.int64)))
+                status.append("ok")
+            except Exception as e:
+                hashes.append(0)
+                status.append(f"decode_error: {type(e).__name__}")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "dhash": pa.array(hashes, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+
 class ImageResize:
     """media bytes -> thumbnail PNG bytes at a fixed max dimension."""
 

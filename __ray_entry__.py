@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "knn_multi": q.q_knn_multi,
         "knn_ivf": q.q_knn_ivf,
+        "knn_ivf_exact": q.q_knn_ivf_exact,
         "kmeans": q.q_kmeans,
         "token_stats": q.q_token_stats,
         "bpe_tokens": q.q_bpe_tokens,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
         "knn": q.SQL_KNN,
         "knn_multi": q.SQL_KNN_MULTI,
+        "knn_ivf_exact": q.SQL_KNN,  # exhaustive nprobe == brute force
         "token_stats": q.SQL_TOKEN_STATS,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,

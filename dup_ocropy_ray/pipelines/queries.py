@@ -811,6 +811,16 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=4)
 
 
+def q_knn_ivf_exact(sf_dir: str) -> pd.DataFrame:
+    """The IVF code path validated VALUE-FOR-VALUE: nprobe ==
+    num_centroids probes every cell, so centroid assignment, pruning and
+    scoring must reproduce brute force exactly — oracle is the same SQL
+    as `knn`."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=8)
+
+
 # ---------------------------------------------------------------- textstats
 
 

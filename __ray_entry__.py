@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,
         "cer_pairs": q.q_cer_pairs,
         "confusions": q.q_confusions,
+        "late_events": q.q_late_events,
+        "running_totals": q.q_running_totals,
         "sessions": q.q_sessions,
         "moving_avg": q.q_moving_avg,
         "asof_join": q.q_asof_join,
@@ -341,6 +343,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_by_source": q.SQL_TOP_TERMS_BY_SOURCE,
         "langid": q._langid_sql(),
         "cer_pairs": q.SQL_CER_PAIRS,
+        "late_events": q.SQL_LATE_EVENTS,
+        "running_totals": q.SQL_RUNNING_TOTALS,
         "sessions": q.SQL_SESSIONS,
         "moving_avg": q.SQL_MOVING_AVG,
         "asof_join": q.SQL_ASOF_JOIN,

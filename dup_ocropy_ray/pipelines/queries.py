@@ -310,6 +310,113 @@ GROUP BY 1, 2
 """
 
 
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Watermark violations: events whose timestamp is BEHIND the max
+    timestamp of all earlier events in ARRIVAL order — the late-data
+    detection a streaming engine does with watermarks, expressed as a
+    distributed ordered prefix-scan (windows.ordered_scan: per-block
+    maxima -> tiny driver prefix -> broadcast -> per-row combine).
+    Arrival order is a deterministic Knuth-hash permutation of event_id
+    (the testdata's ts is monotone in event_id, so arrival==event_id
+    would make every event on time); only lateness > 1h is reported to
+    keep the result the interesting tail."""
+    from .windows import ordered_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy("int64")
+        return pd.DataFrame({
+            "arrival": (eid * 2654435761) % 2147483648,
+            "event_id": eid,
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+        })
+
+    scanned = ordered_scan(
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536),
+        "arrival", max_cols=("ts_us",))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        # wm > ts first: the first-row watermark is an int64-min
+        # sentinel and subtracting it would wrap positive
+        out = b[b["wm_ts_us"] > b["ts_us"]]
+        out = out[out["wm_ts_us"] - out["ts_us"] > 3_600_000_000]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "event_type": out["event_type"].astype(str),
+            "lateness_us": (out["wm_ts_us"] - out["ts_us"]).astype("int64"),
+        })
+
+    out = scanned.map_batches(flag, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                            "event_type": pd.Series([], dtype=str),
+                            "lateness_us": pd.Series([], dtype="int64")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (
+  SELECT event_id, event_type, ts,
+         max(ts) OVER (ORDER BY (event_id * 2654435761) % 2147483648
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM events
+)
+SELECT event_id, event_type,
+       (epoch_us(wm) - epoch_us(ts))::BIGINT AS lateness_us
+FROM w WHERE epoch_us(wm) - epoch_us(ts) > 3600000000 ORDER BY event_id
+"""
+
+
+def q_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Cumulative count + value (cents) over the event stream in
+    event_id order, sampled every 500th id — the running-total scan, on
+    the same distributed prefix-scan primitive as late_events. Integer
+    cents keep the cumulative sums exact (float running sums are
+    order-dependent)."""
+    from .windows import ordered_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "one": np.ones(len(b), dtype="int64"),
+            "cents": np.floor(b["value"].to_numpy() * 100).astype("int64"),
+        })
+
+    scanned = ordered_scan(
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536),
+        "event_id", sum_cols=("one", "cents"))
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["event_id"] % 500 == 0]
+        return pd.DataFrame({
+            "event_id": out["event_id"],
+            "run_n": out["run_one"].astype("int64"),
+            "run_cents": out["run_cents"].astype("int64"),
+        })
+
+    out = scanned.map_batches(sample, batch_format="pandas").to_pandas()
+    return (out.astype({"event_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+SQL_RUNNING_TOTALS = """
+WITH w AS (
+  SELECT event_id,
+         count(*) OVER (ORDER BY event_id) AS run_n,
+         sum(floor(value * 100)::BIGINT) OVER (ORDER BY event_id)
+           AS run_cents
+  FROM events
+)
+SELECT event_id, run_n::BIGINT AS run_n, run_cents::BIGINT AS run_cents
+FROM w WHERE event_id % 500 = 0 ORDER BY event_id
+"""
+
+
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization (30-min gap) — the ordered-window op
     Ray Data lacks; one shuffle on user_id (pipelines/windows.py)."""

@@ -408,3 +408,77 @@ def range_join_aggregate(
             "sum_price_cents": out["cents"].astype("int64"),
         }
     ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ ordered scan
+
+
+def ordered_scan(
+    ds: "rd.Dataset",
+    order_col: str,
+    sum_cols: tuple = (),
+    max_cols: tuple = (),
+) -> "rd.Dataset":
+    """Distributed PREFIX SCAN over a global ordering — the streaming
+    primitive behind watermarks and running totals, which no plain
+    groupby can express (every row depends on ALL earlier rows).
+
+    Three steps, none corpus-scale on the driver: (1) range-sort on
+    ``order_col`` and materialize (fixes block boundaries); (2) one pass
+    emits a per-BLOCK summary row (sums / maxima) — the driver reduce is
+    one row per block; (3) block prefixes are broadcast and a second
+    pass combines them with the in-block running scan. Scanned columns
+    must be int64 (exact; float running sums are order-dependent).
+
+    Adds, per scanned column: ``run_<c>`` = INCLUSIVE running sum,
+    ``wm_<c>`` = EXCLUSIVE running max (the watermark BEFORE each row;
+    int64-min sentinel for the first row)."""
+    import ray
+
+    _SENT = np.iinfo(np.int64).min
+    s = ds.sort(order_col).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"_min_id": pd.Series([], dtype="int64")} | {
+                f"s_{c}": pd.Series([], dtype="int64") for c in sum_cols} | {
+                f"m_{c}": pd.Series([], dtype="int64") for c in max_cols})
+        row = {"_min_id": [np.int64(b[order_col].iloc[0])]}
+        for c in sum_cols:
+            row[f"s_{c}"] = [np.int64(b[c].sum())]
+        for c in max_cols:
+            row[f"m_{c}"] = [np.int64(b[c].max())]
+        return pd.DataFrame(row)
+
+    sums = (s.map_batches(summarize, batch_format="pandas", batch_size=None)
+            .to_pandas().sort_values("_min_id"))
+    pre: dict = {}
+    for c in sum_cols:
+        pre[("sum", c)] = dict(zip(
+            sums["_min_id"],
+            sums[f"s_{c}"].cumsum().shift(1).fillna(0).astype("int64")))
+    for c in max_cols:
+        pre[("max", c)] = dict(zip(
+            sums["_min_id"],
+            sums[f"m_{c}"].cummax().shift(1).fillna(_SENT).astype("int64")))
+    pre_ref = ray.put(pre)
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        P = ray.get(pre_ref)  # zero-copy block-prefix lookup per task
+        first = np.int64(b[order_col].iloc[0])
+        out = b.copy()
+        for c in sum_cols:
+            out[f"run_{c}"] = (np.cumsum(b[c].to_numpy(np.int64))
+                               + P[("sum", c)][first])
+        for c in max_cols:
+            pref = P[("max", c)][first]
+            r = np.maximum.accumulate(b[c].to_numpy(np.int64))
+            # exclusive watermark: prior blocks' max folded into the
+            # shifted in-block running max
+            out[f"wm_{c}"] = np.concatenate(
+                [[pref], np.maximum(r[:-1], pref)])
+        return out
+
+    return s.map_batches(apply, batch_format="pandas", batch_size=None)

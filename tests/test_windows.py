@@ -382,3 +382,28 @@ def test_grouped_topk(ray_session):
     )
     pd.testing.assert_frame_equal(got[["grp", "score", "id"]],
                                   want[["grp", "score", "id"]])
+
+
+def test_ordered_scan_matches_pandas(ray_session):
+    """ordered_scan's distributed prefix sums/maxima must equal a
+    single-threaded pandas scan regardless of block boundaries."""
+    from dup_ocropy_ray.pipelines.windows import ordered_scan
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.permutation(n).astype("int64"),
+        "x": rng.integers(-100, 100, n).astype("int64"),
+        "m": rng.integers(0, 10**9, n).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    out = (ordered_scan(ds, "k", sum_cols=("x",), max_cols=("m",))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    ref = df.sort_values("k").reset_index(drop=True)
+    exp_run = ref["x"].cumsum().astype("int64")
+    exp_wm = ref["m"].cummax().shift(1)  # exclusive max; first row NaN
+    assert (out["run_x"].to_numpy() == exp_run.to_numpy()).all()
+    assert out["wm_m"].iloc[0] == np.iinfo(np.int64).min
+    assert (out["wm_m"].to_numpy()[1:] ==
+            exp_wm.to_numpy()[1:].astype("int64")).all()

@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alocs": _alocs,
         "media_features": _media_features,
         "media_dups": _media_dups,
+        "html_extract": q.q_html_extract,
+        "web_spans": q.q_web_spans,
+        "web_span_counts": q.q_web_span_counts,
     }
 
 
@@ -353,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
+        "html_extract": q.SQL_HTML_EXTRACT,
+        "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

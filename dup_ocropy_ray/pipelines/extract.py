@@ -1,0 +1,109 @@
+"""Main-content extraction pipeline (the north rule's HTML leg): wrap →
+parse → boilerplate-strip → interleaved spans, as stateless Ray Data
+``map_batches`` stages.
+
+Scale shape: per-doc map only — no shuffle, no materialization, columns
+pruned at the read. The parse kernel (functions/htmlx.py) is pure Python
+per document (inherent to DOM work), so the stage is sized by batch
+count, not vector width; at 100 TB it is embarrassingly parallel and the
+streaming executor pipelines it against the read.
+
+Synthetic-source note: the sandbox's documents table is plain text, so
+``wrap_stage`` renders each row into a deterministic boilerplate-laden
+page (sources/webgen.py) first; on a real web corpus the wrap stage is
+dropped and ``extract_stage`` consumes the raw HTML column directly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+from ..functions import htmlx
+from ..sources.webgen import wrap_html
+
+
+def wrap_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> (doc_id, html): deterministic page render."""
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "html": [wrap_html(int(i), t if isinstance(t, str) else "")
+                 for i, t in zip(b["doc_id"], b["text"])],
+    })
+
+
+def extract_text_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, html) -> (doc_id, main_text): boilerplate-stripped main
+    content as one normalized string."""
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "main_text": [htmlx.extract_main_text(h) for h in b["html"]],
+    })
+
+
+def extract_spans_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, html) -> exploded span rows (doc_id, offset, kind, text,
+    media_ref) — the interleaved text+media sequence contract
+    ``(kind, text, media_ref, order)``."""
+    ids, offs, kinds, texts, refs = [], [], [], [], []
+    for i, h in zip(b["doc_id"], b["html"]):
+        for s in htmlx.extract_spans(h):
+            ids.append(int(i))
+            offs.append(s["offset"])
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "offset": pd.Series(offs, dtype="int32"),
+        "kind": pd.Series(kinds, dtype=str),
+        "text": pd.Series(texts, dtype=object),
+        "media_ref": pd.Series(refs, dtype=object),
+    })
+
+
+def wrap_docs(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(wrap_stage, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def extract_docs(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    """documents(doc_id, text) -> (doc_id, main_text) via the synthetic
+    wrap; identity-checked against the source text by the driver."""
+    return wrap_docs(ds, batch_size).map_batches(
+        extract_text_stage, batch_format="pandas", batch_size=batch_size)
+
+
+def extract_spans_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    return wrap_docs(ds, batch_size).map_batches(
+        extract_spans_stage, batch_format="pandas", batch_size=batch_size)
+
+
+def span_counts(ds: rd.Dataset, batch_size: int = 256) -> pd.DataFrame:
+    """Per-doc structural summary of the extracted span sequence:
+    (doc_id, n_text, n_media, main_chars). Computed doc-at-a-time inside
+    one map stage — no shuffle — and oracle-expressible because the wrap
+    layout is a pure function of (doc_id, word count)."""
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, nm, mc = [], [], [], []
+        for i, h in zip(b["doc_id"], b["html"]):
+            spans = htmlx.extract_spans(h)
+            ids.append(int(i))
+            nt.append(sum(1 for s in spans if s["kind"] == "text"))
+            nm.append(sum(1 for s in spans if s["kind"] == "media"))
+            mc.append(sum(len(s["text"]) for s in spans
+                          if s["kind"] == "text"))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_text": pd.Series(nt, dtype="int64"),
+            "n_media": pd.Series(nm, dtype="int64"),
+            "main_chars": pd.Series(mc, dtype="int64"),
+        })
+
+    out = (wrap_docs(ds, batch_size)
+           .map_batches(summarize, batch_format="pandas",
+                        batch_size=batch_size)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

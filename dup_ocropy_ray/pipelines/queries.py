@@ -1388,3 +1388,76 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ------------------------------------------------------ content extraction
+
+
+def q_html_extract(sf_dir: str) -> pd.DataFrame:
+    """Main-content extraction round-trip (north-rule HTML leg): each
+    document is rendered into a deterministic boilerplate-laden page
+    (webgen templates: nav/ads/sidebar/comments/footer) and the
+    density-heuristic extractor (functions/htmlx.py) must recover
+    exactly the title + original text. The oracle reconstructs the
+    expected main text directly from the source column, so the hash
+    compare proves the extractor strips ALL chrome and loses nothing."""
+    from .extract import extract_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = extract_docs(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HTML_EXTRACT = r"""
+SELECT doc_id,
+       trim('Story ' || doc_id::VARCHAR || ' '
+            || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS main_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_web_spans(sf_dir: str) -> pd.DataFrame:
+    """Full interleaved span sequence (kind, text, media_ref, order) per
+    document after extraction — the north rule's per-row invariant
+    surface. Rows-only at the driver; span-sequence equality is pinned
+    by tests/test_extract.py."""
+    from .extract import extract_spans_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = extract_spans_table(ds).to_pandas()
+    return out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
+def q_web_span_counts(sf_dir: str) -> pd.DataFrame:
+    """Structural span-layout check, oracle-expressible: the wrap layout
+    is a pure function of (doc_id, word count) — chunk size
+    k = 10 + 3*(doc_id%4) words, one title span, one media span iff
+    doc_id%3==0 and the text is non-empty."""
+    from .extract import span_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_counts(ds)
+
+
+SQL_WEB_SPAN_COUNTS = r"""
+WITH w AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+         10 + 3 * (doc_id % 4) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, k, t,
+         CASE WHEN t = '' THEN 0
+              ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_words
+  FROM w
+)
+SELECT doc_id,
+       (1 + (n_words + k - 1) // k)::BIGINT AS n_text,
+       (CASE WHEN doc_id % 3 = 0 AND n_words > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_media,
+       (length('Story ' || doc_id::VARCHAR)
+        + CASE WHEN n_words = 0 THEN 0
+               ELSE length(t) - ((n_words + k - 1) // k - 1) END)::BIGINT
+         AS main_chars
+FROM c ORDER BY doc_id
+"""

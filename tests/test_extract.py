@@ -1,0 +1,119 @@
+"""Main-content extraction (functions/htmlx.py, pipelines/extract.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dup_ocropy_ray.functions.htmlx import (
+    extract_main_text,
+    extract_spans,
+    parse_html,
+)
+from dup_ocropy_ray.sources.webgen import wrap_html
+
+
+def test_parse_tolerates_malformed_html():
+    root = parse_html(
+        "<div><p>alpha<p>beta</div></span><b>gamma"  # unclosed p, stray end
+    )
+    texts = []
+
+    def grab(n):
+        for c in n.children:
+            if isinstance(c, str):
+                texts.append(c)
+            else:
+                grab(c)
+
+    grab(root)
+    assert "".join(texts) == "alphabetagamma"
+
+
+def test_extract_generic_page_without_class_hints():
+    """No positive/negative class names anywhere: pure density + link
+    heuristics must still pick the content div over link-heavy junk."""
+    junk_links = "".join(f'<a href="/x{i}">item {i}</a> ' for i in range(20))
+    body = (
+        f"<div><ul>{junk_links}</ul></div>"
+        "<div><p>The quick brown fox jumps over the lazy dog, repeatedly, "
+        "and keeps going with a second sentence of real prose.</p>"
+        "<p>Another paragraph with enough text mass, commas, and periods "
+        "to dominate the candidate scoring.</p></div>"
+        f"<div>{junk_links}</div>"
+    )
+    out = extract_main_text(f"<html><body>{body}</body></html>")
+    assert "quick brown fox" in out
+    assert "Another paragraph" in out
+    assert "item 3" not in out
+
+
+def test_extract_drops_script_style_and_nav():
+    html = (
+        "<html><head><script>var a=1;</script><style>p{}</style></head>"
+        "<body><nav><a href='/'>Home</a><a href='/b'>B</a></nav>"
+        "<div><p>Real content paragraph, long enough to be scored as the "
+        "main candidate of this small page, with punctuation.</p></div>"
+        "<footer>copyright junk</footer></body></html>"
+    )
+    out = extract_main_text(html)
+    assert out.startswith("Real content")
+    assert "Home" not in out and "copyright" not in out and "var a" not in out
+
+
+def test_span_sequence_interleaves_media_in_order():
+    html = (
+        "<html><body><article>"
+        "<p>First paragraph of the story, with plenty of words to score.</p>"
+        '<img src="img://a/1">'
+        "<p>Second paragraph continues after the figure, also long enough.</p>"
+        '<img src="img://a/2">'
+        "</article></body></html>"
+    )
+    spans = extract_spans(html)
+    seq = [(s["kind"], s["media_ref"]) for s in spans]
+    assert [k for k, _ in seq] == ["text", "media", "text", "media"]
+    assert seq[1][1] == "img://a/1" and seq[3][1] == "img://a/2"
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3]
+
+
+def test_wrap_extract_identity_property():
+    """extract(wrap(t)) == 'Story i ' + normalized t across templates,
+    including whitespace-dirty and empty inputs."""
+    rng = np.random.default_rng(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    for i in range(12):
+        n = int(rng.integers(0, 120))
+        t = " ".join(rng.choice(words, n)) if n else ""
+        if i % 5 == 4 and t:
+            t = "  " + t.replace(" ", "   ", 3) + "\n\t"
+        import re
+
+        norm = re.sub(r"\s+", " ", t).strip()
+        want = f"Story {i} {norm}".strip()
+        assert extract_main_text(wrap_html(i, t)) == want, f"doc {i}"
+
+
+def test_extract_pipeline_spans_match_scalar_kernel(ray_session):
+    from dup_ocropy_ray.pipelines.extract import extract_spans_table
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(9, dtype="int64"),
+        "text": [f"word{j} " * (5 + 7 * j) for j in range(9)],
+    })
+    got = (extract_spans_table(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["doc_id", "offset"])
+           .reset_index(drop=True))
+    rows = []
+    for i, t in zip(df.doc_id, df.text):
+        for s in extract_spans(wrap_html(int(i), t)):
+            rows.append((int(i), s["offset"], s["kind"], s["text"],
+                         s["media_ref"]))
+    want = pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text",
+                                       "media_ref"])
+    assert len(got) == len(want)
+    assert (got["kind"].to_numpy() == want["kind"].to_numpy()).all()
+    assert got["text"].fillna("").tolist() == want["text"].fillna("").tolist()
+    assert (got["media_ref"].fillna("").to_numpy()
+            == want["media_ref"].fillna("").to_numpy()).all()

@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q.q_html_extract,
         "web_spans": q.q_web_spans,
         "web_span_counts": q.q_web_span_counts,
+        "pdf_extract": q.q_pdf_extract,
     }
 
 
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "project_text": q.SQL_PROJECT_TEXT,
         "html_extract": q.SQL_HTML_EXTRACT,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
+        "pdf_extract": q.SQL_PDF_EXTRACT,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

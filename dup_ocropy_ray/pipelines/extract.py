@@ -107,3 +107,39 @@ def span_counts(ds: rd.Dataset, batch_size: int = 256) -> pd.DataFrame:
                         batch_size=batch_size)
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- PDF leg
+
+
+def render_pdf_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> (doc_id, pdf bytes): deterministic layout-
+    bearing PDF render (sources/pdfgen.py; odd doc_ids two-column)."""
+    from ..sources.pdfgen import render_pdf
+
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "pdf": [render_pdf(int(i), t if isinstance(t, str) else "")
+                for i, t in zip(b["doc_id"], b["text"])],
+    })
+
+
+def pdf_text_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, pdf) -> (doc_id, pdf_text): object scan, FlateDecode,
+    content-stream execution, column-aware reading order."""
+    from ..functions.pdfx import extract_pdf_text
+
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "pdf_text": [extract_pdf_text(bytes(p)) for p in b["pdf"]],
+    })
+
+
+def pdf_extract_docs(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    """documents(doc_id, text) -> (doc_id, pdf_text) round-trip; same
+    shuffle-free shape as the HTML leg (binary payloads stay inside the
+    fused map stages, never shuffled)."""
+    return (ds.map_batches(render_pdf_stage, batch_format="pandas",
+                           batch_size=batch_size)
+            .map_batches(pdf_text_stage, batch_format="pandas",
+                         batch_size=batch_size))

@@ -1461,3 +1461,25 @@ SELECT doc_id,
          AS main_chars
 FROM c ORDER BY doc_id
 """
+
+
+def q_pdf_extract(sf_dir: str) -> pd.DataFrame:
+    """PDF layout-parse round-trip (north-rule PDF leg): each document
+    is rendered into a real (Flate-compressed, multi-page, odd doc_ids
+    two-column) PDF by sources/pdfgen.py, then the from-scratch parser
+    (functions/pdfx.py) must recover the text in reading order. Oracle
+    reconstructs the expectation from the source column, so the hash
+    compare proves object scan + inflate + text-operator execution +
+    column ordering are all exact."""
+    from .extract import pdf_extract_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pdf_extract_docs(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PDF_EXTRACT = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS pdf_text
+FROM documents ORDER BY doc_id
+"""

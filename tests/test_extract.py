@@ -117,3 +117,90 @@ def test_extract_pipeline_spans_match_scalar_kernel(ray_session):
     assert got["text"].fillna("").tolist() == want["text"].fillna("").tolist()
     assert (got["media_ref"].fillna("").to_numpy()
             == want["media_ref"].fillna("").to_numpy()).all()
+
+
+# ------------------------------------------------------------- PDF leg
+
+
+def test_pdf_roundtrip_identity_both_compressions():
+    import re
+
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_text
+    from dup_ocropy_ray.sources.pdfgen import render_pdf
+
+    rng = np.random.default_rng(3)
+    words = "scan merge sort join filter group" .split()
+    for i in range(8):
+        n = int(rng.integers(0, 400))
+        t = " ".join(rng.choice(words, n)) if n else ""
+        norm = re.sub(r"\s+", " ", t).strip()
+        for compress in (True, False):
+            got = extract_pdf_text(render_pdf(i, t, compress=compress))
+            assert got == norm, (i, compress)
+
+
+def test_pdf_string_escapes_and_parens():
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_text
+    from dup_ocropy_ray.sources.pdfgen import render_pdf
+
+    t = r"a (b) c \ d (nested (deep)) e)f"
+    assert extract_pdf_text(render_pdf(2, t)) == t
+
+
+def test_pdf_two_column_reading_order():
+    """Odd doc_id renders two balanced columns; the extractor must read
+    the LEFT column fully before the right one."""
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_lines
+    from dup_ocropy_ray.sources.pdfgen import render_pdf
+
+    words = [f"w{k}" for k in range(60)]
+    lines = extract_pdf_lines(render_pdf(5, " ".join(words)))
+    flat = " ".join(lines).split()
+    assert flat == words
+
+
+def test_pdf_multipage_pagination():
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_runs, extract_pdf_text
+    from dup_ocropy_ray.sources.pdfgen import render_pdf
+
+    t = " ".join(f"t{k}" for k in range(1200))  # > one page both layouts
+    for i in (4, 5):
+        pdf = render_pdf(i, t)
+        assert len(extract_pdf_runs(pdf)) > 1  # really paginated
+        assert extract_pdf_text(pdf) == t
+
+
+def test_pdf_tokenizer_handles_tj_array_and_tstar():
+    """Hand-written content stream (not from our generator): TL/T*,
+    TJ arrays with kerning numbers, quote operator."""
+    import zlib
+
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_text
+
+    content = (b"BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm "
+               b"[(he) -20 (llo)] TJ T* (world) Tj 0 -14 Td (again) Tj ET")
+    data = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+           b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+           b"5 0 obj\n<< /Length " + str(len(data)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + data +
+           b"\nendstream\nendobj\n"
+           b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "hello world again"
+
+
+def test_pdf_pipeline_matches_scalar(ray_session):
+    import re
+
+    from dup_ocropy_ray.pipelines.extract import pdf_extract_docs
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [f"word{j} " * (3 + 11 * j) for j in range(6)],
+    })
+    got = (pdf_extract_docs(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = [re.sub(r"\s+", " ", t).strip() for t in df.text]
+    assert got["pdf_text"].tolist() == want

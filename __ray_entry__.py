@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_spans": q.q_web_spans,
         "web_span_counts": q.q_web_span_counts,
         "pdf_extract": q.q_pdf_extract,
+        "web_interleaved": q.q_web_interleaved,
     }
 
 

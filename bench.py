@@ -42,6 +42,8 @@ QUERY_SUBSET = [
     "dedup_minhash",
     "knn",
     "token_stats",
+    "html_extract",
+    "pdf_extract",
     "cer_pairs",
     "range_join",
     "value_quantiles",

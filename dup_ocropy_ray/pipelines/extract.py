@@ -143,3 +143,65 @@ def pdf_extract_docs(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
                            batch_size=batch_size)
             .map_batches(pdf_text_stage, batch_format="pandas",
                          batch_size=batch_size))
+
+
+# ---------------------------------------------- interleaved-spans surface
+
+
+_SPAN_TYPE = None
+
+
+def _span_list_type() -> "pa.DataType":
+    import pyarrow as pa
+
+    global _SPAN_TYPE
+    if _SPAN_TYPE is None:
+        _SPAN_TYPE = pa.list_(pa.struct([
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]))
+    return _SPAN_TYPE
+
+
+def extract_interleaved_stage(batch: "pa.Table") -> "pa.Table":
+    """North-rule table shape in and out — (doc_id, spans) where spans
+    is list<struct<kind,text,media_ref,offset>>. Spans of kind='html'
+    (raw markup in ``text``) are boilerplate-stripped IN PLACE into
+    their extracted text+media sub-spans; all other spans pass through.
+    Offsets are renumbered densely per document, preserving order.
+
+    One self-contained map — no shuffle, no media store: the HTML is
+    inline in the span, so each doc row extracts independently."""
+    import pyarrow as pa
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    out_spans = []
+    for ss in spans_col:
+        new: list[dict] = []
+        for s in sorted(ss or [], key=lambda x: x["offset"]):
+            if s["kind"] == "html":
+                for sub in htmlx.extract_spans(s["text"] or ""):
+                    new.append({"kind": sub["kind"], "text": sub["text"],
+                                "media_ref": sub["media_ref"],
+                                "offset": len(new)})
+            else:
+                new.append({"kind": s["kind"], "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": len(new)})
+        out_spans.append(new)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "spans": pa.array(out_spans, type=_span_list_type()),
+    })
+
+
+def extract_interleaved(docs: rd.Dataset, batch_size: int = 128) -> rd.Dataset:
+    """Interleaved text+media docs -> same shape with html spans
+    replaced by extracted main-content span sequences (the HTML
+    counterpart of pipelines/ocr.py's flagship, minus the media store:
+    markup travels inline)."""
+    return docs.map_batches(extract_interleaved_stage,
+                            batch_format="pyarrow", batch_size=batch_size)

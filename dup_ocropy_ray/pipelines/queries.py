@@ -1483,3 +1483,48 @@ SELECT doc_id,
        trim(regexp_replace(text, '\s+', ' ', 'g')) AS pdf_text
 FROM documents ORDER BY doc_id
 """
+
+
+def q_web_interleaved(sf_dir: str) -> pd.DataFrame:
+    """North-rule end-to-end surface: documents re-shaped into the input
+    hint's (doc_id:string, spans:list<struct<kind,text,media_ref,
+    offset>>) with the body as a kind='html' span, pushed through
+    extract_interleaved, exploded back to rows. Rows-only at the driver;
+    span-sequence equality is pinned by tests/test_extract.py."""
+    from .extract import extract_interleaved
+    from ..sources.webgen import wrap_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_docs(b: pd.DataFrame) -> pa.Table:
+        ids, spans = [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            ids.append(f"doc-{int(i)}")
+            spans.append([
+                {"kind": "text", "text": f"header {int(i)}",
+                 "media_ref": None, "offset": 0},
+                {"kind": "html", "text": wrap_html(int(i), t or ""),
+                 "media_ref": None, "offset": 1},
+                {"kind": "media", "text": None,
+                 "media_ref": f"pg://{int(i)}", "offset": 2},
+            ])
+        from .extract import _span_list_type
+
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "spans": pa.array(spans, _span_list_type())})
+
+    docs = ds.map_batches(to_docs, batch_format="pandas", batch_size=256)
+    out = extract_interleaved(docs)
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, ss in zip(t.column("doc_id").to_pylist(),
+                           t.column("spans").to_pylist()):
+            for s in ss:
+                rows.append((did, s["offset"], s["kind"], s["text"],
+                             s["media_ref"]))
+        return pd.DataFrame(rows, columns=["doc_id", "offset", "kind",
+                                           "text", "media_ref"])
+
+    res = out.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["doc_id", "offset"]).reset_index(drop=True)

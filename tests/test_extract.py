@@ -204,3 +204,47 @@ def test_pdf_pipeline_matches_scalar(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     want = [re.sub(r"\s+", " ", t).strip() for t in df.text]
     assert got["pdf_text"].tolist() == want
+
+
+def test_interleaved_span_sequence_equality(ray_session):
+    """North-rule invariant: (kind, text, media_ref, order) equality of
+    the extracted interleaved sequence against ground truth — html spans
+    expand in place, neighbors pass through, offsets dense."""
+    import pyarrow as pa
+
+    from dup_ocropy_ray.pipelines.extract import (
+        _span_list_type,
+        extract_interleaved,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = pa.table({
+        "doc_id": ["a", "b"],
+        "spans": pa.array([
+            [
+                {"kind": "text", "text": "intro", "media_ref": None, "offset": 0},
+                {"kind": "html", "text": wrap_html(6, body), "media_ref": None,
+                 "offset": 1},
+                {"kind": "media", "text": None, "media_ref": "pg://raw",
+                 "offset": 2},
+            ],
+            [{"kind": "text", "text": "plain only", "media_ref": None,
+              "offset": 0}],
+        ], _span_list_type()),
+    })
+    out = (extract_interleaved(rd.from_arrow(docs)).to_pandas()
+           .set_index("doc_id"))
+    got_a = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in out.loc["a", "spans"]]
+    # doc 6: template 2, chunk k=16 -> one chunk; doc_id%3==0 -> one img
+    want_a = [
+        ("text", "intro", None, 0),
+        ("text", "Story 6", None, 1),
+        ("text", body, None, 2),
+        ("media", None, "img://6/0", 3),
+        ("media", None, "pg://raw", 4),
+    ]
+    assert got_a == want_a
+    got_b = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in out.loc["b", "spans"]]
+    assert got_b == [("text", "plain only", None, 0)]

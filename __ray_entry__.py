@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_span_counts": q.q_web_span_counts,
         "pdf_extract": q.q_pdf_extract,
         "web_interleaved": q.q_web_interleaved,
+        "pack_sequences": q.q_pack_sequences,
+        "decontaminate": q.q_decontaminate,
+        "pii_scrub": q.q_pii_scrub,
     }
 
 
@@ -361,6 +364,9 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": q.SQL_HTML_EXTRACT,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "pdf_extract": q.SQL_PDF_EXTRACT,
+        "pack_sequences": q.SQL_PACK_SEQUENCES,
+        "decontaminate": q.SQL_DECONTAMINATE,
+        "pii_scrub": q.SQL_PII_SCRUB,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -1528,3 +1528,83 @@ def q_web_interleaved(sf_dir: str) -> pd.DataFrame:
 
     res = out.map_batches(explode, batch_format="pyarrow").to_pandas()
     return res.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------- curation ops
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing plan (fixed 256-token training windows
+    over the doc_id-ordered corpus) — global token prefix sum via the
+    distributed ordered_scan primitive, oracle = SQL window function."""
+    from .curate import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH c AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0
+              ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS nt
+  FROM c
+), s AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS st
+  FROM n
+)
+SELECT doc_id, nt::BIGINT AS n_tokens, st::BIGINT AS start_tok,
+       (st // 256)::BIGINT AS window_id
+FROM s ORDER BY doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs containing any eval-set 8-word
+    snippet (eval set = every 97th doc's words [3,11), broadcast small
+    side, vectorized substring scan — never a shuffle join)."""
+    from .curate import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds)
+
+
+SQL_DECONTAMINATE = r"""
+WITH c AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), ev AS (
+  SELECT array_to_string(list_slice(string_split(t, ' '), 4, 11), ' ')
+           AS snippet
+  FROM c
+  WHERE doc_id % 97 = 0 AND len(string_split(t, ' ')) >= 11
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_hits
+FROM c d JOIN ev ON contains(d.t, ev.snippet)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII scrub round-trip: deterministic emails/phones/IPv4s are
+    planted between words (1 + doc_id%3 per doc), then the vectorized
+    regex scrub must remove exactly those — oracle reconstructs the
+    clean text and the planted count from the source column."""
+    from .curate import pii_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pii_scrub(ds)
+
+
+SQL_PII_SCRUB = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS scrubbed,
+       (1 + doc_id % 3)::BIGINT AS n_redactions
+FROM documents ORDER BY doc_id
+"""

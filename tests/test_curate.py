@@ -1,0 +1,72 @@
+"""Training-data curation ops (pipelines/curate.py)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from dup_ocropy_ray.pipelines.curate import (
+    decontaminate,
+    inject_pii,
+    pack_sequences,
+    pii_scrub,
+)
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(3)
+
+
+def test_pack_sequences_matches_serial_scan(ray_session):
+    rng = np.random.default_rng(5)
+    texts = ["w " * int(rng.integers(0, 40)) for _ in range(50)]
+    out = pack_sequences(_docs(texts), window=16)
+    cum = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        row = out.iloc[i]
+        assert row["doc_id"] == i
+        assert row["n_tokens"] == n
+        assert row["start_tok"] == cum
+        assert row["window_id"] == cum // 16
+        cum += n
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    words = [f"tok{j}" for j in range(30)]
+    eval_doc = " ".join(words)  # doc 0 donates words[3:11]
+    snippet = " ".join(words[3:11])
+    texts = [
+        eval_doc,                       # doc 0: self-hit
+        "clean text " * 5,              # doc 1: no hit
+        f"prefix {snippet} suffix",     # doc 2: contaminated
+        f"pre  {snippet.replace(' ', '  ', 2)} post",  # doc 3: ws-dirty hit
+    ]
+    out = decontaminate(_docs(texts), every=97, skip=3, n_words=8)
+    assert out["doc_id"].tolist() == [0, 2, 3]
+    assert (out["n_hits"] == 1).all()
+
+
+def test_pii_scrub_roundtrip_and_raw_patterns(ray_session):
+    texts = ["alpha beta gamma delta", "", "one two"]
+    out = pii_scrub(_docs(texts))
+    assert out["scrubbed"].tolist() == texts
+    assert out["n_redactions"].tolist() == [1 + i % 3 for i in range(3)]
+    # the injector really plants scrubbable patterns
+    dirty = inject_pii(2, texts[0])
+    assert "@example.com" in dirty or "555-" in dirty or "10." in dirty
+
+
+def test_pii_scrub_catches_real_world_shapes(ray_session):
+    from dup_ocropy_ray.pipelines.curate import pii_scrub_stage
+
+    b = pd.DataFrame({
+        "doc_id": [0],
+        "dirty": ["mail a.b+c@mail.co.uk call (212) 555-0199 ip 192.168.1.1 end"],
+    })
+    out = pii_scrub_stage(b)
+    assert out["scrubbed"].iloc[0] == "mail call ip end"
+    assert out["n_redactions"].iloc[0] == 3

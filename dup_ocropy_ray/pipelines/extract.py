@@ -205,3 +205,63 @@ def extract_interleaved(docs: rd.Dataset, batch_size: int = 128) -> rd.Dataset:
     markup travels inline)."""
     return docs.map_batches(extract_interleaved_stage,
                             batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------- resumable runner
+
+
+def run_extract_with_checkpoint(
+    docs_path: str,
+    out_root: str,
+    num_fragments: int = 4,
+    batch_size: int = 128,
+) -> dict:
+    """Resumable interleaved-extraction run (north-rule checkpoint
+    contract, same fragment store as the OCR flagship): docs are
+    hash-partitioned into fragments; each pending fragment runs
+    extract_interleaved, writes parquet to <frag>.tmp, then commits a
+    lineage+counter manifest atomically. A killed run reprocesses at
+    most one in-flight fragment."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..state import checkpoint as ckpt
+    from .ocr import _doc_fragment_filter, read_docs
+
+    os.makedirs(out_root, exist_ok=True)
+    pending = ckpt.pending_fragments(out_root, num_fragments)
+    for frag in pending:
+        docs = read_docs(docs_path).map_batches(
+            _doc_fragment_filter(num_fragments, frag), batch_format="pyarrow")
+        out = extract_interleaved(docs, batch_size=batch_size)
+        frag_dir = ckpt.fragment_dir(out_root, frag)
+        tmp_dir = frag_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # stale partial write
+        out.write_parquet(tmp_dir)
+        if os.path.exists(frag_dir):
+            shutil.rmtree(frag_dir)
+        os.replace(tmp_dir, frag_dir)
+        n_docs = n_text = n_media = 0
+        for f in os.listdir(frag_dir):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(frag_dir, f), columns=["spans"])
+            n_docs += t.num_rows
+            for ss in t.column("spans").to_pylist():
+                for s in ss:
+                    if s["kind"] == "text":
+                        n_text += 1
+                    elif s["kind"] == "media":
+                        n_media += 1
+        ckpt.commit_fragment(out_root, frag, {
+            "docs": n_docs,
+            "text_spans": n_text,
+            "media_spans": n_media,
+        })
+    return {
+        "fragments_run": pending,
+        "counters": ckpt.aggregate_counters(out_root),
+    }

@@ -248,3 +248,45 @@ def test_interleaved_span_sequence_equality(ray_session):
     got_b = [(s["kind"], s["text"], s["media_ref"], s["offset"])
              for s in out.loc["b", "spans"]]
     assert got_b == [("text", "plain only", None, 0)]
+
+
+def test_extract_checkpoint_resume(ray_session, tmp_path):
+    """Kill-resume contract for the extraction pipeline: completed
+    fragments are never reprocessed; a fragment whose manifest is
+    missing (simulated kill after data write, before commit) reruns
+    cleanly with identical output."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.extract import (
+        _span_list_type,
+        run_extract_with_checkpoint,
+    )
+    from dup_ocropy_ray.state import checkpoint as ckpt
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spans = [[{"kind": "html", "text": wrap_html(i, f"body words {i} " * 6),
+               "media_ref": None, "offset": 0}] for i in range(24)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(24)], pa.string()),
+        "spans": pa.array(spans, _span_list_type()),
+    }), docs_path)
+
+    out_root = str(tmp_path / "out")
+    r1 = run_extract_with_checkpoint(docs_path, out_root, num_fragments=3)
+    assert sorted(r1["fragments_run"]) == [0, 1, 2]
+    c1 = r1["counters"]
+    assert c1["docs"] == 24 and c1["text_spans"] > 0
+
+    # resume with nothing pending: no fragment reruns
+    r2 = run_extract_with_checkpoint(docs_path, out_root, num_fragments=3)
+    assert r2["fragments_run"] == []
+    assert r2["counters"] == c1
+
+    # simulate a kill between data write and manifest commit
+    os.remove(os.path.join(ckpt.manifest_dir(out_root), "00001.json"))
+    r3 = run_extract_with_checkpoint(docs_path, out_root, num_fragments=3)
+    assert r3["fragments_run"] == [1]
+    assert r3["counters"] == c1

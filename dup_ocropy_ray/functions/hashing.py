@@ -255,3 +255,38 @@ def batch_shingle_sets(texts, k: int = 3) -> list[np.ndarray]:
     vals, offsets = batch_shingle_hashes(texts, k)
     return [np.unique(vals[offsets[i] : offsets[i + 1]])
             for i in range(len(offsets) - 1)]
+
+
+# ------------------------------------------------ Bloom filter (4-hash)
+
+_BLOOM_K = 4
+_B1 = np.uint64(0x9E3779B97F4A7C15)
+_B2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _bloom_indices(ids, m_bits: int) -> list[np.ndarray]:
+    """Double-hashing scheme (Kirsch-Mitzenmacher): k bit positions from
+    two 64-bit hashes, vectorized over the id array."""
+    h1 = hash_strings(ids)
+    with np.errstate(over="ignore"):
+        h2 = ((h1 ^ _B1) * _B2) | np.uint64(1)
+        m = np.uint64(m_bits)
+        return [(h1 + np.uint64(k) * h2) % m for k in range(_BLOOM_K)]
+
+
+def bloom_add(bits: np.ndarray, ids, m_bits: int) -> None:
+    """Set membership bits in-place. ``bits`` is a uint64 word array of
+    length m_bits // 64."""
+    for idx in _bloom_indices(ids, m_bits):
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def bloom_contains(bits: np.ndarray, ids, m_bits: int) -> np.ndarray:
+    """Vectorized membership probe -> bool mask (no false negatives)."""
+    n = len(np.asarray(ids, dtype=object))
+    ok = np.ones(n, dtype=bool)
+    for idx in _bloom_indices(ids, m_bits):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        ok &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) != 0
+    return ok

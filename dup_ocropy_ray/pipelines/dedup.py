@@ -130,6 +130,8 @@ def minhash_dup_pairs_ds(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 1234,
+    prune_corpus: bool = True,
+    bloom_bits: int = 1 << 22,
 ) -> rd.Dataset:
     """Near-duplicate pairs: LSH candidates -> exact Jaccard verify,
     END-TO-END DISTRIBUTED (returns a Dataset of (doc_a, doc_b, jaccard)).
@@ -156,11 +158,16 @@ def minhash_dup_pairs_ds(
        C-level ``np.intersect1d`` on sorted-unique uint64 sets,
        threshold filter.
 
-    At 100 TB the corpus text moves through stage 2's exchange exactly
-    once (same volume the semi-join exchanged); pair-scale traffic is
-    rare-by-construction. A Bloom filter over candidate ids broadcast
-    before stage 2 would prune the corpus leg to candidates only — add it
-    if real dup rates make the full-text leg dominate."""
+    With ``prune_corpus`` (default on) a Bloom filter over the candidate
+    member ids (functions/hashing.py, 4-hash, ``bloom_bits`` wide) is
+    built from the materialized pair set and broadcast via ray.put; the
+    corpus leg is filtered by membership BEFORE stage 2's exchange, so
+    only candidate texts (plus a tunable false-positive trickle — FPs
+    just ship harmless extra rows, never alter results) move through the
+    corpus-scale shuffle. At 100 TB with realistic dup rates that turns
+    the dominant full-text exchange into a candidate-scale one. The
+    driver-side bitmap OR is n_blocks x (bloom_bits/8) bytes — size
+    bloom_bits to ~10 bits per expected candidate."""
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                               shingle_k, seed)
 
@@ -231,6 +238,34 @@ def minhash_dup_pairs_ds(
         partition_pairs, batch_format="pandas"
     )
 
+    bloom_ref = None
+    if prune_corpus:
+        # pairs feed BOTH the Bloom build and explode_sides: materialize
+        # once (pair-scale, rare-by-construction) so the LSH candidate
+        # stage doesn't execute twice
+        raw_pairs = raw_pairs.materialize()
+
+        def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(bloom_bits // 64, dtype=np.uint64)
+            ids = np.concatenate([b["doc_a"].to_numpy(dtype=object),
+                                  b["doc_b"].to_numpy(dtype=object)])
+            if len(ids):
+                hashing.bloom_add(bits, ids, bloom_bits)
+            return pd.DataFrame({"bits": [bits.tobytes()]})
+
+        parts = raw_pairs.map_batches(
+            bloom_partial, batch_format="pandas").to_pandas()
+        acc = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        # zero candidate pairs -> every block empty -> Ray never calls
+        # the UDF and the column is absent; the all-zero bloom then
+        # correctly prunes the whole corpus leg
+        if "bits" in parts.columns:
+            for blob in parts["bits"].dropna():
+                acc |= np.frombuffer(blob, dtype=np.uint64)
+        import ray
+
+        bloom_ref = ray.put(acc)
+
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     _UNION_SCHEMA = pa.schema([
@@ -261,6 +296,12 @@ def minhash_dup_pairs_ds(
         ], schema=_UNION_SCHEMA)
 
     def corpus_rows(b: pd.DataFrame) -> pa.Table:
+        if bloom_ref is not None and len(b):
+            import ray
+
+            bits = ray.get(bloom_ref)  # zero-copy shared bitmap
+            b = b[hashing.bloom_contains(
+                bits, b[id_col].to_numpy(dtype=object), bloom_bits)]
         n = len(b)
         key = b[id_col].to_numpy(dtype=object)
         return pa.Table.from_arrays([

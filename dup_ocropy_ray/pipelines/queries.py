@@ -1341,8 +1341,10 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
     """Large x large hash join (lineitem ⋈ orders on the order key) via
     Ray Data's native ``Dataset.join`` — both sides shuffle on the key
     (no broadcast; contrast q_top_orders' broadcast join). Revenue cents
-    are computed per batch BEFORE the join so only two small columns
-    move through the shuffle."""
+    are computed AND partially combined per order key inside each batch
+    BEFORE the join (lineitem is clustered by orderkey, ~4 rows/order),
+    so the shuffle moves one partial row per (batch, orderkey) instead
+    of one per lineitem — ~4x less exchange traffic, same exact sums."""
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -1357,8 +1359,11 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
             pa.scalar(100.0))), pa.int64())
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "rev_cents": rev})
+        part = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                          "rev_cents": rev})
+                .group_by("l_orderkey")
+                .aggregate([("rev_cents", "sum"), ("rev_cents", "count")]))
+        return part.rename_columns(["l_orderkey", "rev_cents", "li_rows"])
 
     li = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -1369,12 +1374,12 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents"])
+    g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
     return pd.DataFrame(
         {
             "o_orderpriority": g.o_orderpriority,
             "revenue_cents": g.sum_rev_cents.astype("int64"),
-            "n_items": g.n.astype("int64"),
+            "n_items": g.sum_li_rows.astype("int64"),
         }
     ).sort_values("o_orderpriority").reset_index(drop=True)
 

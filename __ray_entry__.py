@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
+        "sample_by_source": q.q_sample_by_source,
     }
 
 
@@ -367,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,
         "pii_scrub": q.SQL_PII_SCRUB,
+        "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -176,3 +176,37 @@ def pii_scrub(docs: rd.Dataset) -> pd.DataFrame:
                         batch_size=8192)
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def sample_by_source(docs: rd.Dataset, base_pct: int = 20) -> pd.DataFrame:
+    """Deterministic weighted downsampling for corpus mixing: each
+    source keeps ``base_pct + 5 * len(source)`` percent of its docs,
+    selected by a stable hash permutation of doc_id (reproducible across
+    runs and workers — the property reservoir sampling lacks). Stateless
+    per-batch filter + metadata-scale grouped summary; no shuffle of
+    the kept rows themselves."""
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy("int64") * 2654435761) % 4294967296 % 100
+        quota = (base_pct + 5 * b["source"].str.len()).to_numpy("int64")
+        sel = b[h < quota]
+        return pd.DataFrame({
+            "source": sel["source"].astype(str),
+            "kept": np.ones(len(sel), dtype="int64"),
+            "kept_chars": sel["n_chars"].to_numpy("int64"),
+        })
+
+    from .relational import grouped_agg
+
+    g = grouped_agg(
+        docs.map_batches(pick, batch_format="pandas", batch_size=8192),
+        ["source"], sums=["kept_chars"])
+    out = pd.DataFrame({
+        "source": g["source"].astype(str),
+        "n_kept": g["n"].astype("int64"),
+        "kept_chars": g["sum_kept_chars"].astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)

@@ -1613,3 +1613,21 @@ SELECT doc_id,
        (1 + doc_id % 3)::BIGINT AS n_redactions
 FROM documents ORDER BY doc_id
 """
+
+
+def q_sample_by_source(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted corpus-mixing sample: per-source keep rate
+    = 20% + 5%*len(source), membership by stable doc_id hash. Oracle
+    replicates the hash arithmetic exactly."""
+    from .curate import sample_by_source
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return sample_by_source(ds)
+
+
+SQL_SAMPLE_BY_SOURCE = """
+SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20 + 5 * length(source)
+GROUP BY source ORDER BY source
+"""

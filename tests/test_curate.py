@@ -70,3 +70,22 @@ def test_pii_scrub_catches_real_world_shapes(ray_session):
     out = pii_scrub_stage(b)
     assert out["scrubbed"].iloc[0] == "mail call ip end"
     assert out["n_redactions"].iloc[0] == 3
+
+
+def test_sample_by_source_deterministic_and_weighted(ray_session):
+    from dup_ocropy_ray.pipelines.curate import sample_by_source
+
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "source": np.where(np.arange(n) % 2 == 0, "a", "longname"),
+        "n_chars": np.full(n, 10, dtype="int64"),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out1 = sample_by_source(ds)
+    out2 = sample_by_source(ds)  # reproducible across runs
+    pd.testing.assert_frame_equal(out1, out2)
+    r = out1.set_index("source")["n_kept"]
+    # keep rates: 'a' -> 25%, 'longname' -> 60% of 2000 each (hash noise)
+    assert abs(r["a"] / 2000 - 0.25) < 0.05
+    assert abs(r["longname"] / 2000 - 0.60) < 0.05

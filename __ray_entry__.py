@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "sample_by_source": q.q_sample_by_source,
+        "distinct_users_hll": q.q_distinct_users_hll,
     }
 
 

@@ -1631,3 +1631,15 @@ FROM documents
 WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20 + 5 * length(source)
 GROUP BY source ORDER BY source
 """
+
+
+def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-event-type distinct users via mergeable
+    HyperLogLog registers (pipelines/sketches.py) — the 100 TB path for
+    distinct_users: constant 16 KB/partial traffic instead of shuffling
+    every key. Rows-only at the driver (an estimate can't hash-match an
+    exact oracle); tests pin <2% error against the exact count."""
+    from .sketches import approx_distinct_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by_key(ds, "event_type", "user_id")

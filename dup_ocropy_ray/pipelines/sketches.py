@@ -1,0 +1,87 @@
+"""Mergeable sketches for approximate aggregates at 100 TB scale.
+
+HyperLogLog (Flajolet et al. 2007, with the HLL bias corrections from
+Heule et al. 2013's small-range rule): exact ``distinct_users`` needs a
+full shuffle of every key; the sketch needs one 2^p-byte register array
+per block and an elementwise-max merge — constant traffic regardless of
+corpus size, ~0.8% relative error at p=14.
+
+Register update and the leading-zero rank are fully vectorized (the
+bit-length is an exact 6-step binary search, not a float log2 — float
+rounding near powers of two would mis-rank one value in ~2^40).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..functions.hashing import hash_strings
+
+_P = 14
+_M = 1 << _P
+# alpha_m for m >= 128 (Flajolet et al., Fig. 3)
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (0 -> 0)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        w[big] >>= np.uint64(shift)
+    bl += (w > 0).astype(np.int64)
+    return bl
+
+
+def hll_update(regs: np.ndarray, values) -> None:
+    """Fold a batch of values into a 2^p uint8 register array in place."""
+    h = hash_strings(values)
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _P)) - 1)
+    rank = (64 - _P) - _bit_length_u64(w) + 1  # 1..64-p+1
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate with linear-counting fallback
+    for the small range."""
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _M and zeros:
+        return _M * np.log(_M / zeros)
+    return float(est)
+
+
+def approx_distinct_by_key(
+    ds: rd.Dataset, key_col: str, value_col: str
+) -> pd.DataFrame:
+    """Per-key approximate distinct count of ``value_col``. Each batch
+    emits one (key, registers) partial per local key; the driver merge
+    is elementwise max over (n_keys x n_blocks) 16 KB arrays — the key
+    cardinality is assumed SMALL (group-by-category distinct), while the
+    value cardinality can be arbitrarily large."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, blobs = [], []
+        for k, g in b.groupby(key_col, sort=False):
+            regs = np.zeros(_M, dtype=np.uint8)
+            hll_update(regs, g[value_col].to_numpy(dtype=object))
+            keys.append(k)
+            blobs.append(regs.tobytes())
+        return pd.DataFrame({key_col: pd.Series(keys, dtype=str),
+                             "regs": pd.Series(blobs, dtype=object)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = []
+    for k, g in parts.groupby(key_col, sort=True):
+        acc = np.zeros(_M, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        out.append((k, int(round(hll_estimate(acc)))))
+    return pd.DataFrame(out, columns=[key_col, "approx_distinct"])

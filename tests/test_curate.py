@@ -89,3 +89,38 @@ def test_sample_by_source_deterministic_and_weighted(ray_session):
     # keep rates: 'a' -> 25%, 'longname' -> 60% of 2000 each (hash noise)
     assert abs(r["a"] / 2000 - 0.25) < 0.05
     assert abs(r["longname"] / 2000 - 0.60) < 0.05
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    """Distributed HLL estimate within 2% of exact, and merging block
+    partials must equal sketching the concatenation."""
+    from dup_ocropy_ray.pipelines.sketches import (
+        approx_distinct_by_key,
+        hll_estimate,
+        hll_update,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 60000
+    df = pd.DataFrame({
+        "k": np.where(np.arange(n) % 3 == 0, "x", "y"),
+        "v": rng.integers(0, 25000, n).astype("int64").astype(str),
+    })
+    exact = df.groupby("k")["v"].nunique()
+    out = approx_distinct_by_key(
+        rd.from_pandas(df).repartition(8), "k", "v").set_index("k")
+    for k in ("x", "y"):
+        err = abs(out.loc[k, "approx_distinct"] - exact[k]) / exact[k]
+        assert err < 0.02, (k, out.loc[k, "approx_distinct"], exact[k])
+
+    # merge property: max of partials == sketch of the union
+    a, b = df["v"][: n // 2], df["v"][n // 2:]
+    import numpy as _np
+
+    r1 = _np.zeros(1 << 14, dtype=_np.uint8)
+    r2 = _np.zeros(1 << 14, dtype=_np.uint8)
+    rall = _np.zeros(1 << 14, dtype=_np.uint8)
+    hll_update(r1, a.to_numpy(dtype=object))
+    hll_update(r2, b.to_numpy(dtype=object))
+    hll_update(rall, df["v"].to_numpy(dtype=object))
+    assert (_np.maximum(r1, r2) == rall).all()

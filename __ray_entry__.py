@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.q_pii_scrub,
         "sample_by_source": q.q_sample_by_source,
         "distinct_users_hll": q.q_distinct_users_hll,
+        "repetition_stats": q.q_repetition_stats,
     }
 
 
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": q.SQL_DECONTAMINATE,
         "pii_scrub": q.SQL_PII_SCRUB,
         "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
+        "repetition_stats": q.SQL_REPETITION_STATS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -1643,3 +1643,48 @@ def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition quality signals (Gopher rules): top-word and
+    top-bigram mass as exact integer counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.repetition_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_STATS = r"""
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len(l) END AS n_words, l
+  FROM c
+), words AS (
+  SELECT doc_id, unnest(l) AS w FROM base WHERE n_words > 0
+), wtop AS (
+  SELECT doc_id, max(cnt) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2)
+  GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS z
+  FROM base WHERE n_words > 1
+), btop AS (
+  SELECT doc_id, max(cnt) AS top_bigram_n
+  FROM (SELECT doc_id, z[1] || ' ' || z[2] AS bg, count(*) AS cnt
+        FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(w.top_word_n, 0)::BIGINT   AS top_word_n,
+       b.n_words::BIGINT                   AS n_words,
+       coalesce(t.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       greatest(b.n_words - 1, 0)::BIGINT  AS n_bigrams
+FROM base b
+LEFT JOIN wtop w USING (doc_id)
+LEFT JOIN btop t USING (doc_id)
+ORDER BY b.doc_id
+"""

@@ -163,3 +163,32 @@ def fingerprint_table(ds: rd.Dataset, window: int = 8, keep_mod: int = 8) -> rd.
         )
 
     return ds.map_batches(f, batch_format="pandas", batch_size=16384)
+
+
+def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    quality rules): mass of the most frequent word and of the most
+    frequent bigram, as INTEGER counts (fractions are downstream
+    division; integers keep the oracle compare exact). Stateless
+    per-batch map, no shuffle."""
+    from collections import Counter
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        tw, nw, tb, nb = [], [], [], []
+        for t in batch["text"]:
+            w = (t or "").split()
+            cw = Counter(w)
+            tw.append(max(cw.values()) if cw else 0)
+            nw.append(len(w))
+            cb = Counter(zip(w, w[1:]))
+            tb.append(max(cb.values()) if cb else 0)
+            nb.append(max(len(w) - 1, 0))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "top_word_n": pd.Series(tw, dtype="int64"),
+            "n_words": pd.Series(nw, dtype="int64"),
+            "top_bigram_n": pd.Series(tb, dtype="int64"),
+            "n_bigrams": pd.Series(nb, dtype="int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192)

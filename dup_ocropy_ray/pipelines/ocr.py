@@ -46,6 +46,8 @@ def read_docs(path: str) -> rd.Dataset:
     configure_data_context()
     if path.endswith(".lance"):
         return rd.read_lance(path)
+    if path.endswith((".jsonl", ".json")):
+        return rd.read_json(path)
     from ..tuning import parquet_schema
 
     return rd.read_parquet(path, schema=parquet_schema(path))

@@ -286,3 +286,61 @@ def test_aligned_locs_match_gt():
     assert got == want, (got, want)
     xs = [e["x"] for e in al]
     assert xs == sorted(xs)
+
+
+# --------------------------------------------------------- stage registry
+
+
+def test_registry_composes_named_stages(ray_session):
+    """SURVEY §2.7 extension surface: pipelines as data — a registry
+    chain must equal calling the stage functions directly."""
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.extract import extract_docs
+    from dup_ocropy_ray.stages.registry import (
+        apply_stages,
+        get_stage,
+        register_stage,
+        registered_stages,
+    )
+
+    assert {"nlbin", "gpageseg", "rpred", "html-extract",
+            "pdf-extract"} <= set(registered_stages())
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"),
+                       "text": [f"w{j} " * (4 + j) for j in range(5)]})
+    ds = rd.from_pandas(df)
+    via_registry = (apply_stages(ds, ["web-wrap", "html-extract"])
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    direct = (extract_docs(rd.from_pandas(df)).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(via_registry, direct)
+
+    try:
+        get_stage("no-such-stage")
+        assert False, "unknown stage must raise"
+    except KeyError as e:
+        assert "registered" in str(e)
+
+    # set_params equivalent: kwargs bind to the UDF
+    @register_stage("add-col", batch_format="pandas")
+    def add_col(b, value=0):
+        return b.assign(extra=value)
+
+    out = apply_stages(ds, [("add-col", {"value": 7})]).to_pandas()
+    assert (out["extra"] == 7).all()
+
+
+def test_read_docs_jsonl(ray_session, tmp_path):
+    import json
+
+    from dup_ocropy_ray.pipelines.ocr import read_docs
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i in range(7):
+            f.write(json.dumps({"doc_id": i, "text": f"line {i}"}) + "\n")
+    ds = read_docs(str(p))
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 7 and got["text"].iloc[3] == "line 3"

@@ -189,7 +189,11 @@ def extract_spans(html: str) -> list[dict]:
     root = parse_html(html)
     cand = _best_candidate(root)
     if cand is None:
-        return []
+        # text-light pages (e.g. media-only documents) never reach the
+        # 25-char scoring floor: fall back to <body> (readability's own
+        # fallback) — the kill/negative-class/link-density filters below
+        # still strip the chrome
+        cand = next((n for n in root.iter() if n.tag == "body"), root)
     spans: list[dict] = []
 
     def emit_text(node: Node) -> None:

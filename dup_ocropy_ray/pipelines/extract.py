@@ -265,3 +265,50 @@ def run_extract_with_checkpoint(
         "fragments_run": pending,
         "counters": ckpt.aggregate_counters(out_root),
     }
+
+
+# ------------------------------------------------- extraction -> OCR
+
+
+def docs_to_html_docs(docs: rd.Dataset) -> rd.Dataset:
+    """Inverse rendering for the composition demo/tests: re-render an
+    interleaved (doc_id, spans) doc as ONE kind='html' span — text spans
+    become <p> blocks, media spans become <img src=ref>, wrapped in nav/
+    footer boilerplate the extractor must strip."""
+    import html as _h
+
+    import pyarrow as pa
+
+    def render(batch: pa.Table) -> pa.Table:
+        out = []
+        for ss in batch.column("spans").to_pylist():
+            parts = []
+            for s in sorted(ss or [], key=lambda x: x["offset"]):
+                if s["kind"] == "media":
+                    parts.append(f'<img src="{s["media_ref"]}">')
+                elif s["text"]:
+                    parts.append(f"<p>{_h.escape(s['text'])}</p>")
+            html = (
+                '<html><body><nav class="menu"><a href="/">Home</a>'
+                '<a href="/a">Archive</a></nav>'
+                f'<article class="post-body">{"".join(parts)}</article>'
+                '<footer class="site-footer">junk trailing boilerplate'
+                "</footer></body></html>"
+            )
+            out.append([{"kind": "html", "text": html,
+                         "media_ref": None, "offset": 0}])
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "spans": pa.array(out, _span_list_type())})
+
+    return docs.map_batches(render, batch_format="pyarrow", batch_size=128)
+
+
+def extract_then_ocr(docs: rd.Dataset, media_store_ref, **ocr_kw) -> rd.Dataset:
+    """The full interleaved story: html spans expand to text+media span
+    sequences, then the media spans flow through the OCR flagship
+    (binarize -> segment -> recognize -> reassemble). Pure composition —
+    extract_interleaved's output schema IS ocr_pipeline's input
+    contract."""
+    from .ocr import ocr_pipeline
+
+    return ocr_pipeline(extract_interleaved(docs), media_store_ref, **ocr_kw)

@@ -292,3 +292,35 @@ def test_media_join_no_masks_and_dangling_ref(ray_session):
     assert out.loc["d1", "page_png"] == b"\x89PNGx"
     assert out.loc["d2", "page_png"] is None
     assert out["mask_png"].isna().all()
+
+
+def test_extract_then_ocr_matches_direct_ocr(ray_session, corpus):
+    """North-rule composition: docs re-rendered as boilerplate-laden
+    HTML (text spans -> <p>, media spans -> <img>) then pushed through
+    extraction + OCR must produce the SAME span sequence (kind, text,
+    media_ref, order) as OCR over the original interleaved docs."""
+    from dup_ocropy_ray.pipelines.extract import (
+        docs_to_html_docs,
+        extract_then_ocr,
+    )
+    from dup_ocropy_ray.pipelines.ocr import ocr_pipeline, read_docs
+    from dup_ocropy_ray.sources.media import put_media_store
+
+    docs = read_docs(corpus["docs"])
+    media_ref = put_media_store(corpus["media"])
+    kw = dict(recognizer_concurrency=1, resolver_concurrency=1,
+              page_concurrency=1)
+    direct = ocr_pipeline(docs, media_ref, **kw).to_pandas()
+    via_html = extract_then_ocr(
+        docs_to_html_docs(read_docs(corpus["docs"])), media_ref, **kw
+    ).to_pandas()
+
+    d = direct.set_index("doc_id").sort_index()
+    h = via_html.set_index("doc_id").sort_index()
+    assert list(d.index) == list(h.index)
+    for doc_id in d.index:
+        a = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in d.loc[doc_id, "spans"]]
+        b = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in h.loc[doc_id, "spans"]]
+        assert a == b, doc_id

@@ -177,6 +177,12 @@ def _tokenize(content: str):
                 i = j if j > i else i + 1
 
 
+def _nums(stack: list, k: int) -> bool:
+    """Last k stack entries are numeric (corrupt streams can leave
+    strings where operands belong — skip the op rather than raise)."""
+    return all(isinstance(v, float) for v in stack[-k:])
+
+
 def _text_runs(content: bytes) -> list[tuple[float, float, str]]:
     """Execute the text operators of one content stream, returning
     positioned runs (x, y, text)."""
@@ -205,16 +211,16 @@ def _text_runs(content: bytes) -> list[tuple[float, float, str]]:
             elif val == "BT":
                 lx = ly = 0.0
                 stack.clear()
-            elif val == "Tm" and len(stack) >= 6:
+            elif val == "Tm" and len(stack) >= 6 and _nums(stack, 2):
                 lx, ly = float(stack[-2]), float(stack[-1])
                 stack.clear()
-            elif val in ("Td", "TD") and len(stack) >= 2:
+            elif val in ("Td", "TD") and len(stack) >= 2 and _nums(stack, 2):
                 tx, ty = float(stack[-2]), float(stack[-1])
                 if val == "TD":
                     tl = -ty
                 lx, ly = lx + tx, ly + ty
                 stack.clear()
-            elif val == "TL" and stack:
+            elif val == "TL" and stack and _nums(stack, 1):
                 tl = float(stack[-1])
                 stack.clear()
             elif val == "T*":

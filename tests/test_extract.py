@@ -290,3 +290,43 @@ def test_extract_checkpoint_resume(ray_session, tmp_path):
     r3 = run_extract_with_checkpoint(docs_path, out_root, num_fragments=3)
     assert r3["fragments_run"] == [1]
     assert r3["counters"] == c1
+
+
+# --------------------------------------------------------- fuzz hardening
+
+
+def test_html_extractor_never_crashes_on_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list("<>/=\"' abcdefp&;!-[]()")),
+        max_size=400,
+    ))
+    def run(s):
+        spans = extract_spans(s)  # must not raise
+        for sp in spans:
+            assert sp["kind"] in ("text", "media")
+
+    run()
+
+
+def test_pdf_parser_never_crashes_on_mutations():
+    """Random byte corruptions of a valid PDF must never raise — worst
+    case is missing/garbled text."""
+    import numpy as np
+
+    from dup_ocropy_ray.functions.pdfx import extract_pdf_text
+    from dup_ocropy_ray.sources.pdfgen import render_pdf
+
+    rng = np.random.default_rng(13)
+    base = bytearray(render_pdf(5, "alpha beta gamma " * 30))
+    for _ in range(120):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 20))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        extract_pdf_text(bytes(buf))  # must not raise
+    # truncations too
+    for cut in (0, 5, 37, 200, len(base) // 2, len(base) - 3):
+        extract_pdf_text(bytes(base[:cut]))

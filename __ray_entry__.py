@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": q.q_sample_by_source,
         "distinct_users_hll": q.q_distinct_users_hll,
         "repetition_stats": q.q_repetition_stats,
+        "curate_corpus": q.q_curate_corpus,
     }
 
 
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": q.SQL_PII_SCRUB,
         "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
         "repetition_stats": q.SQL_REPETITION_STATS,
+        "curate_corpus": q.SQL_CURATE_CORPUS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -1688,3 +1688,88 @@ LEFT JOIN wtop w USING (doc_id)
 LEFT JOIN btop t USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation flagship, fully oracle-checked: boilerplate
+    wrap -> main-content extraction -> Gopher-style repetition/length
+    filter (body >= 30 words, top-word mass <= 1/5) -> greedy 256-token
+    sequence packing of the survivors (distributed prefix scan) ->
+    per-window doc/token counts. Every stage is the production operator;
+    the oracle recomputes the whole chain in SQL from the source
+    column."""
+    from collections import Counter
+
+    from .extract import extract_docs
+    from .windows import ordered_scan
+
+    ds = extract_docs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, tw = [], [], []
+        for i, t in zip(b["doc_id"], b["main_text"]):
+            w = (t or "").split()
+            ids.append(int(i))
+            nt.append(len(w))
+            body = w[2:]  # drop the 'Story <i>' title tokens
+            tw.append(max(Counter(body).values()) if body else 0)
+        out = pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_tokens": pd.Series(nt, dtype="int64"),
+            "top_word_n": pd.Series(tw, dtype="int64"),
+        })
+        body_n = out["n_tokens"] - 2
+        keep = (body_n >= 30) & (out["top_word_n"] * 5 <= body_n)
+        return out[keep][["doc_id", "n_tokens"]]
+
+    filtered = ds.map_batches(stats, batch_format="pandas", batch_size=8192)
+    scanned = ordered_scan(filtered, "doc_id", sum_cols=("n_tokens",))
+
+    def plan(b: pd.DataFrame) -> pd.DataFrame:
+        start = (b["run_n_tokens"] - b["n_tokens"]).astype("int64")
+        return pd.DataFrame({
+            "window_id": (start // 256).astype("int64"),
+            "n_tokens": b["n_tokens"].astype("int64"),
+        })
+
+    g = grouped_agg(scanned.map_batches(plan, batch_format="pandas"),
+                    ["window_id"], sums=["n_tokens"])
+    out = pd.DataFrame({
+        "window_id": g["window_id"].astype("int64"),
+        "n_docs": g["n"].astype("int64"),
+        "n_tokens": g["sum_n_tokens"].astype("int64"),
+    })
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
+SQL_CURATE_CORPUS = r"""
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, CASE WHEN t = '' THEN 0 ELSE len(l) END AS n_body, l
+  FROM c
+), wtop AS (
+  SELECT doc_id, max(cnt) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(l) AS w FROM base WHERE n_body > 0)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+), kept AS (
+  SELECT b.doc_id, b.n_body + 2 AS n_tokens
+  FROM base b JOIN wtop w USING (doc_id)
+  WHERE b.n_body >= 30 AND w.top_word_n * 5 <= b.n_body
+), s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS st
+  FROM kept
+)
+SELECT (st // 256)::BIGINT AS window_id,
+       count(*)            AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM s GROUP BY 1 ORDER BY 1
+"""

@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": q.q_distinct_users_hll,
         "repetition_stats": q.q_repetition_stats,
         "curate_corpus": q.q_curate_corpus,
+        "html_tables": q.q_html_tables,
     }
 
 
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
         "repetition_stats": q.SQL_REPETITION_STATS,
         "curate_corpus": q.SQL_CURATE_CORPUS,
+        "html_tables": q.SQL_HTML_TABLES,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

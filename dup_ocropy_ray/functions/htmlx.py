@@ -247,3 +247,39 @@ def extract_main_text(html: str) -> str:
     return " ".join(
         s["text"] for s in extract_spans(html) if s["kind"] == "text"
     )
+
+
+def extract_tables(html: str) -> list[list[list[str]]]:
+    """Structured-data extraction: all <table>s not under kill-list
+    subtrees, each as rows (tr) of cell texts (td/th, whitespace-
+    normalized). Unlike the main-content path, class priors do NOT
+    exclude a table — tables are data, boilerplate-ness is the caller's
+    call. Rows of nested tables are reported under the OUTERMOST table
+    only."""
+    root = parse_html(html)
+    out: list[list[list[str]]] = []
+    seen: set[int] = set()
+    for n in root.iter():
+        if n.tag != "table" or id(n) in seen:
+            continue
+        if any(p.tag in _KILL_TAGS for p in _ancestors(n)):
+            continue
+        for d in n.iter():
+            if d.tag == "table":
+                seen.add(id(d))
+        rows: list[list[str]] = []
+        for tr in n.iter():
+            if tr.tag != "tr":
+                continue
+            cells: list[str] = []
+            for c in tr.children:
+                if isinstance(c, Node) and c.tag in ("td", "th"):
+                    texts: list[str] = []
+                    links: list[str] = []
+                    _collect(c, texts, links)
+                    cells.append(_clean_text(texts))
+            if cells:
+                rows.append(cells)
+        if rows:
+            out.append(rows)
+    return out

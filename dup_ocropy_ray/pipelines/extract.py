@@ -312,3 +312,30 @@ def extract_then_ocr(docs: rd.Dataset, media_store_ref, **ocr_kw) -> rd.Dataset:
     from .ocr import ocr_pipeline
 
     return ocr_pipeline(extract_interleaved(docs), media_store_ref, **ocr_kw)
+
+
+def extract_tables_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, html) -> exploded table cells (doc_id, table_idx,
+    row_idx, col_idx, cell) — the structured-data leg of extraction."""
+    ids, ti, ri, ci, cv = [], [], [], [], []
+    for i, h in zip(b["doc_id"], b["html"]):
+        for t_idx, rows in enumerate(htmlx.extract_tables(h)):
+            for r_idx, row in enumerate(rows):
+                for c_idx, cell in enumerate(row):
+                    ids.append(int(i))
+                    ti.append(t_idx)
+                    ri.append(r_idx)
+                    ci.append(c_idx)
+                    cv.append(cell)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "table_idx": pd.Series(ti, dtype="int64"),
+        "row_idx": pd.Series(ri, dtype="int64"),
+        "col_idx": pd.Series(ci, dtype="int64"),
+        "cell": pd.Series(cv, dtype=str),
+    })
+
+
+def extract_tables_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    return wrap_docs(ds, batch_size).map_batches(
+        extract_tables_stage, batch_format="pandas", batch_size=batch_size)

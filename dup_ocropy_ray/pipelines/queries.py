@@ -1773,3 +1773,41 @@ SELECT (st // 256)::BIGINT AS window_id,
        sum(n_tokens)::BIGINT AS n_tokens
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+def q_html_tables(sf_dir: str) -> pd.DataFrame:
+    """Structured-data extraction: every page carries a deterministic
+    3-row stats <table> in its chrome; the table extractor must recover
+    all cells with exact positions. Oracle reconstructs the cells from
+    the source column."""
+    from .extract import extract_tables_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = extract_tables_table(ds).to_pandas()
+    return (out.sort_values(["doc_id", "table_idx", "row_idx", "col_idx"])
+            .reset_index(drop=True))
+
+
+SQL_HTML_TABLES = r"""
+WITH c AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0
+              ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS nw
+  FROM c
+), cells AS (
+  SELECT doc_id, 0 AS row_idx, 0 AS col_idx, 'k' AS cell FROM n
+  UNION ALL SELECT doc_id, 0, 1, 'v' FROM n
+  UNION ALL SELECT doc_id, 1, 0, 'id' FROM n
+  UNION ALL SELECT doc_id, 1, 1, doc_id::VARCHAR FROM n
+  UNION ALL SELECT doc_id, 2, 0, 'words' FROM n
+  UNION ALL SELECT doc_id, 2, 1, nw::VARCHAR FROM n
+  UNION ALL SELECT doc_id, 3, 0, 'tpl' FROM n
+  UNION ALL SELECT doc_id, 3, 1, (doc_id % 4)::VARCHAR FROM n
+)
+SELECT doc_id, 0::BIGINT AS table_idx, row_idx::BIGINT AS row_idx,
+       col_idx::BIGINT AS col_idx, cell
+FROM cells ORDER BY doc_id, row_idx, col_idx
+"""

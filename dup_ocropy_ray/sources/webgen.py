@@ -114,8 +114,17 @@ def wrap_html(doc_id: int, text: str, with_images: bool = True) -> str:
         f'<article class="post-body"><h1>{_html.escape(f"Story {doc_id}")}'
         f"</h1>{''.join(body_parts)}</article>"
     )
+    n_words = len(text.split())
+    stats_table = (
+        '<div class="widget stats"><table>'
+        "<tr><th>k</th><th>v</th></tr>"
+        f"<tr><td>id</td><td>{doc_id}</td></tr>"
+        f"<tr><td>words</td><td>{n_words}</td></tr>"
+        f"<tr><td>tpl</td><td>{tpl}</td></tr>"
+        "</table></div>"
+    )
     chrome_head = _nav(rng, 6 + tpl) + _ads(rng, 1 + tpl % 2)
-    chrome_side = _sidebar(rng)
+    chrome_side = _sidebar(rng) + stats_table
     chrome_tail = _comments(rng, 2 + tpl) + (
         '<footer class="site-footer"><p>'
         + " ".join(_JUNK_WORDS[rng.next(len(_JUNK_WORDS))] for _ in range(8))

@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=("ocr", "extract"), default="ocr",
+                    help="ocr = media OCR flagship; extract = html-span "
+                         "main-content extraction (no media table needed)")
     ap.add_argument("--docs", required=True, help="interleaved docs table (parquet/lance)")
-    ap.add_argument("--media", required=True, help="media blob table (media_ref, bytes)")
+    ap.add_argument("--media", default=None, help="media blob table (media_ref, bytes); required for --pipeline ocr")
     ap.add_argument("--out", required=True, help="output root (fragment dirs + manifests)")
     ap.add_argument("--fragments", type=int, default=16)
     ap.add_argument("--model", default=None)
@@ -38,14 +41,22 @@ def main() -> None:
 
     from dup_ocropy_ray.pipelines.ocr import run_ocr_with_checkpoint
 
-    result = run_ocr_with_checkpoint(
-        args.docs,
-        args.media,
-        args.out,
-        num_fragments=args.fragments,
-        model_path=args.model,
-        recognizer_concurrency=(args.recognizer_min, args.recognizer_max),
-    )
+    if args.pipeline == "extract":
+        from dup_ocropy_ray.pipelines.extract import run_extract_with_checkpoint
+
+        result = run_extract_with_checkpoint(
+            args.docs, args.out, num_fragments=args.fragments)
+    else:
+        if not args.media:
+            ap.error("--media is required for --pipeline ocr")
+        result = run_ocr_with_checkpoint(
+            args.docs,
+            args.media,
+            args.out,
+            num_fragments=args.fragments,
+            model_path=args.model,
+            recognizer_concurrency=(args.recognizer_min, args.recognizer_max),
+        )
     print(json.dumps(result))
     ray.shutdown()
 

@@ -330,3 +330,30 @@ def test_pdf_parser_never_crashes_on_mutations():
     # truncations too
     for cut in (0, 5, 37, 200, len(base) // 2, len(base) - 3):
         extract_pdf_text(bytes(base[:cut]))
+
+
+def test_extract_tables_structure_and_kill_scope():
+    from dup_ocropy_ray.functions.htmlx import extract_tables
+
+    html = (
+        "<html><body>"
+        "<nav><table><tr><td>menu</td></tr></table></nav>"  # killed scope
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>x <b>y</b></td></tr></table>"
+        "<div><table><tr><td>only</td></tr></table></div>"
+        "</body></html>"
+    )
+    tables = extract_tables(html)
+    assert tables == [[["a", "b"], ["1", "x y"]], [["only"]]]
+
+
+def test_extract_tables_nested_reported_once():
+    from dup_ocropy_ray.functions.htmlx import extract_tables
+
+    html = ("<table><tr><td>outer"
+            "<table><tr><td>inner</td></tr></table>"
+            "</td></tr></table>")
+    tables = extract_tables(html)
+    assert len(tables) == 1
+    flat = [c for rows in tables for r in rows for c in r]
+    assert any("inner" in c for c in flat) and any("outer" in c for c in flat)

@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "curate_corpus": q.q_curate_corpus,
         "html_tables": q.q_html_tables,
+        "audio_features": q.q_audio_features,
     }
 
 
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": q.SQL_REPETITION_STATS,
         "curate_corpus": q.SQL_CURATE_CORPUS,
         "html_tables": q.SQL_HTML_TABLES,
+        "audio_features": q.SQL_AUDIO_FEATURES,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

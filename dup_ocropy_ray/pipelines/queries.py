@@ -1811,3 +1811,44 @@ SELECT doc_id, 0::BIGINT AS table_idx, row_idx::BIGINT AS row_idx,
        col_idx::BIGINT AS col_idx, cell
 FROM cells ORDER BY doc_id, row_idx, col_idx
 """
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio round-trip (real PCM WAV decode, functions/wav.py): each
+    doc synthesizes a sine WAV — duration 1 + doc_id%3 seconds, tone
+    100*(1 + doc_id%5) Hz (integer FFT bins: no spectral leakage) — and
+    the feature stage must recover duration and dominant frequency
+    exactly. The oracle reconstructs both from doc_id arithmetic."""
+    from ..functions.wav import encode_wav
+    from ..stages.multimodal import AudioFeatures
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    rate = 8000
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy("int64")
+        blobs = []
+        for i in ids:
+            dur = 1 + int(i) % 3
+            freq = 100 * (1 + int(i) % 5)
+            t = np.arange(rate * dur) / rate
+            blobs.append(encode_wav(0.4 * np.sin(2 * np.pi * freq * t), rate))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    feats = (ds.map_batches(synth, batch_format="pandas", batch_size=64)
+             .map_batches(AudioFeatures(), batch_format="pyarrow",
+                          batch_size=64)
+             .to_pandas())
+    assert (feats["audio_status"] == "ok").all()
+    out = feats[["doc_id", "duration_s", "dominant_hz"]].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+       (1 + doc_id % 3)::DOUBLE       AS duration_s,
+       (100 * (1 + doc_id % 5))::DOUBLE AS dominant_hz
+FROM documents ORDER BY doc_id
+"""

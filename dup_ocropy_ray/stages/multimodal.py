@@ -142,36 +142,59 @@ class ImageResize:
 
 
 class AudioFeatures:
-    """STUB: audio bytes -> (duration_s, rms). No audio codec ships in
-    this container; with fake=True a deterministic byte-level proxy keeps
-    the plumbing testable, otherwise raises NotImplementedError."""
+    """Audio bytes -> (duration_s, rms, zcr_per_s, dominant_hz, status).
+
+    PCM WAV decodes FOR REAL via the in-repo RIFF codec
+    (functions/wav.py — no external audio lib needed). Compressed
+    formats (mp3/ogg/aac) have no codec in this container: with
+    fake=True a deterministic byte-level proxy keeps the plumbing
+    testable, otherwise such items get a skip-don't-fail status row."""
 
     def __init__(self, fake: bool = False, bytes_col: str = "bytes"):
-        try:  # pragma: no cover - not installed here
-            import soundfile  # noqa: F401
-
-            self._lib = soundfile
-        except ImportError:
-            self._lib = None
         self.fake = fake
         self.bytes_col = bytes_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._lib is None and not self.fake:
-            raise NotImplementedError(
-                "no audio codec in this environment; construct with "
-                "fake=True for the deterministic stub"
-            )
-        durs, rms = [], []
+        from ..functions.wav import wav_features
+
+        durs, rms, zcr, dom, status = [], [], [], [], []
         for data in batch.column(self.bytes_col).to_pylist():
-            if self._lib is not None and not self.fake:
-                raise NotImplementedError("real audio path not wired")
-            b = np.frombuffer(data or b"", dtype=np.uint8)
-            durs.append(round(len(b) / 16000.0, 6))  # fake 16kHz/8-bit
-            rms.append(round(float(np.sqrt(np.mean((b / 255.0) ** 2)))
-                             if len(b) else 0.0, 6))
+            data = bytes(data or b"")
+            if data[:4] == b"RIFF":
+                try:
+                    f = wav_features(data)
+                    durs.append(f["duration_s"])
+                    rms.append(f["rms"])
+                    zcr.append(f["zcr_per_s"])
+                    dom.append(f["dominant_hz"])
+                    status.append("ok")
+                    continue
+                except NotImplementedError as e:
+                    durs.append(0.0); rms.append(0.0)
+                    zcr.append(0.0); dom.append(0.0)
+                    status.append(f"unsupported: {e}")
+                    continue
+                except Exception as e:
+                    durs.append(0.0); rms.append(0.0)
+                    zcr.append(0.0); dom.append(0.0)
+                    status.append(f"decode_error: {type(e).__name__}")
+                    continue
+            if self.fake:
+                b = np.frombuffer(data, dtype=np.uint8)
+                durs.append(round(len(b) / 16000.0, 6))  # fake 16kHz/8-bit
+                rms.append(round(float(np.sqrt(np.mean((b / 255.0) ** 2)))
+                                 if len(b) else 0.0, 6))
+                zcr.append(0.0); dom.append(0.0)
+                status.append("fake")
+            else:
+                durs.append(0.0); rms.append(0.0)
+                zcr.append(0.0); dom.append(0.0)
+                status.append("unsupported: no codec for non-WAV audio")
         out = batch.append_column("duration_s", pa.array(durs, pa.float64()))
-        return out.append_column("rms", pa.array(rms, pa.float64()))
+        out = out.append_column("rms", pa.array(rms, pa.float64()))
+        out = out.append_column("zcr_per_s", pa.array(zcr, pa.float64()))
+        out = out.append_column("dominant_hz", pa.array(dom, pa.float64()))
+        return out.append_column("audio_status", pa.array(status, pa.string()))
 
 
 class VideoFrameSample:

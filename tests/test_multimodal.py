@@ -57,10 +57,13 @@ def test_audio_video_stubs(ray_session):
     from dup_ocropy_ray.stages.multimodal import AudioFeatures, VideoFrameSample
 
     b = pa.table({"media_ref": ["a"], "bytes": [bytes(range(256)) * 4]})
-    with pytest.raises(NotImplementedError):
-        AudioFeatures()(b)
+    # non-WAV audio without fake: skip-don't-fail status row (PCM WAV
+    # itself decodes for real — see test_audio_stage_real_wav_and_skip_paths)
+    out = AudioFeatures()(b)
+    assert out.column("audio_status")[0].as_py().startswith("unsupported")
     out = AudioFeatures(fake=True)(b)
     assert out.column("duration_s")[0].as_py() == pytest.approx(1024 / 16000)
+    assert out.column("audio_status")[0].as_py() == "fake"
     with pytest.raises(NotImplementedError):
         VideoFrameSample()(b)
     out = VideoFrameSample(num_frames=4, fake=True)(b)
@@ -108,3 +111,57 @@ def test_image_dhash_and_dup_pairs(ray_session):
     assert ("a", "a_jitter") in got or ("a_jitter", "a") in got
     assert not any("b" in pair for pair in got)       # distinct image
     assert not any("broken" in pair for pair in got)  # failed decode
+
+
+# ------------------------------------------------------------ real WAV
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from dup_ocropy_ray.functions.wav import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    data = encode_wav(sine, rate)
+    x, r = decode_wav(data)
+    assert r == rate and x.shape == (rate * 2, 1)
+    assert abs(float(np.max(x)) - 0.5) < 1e-3
+    f = wav_features(data)
+    assert abs(f["duration_s"] - 2.0) < 1e-6
+    assert abs(f["dominant_hz"] - 440.0) < 1.0
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f["zcr_per_s"] - 2 * 440.0) < 5.0
+
+    # stereo + 8-bit paths
+    stereo = np.stack([sine, -sine], axis=1)
+    x2, _ = decode_wav(encode_wav(stereo, rate))
+    assert x2.shape == (rate * 2, 2)
+
+
+def test_audio_stage_real_wav_and_skip_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from dup_ocropy_ray.functions.wav import encode_wav
+    from dup_ocropy_ray.stages.multimodal import AudioFeatures
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    wav = encode_wav(0.3 * np.sin(2 * np.pi * 100.0 * t), rate)
+    batch = pa.table({
+        "media_ref": ["a", "b", "c"],
+        "bytes": pa.array([wav, b"\x00garbage", b"RIFFxxxxWAVE"],
+                          pa.binary()),
+    })
+    out = AudioFeatures()(batch)
+    st = out.column("audio_status").to_pylist()
+    assert st[0] == "ok"
+    assert st[1].startswith("unsupported")
+    assert st[2].startswith("decode_error")
+    assert abs(out.column("dominant_hz")[0].as_py() - 100.0) < 1.0

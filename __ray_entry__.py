@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q.q_curate_corpus,
         "html_tables": q.q_html_tables,
         "audio_features": q.q_audio_features,
+        "video_frames": q.q_video_frames,
     }
 
 
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": q.SQL_CURATE_CORPUS,
         "html_tables": q.SQL_HTML_TABLES,
         "audio_features": q.SQL_AUDIO_FEATURES,
+        "video_frames": q.SQL_VIDEO_FRAMES,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

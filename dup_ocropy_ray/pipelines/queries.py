@@ -1852,3 +1852,49 @@ SELECT doc_id,
        (100 * (1 + doc_id % 5))::DOUBLE AS dominant_hz
 FROM documents ORDER BY doc_id
 """
+
+
+def q_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Video round-trip (real uncompressed-AVI decode, functions/avi.py):
+    each doc synthesizes a gradient AVI — 2 + doc_id%4 frames, fps
+    5 + doc_id%3, 16x12 — and the frame-sampling stage must recover the
+    frame count, fps, and sampled-frame count exactly (2 thumbnails, or
+    fewer when the clip is shorter). Oracle = doc_id arithmetic."""
+    from ..functions.avi import encode_avi
+    from ..stages.multimodal import VideoFrameSample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy("int64")
+        blobs = []
+        for i in ids:
+            n = 2 + int(i) % 4
+            y, x = np.mgrid[0:12, 0:16]
+            frames = np.stack([(x + y + int(i) + 7 * f) % 256
+                               for f in range(n)]).astype(np.uint8)
+            blobs.append(encode_avi(frames, fps=5 + int(i) % 3))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    out = (ds.map_batches(synth, batch_format="pandas", batch_size=64)
+           .map_batches(VideoFrameSample(num_frames=2),
+                        batch_format="pyarrow", batch_size=64)
+           .to_pandas())
+    assert (out["video_status"] == "ok").all()
+    res = pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "n_frames_total": out["n_frames_total"].astype("int64"),
+        "fps": out["fps"].astype("int64"),
+        "n_sampled": [len(f) for f in out["frames"]],
+    }).astype({"n_sampled": "int64"})
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_VIDEO_FRAMES = """
+SELECT doc_id,
+       (2 + doc_id % 4)::BIGINT AS n_frames_total,
+       (5 + doc_id % 3)::BIGINT AS fps,
+       least(2, 2 + doc_id % 4)::BIGINT AS n_sampled
+FROM documents ORDER BY doc_id
+"""

@@ -64,11 +64,14 @@ def test_audio_video_stubs(ray_session):
     out = AudioFeatures(fake=True)(b)
     assert out.column("duration_s")[0].as_py() == pytest.approx(1024 / 16000)
     assert out.column("audio_status")[0].as_py() == "fake"
-    with pytest.raises(NotImplementedError):
-        VideoFrameSample()(b)
+    # non-AVI video without fake: skip-don't-fail status row (raw-DIB
+    # AVI decodes for real — see test_video_stage_real_avi)
+    out = VideoFrameSample()(b)
+    assert out.column("video_status")[0].as_py().startswith("unsupported")
     out = VideoFrameSample(num_frames=4, fake=True)(b)
     frames = out.column("frames")[0].as_py()
     assert len(frames) == 4 and all(len(f) == 256 for f in frames)
+    assert out.column("video_status")[0].as_py() == "fake"
 
 
 def test_image_dhash_and_dup_pairs(ray_session):
@@ -165,3 +168,44 @@ def test_audio_stage_real_wav_and_skip_paths(ray_session):
     assert st[1].startswith("unsupported")
     assert st[2].startswith("decode_error")
     assert abs(out.column("dominant_hz")[0].as_py() - 100.0) < 1.0
+
+
+def test_avi_roundtrip_pixel_exact():
+    import numpy as np
+
+    from dup_ocropy_ray.functions.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(4)
+    for shape in [(5, 7, 13), (3, 8, 8, 3)]:  # odd width = padded rows
+        f = rng.integers(0, 256, shape).astype(np.uint8)
+        out, fps = decode_avi(encode_avi(f, fps=12))
+        want = np.repeat(f[..., None], 3, axis=3) if f.ndim == 3 else f
+        assert fps == 12 and out.shape == want.shape
+        assert (out == want).all()
+
+
+def test_video_stage_real_avi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from dup_ocropy_ray.functions import png as _png
+    from dup_ocropy_ray.functions.avi import encode_avi
+    from dup_ocropy_ray.stages.multimodal import VideoFrameSample
+
+    y, x = np.mgrid[0:12, 0:16]
+    frames = np.stack([(x + y + 9 * f) % 256 for f in range(6)]).astype(
+        np.uint8)
+    avi = encode_avi(frames, fps=8)
+    batch = pa.table({"media_ref": ["v"],
+                      "bytes": pa.array([avi], pa.binary())})
+    out = VideoFrameSample(num_frames=3)(batch)
+    assert out.column("video_status")[0].as_py() == "ok"
+    assert out.column("n_frames_total")[0].as_py() == 6
+    assert out.column("fps")[0].as_py() == 8
+    thumbs = out.column("frames")[0].as_py()
+    assert len(thumbs) == 3
+    # sampled indices 0,2,4: thumbnail pixels equal the source frames
+    for k, i in enumerate((0, 2, 4)):
+        g = _png.decode_gray(thumbs[k])
+        want = frames[i].astype(np.float64) / 255.0
+        assert np.abs(g - want).max() < 1 / 255.0

@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": q.q_html_tables,
         "audio_features": q.q_audio_features,
         "video_frames": q.q_video_frames,
+        "bm25_search": q.q_bm25_search,
     }
 
 
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": q.SQL_HTML_TABLES,
         "audio_features": q.SQL_AUDIO_FEATURES,
         "video_frames": q.SQL_VIDEO_FRAMES,
+        "bm25_search": q.SQL_BM25_SEARCH,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

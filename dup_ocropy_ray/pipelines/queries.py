@@ -1898,3 +1898,44 @@ SELECT doc_id,
        least(2, 2 + doc_id % 4)::BIGINT AS n_sampled
 FROM documents ORDER BY doc_id
 """
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Keyword search: BM25-shaped ranking with integer-rational
+    scoring (engine-exact; see textstats.bm25_search)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.bm25_search(ds, _BM25_TERMS, k=10)
+
+
+SQL_BM25_SEARCH = r"""
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+         len(list_filter(l, x -> x = 'spark'))  AS tf0,
+         len(list_filter(l, x -> x = 'window')) AS tf1,
+         len(list_filter(l, x -> x = 'merge'))  AS tf2
+  FROM c
+), g AS (
+  SELECT count(*) AS n,
+         sum((tf0 > 0)::INT) AS df0,
+         sum((tf1 > 0)::INT) AS df1,
+         sum((tf2 > 0)::INT) AS df2
+  FROM tf
+), s AS (
+  SELECT doc_id,
+         tf0 * ((n - df0 + 1) * 1000000 // (df0 + 1)) // (tf0 + 1)
+       + tf1 * ((n - df1 + 1) * 1000000 // (df1 + 1)) // (tf1 + 1)
+       + tf2 * ((n - df2 + 1) * 1000000 // (df2 + 1)) // (tf2 + 1)
+           AS score
+  FROM tf, g
+)
+SELECT doc_id, score::BIGINT AS score
+FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""

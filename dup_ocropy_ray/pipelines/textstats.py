@@ -192,3 +192,60 @@ def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
         })
 
     return ds.map_batches(f, batch_format="pandas", batch_size=8192)
+
+
+def bm25_search(ds: rd.Dataset, terms: list[str], k: int = 10) -> pd.DataFrame:
+    """Ranked keyword retrieval, BM25-shaped but with INTEGER-rational
+    scoring so results are engine-exact (same trick as
+    distinctive_terms; float log-idf differs in the last ulp across
+    engines and flips rankings):
+
+        idf'_t  = (N - df_t + 1) * 1_000_000 // (df_t + 1)
+        score_d = sum_t  tf_dt * idf'_t // (tf_dt + 1)
+
+    (k1=1, b=0 saturation — tf/(tf+1) — with a rational idf, both
+    monotone transforms of the classic weights.)
+
+    Two passes, both shuffle-free: (1) per-batch term df partials + doc
+    count -> tiny driver reduce; (2) per-batch tf + score with the
+    broadcast idf table, local top-k prune -> driver merge of k-row
+    partials."""
+    import ray
+
+    nt = len(terms)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        df_ = np.zeros(nt, dtype="int64")
+        for t in b["text"]:
+            words = set((t or "").split())
+            for j, term in enumerate(terms):
+                df_[j] += term in words
+        return pd.DataFrame({"n": [len(b)], **{
+            f"df{j}": [df_[j]] for j in range(nt)}})
+
+    parts = ds.map_batches(stats, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    n_docs = int(parts["n"].sum())
+    df_tot = np.array([int(parts[f"df{j}"].sum()) for j in range(nt)],
+                      dtype="int64")
+    idf = (n_docs - df_tot + 1) * 1_000_000 // (df_tot + 1)
+    idf_ref = ray.put(idf)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(idf_ref)
+        sc = np.zeros(len(b), dtype="int64")
+        texts = [(t or "").split() for t in b["text"]]
+        for j, term in enumerate(terms):
+            tf = np.array([t.count(term) for t in texts], dtype="int64")
+            sc += tf * w[j] // (tf + 1)
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "score": sc})
+        out = out[out["score"] > 0]
+        # local prune: only each batch's top k rows reach the driver
+        return out.nlargest(k, ["score"], keep="all")
+
+    top = (ds.map_batches(score, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    top = top.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return top.reset_index(drop=True)

@@ -124,3 +124,26 @@ def test_hll_accuracy_and_merge(ray_session):
     hll_update(r2, b.to_numpy(dtype=object))
     hll_update(rall, df["v"].to_numpy(dtype=object))
     assert (_np.maximum(r1, r2) == rall).all()
+
+
+def test_bm25_search_ranking(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import bm25_search
+
+    texts = [
+        "spark spark spark window",          # high tf on rare+common
+        "window merge",                      # two terms once
+        "nothing relevant here",             # no hit
+        "spark",                             # one rare term
+        "window window window window",       # saturated common term
+    ] + ["window filler"] * 10               # make 'window' common
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(3)
+    out = bm25_search(docs, ["spark", "window"], k=3)
+    assert list(out["doc_id"])[0] == 0          # tf-saturated rare term wins
+    assert 2 not in set(out["doc_id"])          # zero-hit doc never ranked
+    assert (out["score"] > 0).all()
+    # saturation: 4x 'window' scores < 2x the 1x-'window' contribution
+    s = bm25_search(docs, ["window"], k=15).set_index("doc_id")["score"]
+    assert s[4] < 2 * s[1]

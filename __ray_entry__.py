@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q.q_audio_features,
         "video_frames": q.q_video_frames,
         "bm25_search": q.q_bm25_search,
+        "chunk_documents": q.q_chunk_documents,
     }
 
 
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": q.SQL_AUDIO_FEATURES,
         "video_frames": q.SQL_VIDEO_FRAMES,
         "bm25_search": q.SQL_BM25_SEARCH,
+        "chunk_documents": q.SQL_CHUNK_DOCUMENTS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -210,3 +210,40 @@ def sample_by_source(docs: rd.Dataset, base_pct: int = 20) -> pd.DataFrame:
         "kept_chars": g["sum_kept_chars"].astype("int64"),
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------------------------- text chunking
+
+
+def chunk_documents(docs: rd.Dataset, size: int = 200,
+                    overlap: int = 50) -> rd.Dataset:
+    """Fixed-size character chunking with overlap (the RAG/embedding
+    prep step): chunk i covers [i*(size-overlap), i*(size-overlap)+size)
+    of the whitespace-normalized text; emission continues while the
+    start is inside the text (empty docs get one empty chunk so
+    rows-in/rows-out accounting holds). Stateless flat map, no
+    shuffle."""
+    assert overlap < size
+    step = size - overlap
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, starts, chunks = [], [], [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            t = _WS_RE.sub(" ", t or "").strip()
+            n = len(t)
+            j = 0
+            while j == 0 or j * step < n:
+                s = j * step
+                ids.append(int(i))
+                idxs.append(j)
+                starts.append(s)
+                chunks.append(t[s:s + size])
+                j += 1
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "start": pd.Series(starts, dtype="int64"),
+            "chunk": pd.Series(chunks, dtype=str),
+        })
+
+    return docs.map_batches(f, batch_format="pandas", batch_size=8192)

@@ -1939,3 +1939,28 @@ SELECT doc_id, score::BIGINT AS score
 FROM s WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping character chunking (200-char windows, 50 overlap) —
+    the embedding/RAG prep step; oracle recomputes every chunk by
+    substring arithmetic."""
+    from .curate import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH c AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, i::BIGINT AS chunk_idx, (i * 150)::BIGINT AS start,
+       substr(t, i * 150 + 1, 200) AS chunk
+FROM c JOIN range(0, 4096) r(i)
+  ON i = 0 OR i * 150 < length(t)
+ORDER BY doc_id, chunk_idx
+"""

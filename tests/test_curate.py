@@ -147,3 +147,21 @@ def test_bm25_search_ranking(ray_session):
     # saturation: 4x 'window' scores < 2x the 1x-'window' contribution
     s = bm25_search(docs, ["window"], k=15).set_index("doc_id")["score"]
     assert s[4] < 2 * s[1]
+
+
+def test_chunk_documents_overlap_and_edges(ray_session):
+    from dup_ocropy_ray.pipelines.curate import chunk_documents
+
+    texts = ["", "x" * 10, "ab" * 150]  # empty, sub-window, 300 chars
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(3, dtype="int64"), "text": texts}))
+    out = (chunk_documents(docs, size=100, overlap=20).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    g = out.groupby("doc_id")
+    assert g.size().tolist() == [1, 1, 4]  # starts 0,80,160,240 < 300
+    assert out[out.doc_id == 0].chunk.iloc[0] == ""
+    c = out[out.doc_id == 2].reset_index(drop=True)
+    # overlap: consecutive chunks share the trailing/leading 20 chars
+    assert c.chunk[0][-20:] == c.chunk[1][:20]
+    joined = c.chunk[0] + "".join(ch[20:] for ch in c.chunk[1:])
+    assert joined == "ab" * 150  # lossless reassembly

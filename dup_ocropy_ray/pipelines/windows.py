@@ -452,6 +452,13 @@ def ordered_scan(
 
     sums = (s.map_batches(summarize, batch_format="pandas", batch_size=None)
             .to_pandas().sort_values("_min_id"))
+    # block prefixes are keyed by each block's FIRST order value, so the
+    # order column must be unique (it is for event_id/doc_id); duplicate
+    # keys straddling a block boundary would silently collide here
+    if sums["_min_id"].duplicated().any():
+        raise ValueError(
+            f"ordered_scan requires unique values in {order_col!r}: "
+            "duplicate keys cross block boundaries")
     pre: dict = {}
     for c in sum_cols:
         pre[("sum", c)] = dict(zip(

@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "bm25_search": q.q_bm25_search,
         "chunk_documents": q.q_chunk_documents,
+        "dup_ngrams": q.q_dup_ngrams,
+        "doc_dup_spans": q.q_doc_dup_spans,
+        "strip_dup_spans": q.q_strip_dup_spans,
     }
 
 
@@ -384,6 +387,9 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": q.SQL_VIDEO_FRAMES,
         "bm25_search": q.SQL_BM25_SEARCH,
         "chunk_documents": q.SQL_CHUNK_DOCUMENTS,
+        "dup_ngrams": q.SQL_DUP_NGRAMS,
+        "doc_dup_spans": q.SQL_DOC_DUP_SPANS,
+        "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

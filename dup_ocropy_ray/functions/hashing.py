@@ -290,3 +290,50 @@ def bloom_contains(bits: np.ndarray, ids, m_bits: int) -> np.ndarray:
         word = bits[(idx >> np.uint64(6)).astype(np.int64)]
         ok &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) != 0
     return ok
+
+
+# ------------------------------------------------ word-gram windows
+
+
+def batch_word_grams(texts, window: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized W-word sliding-window gram STRINGS for a batch of docs.
+
+    Returns ``(grams, doc_idx, pos)``: ``grams`` is an object ndarray of
+    space-joined W-word windows across all docs (doc order preserved),
+    ``doc_idx`` the batch-local doc index of each gram, ``pos`` the
+    0-based word position of the window start within its doc. Split is
+    plain whitespace (matches SQL ``regexp_split_to_array(trim(text),
+    '\\s+')``). Docs with fewer than ``window`` words emit no grams.
+
+    The join is W-1 ``np.char.add`` passes over ONE flat unicode array —
+    no per-window Python loop. Memory is the reason the span-dedup
+    stages cap their batch size: a U-dtype gram array is ~4 bytes/char.
+    """
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.int64))
+    if total == 0 or total < window:
+        # no doc can have >= window words only when total < window;
+        # otherwise fall through (per-doc validity handles short docs)
+        if total < window:
+            return empty
+    flat = np.empty(total, dtype=object)
+    p = 0
+    for t in tok_lists:
+        if t:
+            flat[p : p + len(t)] = t
+            p += len(t)
+    u = flat.astype("U")  # unicode for vectorized np.char.add
+    m = total - window + 1
+    gram = u[:m]
+    for j in range(1, window):
+        gram = np.char.add(np.char.add(gram, " "), u[j : j + m])
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    local = np.arange(total, dtype=np.int64) - tok_off[doc_of]
+    valid = local <= counts[doc_of] - window  # full in-doc windows only
+    starts = np.flatnonzero(valid[:m] if len(valid) > m else valid)
+    starts = starts[starts < m]
+    return (gram[starts].astype(object), doc_of[starts], local[starts])

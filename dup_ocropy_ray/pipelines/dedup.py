@@ -994,3 +994,163 @@ def embedding_dup_pairs(
         )
 
     return ds.groupby(partition_col).map_groups(pairs, batch_format="pandas")
+
+
+# ------------------------------------- substring (word-gram span) dedup
+# Training-set substring dedup a la Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better"): find W-word windows that
+# repeat across documents, then strip the covered words. Their suffix
+# array is replaced by the engine-native shape: window extraction is a
+# vectorized per-batch map, co-location of equal grams is ONE coarse
+# hash shuffle (same _DEDUP_PARTITIONS pattern as exact dedup), and the
+# strip pass re-reads the corpus against a broadcast dup-gram hash set.
+
+
+def duplicated_ngrams(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """(gram, n_docs, n_occ) for every W-word window appearing in >=
+    ``min_docs`` distinct docs. Gram strings ride the shuffle so the
+    output is self-describing; at 100 TB carry the uint64 gram hash plus
+    one exemplar instead (hash is already the shuffle key) and raise
+    _DEDUP_PARTITIONS to ~4-8x the executor slots."""
+
+    def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        grams, doc_idx, _pos = hashing.batch_word_grams(
+            b[text_col].tolist(), window)
+        out = pd.DataFrame({
+            "gram": grams,
+            id_col: b[id_col].to_numpy()[doc_idx],
+        })
+        h = hashing.hash_strings(grams)
+        out["_part"] = (h % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return out
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("gram", sort=False).agg(
+            n_docs=(id_col, "nunique"), n_occ=(id_col, "size"))
+        r = r[r.n_docs >= min_docs].reset_index()
+        r["n_docs"] = r.n_docs.astype("int64")
+        r["n_occ"] = r.n_occ.astype("int64")
+        return r[["gram", "n_docs", "n_occ"]]
+
+    # U-dtype gram buffers are ~4 B/char: cap the map batch so one
+    # batch's window array stays ~tens of MB
+    rows = ds.map_batches(gram_rows, batch_format="pandas", batch_size=4096)
+    return rows.groupby("_part").map_groups(agg, batch_format="pandas")
+
+
+def _dup_gram_hashes(dup: rd.Dataset) -> np.ndarray:
+    """Sorted uint64 hashes of the duplicated grams (the broadcast small
+    side for the per-doc passes). Hash-only projection BEFORE collect:
+    the driver never holds gram strings. At extreme dup rates swap the
+    sorted-array probe for the module's Bloom filter (bloom_add /
+    bloom_contains) at the same call sites."""
+    parts = [
+        hashing.hash_strings(b["gram"].to_numpy(dtype=object))
+        for b in dup.select_columns(["gram"]).iter_batches(
+            batch_format="pandas", batch_size=65536)
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts))
+
+
+def doc_dup_spans(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """(doc_id, n_spans, n_dup_spans) per doc with >=1 window: how much
+    of each doc is corpus-duplicated substring mass. Second streaming
+    pass over the corpus probes the broadcast dup-hash set (sorted-array
+    searchsorted, vectorized)."""
+    import ray
+
+    dup = duplicated_ngrams(ds, text_col, id_col, window, min_docs)
+    ref = ray.put(_dup_gram_hashes(dup))
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        hashes = ray.get(ref)
+        grams, doc_idx, _pos = hashing.batch_word_grams(
+            b[text_col].tolist(), window)
+        n = len(b)
+        n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        gh = hashing.hash_strings(grams)
+        idx = np.searchsorted(hashes, gh)
+        hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+        n_dup = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+        keep = n_spans > 0
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy()[keep],
+            "n_spans": n_spans[keep],
+            "n_dup_spans": n_dup[keep],
+        })
+
+    return ds.map_batches(count, batch_format="pandas", batch_size=4096)
+
+
+def strip_dup_spans(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """The dedup TRANSFORM: drop every word covered by any
+    corpus-duplicated W-window (aggressive variant — all occurrences
+    go; deterministic, so SQL-checkable). Coverage is a +1/-1 delta
+    array over the flat word stream + one cumsum — windows never cross
+    doc boundaries, so the running sum self-resets at 0 between docs.
+    Docs left empty are dropped."""
+    import ray
+
+    dup = duplicated_ngrams(ds, text_col, id_col, window, min_docs)
+    ref = ray.put(_dup_gram_hashes(dup))
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        hashes = ray.get(ref)
+        texts = b[text_col].tolist()
+        grams, doc_idx, pos = hashing.batch_word_grams(texts, window)
+        tok_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(counts.sum())
+        tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        gh = hashing.hash_strings(grams)
+        idx = np.searchsorted(hashes, gh)
+        hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        gstart = tok_off[doc_idx[hit]] + pos[hit]  # global word index
+        np.add.at(delta, gstart, 1)
+        np.add.at(delta, gstart + window, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        flat = np.empty(total, dtype=object)
+        p = 0
+        for t in tok_lists:
+            if t:
+                flat[p : p + len(t)] = t
+                p += len(t)
+        keep_words = ~covered
+        kept_per_doc = np.bincount(doc_of[keep_words], minlength=len(counts))
+        out_rows = []
+        ids = b[id_col].to_numpy()
+        kept_flat = flat[keep_words]
+        kept_doc = doc_of[keep_words]
+        # one join per surviving doc (object strings; C-level join)
+        bounds = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        for i in range(len(counts)):
+            if kept_per_doc[i] > 0:
+                out_rows.append((
+                    ids[i],
+                    " ".join(kept_flat[bounds[i]:bounds[i + 1]]),
+                ))
+        return pd.DataFrame(out_rows, columns=[id_col, "clean_text"])
+
+    return ds.map_batches(strip, batch_format="pandas", batch_size=4096)

@@ -1964,3 +1964,96 @@ FROM c JOIN range(0, 4096) r(i)
   ON i = 0 OR i * 150 < length(t)
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ------------------------------------- substring (word-gram) span dedup
+
+
+def q_dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide duplicated 8-word windows (substring dedup index,
+    Lee et al. 2022 shape): gram + distinct-doc count + occurrence
+    count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.duplicated_ngrams(ds, window=8, min_docs=2).to_pandas()
+    return pd.DataFrame({
+        "gram": out.gram,
+        "n_docs": out.n_docs.astype("int64"),
+        "n_occ": out.n_occ.astype("int64"),
+    })
+
+
+SQL_DUP_NGRAMS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+)
+SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_doc_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Per-doc duplicated-substring mass: total 8-word windows and how
+    many are corpus-duplicated (broadcast dup-hash probe, second
+    streaming pass)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.doc_dup_spans(ds, window=8, min_docs=2).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "n_spans": out.n_spans.astype("int64"),
+        "n_dup_spans": out.n_dup_spans.astype("int64"),
+    })
+
+
+SQL_DOC_DUP_SPANS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_spans,
+       (count(*) FILTER (WHERE d.gram IS NOT NULL))::BIGINT AS n_dup_spans
+FROM grams g LEFT JOIN dup d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def q_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """The substring-dedup TRANSFORM: docs with every corpus-duplicated
+    8-word window's words removed (aggressive variant); empty docs
+    dropped."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.strip_dup_spans(ds, window=8, min_docs=2).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "clean_text": out.clean_text,
+    })
+
+
+SQL_STRIP_DUP_SPANS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.k AS p
+  FROM grams g JOIN dup d USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS k) o
+), uw AS (
+  SELECT w.doc_id, t.i AS p, w.w[t.i] AS word
+  FROM words w, LATERAL (SELECT unnest(generate_series(1, len(w.w))) AS i) t
+)
+SELECT u.doc_id, string_agg(u.word, ' ' ORDER BY u.p) AS clean_text
+FROM uw u LEFT JOIN cov c ON u.doc_id = c.doc_id AND u.p = c.p
+WHERE c.p IS NULL
+GROUP BY u.doc_id
+"""

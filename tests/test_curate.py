@@ -165,3 +165,53 @@ def test_chunk_documents_overlap_and_edges(ray_session):
     assert c.chunk[0][-20:] == c.chunk[1][:20]
     joined = c.chunk[0] + "".join(ch[20:] for ch in c.chunk[1:])
     assert joined == "ab" * 150  # lossless reassembly
+
+
+# ------------------------------------- substring (word-gram) span dedup
+
+
+def test_batch_word_grams_kernel():
+    from dup_ocropy_ray.functions.hashing import batch_word_grams
+
+    g, d, p = batch_word_grams(["a b c d", "x y", "q w e r t"], 3)
+    assert list(g) == ["a b c", "b c d", "q w e", "w e r", "e r t"]
+    assert list(d) == [0, 0, 2, 2, 2] and list(p) == [0, 1, 0, 1, 2]
+    # empties and too-short docs emit nothing
+    assert len(batch_word_grams([], 3)[0]) == 0
+    assert len(batch_word_grams(["a b", ""], 3)[0]) == 0
+    # windows never cross doc boundaries
+    g2, _, _ = batch_word_grams(["a b", "c d"], 2)
+    assert list(g2) == ["a b", "c d"]
+
+
+def test_substring_span_dedup_family(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines import dedup
+
+    # doc 0 and 1 share an exact 4-word run; doc 2 is unrelated
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "alpha beta gamma delta tail0 one",
+            "head1 alpha beta gamma delta tail1",
+            "zeta eta theta iota kappa",
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    dup = dedup.duplicated_ngrams(ds, window=4, min_docs=2).to_pandas()
+    assert set(dup.gram) == {"alpha beta gamma delta"}
+    assert int(dup.n_docs.iloc[0]) == 2 and int(dup.n_occ.iloc[0]) == 2
+
+    spans = (dedup.doc_dup_spans(ds, window=4, min_docs=2)
+             .to_pandas().set_index("doc_id"))
+    assert int(spans.loc[0, "n_dup_spans"]) == 1
+    assert int(spans.loc[1, "n_dup_spans"]) == 1
+    assert int(spans.loc[2, "n_dup_spans"]) == 0
+    assert int(spans.loc[0, "n_spans"]) == 3  # 6 words -> 3 windows
+
+    clean = (dedup.strip_dup_spans(ds, window=4, min_docs=2)
+             .to_pandas().set_index("doc_id"))
+    assert clean.loc[0, "clean_text"] == "tail0 one"
+    assert clean.loc[1, "clean_text"] == "head1 tail1"
+    assert clean.loc[2, "clean_text"] == "zeta eta theta iota kappa"

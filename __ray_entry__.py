@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q.q_dup_ngrams,
         "doc_dup_spans": q.q_doc_dup_spans,
         "strip_dup_spans": q.q_strip_dup_spans,
+        "heavy_hitters": q.q_heavy_hitters,
     }
 
 
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": q.SQL_DUP_NGRAMS,
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,
         "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
+        "heavy_hitters": q.SQL_HEAVY_HITTERS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -2057,3 +2057,23 @@ FROM uw u LEFT JOIN cov c ON u.doc_id = c.doc_id AND u.p = c.p
 WHERE c.p IS NULL
 GROUP BY u.doc_id
 """
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus top-20 words via the two-pass local-top-m +
+    recount pattern (no full-vocabulary shuffle)."""
+    from . import textstats
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = textstats.heavy_hitters(ds, k=20, counters=512)
+    return pd.DataFrame({"word": out.word, "n": out.n.astype("int64")})
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+)
+SELECT word, count(*)::BIGINT AS n FROM w
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""

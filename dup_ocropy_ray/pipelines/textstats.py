@@ -249,3 +249,54 @@ def bm25_search(ds: rd.Dataset, terms: list[str], k: int = 10) -> pd.DataFrame:
     top = top.sort_values(["score", "doc_id"],
                           ascending=[False, True]).head(k)
     return top.reset_index(drop=True)
+
+
+def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
+                  ) -> pd.DataFrame:
+    """Exact top-k most frequent words via the two-pass sketch-then-
+    recount pattern (the scale shape for frequency queries: the full
+    word->count shuffle never happens).
+
+    Pass 1: each block emits its local top-``counters`` words — the
+    space-saving guarantee: any word with global freq > N/counters beats
+    B_i/counters in at least one block, and fewer than ``counters``
+    words can beat B_i/counters locally, so it IS in some local top-m.
+    Candidate union is <= counters x n_blocks rows (driver-tiny).
+    Pass 2: exact recount of ONLY the candidates (broadcast sorted
+    array + searchsorted + bincount partials), tiny final merge.
+    Exactness holds while the true k-th frequency > N/counters — with
+    corpus vocabularies (Zipfian) and counters >> k this is the normal
+    regime; raise ``counters`` to tighten.
+    Ties at the cutoff break by word ascending (matches the oracle's
+    ORDER BY n DESC, word)."""
+    import ray
+
+    def local_topm(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.split().explode().dropna()
+        vc = words.value_counts()  # sorted desc
+        return pd.DataFrame({"word": vc.index[: counters].to_numpy(object)})
+
+    cand_ds = ds.map_batches(local_topm, batch_format="pandas",
+                             batch_size=65536)
+    cand = np.unique(np.concatenate(
+        [b["word"].to_numpy(object) for b in
+         cand_ds.iter_batches(batch_format="pandas", batch_size=65536)]
+        or [np.empty(0, dtype=object)]))
+    ref = ray.put(cand)
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        words = (b["text"].fillna("").str.split().explode().dropna()
+                 .to_numpy(object))
+        idx = np.searchsorted(c, words)
+        ok = (idx < len(c)) & (c[np.minimum(idx, len(c) - 1)] == words)
+        cnt = np.bincount(idx[ok], minlength=len(c))
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"word": c[nz], "n": cnt[nz].astype("int64")})
+
+    parts = ds.map_batches(recount, batch_format="pandas", batch_size=65536)
+    totals = parts.groupby("word").sum("n").to_pandas()
+    ncol = "sum(n)" if "sum(n)" in totals.columns else "n"
+    totals = totals.rename(columns={ncol: "n"})
+    totals = totals.sort_values(["n", "word"], ascending=[False, True])
+    return totals.head(k).reset_index(drop=True)

@@ -215,3 +215,23 @@ def test_substring_span_dedup_family(ray_session):
     assert clean.loc[0, "clean_text"] == "tail0 one"
     assert clean.loc[1, "clean_text"] == "head1 tail1"
     assert clean.loc[2, "clean_text"] == "zeta eta theta iota kappa"
+
+
+def test_heavy_hitters_two_pass_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.textstats import heavy_hitters
+
+    # a hitter spread thin across blocks: "hot" never dominates any one
+    # block's text but is the global #1 — the recount pass must find it
+    docs = []
+    for i in range(40):
+        filler = " ".join(f"w{i}_{j}" for j in range(8))
+        docs.append(f"hot {filler}")
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = rd.from_pandas(df).repartition(8)
+    out = heavy_hitters(ds, k=3, counters=16)
+    assert out.word.iloc[0] == "hot" and int(out.n.iloc[0]) == 40
+    # remaining rows are count-1 fillers, tie-broken by word ascending
+    assert list(out.n[1:]) == [1, 1]
+    assert list(out.word[1:]) == sorted(out.word[1:])

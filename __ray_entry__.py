@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": q.q_doc_dup_spans,
         "strip_dup_spans": q.q_strip_dup_spans,
         "heavy_hitters": q.q_heavy_hitters,
+        "centroid_outliers": q.q_centroid_outliers,
     }
 
 
@@ -392,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,
         "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
+        "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

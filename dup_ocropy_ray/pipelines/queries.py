@@ -2077,3 +2077,33 @@ WITH w AS (
 SELECT word, count(*)::BIGINT AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
+
+
+def q_centroid_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding outliers: 5 lowest cosine-to-own-centroid
+    vectors per label (two streaming passes, broadcast centroids)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = similarity.centroid_outliers(ds, k=5)
+    out["label"] = out["label"].astype("int64")
+    return out[["label", "vec_id", "cos_sim"]]
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH pos AS (
+  SELECT label, vec_id, embedding, t.i AS i, embedding[t.i]::DOUBLE AS e
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cvec FROM (
+    SELECT label, i, avg(e) AS c FROM pos GROUP BY label, i
+  ) GROUP BY label
+)
+SELECT e.label::BIGINT AS label, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+         AS cos_sim
+FROM embeddings e JOIN cent c ON e.label = c.label
+QUALIFY row_number() OVER (
+  PARTITION BY e.label
+  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), e.vec_id
+) <= 5
+"""

@@ -232,3 +232,61 @@ def kmeans_assign(
         return batch
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def centroid_outliers(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> pd.DataFrame:
+    """Per-label embedding outliers: cosine similarity of each vector to
+    its OWN label's mean centroid, k lowest per label. The scale shape
+    is two streaming passes, no shuffle: pass 1 reduces per-batch
+    (label, vector-sum, count) partials to driver-tiny k x dim
+    centroids; pass 2 scores each batch against the broadcast centroid
+    matrix and keeps a per-batch top-k, merged small on the driver.
+    Ties break by id ascending (matches the oracle's ORDER BY)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(batch[vec_col]).astype(np.float64)
+        labels, inv = np.unique(batch[label_col].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), X.shape[1]))
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        return pd.DataFrame({
+            "label": labels, "vsum": list(sums), "count": counts})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc: dict = {}
+    for _, r in parts.iterrows():
+        s, c = acc.get(r["label"], (0.0, 0))
+        acc[r["label"]] = (s + np.asarray(r["vsum"]), c + int(r["count"]))
+    labels = sorted(acc)
+    C = np.stack([acc[l][0] / acc[l][1] for l in labels])
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    cref = ray.put((C, lab_idx))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        Ci, idx = ray.get(cref)
+        X = _stack(batch[vec_col]).astype(np.float64)
+        li = np.array([idx[l] for l in batch[label_col].to_numpy()])
+        cent = Ci[li]
+        num = np.einsum("ij,ij->i", X, cent)
+        sim = num / (np.linalg.norm(X, axis=1) * np.linalg.norm(cent, axis=1))
+        out = pd.DataFrame({
+            "label": batch[label_col].to_numpy(),
+            id_col: batch[id_col].to_numpy(),
+            "cos_sim": np.round(sim, 6),
+        })
+        # per-batch prune: k lowest per label (exact — merge re-prunes)
+        return (out.sort_values(["label", "cos_sim", id_col])
+                   .groupby("label", sort=False).head(k))
+
+    pruned = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = (pruned.sort_values(["label", "cos_sim", id_col])
+                 .groupby("label", sort=False).head(k)
+                 .reset_index(drop=True))
+    out[id_col] = out[id_col].astype("int64")
+    return out

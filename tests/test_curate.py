@@ -235,3 +235,25 @@ def test_heavy_hitters_two_pass_exact(ray_session):
     # remaining rows are count-1 fillers, tie-broken by word ascending
     assert list(out.n[1:]) == [1, 1]
     assert list(out.word[1:]) == sorted(out.word[1:])
+
+
+def test_centroid_outliers(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.similarity import centroid_outliers
+
+    # label 0: cluster near +x with one planted outlier near -x
+    rng = np.random.default_rng(7)
+    vecs = [list(np.array([1.0, 0.0, 0.0]) + rng.normal(0, 0.01, 3))
+            for _ in range(9)]
+    vecs.append([-1.0, 0.05, 0.0])  # the outlier, vec_id 9
+    df = pd.DataFrame({
+        "vec_id": range(10),
+        "embedding": vecs,
+        "label": [0] * 10,
+    })
+    out = centroid_outliers(rd.from_pandas(df).repartition(3), k=2)
+    assert int(out.vec_id.iloc[0]) == 9  # lowest cosine to centroid
+    assert out.cos_sim.iloc[0] < 0
+    assert len(out) == 2

@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans": q.q_strip_dup_spans,
         "heavy_hitters": q.q_heavy_hitters,
         "centroid_outliers": q.q_centroid_outliers,
+        "incremental_dedup": q.q_incremental_dedup,
     }
 
 
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
+        "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

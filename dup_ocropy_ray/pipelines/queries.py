@@ -2107,3 +2107,33 @@ QUALIFY row_number() OVER (
   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), e.vec_id
 ) <= 5
 """
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Streaming dedup against a shared mutable index (sharded Ray
+    actors, state/dedup_index.py): ingest the corpus in two waves and
+    report each wave's distinct-NEW text count — wave 2 only counts
+    texts the wave-1 index has never seen."""
+    from ..state.dedup_index import DedupIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cut = ds.count() // 2
+    idx = DedupIndex(num_shards=4)
+    try:
+        n1 = idx.count_new(ds.filter(expr=f"doc_id < {cut}"))
+        n2 = idx.count_new(ds.filter(expr=f"doc_id >= {cut}"))
+    finally:
+        idx.shutdown()
+    return pd.DataFrame({"wave": np.array([1, 2], dtype="int64"),
+                         "n_new": np.array([n1, n2], dtype="int64")})
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH c AS (SELECT count(*) // 2 AS cut FROM documents),
+w1 AS (SELECT DISTINCT text FROM documents WHERE doc_id < (SELECT cut FROM c)),
+w2 AS (SELECT DISTINCT text FROM documents WHERE doc_id >= (SELECT cut FROM c))
+SELECT 1::BIGINT AS wave, (SELECT count(*) FROM w1)::BIGINT AS n_new
+UNION ALL
+SELECT 2::BIGINT, (SELECT count(*) FROM w2
+                   WHERE text NOT IN (SELECT text FROM w1))::BIGINT
+"""

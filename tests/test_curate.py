@@ -257,3 +257,37 @@ def test_centroid_outliers(ray_session):
     assert int(out.vec_id.iloc[0]) == 9  # lowest cosine to centroid
     assert out.cos_sim.iloc[0] < 0
     assert len(out) == 2
+
+
+def test_dedup_index_streaming_waves(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.state.dedup_index import DedupIndex
+
+    w1 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["aa", "bb", "aa", "cc"],   # 3 distinct
+    })).repartition(2)
+    w2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [4, 5, 6],
+        "text": ["bb", "dd", "aa"],         # only "dd" is new
+    })).repartition(2)
+
+    idx = DedupIndex(num_shards=2)
+    try:
+        assert idx.count_new(w1) == 3
+        assert idx.size() == 3
+        # checkpoint round-trip into a FRESH index
+        idx.save(str(tmp_path / "ckpt"))
+        survivors = idx.filter_new(w2).to_pandas()
+        assert list(survivors.text) == ["dd"]
+    finally:
+        idx.shutdown()
+
+    idx2 = DedupIndex(num_shards=2)
+    try:
+        idx2.load(str(tmp_path / "ckpt"))
+        assert idx2.size() == 3
+        assert idx2.count_new(w2) == 1  # resumed state screens wave 2
+    finally:
+        idx2.shutdown()

@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         "centroid_outliers": q.q_centroid_outliers,
         "incremental_dedup": q.q_incremental_dedup,
+        "dedup_events_window": q.q_dedup_events_window,
     }
 
 
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
+        "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
         # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -2137,3 +2137,31 @@ UNION ALL
 SELECT 2::BIGINT, (SELECT count(*) FROM w2
                    WHERE text NOT IN (SELECT text FROM w1))::BIGINT
 """
+
+
+def q_dedup_events_window(sf_dir: str) -> pd.DataFrame:
+    """Time-windowed event dedup: suppress an event if the same
+    (user_id, event_type) fired within the previous hour (debounce
+    against the previous event, kept or not — matches SQL lag())."""
+    from .windows import window_dedup_events
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = window_dedup_events(ds).to_pandas()
+    return pd.DataFrame({
+        "event_id": out.event_id.astype("int64"),
+        "user_id": out.user_id.astype("int64"),
+        "event_type": out.event_type,
+        "ts": out.ts,
+    })
+
+
+SQL_DEDUP_EVENTS_WINDOW = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM x
+WHERE pts IS NULL OR ts - pts > INTERVAL 1 HOUR
+"""

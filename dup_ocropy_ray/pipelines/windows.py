@@ -21,6 +21,8 @@ import pandas as pd
 
 import ray.data as rd
 
+from ..functions import hashing
+
 
 def compose_sort_keys(kid: np.ndarray, nts_us: np.ndarray, extra_us: int = 0):
     """Compose (key-rank, µs-timestamp) into ONE int64 sort key with
@@ -489,3 +491,61 @@ def ordered_scan(
         return out
 
     return s.map_batches(apply, batch_format="pandas", batch_size=None)
+
+
+def window_dedup_events(
+    events: rd.Dataset,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: pd.Timedelta = pd.Timedelta(hours=1),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Time-windowed event dedup: keep an event only if the PREVIOUS
+    event with the same key (ordered by ts, id) is more than ``window``
+    older (or absent) — the streaming-log shape of "suppress repeats
+    within an hour".
+
+    Same scale skeleton as sessionize: one hash shuffle of (key-hash %
+    num_partitions), then per partition a single lexsort by (key, ts,
+    id) + one vectorized diff; the survivor mask never leaves the
+    partition. Key identity uses the raw columns (carried through the
+    shuffle), not the coarse partition hash."""
+    win_us = np.int64(window.total_seconds() * 1e6)
+    k1, k2 = key_cols
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = hashing.hash_strings(
+            b[k1].astype(str).str.cat(b[k2].astype(str), sep="\x1f")
+            .to_numpy(dtype=object))
+        out = b[[k1, k2, ts_col, id_col]].copy()
+        out["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            k1: g[k1].to_numpy() if len(g) else np.array([], dtype=np.int64),
+            k2: g[k2].to_numpy(dtype=object) if len(g) else np.array([], dtype=object),
+            ts_col: g[ts_col].to_numpy() if len(g) else np.array([], dtype="datetime64[us]"),
+            id_col: g[id_col].to_numpy(np.int64) if len(g) else np.array([], dtype=np.int64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(cols).drop(columns=[])
+        ts64 = cols[ts_col].astype("datetime64[us]").astype(np.int64)
+        # dense rank of the composite key within the partition
+        _, kid = np.unique(
+            np.char.add(np.char.add(cols[k1].astype("U"), "\x1f"),
+                        cols[k2].astype("U")), return_inverse=True)
+        order = np.lexsort((cols[id_col], ts64, kid))
+        ks, ts = kid[order], ts64[order]
+        keep_sorted = np.empty(len(ks), dtype=bool)
+        keep_sorted[0] = True
+        keep_sorted[1:] = (ks[1:] != ks[:-1]) | (ts[1:] - ts[:-1] > win_us)
+        keep = np.zeros(len(ks), dtype=bool)
+        keep[order] = keep_sorted
+        out = pd.DataFrame({c: v[keep] for c, v in cols.items()})
+        return out
+
+    tagged = events.map_batches(tag, batch_format="pandas", batch_size=65536)
+    return tagged.groupby("_part").map_groups(
+        per_part, batch_format="pandas")

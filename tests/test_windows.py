@@ -407,3 +407,24 @@ def test_ordered_scan_matches_pandas(ray_session):
     assert out["wm_m"].iloc[0] == np.iinfo(np.int64).min
     assert (out["wm_m"].to_numpy()[1:] ==
             exp_wm.to_numpy()[1:].astype("int64")).all()
+
+
+def test_window_dedup_events(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.windows import window_dedup_events
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 8],
+        "event_type": ["click", "click", "click", "view", "click"],
+        # click at 0min kept, 30min suppressed, 70min suppressed too
+        # (debounce vs PREVIOUS event at 30min, kept or not)
+        "ts": [base, base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(minutes=70), base, base],
+    })
+    out = (window_dedup_events(rd.from_pandas(df).repartition(2),
+                               num_partitions=2)
+           .to_pandas().sort_values("event_id"))
+    assert list(out.event_id) == [1, 4, 5]

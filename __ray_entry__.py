@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_outliers": q.q_centroid_outliers,
         "incremental_dedup": q.q_incremental_dedup,
         "dedup_events_window": q.q_dedup_events_window,
+        "semantic_dedup": q.q_semantic_dedup,
     }
 
 
@@ -398,7 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
         "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
-        # minhash, simhash, knn_ivf, kmeans, fingerprints, confusions, ocr_spans,
+        # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check
     }

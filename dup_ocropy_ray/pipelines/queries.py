@@ -2165,3 +2165,13 @@ WITH x AS (
 SELECT event_id, user_id, event_type, ts FROM x
 WHERE pts IS NULL OR ts - pts > INTERVAL 1 HOUR
 """
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means cluster -> within-cluster
+    cosine pairs -> components -> min-id representative. Rows-only
+    oracle (k-means is not SQL-expressible)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(ds, k=8, iters=2, threshold=0.35
+                                    ).to_pandas()
+    return (out.sort_values("vec_id").reset_index(drop=True))

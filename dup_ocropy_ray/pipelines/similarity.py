@@ -290,3 +290,59 @@ def centroid_outliers(
                  .reset_index(drop=True))
     out[id_col] = out[id_col].astype("int64")
     return out
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> rd.Dataset:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster
+    embeddings with the distributed k-means, find cosine near-dup pairs
+    WITHIN each cluster only (the trick that bounds the pair search),
+    collapse pairs to connected components, keep the min-id
+    representative per component. Output: (vec_id, cluster_id, kept).
+
+    Composition of existing scale-safe stages: kmeans_fit (streaming
+    partial-sum passes) -> kmeans_assign (broadcast centroids) ->
+    embedding_dup_pairs (per-cluster matmul, LSH prefilter on oversized
+    clusters) -> connected_components (delta-frontier label
+    propagation). Near-dups straddling a k-means boundary are missed by
+    construction — SemDeDup's documented approximation."""
+    from .dedup import connected_components, embedding_dup_pairs
+
+    C = kmeans_fit(ds, k=k, vec_col=vec_col, id_col=id_col, iters=iters)
+    assigned = kmeans_assign(ds, C, vec_col=vec_col)
+    pairs = embedding_dup_pairs(
+        assigned, partition_col="cluster", vec_col=vec_col,
+        id_col=id_col, threshold=threshold)
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b"
+                                ).to_pandas()  # dup rows only (small)
+    if comp.empty:
+        comp = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    else:
+        comp = comp.rename(columns={comp.columns[0]: id_col})
+    lab = {int(r[id_col]): int(r["cluster_id"]) for _, r in comp.iterrows()}
+    keep_of = {}
+    for v, c in lab.items():
+        keep_of[c] = min(keep_of.get(c, v), v)
+    lref = ray.put((lab, keep_of))
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        labels, keepers = ray.get(lref)
+        ids = pd.Series(b[id_col].to_numpy(), dtype="int64")
+        comp = ids.map(labels)  # NaN for non-dup rows
+        in_dup = comp.notna()
+        comp_id = comp.fillna(ids).astype("int64")
+        kept = ~in_dup | (comp.map(keepers) == ids)
+        return pd.DataFrame({
+            id_col: ids.to_numpy(),
+            "component_id": comp_id.to_numpy(),
+            "kept": kept.to_numpy(dtype=bool),
+        })
+
+    return ds.map_batches(mark, batch_format="pandas")

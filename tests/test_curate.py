@@ -291,3 +291,32 @@ def test_dedup_index_streaming_waves(ray_session, tmp_path):
         assert idx2.count_new(w2) == 1  # resumed state screens wave 2
     finally:
         idx2.shutdown()
+
+
+def test_semantic_dedup_composition(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    # two tight triples of near-identical vectors + isolated singletons
+    base1 = rng.normal(0, 1, 8)
+    base2 = rng.normal(0, 1, 8)
+    vecs, ids = [], []
+    for i in range(3):
+        vecs.append(list(base1 + rng.normal(0, 0.001, 8))); ids.append(i)
+    for i in range(3, 6):
+        vecs.append(list(base2 + rng.normal(0, 0.001, 8))); ids.append(i)
+    for i in range(6, 16):
+        vecs.append(list(rng.normal(0, 1, 8))); ids.append(i)
+    df = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    out = (semantic_dedup(rd.from_pandas(df).repartition(3),
+                          k=4, iters=2, threshold=0.99)
+           .to_pandas().set_index("vec_id").sort_index())
+    # each triple collapses to one kept representative (min id)
+    assert bool(out.loc[0, "kept"]) and not out.loc[1, "kept"] and not out.loc[2, "kept"]
+    assert bool(out.loc[3, "kept"]) and not out.loc[4, "kept"] and not out.loc[5, "kept"]
+    assert out.loc[[0, 1, 2], "component_id"].nunique() == 1
+    assert out.loc[[3, 4, 5], "component_id"].nunique() == 1
+    assert out.loc[6:, "kept"].all()

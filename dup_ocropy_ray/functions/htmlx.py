@@ -102,8 +102,15 @@ class _DomBuilder(HTMLParser):
 
 def parse_html(html: str) -> Node:
     b = _DomBuilder()
-    b.feed(html)
-    b.close()
+    try:
+        b.feed(html)
+        b.close()
+    except AssertionError:
+        # stdlib _markupbase asserts (not raises HTMLParseError) on some
+        # malformed declarations, e.g. '<![;' — keep whatever DOM was
+        # built up to the bad byte (tolerant-parser contract: garbage
+        # never crashes an extraction partition)
+        pass
     return b.root
 
 

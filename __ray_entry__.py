@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q.q_incremental_dedup,
         "dedup_events_window": q.q_dedup_events_window,
         "semantic_dedup": q.q_semantic_dedup,
+        "stratified_sample": q.q_stratified_sample,
+        "quantiles_sketch": q.q_quantiles_sketch,
     }
 
 
@@ -399,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
         "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
+        "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

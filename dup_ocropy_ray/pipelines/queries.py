@@ -2175,3 +2175,56 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     out = similarity.semantic_dedup(ds, k=8, iters=2, threshold=0.35
                                     ).to_pandas()
     return (out.sort_values("vec_id").reset_index(drop=True))
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-n deterministic sample per source: rank docs by a shared
+    Knuth multiplicative hash of doc_id and keep the 10 smallest per
+    source — grouped_topk's local-prune + one group-keyed shuffle, so
+    no global sort and nothing driver-side. The hash formula is chosen
+    to be reproducible in ANSI SQL (no library hash on either side)."""
+    from .relational import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank_hash"] = (
+            b["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(1 << 32)
+        b["rank_hash"] = b["rank_hash"].astype("int64")
+        return b
+
+    ranked = ds.map_batches(rank, batch_format="pandas")
+    out = grouped_topk(ranked, "source", ["rank_hash", "doc_id"], 10,
+                       ascending=True).to_pandas()
+    return pd.DataFrame({
+        "source": out.source,
+        "doc_id": out.doc_id.astype("int64"),
+        "rank_hash": out.rank_hash.astype("int64"),
+    })
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT source, doc_id,
+         (doc_id * 2654435761) % 4294967296 AS rank_hash
+  FROM documents
+)
+SELECT source, doc_id, rank_hash FROM r
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY rank_hash, doc_id) <= 10
+"""
+
+
+def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate event-value quantiles from the deterministic hash
+    sample (rows-only oracle: the SipHash sample set is not
+    SQL-reproducible; the <2%-rank-error bound is pinned by
+    tests/test_curate.py and the exact twin is value_quantiles)."""
+    from .sketches import sampled_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = sampled_quantiles(ds, rate=0.05)
+    out["value"] = np.round(out["value"], 6)
+    return out

@@ -85,3 +85,42 @@ def approx_distinct_by_key(
             np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
         out.append((k, int(round(hll_estimate(acc)))))
     return pd.DataFrame(out, columns=[key_col, "approx_distinct"])
+
+
+# ------------------------------------------- hash-sampled quantiles
+
+
+def sampled_quantiles(
+    ds: rd.Dataset,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    rate: float = 0.05,
+    seed: int = 99,
+) -> pd.DataFrame:
+    """Approximate quantiles from a DETERMINISTIC hash sample: a row is
+    sampled iff hash(id, seed) < rate * 2^64 — reproducible across
+    retries/workers (no RNG state), mergeable by construction (a union
+    of per-block samples IS the corpus sample), and one streaming pass
+    with O(rate x N) driver data. Expected rank error is
+    O(sqrt(q(1-q)/(rate x N))) — at 10^12 rows you'd drop ``rate`` to
+    ~1e-6 and keep the same bound per billion. Exact twin:
+    ``value_quantiles`` (sparse counting histogram); this is the
+    continuous-value / constant-memory path.
+    """
+    thr = np.uint64(int(rate * float(2**64)))
+    salt = str(seed) + "\x1f"
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash_strings((salt + b[id_col].astype(str)).to_numpy(dtype=object))
+        keep = h < thr
+        return pd.DataFrame({value_col: b[value_col].to_numpy()[keep]})
+
+    samp = ds.map_batches(sample, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    vals = np.sort(samp[value_col].to_numpy(dtype=np.float64))
+    if len(vals) == 0:
+        return pd.DataFrame({"q": list(qs), "value": [np.nan] * len(qs)})
+    idx = np.minimum((np.asarray(qs) * len(vals)).astype(np.int64),
+                     len(vals) - 1)
+    return pd.DataFrame({"q": list(qs), "value": vals[idx]})

@@ -320,3 +320,24 @@ def test_semantic_dedup_composition(ray_session):
     assert out.loc[[0, 1, 2], "component_id"].nunique() == 1
     assert out.loc[[3, 4, 5], "component_id"].nunique() == 1
     assert out.loc[6:, "kept"].all()
+
+
+def test_sampled_quantiles_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.sketches import sampled_quantiles
+
+    # uniform values: true quantile q has value ~q; rank error bound
+    # O(sqrt(q(1-q)/(rate*N))) -> with N=20000, rate=0.1 (2000 samples)
+    # the 3-sigma band is ~3.3% absolute
+    n = 20000
+    df = pd.DataFrame({"event_id": np.arange(n),
+                       "value": np.arange(n, dtype=np.float64) / n})
+    ds = rd.from_pandas(df).repartition(8)
+    out = sampled_quantiles(ds, rate=0.1).set_index("q")
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        assert abs(out.loc[q, "value"] - q) < 0.035, (q, out.loc[q, "value"])
+    # determinism: same hash sample -> identical result
+    out2 = sampled_quantiles(ds, rate=0.1).set_index("q")
+    assert (out.value == out2.value).all()

@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q.q_semantic_dedup,
         "stratified_sample": q.q_stratified_sample,
         "quantiles_sketch": q.q_quantiles_sketch,
+        "text_knn": q.q_text_knn,
     }
 
 

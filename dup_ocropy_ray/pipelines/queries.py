@@ -2228,3 +2228,21 @@ def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     out = sampled_quantiles(ds, rate=0.05)
     out["value"] = np.round(out["value"], 6)
     return out
+
+
+def q_text_knn(sf_dir: str) -> pd.DataFrame:
+    """Trainingless text retrieval: feature-hash embed the documents
+    table, then brute-force cosine top-10 to doc_id=0's vector —
+    hash_embed_table composed with the existing knn stage (rows-only:
+    SipHash buckets are not SQL-reproducible; determinism + knn
+    correctness are pinned separately)."""
+    from . import textstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = textstats.hash_embed_table(ds)
+    qvec = (emb.filter(expr="doc_id == 0").to_pandas()["embedding"].iloc[0])
+    out = similarity.knn_brute(emb, np.asarray(qvec), k=10,
+                               vec_col="embedding", id_col="doc_id")
+    out.columns = ["doc_id" if c == "vec_id" else c for c in out.columns]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out

@@ -300,3 +300,37 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
     totals = totals.rename(columns={ncol: "n"})
     totals = totals.sort_values(["n", "word"], ascending=[False, True])
     return totals.head(k).reset_index(drop=True)
+
+
+def hash_embed_table(ds: rd.Dataset, dim: int = 64) -> rd.Dataset:
+    """Feature-hashing text embeddings (Weinberger et al. 2009): token
+    counts scattered into ``dim`` signed hash buckets, L2-normalized —
+    the deterministic, trainingless doc-vector stage that bridges the
+    text table into the similarity/dedup operators (kNN, k-means,
+    SemDeDup all accept its output).
+
+    One streaming map: tokens hashed once per batch (batch_shingle
+    layout), bucket = hash % dim, sign = next hash bit, scatter via ONE
+    np.add.at over (row, bucket) pairs. No shuffle, no vocabulary."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").tolist()
+        vals, offs = hashing.batch_shingle_hashes(texts, 1)  # unigram hashes
+        n = len(b)
+        M = np.zeros((n, dim), dtype=np.float64)
+        if len(vals):
+            doc_of = np.repeat(np.arange(n), np.diff(offs))
+            bucket = (vals % np.uint64(dim)).astype(np.int64)
+            sign = np.where((vals >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(M, (doc_of, bucket), sign)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        M /= norms[:, None]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            # plain lists, not ndarrays: Arrow infers list<double> so the
+            # result is filter/shuffle-safe like the parquet embeddings
+            "embedding": M.tolist(),
+        })
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192)

@@ -341,3 +341,23 @@ def test_sampled_quantiles_error_bound(ray_session):
     # determinism: same hash sample -> identical result
     out2 = sampled_quantiles(ds, rate=0.1).set_index("q")
     assert (out.value == out2.value).all()
+
+
+def test_hash_embed_deterministic_and_discriminative(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.textstats import hash_embed_table
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma", "alpha beta gamma", "zebra quux corge"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    out = hash_embed_table(ds, dim=32).to_pandas().set_index("doc_id")
+    v0, v1, v2 = (np.asarray(out.loc[i, "embedding"]) for i in range(3))
+    assert np.allclose(v0, v1)            # identical text -> identical vec
+    assert abs(np.linalg.norm(v0) - 1) < 1e-9
+    assert v0 @ v2 < 0.9                  # disjoint vocab -> not collapsed
+    out2 = hash_embed_table(ds, dim=32).to_pandas().set_index("doc_id")
+    assert np.allclose(np.asarray(out2.loc[0, "embedding"]), v0)

@@ -1154,3 +1154,67 @@ def strip_dup_spans(
         return pd.DataFrame(out_rows, columns=[id_col, "clean_text"])
 
     return ds.map_batches(strip, batch_format="pandas", batch_size=4096)
+
+
+# --------------------------------------- checkpointed global exact dedup
+
+
+def run_dedup_with_checkpoint(
+    docs_path: str,
+    out_root: str,
+    num_fragments: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Resumable corpus-wide exact dedup as a `ray job submit` target
+    (same fragment/manifest store as the OCR and extraction flagships).
+
+    The fragment key is the CONTENT hash (hash(text) % num_fragments),
+    not the doc id — equal texts always land in the same fragment, so
+    per-fragment dedup composes to an exact global dedup, and each
+    finished fragment is a durable unit of progress: a killed run
+    reruns at most the one in-flight fragment. Per-fragment lineage
+    counters record rows_in / rows_kept."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..state import checkpoint as ckpt
+    from ..tuning import configure_data_context, parquet_schema
+
+    configure_data_context()
+    os.makedirs(out_root, exist_ok=True)
+    pending = ckpt.pending_fragments(out_root, num_fragments)
+    for frag in pending:
+        ds = rd.read_parquet(docs_path, columns=[id_col, text_col],
+                             schema=parquet_schema(docs_path,
+                                                   [id_col, text_col]))
+        nf = num_fragments
+
+        def only_frag(b: pd.DataFrame, _f=frag, _nf=nf) -> pd.DataFrame:
+            h = hashing.hash_strings(b[text_col].to_numpy(dtype=object))
+            return b[(h % np.uint64(_nf)).astype(np.int64) == _f]
+
+        part = ds.map_batches(only_frag, batch_format="pandas",
+                              batch_size=65536)
+        rows_in = part.count()
+        out = exact_dedup(part, text_col=text_col, id_col=id_col)
+        frag_dir = ckpt.fragment_dir(out_root, frag)
+        tmp_dir = frag_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        out.write_parquet(tmp_dir)
+        if os.path.exists(frag_dir):
+            shutil.rmtree(frag_dir)
+        os.replace(tmp_dir, frag_dir)
+        rows_kept = sum(
+            pq.read_metadata(os.path.join(frag_dir, f)).num_rows
+            for f in os.listdir(frag_dir) if f.endswith(".parquet"))
+        ckpt.commit_fragment(out_root, frag, {
+            "rows_in": int(rows_in),
+            "rows_kept": int(rows_kept),
+        })
+    return {
+        "fragments_run": pending,
+        "counters": ckpt.aggregate_counters(out_root),
+    }

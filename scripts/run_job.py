@@ -22,9 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", choices=("ocr", "extract"), default="ocr",
+    ap.add_argument("--pipeline", choices=("ocr", "extract", "dedup"),
+                    default="ocr",
                     help="ocr = media OCR flagship; extract = html-span "
-                         "main-content extraction (no media table needed)")
+                         "main-content extraction (no media table needed); "
+                         "dedup = global exact dedup, resumable by "
+                         "content-hash slice")
     ap.add_argument("--docs", required=True, help="interleaved docs table (parquet/lance)")
     ap.add_argument("--media", default=None, help="media blob table (media_ref, bytes); required for --pipeline ocr")
     ap.add_argument("--out", required=True, help="output root (fragment dirs + manifests)")
@@ -45,6 +48,11 @@ def main() -> None:
         from dup_ocropy_ray.pipelines.extract import run_extract_with_checkpoint
 
         result = run_extract_with_checkpoint(
+            args.docs, args.out, num_fragments=args.fragments)
+    elif args.pipeline == "dedup":
+        from dup_ocropy_ray.pipelines.dedup import run_dedup_with_checkpoint
+
+        result = run_dedup_with_checkpoint(
             args.docs, args.out, num_fragments=args.fragments)
     else:
         if not args.media:

@@ -361,3 +361,33 @@ def test_hash_embed_deterministic_and_discriminative(ray_session):
     assert v0 @ v2 < 0.9                  # disjoint vocab -> not collapsed
     out2 = hash_embed_table(ds, dim=32).to_pandas().set_index("doc_id")
     assert np.allclose(np.asarray(out2.loc[0, "embedding"]), v0)
+
+
+def test_run_dedup_with_checkpoint_resumes(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dup_ocropy_ray.pipelines.dedup import run_dedup_with_checkpoint
+
+    sf = "/root/testdata/sf0.001"
+    docs = f"{sf}/documents.parquet"
+    out_root = str(tmp_path / "dedup_out")
+    r1 = run_dedup_with_checkpoint(docs, out_root, num_fragments=4)
+    assert sorted(r1["fragments_run"]) == [0, 1, 2, 3]
+
+    # union of fragments == exact global dedup (min doc_id per text)
+    parts = []
+    import glob, os
+    for f in sorted(glob.glob(os.path.join(out_root, "fragment=*", "*.parquet"))):
+        parts.append(pq.read_table(f).to_pandas())
+    got = pd.concat(parts).sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT min(doc_id) AS doc_id FROM read_parquet('{docs}') "
+        "GROUP BY text ORDER BY doc_id").df()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert r1["counters"]["rows_kept"] == len(want)
+
+    # second run: everything checkpointed, nothing reruns
+    r2 = run_dedup_with_checkpoint(docs, out_root, num_fragments=4)
+    assert r2["fragments_run"] == []
+    assert r2["counters"] == r1["counters"]

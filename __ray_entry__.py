@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "quantiles_sketch": q.q_quantiles_sketch,
         "text_knn": q.q_text_knn,
+        "pmi_bigrams": q.q_pmi_bigrams,
     }
 
 
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
         "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
+        "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -2246,3 +2246,34 @@ def q_text_knn(sf_dir: str) -> pd.DataFrame:
     out.columns = ["doc_id" if c == "vec_id" else c for c in out.columns]
     out["doc_id"] = out["doc_id"].astype("int64")
     return out
+
+
+def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (one gram-hash shuffle + broadcast unigram counts)."""
+    from . import textstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.pmi_bigrams(ds, k=20, min_count=5)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), bi AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS gram, ws[i] AS a, ws[i+1] AS b2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+), cb AS (
+  SELECT gram, a, b2, count(*)::BIGINT AS c_ab FROM bi GROUP BY gram, a, b2
+), uni AS (
+  SELECT word, count(*)::DOUBLE AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents) GROUP BY word
+), tot AS (SELECT sum(c_ab)::DOUBLE AS n_bi FROM cb)
+SELECT gram, c_ab,
+       round(ln((SELECT n_bi FROM tot) * c_ab / (ua.c * ub.c)), 6) AS pmi
+FROM cb JOIN uni ua ON cb.a = ua.word JOIN uni ub ON cb.b2 = ub.word
+WHERE c_ab >= 5
+ORDER BY pmi DESC, gram LIMIT 20
+"""

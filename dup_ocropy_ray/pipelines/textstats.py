@@ -334,3 +334,58 @@ def hash_embed_table(ds: rd.Dataset, dim: int = 64) -> rd.Dataset:
         })
 
     return ds.map_batches(f, batch_format="pandas", batch_size=8192)
+
+
+def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
+                ) -> pd.DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information:
+    PMI = ln(N_bi * c(a,b) / (c(a) * c(b))) over adjacent-token counts.
+
+    Scale shape: bigram counts ride ONE coarse gram-hash shuffle (same
+    pattern as substring dedup); unigram counts are corpus-vocabulary
+    partials merged driver-side and BROADCAST into the scoring pass
+    (vocab-scale — for open web vocabularies swap in the heavy_hitters
+    candidate set + a min_count floor, which this already applies).
+    Ties break by bigram text ascending."""
+    import ray
+
+    from ..functions.hashing import batch_word_grams
+
+    def bigram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        grams, _d, _p = batch_word_grams(b["text"].tolist(), 2)
+        out = pd.DataFrame({"gram": grams})
+        h = hashing.hash_strings(grams)
+        out["_part"] = (h % np.uint64(64)).astype(np.int64)
+        return out
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("gram", sort=False).size()
+        return pd.DataFrame({"gram": vc.index.to_numpy(object),
+                             "c_ab": vc.to_numpy(np.int64)})
+
+    bi = (ds.map_batches(bigram_rows, batch_format="pandas", batch_size=8192)
+            .groupby("_part").map_groups(count_part, batch_format="pandas"))
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.split().explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+           .groupby("word")["c"].sum())
+    n_bi = None  # filled below from the bigram table itself
+
+    parts = bi.to_pandas()
+    n_bi = int(parts["c_ab"].sum())
+    sp = parts["gram"].str.split(" ", n=1, expand=True)
+    ca = sp[0].map(uni).to_numpy(np.float64)
+    cb = sp[1].map(uni).to_numpy(np.float64)
+    keep = parts["c_ab"].to_numpy() >= min_count
+    pmi = np.log(n_bi * parts["c_ab"].to_numpy(np.float64) / (ca * cb))
+    out = pd.DataFrame({
+        "gram": parts["gram"], "c_ab": parts["c_ab"].astype("int64"),
+        "pmi": np.round(pmi, 6)})[keep]
+    return (out.sort_values(["pmi", "gram"], ascending=[False, True])
+               .head(k).reset_index(drop=True))

@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_sketch": q.q_quantiles_sketch,
         "text_knn": q.q_text_knn,
         "pmi_bigrams": q.q_pmi_bigrams,
+        "quality_percentile": q.q_quality_percentile,
     }
 
 
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
+        "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

@@ -2277,3 +2277,47 @@ FROM cb JOIN uni ua ON cb.a = ua.word JOIN uni ub ON cb.b2 = ub.word
 WHERE c_ab >= 5
 ORDER BY pmi DESC, gram LIMIT 20
 """
+
+
+def q_quality_percentile(sf_dir: str) -> pd.DataFrame:
+    """Per-source percentile rank of document length (the quality-
+    filtering primitive 'keep the top X% per source'): one source-hash
+    shuffle, then vectorized min-rank percent_rank per source group —
+    no global sort."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import hashing
+
+        b = b.copy()
+        h = hashing.hash_strings(b["source"].to_numpy(dtype=object))
+        b["_part"] = (h % np.uint64(32)).astype(np.int64)
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "pr": pd.Series([], dtype="float64")})
+        r = g.groupby("source")["n_chars"].rank(method="min")
+        n = g.groupby("source")["n_chars"].transform("size")
+        pr = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": g["source"],
+            "pr": np.round(pr, 6),
+        })
+
+    out = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUALITY_PERCENTILE = """
+SELECT doc_id, source,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pr
+FROM documents ORDER BY doc_id
+"""

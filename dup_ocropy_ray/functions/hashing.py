@@ -337,3 +337,42 @@ def batch_word_grams(texts, window: int) -> tuple[np.ndarray, np.ndarray, np.nda
     starts = np.flatnonzero(valid[:m] if len(valid) > m else valid)
     starts = starts[starts < m]
     return (gram[starts].astype(object), doc_of[starts], local[starts])
+
+
+def batch_window_hashes(texts, window: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash-only twin of ``batch_word_grams``: one uint64 polynomial
+    hash per W-word window (same whitespace split, same window
+    positions), with NO gram strings materialized — the scale path for
+    the dup-span passes, where gram identity (not text) is all the
+    shuffle needs. Tokens are hashed ONCE per batch; the window hash is
+    a W-term polynomial fold over the token hashes, so equal windows
+    hash equal and 64-bit collisions are the only (negligible)
+    divergence from text equality.
+
+    Returns ``(hashes, doc_idx, pos)`` aligned with batch_word_grams."""
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.int64))
+    if total < window:
+        return empty
+    flat = np.empty(total, dtype=object)
+    p = 0
+    for t in tok_lists:
+        if t:
+            flat[p : p + len(t)] = t
+            p += len(t)
+    th = hash_strings(flat)
+    m = total - window + 1
+    with np.errstate(over="ignore"):
+        acc = th[:m].copy()
+        for j in range(1, window):
+            acc = acc * _SHINGLE_POLY_C + th[j : j + m]
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    local = np.arange(total, dtype=np.int64) - tok_off[doc_of]
+    valid = local <= counts[doc_of] - window
+    starts = np.flatnonzero(valid)
+    starts = starts[starts < m]
+    return acc[starts], doc_of[starts], local[starts]

@@ -1044,17 +1044,39 @@ def duplicated_ngrams(
     return rows.groupby("_part").map_groups(agg, batch_format="pandas")
 
 
-def _dup_gram_hashes(dup: rd.Dataset) -> np.ndarray:
-    """Sorted uint64 hashes of the duplicated grams (the broadcast small
-    side for the per-doc passes). Hash-only projection BEFORE collect:
-    the driver never holds gram strings. At extreme dup rates swap the
-    sorted-array probe for the module's Bloom filter (bloom_add /
-    bloom_contains) at the same call sites."""
-    parts = [
-        hashing.hash_strings(b["gram"].to_numpy(dtype=object))
-        for b in dup.select_columns(["gram"]).iter_batches(
-            batch_format="pandas", batch_size=65536)
-    ]
+def _dup_window_hash_set(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    window: int,
+    min_docs: int,
+) -> np.ndarray:
+    """Sorted uint64 hashes of every corpus-duplicated W-window,
+    computed WITHOUT materializing gram strings: the shuffle carries
+    only (window_hash, doc_id) and the per-partition dup test is a
+    groupby-nunique on the hash. The broadcast small side for the
+    count/strip passes. At extreme dup rates swap the sorted-array
+    probe for the module's Bloom filter at the same call sites."""
+
+    def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+        gh, doc_idx, _pos = hashing.batch_window_hashes(
+            b[text_col].tolist(), window)
+        return pd.DataFrame({
+            "h": gh,
+            id_col: b[id_col].to_numpy()[doc_idx],
+            "_part": (gh % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64),
+        })
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)[id_col].nunique()
+        return pd.DataFrame({"h": nd.index[nd >= min_docs].to_numpy(
+            dtype=np.uint64)})
+
+    dup = (ds.map_batches(hash_rows, batch_format="pandas", batch_size=8192)
+             .groupby("_part").map_groups(dup_only, batch_format="pandas"))
+    parts = [b["h"].to_numpy(dtype=np.uint64)
+             for b in dup.iter_batches(batch_format="pandas",
+                                       batch_size=65536)]
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return np.sort(np.concatenate(parts))
@@ -1070,19 +1092,20 @@ def doc_dup_spans(
     """(doc_id, n_spans, n_dup_spans) per doc with >=1 window: how much
     of each doc is corpus-duplicated substring mass. Second streaming
     pass over the corpus probes the broadcast dup-hash set (sorted-array
-    searchsorted, vectorized)."""
+    searchsorted, vectorized). Both passes are HASH-ONLY
+    (batch_window_hashes): no gram strings ever materialize or ride the
+    shuffle — only the index query (duplicated_ngrams) pays for text."""
     import ray
 
-    dup = duplicated_ngrams(ds, text_col, id_col, window, min_docs)
-    ref = ray.put(_dup_gram_hashes(dup))
+    ref = ray.put(_dup_window_hash_set(ds, text_col, id_col, window,
+                                       min_docs))
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
         hashes = ray.get(ref)
-        grams, doc_idx, _pos = hashing.batch_word_grams(
+        gh, doc_idx, _pos = hashing.batch_window_hashes(
             b[text_col].tolist(), window)
         n = len(b)
         n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        gh = hashing.hash_strings(grams)
         idx = np.searchsorted(hashes, gh)
         hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
         n_dup = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
@@ -1108,21 +1131,20 @@ def strip_dup_spans(
     go; deterministic, so SQL-checkable). Coverage is a +1/-1 delta
     array over the flat word stream + one cumsum — windows never cross
     doc boundaries, so the running sum self-resets at 0 between docs.
-    Docs left empty are dropped."""
+    Docs left empty are dropped. Hash-only like doc_dup_spans."""
     import ray
 
-    dup = duplicated_ngrams(ds, text_col, id_col, window, min_docs)
-    ref = ray.put(_dup_gram_hashes(dup))
+    ref = ray.put(_dup_window_hash_set(ds, text_col, id_col, window,
+                                       min_docs))
 
     def strip(b: pd.DataFrame) -> pd.DataFrame:
         hashes = ray.get(ref)
         texts = b[text_col].tolist()
-        grams, doc_idx, pos = hashing.batch_word_grams(texts, window)
+        gh, doc_idx, pos = hashing.batch_window_hashes(texts, window)
         tok_lists = [(t or "").split() for t in texts]
         counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
         total = int(counts.sum())
         tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        gh = hashing.hash_strings(grams)
         idx = np.searchsorted(hashes, gh)
         hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
         delta = np.zeros(total + 1, dtype=np.int64)

@@ -48,6 +48,9 @@ QUERY_SUBSET = [
     "range_join",
     "value_quantiles",
     "join_revenue_priority",
+    "strip_dup_spans",
+    "heavy_hitters",
+    "dedup_events_window",
 ]
 
 

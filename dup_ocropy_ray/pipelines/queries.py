@@ -1158,9 +1158,14 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------- eval
 
 
-def _paired_docs(sf_dir: str) -> rd.Dataset:
-    """Pair doc i with doc i+20 (same source by construction) via a
-    hash-partitioned Dataset.join — the large✕large join path."""
+def _paired_docs(sf_dir: str, native: bool = False) -> rd.Dataset:
+    """Pair doc i with doc i+20 (same source by construction) — the
+    large✕large join path. Default impl is the fixed-bucket shuffle
+    join (``relational.bucket_join``: plain tasks, wall time flat in
+    long sessions); ``native=True`` exercises Ray Data's
+    ``Dataset.join`` hash join instead (aggregator actor pool) — the
+    two are asserted row-identical in tests. Output columns are
+    normalized to (doc_id_a, text_a, text_b) for both."""
     left = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def addkey(b: pa.Table) -> pa.Table:
@@ -1170,15 +1175,38 @@ def _paired_docs(sf_dir: str) -> rd.Dataset:
 
     left = left.map_batches(addkey, batch_format="pyarrow")
     right = _read(sf_dir, "documents", ["doc_id", "text"])
-    return left.join(
-        right,
-        join_type="inner",
-        num_partitions=8,
-        on=("pair_key",),
-        right_on=("doc_id",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
+    if native:
+        joined = left.join(
+            right,
+            join_type="inner",
+            num_partitions=8,
+            on=("pair_key",),
+            right_on=("doc_id",),
+            left_suffix="_a",
+            right_suffix="_b",
+        )
+
+        def norm_native(b: pd.DataFrame) -> pd.DataFrame:
+            cols = set(b.columns)
+            return pd.DataFrame({
+                "doc_id_a": (b["doc_id_a"] if "doc_id_a" in cols
+                             else b["doc_id"]),
+                "text_a": b["text_a"] if "text_a" in cols else b["text"],
+                "text_b": b["text_b"],
+            })
+
+        return joined.map_batches(norm_native, batch_format="pandas")
+    joined = relational.bucket_join(left, right, "pair_key", "doc_id",
+                                    num_partitions=32)
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id_a": b["doc_id"],
+            "text_a": b["text"],
+            "text_b": b["text_r"],
+        })
+
+    return joined.map_batches(norm, batch_format="pandas")
 
 
 def q_cer_pairs(sf_dir: str) -> pd.DataFrame:
@@ -1186,15 +1214,11 @@ def q_cer_pairs(sf_dir: str) -> pd.DataFrame:
     joined = _paired_docs(sf_dir)
 
     def dist(b: pd.DataFrame) -> pd.DataFrame:
-        cols = {c for c in b.columns}
-        a_txt = b["text_a"] if "text_a" in cols else b["text"]
-        b_txt = b["text_b"]
-        ids = b["doc_id_a"] if "doc_id_a" in cols else b["doc_id"]
         d = [
             levenshtein((x or "")[:40], (y or "")[:40])
-            for x, y in zip(a_txt, b_txt)
+            for x, y in zip(b["text_a"], b["text_b"])
         ]
-        return pd.DataFrame({"doc_id": ids.astype("int64"),
+        return pd.DataFrame({"doc_id": b["doc_id_a"].astype("int64"),
                              "dist": pd.array(d, dtype="int64")})
 
     out = joined.map_batches(dist, batch_format="pandas").to_pandas()
@@ -1215,11 +1239,8 @@ def q_confusions(sf_dir: str) -> pd.DataFrame:
     joined = _paired_docs(sf_dir)
 
     def confs(b: pd.DataFrame) -> pd.DataFrame:
-        cols = set(b.columns)
-        a_txt = b["text_a"] if "text_a" in cols else b["text"]
-        b_txt = b["text_b"]
         rows = []
-        for x, y in zip(a_txt, b_txt):
+        for x, y in zip(b["text_a"], b["text_b"]):
             x = (x or "")[:30]
             y = (y or "")[:30]
             if not y:
@@ -1338,9 +1359,9 @@ ORDER BY event_type
 
 
 def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
-    """Large x large hash join (lineitem ⋈ orders on the order key) via
-    Ray Data's native ``Dataset.join`` — both sides shuffle on the key
-    (no broadcast; contrast q_top_orders' broadcast join). Revenue cents
+    """Large x large hash join (lineitem ⋈ orders on the order key) on
+    the fixed-bucket shuffle — both sides shuffle on the key (no
+    broadcast; contrast q_top_orders' broadcast join). Revenue cents
     are computed AND partially combined per order key inside each batch
     BEFORE the join (lineitem is clustered by orderkey, ~4 rows/order),
     so the shuffle moves one partial row per (batch, orderkey) instead
@@ -1367,13 +1388,11 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
 
     li = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    # fixed-bucket shuffle join (see relational.bucket_join): same
+    # exchange as the native hash join without its aggregator actor
+    # pool, whose startup is bimodal (3s/30s+) late in long sessions
+    joined = relational.bucket_join(li, orders, "l_orderkey", "o_orderkey",
+                                    num_partitions=32)
     g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
     return pd.DataFrame(
         {

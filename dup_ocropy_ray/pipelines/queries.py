@@ -1196,8 +1196,7 @@ def _paired_docs(sf_dir: str, native: bool = False) -> rd.Dataset:
             })
 
         return joined.map_batches(norm_native, batch_format="pandas")
-    joined = relational.bucket_join(left, right, "pair_key", "doc_id",
-                                    num_partitions=32)
+    joined = relational.bucket_join(left, right, "pair_key", "doc_id")
 
     def norm(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1391,8 +1390,7 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
     # fixed-bucket shuffle join (see relational.bucket_join): same
     # exchange as the native hash join without its aggregator actor
     # pool, whose startup is bimodal (3s/30s+) late in long sessions
-    joined = relational.bucket_join(li, orders, "l_orderkey", "o_orderkey",
-                                    num_partitions=32)
+    joined = relational.bucket_join(li, orders, "l_orderkey", "o_orderkey")
     g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
     return pd.DataFrame(
         {

@@ -171,7 +171,7 @@ def bucket_join(
     right: rd.Dataset,
     left_on: str,
     right_on: str,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     suffix: str = "_r",
 ) -> rd.Dataset:
     """Large x large inner join on the repo's fixed-bucket shuffle
@@ -189,6 +189,10 @@ def bucket_join(
     int columns never pass through pandas, so dtypes survive)."""
     import pyarrow.compute as pc
 
+    from ..tuning import suggested_partitions
+
+    if num_partitions is None:
+        num_partitions = suggested_partitions()
     ls, rs = left.schema(), right.schema()
     lcols = list(ls.names)
     rcols = list(rs.names)

@@ -72,3 +72,19 @@ def parquet_schema(path: str, columns=None):
     if columns is not None:
         return pa.schema([sch.field(c) for c in columns])
     return sch.remove_metadata()
+
+
+def suggested_partitions(mult: int = 2, floor: int = 32) -> int:
+    """Shuffle fan-out sized to the cluster actually attached: ~mult x
+    the executor CPU slots, floored for small test sessions. Callers
+    that hash-bucket (bucket_join, dedup ops) use this so the same code
+    runs 32-way on the laptop and ~2x-slots-way on a 256-node cluster
+    without retuning."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if (
+            ray.is_initialized()) else 0
+    except Exception:
+        cpus = 0
+    return max(floor, mult * cpus)

@@ -445,9 +445,16 @@ def connected_components(
     corpus — and the per-round ``materialize()`` holds only (node,
     label) rows in the object store; the driver sees a single changed
     counter per round. That is the shape a multi-node cluster wants for
-    iterative graph steps; pointer-jumping (label doubling) would cut
-    rounds to O(log d) at the cost of a third shuffle per round — add
-    it if real graphs ever show long chains."""
+    iterative graph steps.
+
+    Long-diameter graphs: after ``max_iters`` plain rounds the loop
+    engages POINTER JUMPING — each extra round ALSO folds lbl(lbl(v))
+    into v via a request/reply pass on the same bucket shuffle, so the
+    reachable-label horizon doubles per round and any diameter
+    converges in O(log d) further rounds (a 61-node chain used to
+    come back as 29 clusters when the plain loop hit the cap silently;
+    now it collapses to 1). Near-dup graphs are clique-ish and finish
+    in 2-3 plain rounds, never paying the jump pass's extra shuffle."""
     id_type = _arrow_id_type(edges, a_col)
     _SYM_SCHEMA = pa.schema([("v", id_type), ("u", id_type),
                              ("lbl", id_type), ("chg", pa.int8()),
@@ -551,20 +558,73 @@ def connected_components(
         if len(g) == 0:
             return _LAB_SCHEMA.empty_table()
         new = g.groupby("node", sort=False)["cand"].min()
-        old = g[g["self"] == 1].set_index("node")["cand"]
+        selfrows = g[g["self"].isin((1, 3))]
+        old = selfrows.set_index("node")["cand"]
         old = old[~old.index.duplicated()]
+        # self=3 marks a node whose label already changed EARLIER in
+        # this round (the plain pass before a jump merge): the frontier
+        # flag must survive the merge or next round's delta propagation
+        # skips its neighbors
+        prior = (selfrows.set_index("node")["self"] == 3)
+        prior = prior[~prior.index.duplicated()]
         new, old = new.align(old, join="left")
+        prior = prior.reindex(new.index, fill_value=False)
         v = new.index.to_numpy(dtype=object)
-        changed = (old.isna() | (new != old)).to_numpy().astype(np.int64)
+        changed = (old.isna() | (new != old)
+                   | prior).to_numpy().astype(np.int64)
         return pa.Table.from_arrays(
             [pa.array(v, id_type),
              pa.array(new.to_numpy(dtype=object), id_type),
              pa.array(changed), pa.array(part_of(v))], schema=_LAB_SCHEMA)
 
+    def lab_as_msgs(t: pa.Table) -> pa.Table:
+        # label table re-expressed in message space: self rows keyed by
+        # their own node (take_min's "old" side); self = 1 + 2*changed
+        # so the plain pass's frontier flag survives the jump merge
+        import pyarrow.compute as pc
+
+        selfcode = pc.cast(pc.add(
+            pc.multiply(t.column("changed"), 2), 1), pa.int8())
+        return pa.Table.from_arrays(
+            [t.column("v"), t.column("lbl"), selfcode,
+             t.column("_part")], schema=_MSG_SCHEMA)
+
+    def jump_requests(t: pa.Table) -> pa.Table:
+        # (node=lbl(v), cand=v, self=2) keyed by part_of(lbl): lands in
+        # the partition holding lbl(v)'s own label row
+        l = t.column("lbl")
+        l_canon = l.to_numpy(zero_copy_only=False).astype(object)
+        return pa.Table.from_arrays(
+            [l, t.column("v"),
+             pa.nulls(t.num_rows, pa.int8()).fill_null(2),
+             pa.array(part_of(l_canon))], schema=_MSG_SCHEMA)
+
+    def jump_reply(g: pd.DataFrame) -> pa.Table:
+        # label rows (self=1) + requests (self=2) co-located: answer
+        # each request (l, v) with (node=v, cand=lbl(l))
+        labs = g[g["self"].isin((1, 3))]
+        rq = g[g["self"] == 2]
+        if len(rq) == 0:
+            return _MSG_SCHEMA.empty_table()
+        lbl_of = dict(zip(labs["node"], labs["cand"]))
+        v = rq["cand"].to_numpy(dtype=object)
+        cand = rq["node"].map(lbl_of).to_numpy(dtype=object)
+        v_arr = pa.array(v).cast(id_type)
+        v_canon = v_arr.to_numpy(zero_copy_only=False).astype(object)
+        return pa.Table.from_arrays(
+            [v_arr, pa.array(cand).cast(id_type),
+             pa.nulls(len(rq), pa.int8()).fill_null(0),
+             pa.array(part_of(v_canon))], schema=_MSG_SCHEMA)
+
     import os as _os
     import time as _time
     _dbg = _os.environ.get("DUP_CC_DEBUG")
-    for _round in range(max_iters):
+    # plain rounds handle the clique-ish common case; from round 3 on
+    # (still changing) each round adds the jump pass, doubling the
+    # label horizon — 64 jump rounds cover any graph, so hitting the
+    # cap means a bug, not a big graph
+    _jump_from = min(3, max_iters - 1)
+    for _round in range(max_iters + 64):
         _t0 = _time.time()
         # label rows ride the same vertex-keyed partition space as the
         # symmetric edges: mark them with a null "u"
@@ -581,12 +641,28 @@ def connected_components(
         lab = msgs.groupby("_part2").map_groups(
             take_min, batch_format="pandas"
         ).repartition(num_partitions).materialize()
+        if _round >= _jump_from and lab.sum("changed"):
+            # shortcut pass: v also learns lbl(lbl(v))
+            replies = (lab.map_batches(lab_as_msgs, batch_format="pyarrow")
+                       .union(lab.map_batches(jump_requests,
+                                              batch_format="pyarrow"))
+                       .groupby("_part2").map_groups(
+                           jump_reply, batch_format="pandas"))
+            lab = (lab.map_batches(lab_as_msgs, batch_format="pyarrow")
+                   .union(replies)
+                   .groupby("_part2").map_groups(
+                       take_min, batch_format="pandas")
+                   .repartition(num_partitions).materialize())
         changed = lab.sum("changed")
         if _dbg:
             print(f"[cc] round {_round} changed {changed} "
                   f"sec {_time.time() - _t0:.2f}", flush=True)
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            "connected_components failed to converge — label horizon "
+            "doubles per jump round, so this indicates a bug, not scale")
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

@@ -428,3 +428,21 @@ def test_window_dedup_events(ray_session):
                                num_partitions=2)
            .to_pandas().sort_values("event_id"))
     assert list(out.event_id) == [1, 4, 5]
+
+
+def test_connected_components_long_chain_pointer_jump(ray_session):
+    """Diameter >> plain-round budget: the jump phase must collapse a
+    200-edge path to ONE component with the min label (the plain loop
+    used to hit its cap silently and return a partial labeling)."""
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.dedup import connected_components
+
+    n = 200
+    chain = pd.DataFrame({"doc_a": list(range(n)),
+                          "doc_b": list(range(1, n + 1))})
+    out = connected_components(rd.from_pandas(chain).repartition(4)
+                               ).to_pandas()
+    assert out.cluster_id.nunique() == 1
+    assert set(out.cluster_id) == {0}
+    assert len(out) == n + 1

@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_knn": q.q_text_knn,
         "pmi_bigrams": q.q_pmi_bigrams,
         "quality_percentile": q.q_quality_percentile,
+        "dedup_corpus": q.q_dedup_corpus,
     }
 
 
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
+        "dedup_corpus": q.SQL_DEDUP_CORPUS,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

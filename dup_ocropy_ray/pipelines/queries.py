@@ -2338,3 +2338,76 @@ SELECT doc_id, source,
          AS pr
 FROM documents ORDER BY doc_id
 """
+
+
+def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """Round-2 composed dedup flagship, the WHOLE chain oracle-checked:
+    strip corpus-duplicated 8-word spans -> drop docs left with < 20
+    words -> exact-dedup the cleaned texts (min doc_id wins) -> per-
+    source survivor counts + total surviving words. Every stage is one
+    of this repo's streaming operators; the oracle recomputes the full
+    chain in SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    clean = dedup.strip_dup_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=8,
+        min_docs=2)
+
+    def wordcount(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b["clean_text"].str.split().str.len()
+        out = b[nw >= 20].copy()
+        out["n_words"] = nw[nw >= 20].astype("int64")
+        return out
+
+    kept = clean.map_batches(wordcount, batch_format="pandas")
+    deduped = dedup.exact_dedup(kept, text_col="clean_text",
+                                id_col="doc_id")
+    # survivors join back to source via broadcast of the (tiny) doc->
+    # source map? No: source rides from the start instead — merge here
+    src = relational.bucket_join(
+        deduped, docs.drop_columns(["text"]), "doc_id", "doc_id",
+        suffix="_d")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_words=("n_words", "sum"))
+        return g
+
+    parts = src.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), n_words=("n_words", "sum")))
+    out["n_docs"] = out.n_docs.astype("int64")
+    out["n_words"] = out.n_words.astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_DEDUP_CORPUS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.k AS p
+  FROM grams g JOIN dup d USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS k) o
+), uw AS (
+  SELECT w.doc_id, t.i AS p, w.w[t.i] AS word
+  FROM words w, LATERAL (SELECT unnest(generate_series(1, len(w.w))) AS i) t
+), clean AS (
+  SELECT u.doc_id, string_agg(u.word, ' ' ORDER BY u.p) AS clean_text,
+         count(*)::BIGINT AS n_words
+  FROM uw u LEFT JOIN cov c ON u.doc_id = c.doc_id AND u.p = c.p
+  WHERE c.p IS NULL GROUP BY u.doc_id
+), kept AS (
+  SELECT * FROM clean WHERE n_words >= 20
+), dedup2 AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_words) AS n_words
+  FROM kept GROUP BY clean_text
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(x.n_words)::BIGINT AS n_words
+FROM dedup2 x JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""

@@ -1265,14 +1265,30 @@ def run_dedup_with_checkpoint(
     id_col: str = "doc_id",
 ) -> dict:
     """Resumable corpus-wide exact dedup as a `ray job submit` target
-    (same fragment/manifest store as the OCR and extraction flagships).
+    (same fragment/manifest store as the OCR and extraction flagships),
+    in the 100 TB shape — TWO corpus scans total, not one per fragment:
 
-    The fragment key is the CONTENT hash (hash(text) % num_fragments),
-    not the doc id — equal texts always land in the same fragment, so
-    per-fragment dedup composes to an exact global dedup, and each
-    finished fragment is a durable unit of progress: a killed run
-    reruns at most the one in-flight fragment. Per-fragment lineage
-    counters record rows_in / rows_kept."""
+    Phase 1 (resumable per INPUT-FILE fragment): project each row to
+    (content_hash: uint64, doc_id) and commit a tiny index parquet per
+    fragment — a column-pruned 1/F-of-corpus scan each, one full scan
+    total.
+    Phase 2 (atomic): shuffle ONLY the index by hash bucket and keep,
+    per duplicated hash, the min doc_id — the dup map is dup-scale, far
+    below corpus scale at real dup rates. Tmp-write + rename.
+    Phase 3 (resumable per input-file fragment): re-read each fragment's
+    rows, probe the broadcast dup map (sorted-array searchsorted), and
+    write the survivors — a row survives iff its hash is not duplicated
+    or it owns the min doc_id. Second (and last) full scan.
+
+    A single-file input can't be split by file, so it falls back to
+    content-hash ROW fragments (one pruned scan per fragment — fine at
+    test scale, and the docstring contract is per-FILE at corpus scale,
+    where inputs are always many files). Equality is by 64-bit content
+    hash in this path (the in-memory exact_dedup compares the actual
+    texts); at 10^12 rows swap in a 128-bit double hash — birthday
+    collisions at 64 bits become material around 2^32 distinct texts.
+    Counters: rows_in / rows_kept per output manifest."""
+    import glob as _glob
     import os
     import shutil
 
@@ -1283,36 +1299,125 @@ def run_dedup_with_checkpoint(
 
     configure_data_context()
     os.makedirs(out_root, exist_ok=True)
-    pending = ckpt.pending_fragments(out_root, num_fragments)
-    for frag in pending:
-        ds = rd.read_parquet(docs_path, columns=[id_col, text_col],
-                             schema=parquet_schema(docs_path,
-                                                   [id_col, text_col]))
-        nf = num_fragments
+    if os.path.isdir(docs_path):
+        files = sorted(_glob.glob(os.path.join(docs_path, "**", "*.parquet"),
+                                  recursive=True))
+    else:
+        files = [docs_path]
+    by_file = len(files) > 1
+    nfrag = min(num_fragments, len(files)) if by_file else num_fragments
+    groups = ([files[i::nfrag] for i in range(nfrag)] if by_file else None)
 
-        def only_frag(b: pd.DataFrame, _f=frag, _nf=nf) -> pd.DataFrame:
+    def _frag_rows(frag: int, columns: list) -> rd.Dataset:
+        """The fragment's rows: its file group (scale path) or a
+        content-hash row filter over the whole input (single-file
+        fallback)."""
+        if by_file:
+            return rd.read_parquet(groups[frag], columns=columns,
+                                   schema=parquet_schema(groups[frag][0],
+                                                         columns))
+        ds = rd.read_parquet(docs_path, columns=columns,
+                             schema=parquet_schema(docs_path, columns))
+
+        def only(b: pd.DataFrame, _f=frag) -> pd.DataFrame:
+            # fragment membership is keyed on CONTENT hash (works for
+            # any projection that includes text_col)
             h = hashing.hash_strings(b[text_col].to_numpy(dtype=object))
-            return b[(h % np.uint64(_nf)).astype(np.int64) == _f]
+            return b[(h % np.uint64(nfrag)).astype(np.int64) == _f]
 
-        part = ds.map_batches(only_frag, batch_format="pandas",
+        return ds.map_batches(only, batch_format="pandas",
                               batch_size=65536)
-        rows_in = part.count()
-        out = exact_dedup(part, text_col=text_col, id_col=id_col)
-        frag_dir = ckpt.fragment_dir(out_root, frag)
+
+    def _commit_dir(ds_out: rd.Dataset, frag_dir: str) -> int:
         tmp_dir = frag_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        out.write_parquet(tmp_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # stale partial write
+        os.makedirs(tmp_dir)  # an EMPTY dataset writes no files at all
+        ds_out.write_parquet(tmp_dir)
         if os.path.exists(frag_dir):
             shutil.rmtree(frag_dir)
         os.replace(tmp_dir, frag_dir)
-        rows_kept = sum(
-            pq.read_metadata(os.path.join(frag_dir, f)).num_rows
-            for f in os.listdir(frag_dir) if f.endswith(".parquet"))
-        ckpt.commit_fragment(out_root, frag, {
-            "rows_in": int(rows_in),
-            "rows_kept": int(rows_kept),
-        })
+        return sum(pq.read_metadata(os.path.join(frag_dir, f)).num_rows
+                   for f in os.listdir(frag_dir) if f.endswith(".parquet"))
+
+    # ---------------- phase 1: per-fragment (hash, id) index
+    idx_root = os.path.join(out_root, "index")
+    os.makedirs(idx_root, exist_ok=True)
+    for frag in ckpt.pending_fragments(idx_root, nfrag):
+        rows = _frag_rows(frag, [id_col, text_col])
+
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            h = hashing.hash_strings(b[text_col].to_numpy(dtype=object))
+            return pd.DataFrame({"h": h.astype(np.uint64),
+                                 id_col: b[id_col].to_numpy()})
+
+        idx = rows.map_batches(project, batch_format="pandas",
+                               batch_size=65536)
+        n = _commit_dir(idx, ckpt.fragment_dir(idx_root, frag))
+        ckpt.commit_fragment(idx_root, frag, {"rows_indexed": int(n)})
+
+    # ---------------- phase 2: dup map (hash -> min id), atomic
+    dup_dir = os.path.join(out_root, "dupmap")
+    if not os.path.exists(dup_dir):
+        idx_files = sorted(_glob.glob(
+            os.path.join(idx_root, "fragment=*", "*.parquet")))
+        idx_ds = rd.read_parquet(idx_files)
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_part"] = (b["h"].to_numpy(np.uint64)
+                          % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+            return b
+
+        def dups(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("h", sort=False)[id_col].agg(["min", "size"])
+            d = agg[agg["size"] > 1]
+            return pd.DataFrame({"h": d.index.to_numpy(np.uint64),
+                                 "keep_id": d["min"].to_numpy()})
+
+        dup = (idx_ds.map_batches(tag, batch_format="pandas",
+                                  batch_size=65536)
+               .groupby("_part").map_groups(dups, batch_format="pandas"))
+        _commit_dir(dup, dup_dir)
+
+    # ---------------- phase 3: filtered output per fragment
+    dup_files = sorted(_glob.glob(os.path.join(dup_dir, "*.parquet")))
+    if dup_files:
+        dm = pa.concat_tables(
+            [pq.read_table(f) for f in dup_files]).to_pandas()
+        order = np.argsort(dm["h"].to_numpy(np.uint64))
+        dup_h = dm["h"].to_numpy(np.uint64)[order]
+        dup_keep = dm["keep_id"].to_numpy()[order]
+    else:
+        dup_h = np.empty(0, dtype=np.uint64)
+        dup_keep = np.empty(0, dtype=np.int64)
+    import ray as _ray
+
+    dref = _ray.put((dup_h, dup_keep))
+
+    out_data_root = os.path.join(out_root, "output")
+    os.makedirs(out_data_root, exist_ok=True)
+    ran = ckpt.pending_fragments(out_data_root, nfrag)
+    for frag in ran:
+        rows = _frag_rows(frag, None)
+        rows_in = rows.count()
+
+        def survivors(b: pd.DataFrame) -> pd.DataFrame:
+            hs, keeps = _ray.get(dref)
+            if len(hs) == 0:
+                return b
+            h = hashing.hash_strings(
+                b[text_col].to_numpy(dtype=object)).astype(np.uint64)
+            pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            dup_hit = hs[pos] == h
+            keep = ~dup_hit | (keeps[pos] == b[id_col].to_numpy())
+            return b[keep]
+
+        out = rows.map_batches(survivors, batch_format="pandas",
+                               batch_size=65536)
+        n = _commit_dir(out, ckpt.fragment_dir(out_data_root, frag))
+        ckpt.commit_fragment(out_data_root, frag, {
+            "rows_in": int(rows_in), "rows_kept": int(n)})
     return {
-        "fragments_run": pending,
-        "counters": ckpt.aggregate_counters(out_root),
+        "fragments_run": ran,
+        "counters": ckpt.aggregate_counters(out_data_root),
     }

@@ -365,29 +365,52 @@ def test_hash_embed_deterministic_and_discriminative(ray_session):
 
 def test_run_dedup_with_checkpoint_resumes(ray_session, tmp_path):
     import duckdb
+    import glob
+    import os
     import pandas as pd
     import pyarrow.parquet as pq
     from dup_ocropy_ray.pipelines.dedup import run_dedup_with_checkpoint
 
     sf = "/root/testdata/sf0.001"
-    docs = f"{sf}/documents.parquet"
-    out_root = str(tmp_path / "dedup_out")
-    r1 = run_dedup_with_checkpoint(docs, out_root, num_fragments=4)
-    assert sorted(r1["fragments_run"]) == [0, 1, 2, 3]
+    # exercise the SCALE path: a multi-file input dir (per-file fragments)
+    full = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    # plant CROSS-FILE duplicate texts (sf0.001 has none naturally):
+    # rows 0/1 donate their text to rows in the other two files — the
+    # global keep decision must pick the min doc_id across files
+    full.loc[200, "text"] = full.loc[0, "text"]
+    full.loc[400, "text"] = full.loc[0, "text"]
+    full.loc[401, "text"] = full.loc[1, "text"]
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    third = len(full) // 3
+    import pyarrow as pa
+    for i in range(3):
+        sl = full.iloc[i * third: (i + 1) * third if i < 2 else len(full)]
+        pq.write_table(pa.Table.from_pandas(sl, preserve_index=False),
+                       os.path.join(docs_dir, f"part-{i}.parquet"))
 
-    # union of fragments == exact global dedup (min doc_id per text)
-    parts = []
-    import glob, os
-    for f in sorted(glob.glob(os.path.join(out_root, "fragment=*", "*.parquet"))):
-        parts.append(pq.read_table(f).to_pandas())
+    out_root = str(tmp_path / "dedup_out")
+    r1 = run_dedup_with_checkpoint(docs_dir, out_root, num_fragments=3)
+    assert sorted(r1["fragments_run"]) == [0, 1, 2]
+
+    # union of output fragments == exact global dedup (min doc_id/text)
+    parts = [pq.read_table(f).to_pandas() for f in sorted(
+        glob.glob(os.path.join(out_root, "output", "fragment=*",
+                               "*.parquet")))]
     got = pd.concat(parts).sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(
-        f"SELECT min(doc_id) AS doc_id FROM read_parquet('{docs}') "
+        f"SELECT min(doc_id) AS doc_id FROM "
+        f"read_parquet('{docs_dir}/*.parquet') "
         "GROUP BY text ORDER BY doc_id").df()
     assert list(got.doc_id) == list(want.doc_id)
-    assert r1["counters"]["rows_kept"] == len(want)
+    assert {200, 400, 401}.isdisjoint(set(got.doc_id))  # dups dropped
+    assert set(got.columns) == {"doc_id", "text", "lang", "source",
+                                "n_chars"}  # full rows survive
+    assert r1["counters"]["rows_kept"] == len(want) == len(full) - 3
+    assert r1["counters"]["rows_in"] == len(full)
 
-    # second run: everything checkpointed, nothing reruns
-    r2 = run_dedup_with_checkpoint(docs, out_root, num_fragments=4)
+    # second run: all three phases checkpointed, nothing reruns
+    r2 = run_dedup_with_checkpoint(docs_dir, out_root, num_fragments=3)
     assert r2["fragments_run"] == []
     assert r2["counters"] == r1["counters"]
+

@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q.q_pmi_bigrams,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
+        "revenue_rollup": q.q_revenue_rollup,
     }
 
 
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
+        "revenue_rollup": q.SQL_REVENUE_ROLLUP,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

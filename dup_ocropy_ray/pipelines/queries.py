@@ -2411,3 +2411,44 @@ SELECT d.source, count(*)::BIGINT AS n_docs,
 FROM dedup2 x JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source
 """
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP-style multi-level aggregate (order priority -> grand
+    total) computed as two grouped partial-agg passes over ONE scan's
+    partials — the engine shape for GROUPING SETS: the fine level's
+    partials re-aggregate to the coarse level driver-side (level counts
+    are group-scale, never row-scale)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b.o_orderpriority,
+            "price_cents": np.floor(b.o_totalprice * 100).astype("int64"),
+        })
+
+    prepped = orders.map_batches(prep, batch_format="pandas",
+                                 batch_size=65536)
+    fine = grouped_agg(prepped, ["o_orderpriority"], sums=["price_cents"])
+    out = pd.DataFrame({
+        "o_orderpriority": fine.o_orderpriority,
+        "n_orders": fine.n.astype("int64"),
+        "sum_price_cents": fine.sum_price_cents.astype("int64"),
+    })
+    total = pd.DataFrame({
+        "o_orderpriority": ["ALL"],
+        "n_orders": [int(out.n_orders.sum())],
+        "sum_price_cents": [int(out.sum_price_cents.sum())],
+    })
+    return (pd.concat([out, total], ignore_index=True)
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority)
+ORDER BY o_orderpriority
+"""

@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
         "revenue_rollup": q.q_revenue_rollup,
+        "cms_counts": q.q_cms_counts,
     }
 
 

@@ -2452,3 +2452,16 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority)
 ORDER BY o_orderpriority
 """
+
+
+def q_cms_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min-sketched corpus word counts for the exact top-20 probe
+    set (rows-only: CMS estimates overshoot by design; linearity and
+    the error band are pinned in tests, heavy_hitters is the exact
+    twin)."""
+    from .sketches import cms_word_counts
+    from .textstats import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    probes = heavy_hitters(ds, k=20, counters=512)["word"].tolist()
+    return cms_word_counts(ds, probes, width=8192)

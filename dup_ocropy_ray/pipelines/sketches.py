@@ -124,3 +124,66 @@ def sampled_quantiles(
     idx = np.minimum((np.asarray(qs) * len(vals)).astype(np.int64),
                      len(vals) - 1)
     return pd.DataFrame({"q": list(qs), "value": vals[idx]})
+
+
+# ------------------------------------------------ Count-Min sketch
+
+_CMS_D = 4
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def cms_update(counts: np.ndarray, values) -> None:
+    """Fold values into a (d, w) uint64 Count-Min array in place —
+    one vectorized np.add.at per hash row (d=4 double-hashed rows)."""
+    d, w = counts.shape
+    h = hash_strings(values)
+    with np.errstate(over="ignore"):
+        for r in range(d):
+            idx = ((h ^ _CMS_SEEDS[r]) * _CMS_SEEDS[(r + 1) % _CMS_D]
+                   % np.uint64(w)).astype(np.int64)
+            np.add.at(counts[r], idx, 1)
+
+
+def cms_query(counts: np.ndarray, values) -> np.ndarray:
+    """Point estimates (>= true count; overshoot ~ N/w per row, min
+    over d rows)."""
+    d, w = counts.shape
+    h = hash_strings(values)
+    est = None
+    with np.errstate(over="ignore"):
+        for r in range(d):
+            idx = ((h ^ _CMS_SEEDS[r]) * _CMS_SEEDS[(r + 1) % _CMS_D]
+                   % np.uint64(w)).astype(np.int64)
+            e = counts[r][idx]
+            est = e if est is None else np.minimum(est, e)
+    return est.astype(np.int64)
+
+
+def cms_word_counts(ds: rd.Dataset, probe_words: list, width: int = 8192
+                    ) -> pd.DataFrame:
+    """Approximate corpus word counts from a MERGEABLE Count-Min sketch:
+    each block contributes one (d x width) counter array (CMS is linear,
+    so elementwise SUM of partials == sketch of the whole corpus), the
+    driver merge is d*width*8 bytes per block regardless of corpus or
+    vocabulary size, and the probe estimates are upper bounds within
+    ~2N/width w.h.p. The constant-memory companion to heavy_hitters'
+    exact two-pass."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = (b["text"].fillna("").str.split().explode().dropna()
+                 .to_numpy(dtype=object))
+        counts = np.zeros((_CMS_D, width), dtype=np.uint64)
+        cms_update(counts, words)
+        return pd.DataFrame({"sketch": [counts.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    acc = np.zeros((_CMS_D, width), dtype=np.uint64)
+    for blob in parts["sketch"]:
+        acc += np.frombuffer(blob, dtype=np.uint64).reshape(_CMS_D, width)
+    return pd.DataFrame({
+        "word": probe_words,
+        "est_count": cms_query(acc, np.array(probe_words, dtype=object)),
+    })

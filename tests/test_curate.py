@@ -414,3 +414,36 @@ def test_run_dedup_with_checkpoint_resumes(ray_session, tmp_path):
     assert r2["fragments_run"] == []
     assert r2["counters"] == r1["counters"]
 
+
+
+def test_count_min_sketch_bounds(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.sketches import (
+        cms_query,
+        cms_update,
+        cms_word_counts,
+    )
+
+    # linearity: sum of two partials == sketch of the concatenation
+    a = np.array([f"w{i%50}" for i in range(3000)], dtype=object)
+    b = np.array([f"w{i%70}" for i in range(2000)], dtype=object)
+    s1 = np.zeros((4, 1024), dtype=np.uint64)
+    s2 = np.zeros((4, 1024), dtype=np.uint64)
+    sall = np.zeros((4, 1024), dtype=np.uint64)
+    cms_update(s1, a); cms_update(s2, b)
+    cms_update(sall, np.concatenate([a, b]))
+    assert (s1 + s2 == sall).all()
+
+    # distributed estimates: >= exact, within the ~2N/w overshoot band
+    texts = [" ".join(f"w{j%50}" for j in range(i, i + 40))
+             for i in range(400)]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(400), "text": texts})).repartition(4)
+    exact = (pd.Series(" ".join(texts).split()).value_counts())
+    out = cms_word_counts(ds, ["w0", "w7", "w49"], width=8192)
+    n = int(exact.sum())
+    for _, r in out.iterrows():
+        assert r.est_count >= exact[r.word]
+        assert r.est_count - exact[r.word] <= 2 * n / 8192 + 1

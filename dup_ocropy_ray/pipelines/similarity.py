@@ -176,11 +176,15 @@ def kmeans_fit(
     also do). At 100 TB you would ``materialize()`` (or persist) the
     input once so iterations re-read blocks from the object store
     instead of storage."""
-    init = (
-        ds.sort(id_col).limit(k).to_pandas()
-        if id_col
-        else ds.limit(k).to_pandas()
-    )
+    if id_col:
+        # k smallest-id rows WITHOUT a global sort: per-block prune +
+        # tiny driver merge (the full Sort shuffle was ~25% of
+        # semantic_dedup's wall at sf0.1)
+        from .relational import topk
+
+        init = topk(ds, id_col, k, ascending=True)
+    else:
+        init = ds.limit(k).to_pandas()
     C = _normalize(_stack(init[vec_col]))
     k = len(C)
 

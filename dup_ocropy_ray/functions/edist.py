@@ -32,10 +32,10 @@ def levenshtein(a: str, b: str) -> int:
         # delete = prev[1:] + 1 ; insert needs a scan because cur[j-1] depends
         # on cur[j-2]; do the standard min-accumulate trick
         cur[1:] = np.minimum(sub, prev[1:] + 1)
-        # propagate insertions left-to-right
-        for j in range(1, n + 1):
-            if cur[j - 1] + 1 < cur[j]:
-                cur[j] = cur[j - 1] + 1
+        # propagate insertions left-to-right: cur[j] = min over j' <= j
+        # of cur[j'] + (j - j') — one prefix-min on (cur - j)
+        ar = np.arange(n + 1, dtype=np.int64)
+        cur = np.minimum.accumulate(cur - ar) + ar
         prev = cur
     return int(prev[n])
 
@@ -49,35 +49,51 @@ def xlevenshtein(a: str, b: str, context: int = 1):
         raise ValueError("xlevenshtein requires non-empty ground truth")
     if a == b:
         return 0, []
-    BIG = 1 << 30
-    dist = np.full((m + 1, n + 1), BIG, dtype=np.int64)
-    dist[0, :] = np.arange(n + 1)
-    src = np.full((m + 1, n + 1, 2), -1, dtype=np.int64)  # (-1,-1) = no source
+    # row-vectorized DP with the prefix-min trick for the sequential
+    # "insert" (left) dependency; source codes reconstructed post hoc in
+    # the same preference order the sequential loop used (up beats left
+    # beats diag on cost ties) — bitwise identical alignments, ~20x less
+    # Python than the per-cell loop this replaces
+    av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    ar = np.arange(n + 1, dtype=np.int64)
+    prev = ar.copy()  # dist[0, :]
+    # src codes per cell: 0 = none, 1 = up, 2 = left, 3 = diag
+    src = np.zeros((m + 1, n + 1), dtype=np.int8)
+    dist_rows = [prev]
     for i in range(1, m + 1):
-        dist[i, 0] = i
-        bi = b[i - 1]
-        for j in range(1, n + 1):
-            best = dist[i, j]
-            # order matters for tie-breaks (matches reference alignment)
-            if dist[i - 1, j] + 1 < best:
-                best = dist[i - 1, j] + 1
-                src[i, j] = (i - 1, j)
-            if dist[i, j - 1] + 1 < best:
-                best = dist[i, j - 1] + 1
-                src[i, j] = (i, j - 1)
-            d = 0 if a[j - 1] == bi else 1
-            if dist[i - 1, j - 1] + d < best:
-                best = dist[i - 1, j - 1] + d
-                src[i, j] = (i - 1, j - 1)
-            dist[i, j] = best
-    cost = int(dist[m, n])
+        code = ord(b[i - 1])
+        u = prev[1:] + 1
+        g = prev[:-1] + (av != code)
+        cur = np.empty(n + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(u, g)
+        cur = np.minimum.accumulate(cur - ar) + ar
+        row = np.full(n + 1, 3, dtype=np.int8)
+        row[0] = 0  # column 0 had no src in the sequential loop
+        is_up = cur[1:] == u
+        is_left = ~is_up & (cur[1:] == cur[:-1] + 1)
+        row[1:][is_left] = 2
+        row[1:][is_up] = 1
+        src[i] = row
+        dist_rows.append(cur)
+        prev = cur
+    cost = int(prev[n])
+    # row 0 likewise has no src: the backtrace stops at any border cell,
+    # exactly like the sequential version's (-1, -1) sentinel
 
     # walk the source chain back from (m, n) and emit two aligned strings
     path = []
-    cell = tuple(src[m, n])
-    while cell != (-1, -1):
+    i, j = m, n
+    while src[i, j] != 0:
+        c = src[i, j]
+        if c == 1:
+            cell = (i - 1, j)
+        elif c == 2:
+            cell = (i, j - 1)
+        else:
+            cell = (i - 1, j - 1)
         path.append(cell)
-        cell = tuple(src[cell[0], cell[1]])
+        i, j = cell
     path = [(n + 2, m + 2)] + path
     al_rev, bl_rev = [], []
     for k in range(len(path) - 1):

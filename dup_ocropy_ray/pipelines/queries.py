@@ -1252,9 +1252,21 @@ def q_confusions(sf_dir: str) -> pd.DataFrame:
         )
 
     pairs = joined.map_batches(confs, batch_format="pandas")
-    counts = pairs.groupby(["pred", "gt"]).count()
-    top = counts.sort("count()", descending=True).limit(20).to_pandas()
-    return top.rename(columns={"count()": "n"})
+
+    def part_counts(b: pd.DataFrame) -> pd.DataFrame:
+        # partial per-batch counts; the driver merge is confusion-
+        # VOCABULARY-scale (distinct (pred, gt) fragments), never
+        # pair-scale — and it sidesteps Ray's keyed-aggregate actor
+        # pool, which measured 16s for 7k rows in a warm session
+        return (b.groupby(["pred", "gt"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+
+    parts = pairs.map_batches(part_counts, batch_format="pandas").to_pandas()
+    top = (parts.groupby(["pred", "gt"], as_index=False)["n"].sum()
+           .sort_values(["n", "pred", "gt"], ascending=[False, True, True])
+           .head(20).reset_index(drop=True))
+    top["n"] = top.n.astype("int64")
+    return top
 
 
 def q_kmeans(sf_dir: str) -> pd.DataFrame:

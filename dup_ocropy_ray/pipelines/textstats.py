@@ -294,10 +294,12 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
         nz = np.flatnonzero(cnt)
         return pd.DataFrame({"word": c[nz], "n": cnt[nz].astype("int64")})
 
-    parts = ds.map_batches(recount, batch_format="pandas", batch_size=65536)
-    totals = parts.groupby("word").sum("n").to_pandas()
-    ncol = "sum(n)" if "sum(n)" in totals.columns else "n"
-    totals = totals.rename(columns={ncol: "n"})
+    parts = (ds.map_batches(recount, batch_format="pandas",
+                            batch_size=65536).to_pandas())
+    # candidate-scale driver merge (<= counters x n_blocks rows) — no
+    # keyed-aggregate shuffle for a table this small
+    totals = parts.groupby("word", as_index=False)["n"].sum()
+    totals["n"] = totals.n.astype("int64")
     totals = totals.sort_values(["n", "word"], ascending=[False, True])
     return totals.head(k).reset_index(drop=True)
 

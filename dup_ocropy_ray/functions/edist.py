@@ -23,7 +23,8 @@ def levenshtein(a: str, b: str) -> int:
     if n == 0:
         return len(a)
     bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-    prev = np.arange(n + 1, dtype=np.int64)
+    ar = np.arange(n + 1, dtype=np.int64)
+    prev = ar.copy()
     for i, ch in enumerate(a, 1):
         code = ord(ch)
         sub = prev[:-1] + (bv != code)
@@ -34,7 +35,6 @@ def levenshtein(a: str, b: str) -> int:
         cur[1:] = np.minimum(sub, prev[1:] + 1)
         # propagate insertions left-to-right: cur[j] = min over j' <= j
         # of cur[j'] + (j - j') — one prefix-min on (cur - j)
-        ar = np.arange(n + 1, dtype=np.int64)
         cur = np.minimum.accumulate(cur - ar) + ar
         prev = cur
     return int(prev[n])
@@ -59,7 +59,6 @@ def xlevenshtein(a: str, b: str, context: int = 1):
     prev = ar.copy()  # dist[0, :]
     # src codes per cell: 0 = none, 1 = up, 2 = left, 3 = diag
     src = np.zeros((m + 1, n + 1), dtype=np.int8)
-    dist_rows = [prev]
     for i in range(1, m + 1):
         code = ord(b[i - 1])
         u = prev[1:] + 1
@@ -75,7 +74,6 @@ def xlevenshtein(a: str, b: str, context: int = 1):
         row[1:][is_left] = 2
         row[1:][is_up] = 1
         src[i] = row
-        dist_rows.append(cur)
         prev = cur
     cost = int(prev[n])
     # row 0 likewise has no src: the backtrace stops at any border cell,

@@ -1254,12 +1254,16 @@ def q_confusions(sf_dir: str) -> pd.DataFrame:
     pairs = joined.map_batches(confs, batch_format="pandas")
 
     def part_counts(b: pd.DataFrame) -> pd.DataFrame:
-        # partial per-batch counts; the driver merge is confusion-
-        # VOCABULARY-scale (distinct (pred, gt) fragments), never
-        # pair-scale — and it sidesteps Ray's keyed-aggregate actor
-        # pool, which measured 16s for 7k rows in a warm session
-        return (b.groupby(["pred", "gt"], as_index=False)
-                 .size().rename(columns={"size": "n"}))
+        # partial per-batch counts with the heavy_hitters local-top-m
+        # bound: any pair with global count > total/512 survives some
+        # batch's top-512, so the global top-20 is exact while the
+        # driver merge stays <= 512 x n_blocks rows (the naive full
+        # merge approaches pair scale when fragments are mostly
+        # distinct). Also sidesteps Ray's keyed-aggregate actor pool,
+        # which measured 16s for 7k rows in a warm session.
+        g = (b.groupby(["pred", "gt"], as_index=False)
+              .size().rename(columns={"size": "n"}))
+        return g.sort_values("n", ascending=False).head(512)
 
     parts = pairs.map_batches(part_counts, batch_format="pandas").to_pandas()
     top = (parts.groupby(["pred", "gt"], as_index=False)["n"].sum()

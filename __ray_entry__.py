@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q.q_dedup_corpus,
         "revenue_rollup": q.q_revenue_rollup,
         "cms_counts": q.q_cms_counts,
+        "unigram_logprob": q.q_unigram_logprob,
     }
 
 
@@ -412,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
         "revenue_rollup": q.SQL_REVENUE_ROLLUP,
+        "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

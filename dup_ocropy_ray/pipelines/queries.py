@@ -2481,3 +2481,59 @@ def q_cms_counts(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["text"])
     probes = heavy_hitters(ds, k=20, counters=512)["word"].tolist()
     return cms_word_counts(ds, probes, width=8192)
+
+
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-doc unigram negative log-likelihood (the classic LM quality
+    filter: improbable-token documents score high): pass 1 reduces
+    per-batch word counts to a broadcast vocabulary-scale table, pass 2
+    scores each doc vectorized (token -> -ln(count/N), one reduceat per
+    batch)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["text"].fillna("").str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(wc_partial, batch_format="pandas",
+                            batch_size=65536).to_pandas())
+    uni = parts.groupby("word")["c"].sum()
+    total = float(uni.sum())
+    uref = ray.put((uni, total))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        u, n = ray.get(uref)
+        toks = b["text"].fillna("").str.split()
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().dropna()
+        neglogp = -np.log(flat.map(u).to_numpy(np.float64) / n)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        keep = counts > 0
+        sums = np.add.reduceat(neglogp, offs[keep]) if keep.any() else []
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[keep],
+            "n_tokens": counts[keep],
+            "logprob": np.round(sums, 6),
+        })
+        return out
+
+    out = ds.map_batches(score, batch_format="pandas",
+                         batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), uni AS (
+  SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word
+), tot AS (SELECT count(*)::DOUBLE AS n FROM w)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(-ln(u.c / (SELECT n FROM tot))), 6) AS logprob
+FROM w JOIN uni u USING (word)
+GROUP BY doc_id
+"""

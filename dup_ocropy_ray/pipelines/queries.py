@@ -2537,3 +2537,79 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM w JOIN uni u USING (word)
 GROUP BY doc_id
 """
+
+
+def q_video_dups(sf_dir: str) -> pd.DataFrame:
+    """Video near-dup detection: decode each doc's AVI (clip content
+    keyed by doc_id % 250, so every residue class is one duplicate
+    group), sample frames, dHash each sampled frame, and pair videos
+    whose full frame-hash signature matches — the multimodal analogue
+    of exact text dedup (one coarse signature-hash shuffle, all-pairs
+    inside signature groups). Oracle = the planting arithmetic."""
+    from ..functions.avi import encode_avi
+    from ..functions import png as _png
+    from ..stages.multimodal import VideoFrameSample, dhash64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy("int64")
+        blobs = []
+        for i in ids:
+            key = int(i) % 250
+            n = 2 + key % 4
+            # per-key pseudo-random frames: dHash is invariant to
+            # constant brightness shifts, so gradient-pattern clips
+            # would collide across keys
+            rng = np.random.default_rng(key)
+            frames = rng.integers(0, 256, (n, 12, 16)).astype(np.uint8)
+            blobs.append(encode_avi(frames, fps=5 + key % 3))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    clips = ds.map_batches(synth, batch_format="pandas", batch_size=256)
+    sampled = clips.map_batches(VideoFrameSample(num_frames=2),
+                                batch_format="pyarrow", batch_size=64)
+
+    def signature(b: pa.Table) -> pd.DataFrame:
+        from ..functions import hashing
+
+        ids, sigs = [], []
+        for i, frames in zip(b.column("doc_id").to_pylist(),
+                             b.column("frames").to_pylist()):
+            hs = [dhash64(_png.decode_gray(f)) for f in frames]
+            ids.append(i)
+            sigs.append(hashing.hash_strings(
+                np.array([",".join(map(str, hs))], dtype=object))[0])
+        out = pd.DataFrame({"doc_id": ids,
+                            "sig": np.array(sigs, dtype=np.uint64)})
+        out["_part"] = (out["sig"].to_numpy(np.uint64)
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, sub in g.groupby("sig", sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[iu])
+            rows_b.append(ids[ju])
+        if not rows_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(rows_a),
+                             "doc_b": np.concatenate(rows_b)})
+
+    sigs = sampled.map_batches(signature, batch_format="pyarrow")
+    out = (sigs.groupby("_part").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+SQL_VIDEO_DUPS = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
+"""

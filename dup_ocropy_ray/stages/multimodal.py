@@ -79,17 +79,30 @@ class ImageFeatures:
         )
 
 
+_DHASH_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash of a grayscale image (float array): shrink
+    to 8x9, one bit per horizontal gradient sign; int64-packed (arrow
+    has no uint64-friendly pandas path). Shared by the image and video
+    near-dup stages."""
+    small = zoom_to(gray.astype(np.float32), (8, 9))
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    with np.errstate(over="ignore"):
+        h = (bits.astype(np.uint64) * _DHASH_WEIGHTS).sum(dtype=np.uint64)
+    return int(np.array(h, np.uint64).astype(np.int64))
+
+
 class ImageDHash:
-    """media bytes -> 64-bit difference hash (dHash): decode gray,
-    shrink to 8x9, emit one bit per horizontal gradient sign. Robust to
-    re-encoding/rescaling; pairs within a small Hamming distance are
-    near-duplicate images. Stored as int64 (arrow has no uint64-friendly
-    pandas path); feed to ``dedup.hamming64_dup_pairs``."""
+    """media bytes -> 64-bit difference hash (dHash, see ``dhash64``).
+    Robust to re-encoding/rescaling; pairs within a small Hamming
+    distance are near-duplicate images; feed to
+    ``dedup.hamming64_dup_pairs``."""
 
     def __init__(self, bytes_col: str = "bytes", ref_col: str = "media_ref"):
         self.bytes_col = bytes_col
         self.ref_col = ref_col
-        self.weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs, hashes, status = [], [], []
@@ -99,13 +112,7 @@ class ImageDHash:
         ):
             refs.append(ref)
             try:
-                g = _png.decode_gray(data)
-                small = zoom_to(g.astype(np.float32), (8, 9))
-                bits = (small[:, 1:] > small[:, :-1]).ravel()
-                with np.errstate(over="ignore"):
-                    h = (bits.astype(np.uint64) * self.weights).sum(
-                        dtype=np.uint64)
-                hashes.append(int(np.array(h, np.uint64).astype(np.int64)))
+                hashes.append(dhash64(_png.decode_gray(data)))
                 status.append("ok")
             except Exception as e:
                 hashes.append(0)

@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q.q_cms_counts,
         "unigram_logprob": q.q_unigram_logprob,
         "video_dups": q.q_video_dups,
+        "audio_dups": q.q_audio_dups,
     }
 
 
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": q.SQL_REVENUE_ROLLUP,
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         "video_dups": q.SQL_VIDEO_DUPS,
+        "audio_dups": q.SQL_AUDIO_DUPS,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

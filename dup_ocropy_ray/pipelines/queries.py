@@ -2613,3 +2613,75 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM documents a JOIN documents b
   ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
 """
+
+
+def q_audio_dups(sf_dir: str) -> pd.DataFrame:
+    """Audio near-dup detection: per-key multi-tone WAV clips (keyed by
+    doc_id % 250), fingerprinted as the dominant-FFT-bin SEQUENCE over
+    fixed windows (shazam-lite), paired inside fingerprint groups after
+    one coarse hash shuffle. Oracle = the planting arithmetic, same
+    residue pairing as video_dups."""
+    from ..functions.wav import decode_wav, encode_wav
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    rate, win = 8000, 2000  # 4 windows per 1s clip
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy("int64")
+        blobs = []
+        for i in ids:
+            key = int(i) % 250
+            rng = np.random.default_rng(key)
+            # one integer-bin tone per window -> leakage-free argmax
+            freqs = 10 * rng.integers(5, 195, 4)
+            t = np.arange(win) / rate
+            clip = np.concatenate(
+                [0.4 * np.sin(2 * np.pi * f * t) for f in freqs])
+            blobs.append(encode_wav(clip, rate))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    def fingerprint(b: pa.Table) -> pd.DataFrame:
+        from ..functions import hashing
+
+        ids, sigs = [], []
+        for i, data in zip(b.column("doc_id").to_pylist(),
+                           b.column("bytes").to_pylist()):
+            samples, _r = decode_wav(bytes(data))
+            if samples.ndim == 2:  # (n, channels) -> mono
+                samples = samples[:, 0]
+            bins = [int(np.argmax(np.abs(np.fft.rfft(
+                samples[w * win:(w + 1) * win]))))
+                for w in range(len(samples) // win)]
+            ids.append(i)
+            sigs.append(hashing.hash_strings(
+                np.array([",".join(map(str, bins))], dtype=object))[0])
+        out = pd.DataFrame({"doc_id": ids,
+                            "sig": np.array(sigs, dtype=np.uint64)})
+        out["_part"] = (out["sig"].to_numpy(np.uint64)
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, sub in g.groupby("sig", sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[iu]); rows_b.append(ids[ju])
+        if not rows_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(rows_a),
+                             "doc_b": np.concatenate(rows_b)})
+
+    sigs = (ds.map_batches(synth, batch_format="pandas", batch_size=256)
+            .map_batches(fingerprint, batch_format="pyarrow",
+                         batch_size=64))
+    out = (sigs.groupby("_part").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_AUDIO_DUPS = SQL_VIDEO_DUPS

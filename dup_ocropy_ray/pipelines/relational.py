@@ -193,12 +193,21 @@ def bucket_join(
 
     if num_partitions is None:
         num_partitions = suggested_partitions()
+    def _pa_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes here, not Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
     ls, rs = left.schema(), right.schema()
     lcols = list(ls.names)
     rcols = list(rs.names)
     ren = {c: (c + suffix if c in lcols else c) for c in rcols}
-    ltypes = {n: t for n, t in zip(ls.names, ls.types)}
-    rtypes = {ren[n]: t for n, t in zip(rs.names, rs.types)}
+    ltypes = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {ren[n]: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     fields = ([("_part", pa.int64()), ("_side", pa.int8())]
               + [(n, ltypes[n]) for n in lcols]
               + [(n, rtypes[n]) for n in (ren[c] for c in rcols)])

@@ -341,3 +341,46 @@ def test_bucket_join_matches_native_join(ray_session):
     b = b[sorted(b.columns)]
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_bucket_join_property_random_frames(ray_session):
+    """bucket_join == pandas inner merge on randomized inputs: dup keys
+    (m:n fan-out), string keys, missing keys on either side, colliding
+    column names, and an empty side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import bucket_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        nl, nr = int(rng.integers(1, 300)), int(rng.integers(1, 300))
+        keyspace = [f"k{i}" for i in range(int(rng.integers(2, 40)))]
+        left = pd.DataFrame({
+            "k": rng.choice(keyspace, nl),
+            "v": rng.integers(0, 1000, nl),
+            "shared": rng.integers(0, 10, nl),
+        })
+        right = pd.DataFrame({
+            "rk": rng.choice(keyspace, nr),
+            "w": rng.integers(0, 1000, nr),
+            "shared": rng.integers(0, 10, nr),
+        })
+        got = (bucket_join(rd.from_pandas(left).repartition(3),
+                           rd.from_pandas(right).repartition(2),
+                           "k", "rk", num_partitions=8)
+               .to_pandas())
+        want = left.merge(right.rename(columns={"shared": "shared_r"}),
+                          left_on="k", right_on="rk")
+        sort_cols = ["k", "v", "shared", "rk", "w", "shared_r"]
+        got = got[sort_cols].sort_values(sort_cols).reset_index(drop=True)
+        want = want[sort_cols].sort_values(sort_cols).reset_index(drop=True)
+        assert got.equals(want), f"trial {trial}: {len(got)} vs {len(want)}"
+
+    # empty side -> empty result with the right columns
+    empty = pd.DataFrame({"rk": pd.Series([], dtype="object"),
+                          "w": pd.Series([], dtype="int64")})
+    got = (bucket_join(rd.from_pandas(left).repartition(2),
+                       rd.from_pandas(empty), "k", "rk", num_partitions=4)
+           .to_pandas())
+    assert len(got) == 0

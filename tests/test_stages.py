@@ -205,8 +205,8 @@ def test_recognizer_text_quality():
     # page-extracted crops (the pipeline's real input) measure ~0.00 CER;
     # clean rendered lines measured ~0.011 after the rare-char training
     # pool (random-char words cover x/z beside arbitrary neighbors) —
-    # gate with ~4x margin against silent drift
-    assert cer < 0.04, (cer, preds)
+    # gate at 0.02 (~2x margin), the bar VERDICT r1 asked for
+    assert cer < 0.02, (cer, preds)
 
 
 def test_apply_mask_splits_columns(binarized):

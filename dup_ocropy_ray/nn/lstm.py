@@ -580,10 +580,22 @@ class BiLSTMRecognizer:
     def train_minibatch_batched(self, samples: list[tuple[np.ndarray, str]],
                                 lr: float, step: int,
                                 ink_prior: bool = True) -> float:
-        """Vectorized mini-batch training: pad sequences to Tmax, run one
-        batched forward/backward (all per-timestep ops are (B, Ns)
-        matmuls), CTC-align each sample on its un-padded frames, one Adam
-        step. ~15x the throughput of per-sample training."""
+        """Vectorized mini-batch training: one batched grad pass + one
+        Adam step (see grad_minibatch_batched / apply_adam)."""
+        err = self.grad_minibatch_batched(samples, ink_prior=ink_prior)
+        self.apply_adam(lr, step)
+        return err
+
+    def grad_minibatch_batched(self, samples: list[tuple[np.ndarray, str]],
+                               ink_prior: bool = True) -> float:
+        """Vectorized mini-batch gradient pass: pad sequences to Tmax, run
+        one batched forward/backward (all per-timestep ops are (B, Ns)
+        matmuls), CTC-align each sample on its un-padded frames. Leaves
+        gradients in the layers (fwd.grads / bwd.grads / out.grad) so the
+        caller can either apply_adam locally or ship them to a
+        data-parallel averager (scripts/train_uw3_model.py runs this in a
+        Ray actor per worker with synchronous gradient averaging).
+        ~15x the throughput of per-sample training."""
         B = len(samples)
         lengths = np.array([s[0].shape[0] for s in samples], dtype=np.int64)
         Tmax = int(lengths.max())
@@ -621,10 +633,45 @@ class BiLSTMRecognizer:
             dh_b_rev[b, :L] = dh[b, :L, ns:][::-1]
         self.fwd.backward_batch(dh_f)
         self.bwd.backward_batch(dh_b_rev)
+        return tot_err / max(1, B)
+
+    def apply_adam(self, lr: float, step: int):
+        """One Adam step over the gradients currently held in the layers."""
         self.fwd.adam(lr, step)
         self.bwd.adam(lr, step)
         self.out.adam(lr, step)
-        return tot_err / max(1, B)
+
+    # ---- data-parallel training plumbing (flat dict exchange)
+    def get_weights(self) -> dict:
+        w = {}
+        for name, layer in (("fwd", self.fwd), ("bwd", self.bwd)):
+            for k in layer.params():
+                w[f"{name}_{k}"] = getattr(layer, k)
+        w["out_W"] = self.out.W
+        return w
+
+    def set_weights(self, w: dict):
+        for name, layer in (("fwd", self.fwd), ("bwd", self.bwd)):
+            for k in layer.params():
+                setattr(layer, k, np.array(w[f"{name}_{k}"]))
+        self.out.W = np.array(w["out_W"])
+
+    def collect_grads(self) -> dict:
+        """Flatten the layer gradients left by grad_minibatch_batched."""
+        g = {}
+        for name, layer in (("fwd", self.fwd), ("bwd", self.bwd)):
+            for k in layer.params():
+                g[f"{name}_{k}"] = layer.grads[k]
+        g["out_W"] = self.out.grad
+        return g
+
+    def set_grads(self, g: dict):
+        """Install averaged gradients (inverse of collect_grads) so
+        apply_adam consumes them."""
+        for name, layer in (("fwd", self.fwd), ("bwd", self.bwd)):
+            layer.grads = {k: np.asarray(g[f"{name}_{k}"])
+                           for k in layer.params()}
+        self.out.grad = np.asarray(g["out_W"])
 
     # ---- persistence
     def save_npz(self, path: str):

@@ -1254,18 +1254,26 @@ def q_confusions(sf_dir: str) -> pd.DataFrame:
     pairs = joined.map_batches(confs, batch_format="pandas")
 
     def part_counts(b: pd.DataFrame) -> pd.DataFrame:
-        # partial per-batch counts with the heavy_hitters local-top-m
-        # bound: any pair with global count > total/512 survives some
-        # batch's top-512, so the global top-20 is exact while the
-        # driver merge stays <= 512 x n_blocks rows (the naive full
-        # merge approaches pair scale when fragments are mostly
-        # distinct). Also sidesteps Ray's keyed-aggregate actor pool,
-        # which measured 16s for 7k rows in a warm session.
+        # FULL per-batch partial counts — no local top-m truncation: a
+        # head(512) here would drop a heavy pair's mass in every batch
+        # where it misses the local cut, so summed partials undercount.
+        # Per-batch distinct (pred,gt) context pairs are bounded by the
+        # batch's confusion occurrences, so the partial output is small.
         g = (b.groupby(["pred", "gt"], as_index=False)
               .size().rename(columns={"size": "n"}))
-        return g.sort_values("n", ascending=False).head(512)
+        return g
 
-    parts = pairs.map_batches(part_counts, batch_format="pandas").to_pandas()
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner-tree level: sum partials across many source batches so
+        # the driver merge sees <= distinct_pairs x (blocks / fan-in)
+        # rows, not distinct x blocks — exact (count sums are associative)
+        # and no keyed shuffle (Ray's keyed-aggregate pool measured 16s
+        # for 7k rows in a warm session).
+        return b.groupby(["pred", "gt"], as_index=False)["n"].sum()
+
+    parts = (pairs.map_batches(part_counts, batch_format="pandas")
+             .map_batches(combine, batch_format="pandas", batch_size=1 << 20)
+             .to_pandas())
     top = (parts.groupby(["pred", "gt"], as_index=False)["n"].sum()
            .sort_values(["n", "pred", "gt"], ascending=[False, True, True])
            .head(20).reset_index(drop=True))
@@ -2017,7 +2025,10 @@ def q_dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 SQL_DUP_NGRAMS = r"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  -- list_filter drops the [''] duckdb yields for empty text, matching
+  -- Python str.split() (zero tokens; empty docs drop on both sides)
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
 ), grams AS (
   SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
   FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
@@ -2042,7 +2053,10 @@ def q_doc_dup_spans(sf_dir: str) -> pd.DataFrame:
 
 SQL_DOC_DUP_SPANS = r"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  -- list_filter drops the [''] duckdb yields for empty text, matching
+  -- Python str.split() (zero tokens; empty docs drop on both sides)
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
 ), grams AS (
   SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
   FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
@@ -2071,7 +2085,10 @@ def q_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
 
 SQL_STRIP_DUP_SPANS = r"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  -- list_filter drops the [''] duckdb yields for empty text, matching
+  -- Python str.split() (zero tokens; empty docs drop on both sides)
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
 ), grams AS (
   SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
   FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
@@ -2398,7 +2415,10 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
 
 SQL_DEDUP_CORPUS = r"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  -- list_filter drops the [''] duckdb yields for empty text, matching
+  -- Python str.split() (zero tokens; empty docs drop on both sides)
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
 ), grams AS (
   SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
   FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t

@@ -197,10 +197,18 @@ def bucket_join(
         # pandas-block datasets report numpy dtypes here, not Arrow types
         if isinstance(t, pa.DataType):
             return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (pa.ArrowNotImplementedError, TypeError):
+        dt = np.dtype(t)
+        if dt == np.dtype(object):
+            # pandas object columns are (in this engine) always strings;
+            # lists/structs arrive as real Arrow types above, never as a
+            # numpy dtype, so object -> string is the one safe coercion.
             return pa.string()
+        try:
+            return pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            raise TypeError(
+                f"bucket_join: unsupported column dtype {t!r}; pass Arrow "
+                f"blocks (batch_format='pyarrow') for list/struct columns")
 
     ls, rs = left.schema(), right.schema()
     lcols = list(ls.names)

@@ -108,7 +108,10 @@ def sampled_quantiles(
     ``value_quantiles`` (sparse counting histogram); this is the
     continuous-value / constant-memory path.
     """
-    thr = np.uint64(int(rate * float(2**64)))
+    # rate >= 1.0 means "sample everything": clamp to the max uint64
+    # (int(rate * 2**64) itself overflows the uint64 constructor there).
+    thr = (np.iinfo(np.uint64).max if rate >= 1.0
+           else np.uint64(int(rate * float(2**64))))
     salt = str(seed) + "\x1f"
 
     def sample(b: pd.DataFrame) -> pd.DataFrame:

@@ -106,20 +106,66 @@ class DedupIndex:
     # ------------------------------------------------------ checkpoint
 
     def save(self, root: str) -> None:
+        """Publish one consistent, versioned snapshot.
+
+        Consistency contract: callers must quiesce ingest first (no
+        ``filter_new`` waves in flight) — per-shard snapshots are atomic
+        but a cut taken mid-wave is not a consistent point across shards,
+        so a restore could re-admit texts other shards had claimed. The
+        directory publish itself IS atomic: all shard .npy files land in
+        a temp dir, then one rename exposes ``snap-<n>/`` complete-or-
+        absent (a crash mid-save leaves only the previous snapshot
+        visible; ``load`` ignores dirs without a MANIFEST)."""
+        import json
+        import shutil
+
         os.makedirs(root, exist_ok=True)
         snaps = ray.get([s.snapshot.remote() for s in self.shards])
+        n = 1 + max((int(d.split("-")[1]) for d in os.listdir(root)
+                     if d.startswith("snap-")), default=-1)
+        tmp = os.path.join(root, f".inprogress-{os.getpid()}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
         for i, arr in enumerate(snaps):
-            # np.save appends .npy unless the path already ends with it
-            tmp = os.path.join(root, f".shard-{i:04d}.tmp.npy")
-            np.save(tmp, arr)
-            os.replace(tmp, os.path.join(root, f"shard-{i:04d}.npy"))
+            np.save(os.path.join(tmp, f"shard-{i:04d}.npy"), arr)
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump({"num_shards": self.num_shards,
+                       "sizes": [int(len(a)) for a in snaps]}, f)
+        os.replace(tmp, os.path.join(root, f"snap-{n:06d}"))
 
     def load(self, root: str) -> None:
+        """Restore from the newest COMPLETE snapshot (highest snap-<n>
+        carrying a manifest). Shard count may differ from the saved
+        layout — hashes re-route by value, so restore unions every saved
+        shard file into the right live shard."""
+        import json
+
+        snaps = sorted(d for d in os.listdir(root) if d.startswith("snap-")
+                       and os.path.exists(os.path.join(root, d,
+                                                       "MANIFEST.json")))
+        if not snaps:
+            # legacy flat layout (pre-versioned checkpoints)
+            calls = []
+            for i in range(self.num_shards):
+                p = os.path.join(root, f"shard-{i:04d}.npy")
+                if os.path.exists(p):
+                    calls.append(self.shards[i].restore.remote(np.load(p)))
+            ray.get(calls)
+            return
+        d = os.path.join(root, snaps[-1])
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            manifest = json.load(f)
         calls = []
-        for i in range(self.num_shards):
-            p = os.path.join(root, f"shard-{i:04d}.npy")
-            if os.path.exists(p):
-                calls.append(self.shards[i].restore.remote(np.load(p)))
+        for i in range(int(manifest["num_shards"])):
+            arr = np.load(os.path.join(d, f"shard-{i:04d}.npy"))
+            if int(manifest["num_shards"]) == self.num_shards:
+                calls.append(self.shards[i].restore.remote(arr))
+            else:
+                route = (arr % np.uint64(self.num_shards)).astype(np.int64)
+                for s in np.unique(route):
+                    calls.append(self.shards[int(s)].restore.remote(
+                        arr[route == s]))
         ray.get(calls)
 
     def shutdown(self) -> None:

@@ -341,6 +341,10 @@ def test_sampled_quantiles_error_bound(ray_session):
     # determinism: same hash sample -> identical result
     out2 = sampled_quantiles(ds, rate=0.1).set_index("q")
     assert (out.value == out2.value).all()
+    # rate >= 1.0 = sample everything (used to overflow uint64): exact
+    full = sampled_quantiles(ds, rate=1.0).set_index("q")
+    for q in (0.1, 0.5, 0.9):
+        assert abs(full.loc[q, "value"] - q) < 1e-3
 
 
 def test_hash_embed_deterministic_and_discriminative(ray_session):

@@ -677,6 +677,7 @@ def keep_best(
     labels: rd.Dataset,
     id_col: str = "doc_id",
     score_col: str = "score",
+    emit_all: bool = False,
 ) -> rd.Dataset:
     """(doc_id, cluster_id) of the KEPT document per dup cluster — the
     final keep/drop decision after pair detection + cluster collapse:
@@ -691,7 +692,11 @@ def keep_best(
     cluster-keyed to pick the argmax-score member vectorized per
     partition. No broadcast of the label map — dup sets at web scale can
     be a double-digit percentage of the corpus, far past ray.put
-    comfort."""
+    comfort.
+
+    ``emit_all=True`` returns EVERY doc row as (doc_id, cluster_id,
+    kept) instead of only the winners — the keep/drop *annotation*
+    shape (semantic_dedup composes on this)."""
     id_type = _arrow_id_type(docs, id_col)
     _UNION_SCHEMA = pa.schema([
         ("key", id_type), ("score", pa.float64()), ("cluster", id_type),
@@ -701,7 +706,8 @@ def keep_best(
         ("doc_id", id_type), ("cluster_id", id_type),
         ("score", pa.float64()), ("_part2", pa.int64()),
     ])
-    _OUT_SCHEMA = pa.schema([("doc_id", id_type), ("cluster_id", id_type)])
+    _OUT_SCHEMA = pa.schema([("doc_id", id_type), ("cluster_id", id_type)]
+                            + ([("kept", pa.bool_())] if emit_all else []))
 
     def part_of(vals: np.ndarray) -> np.ndarray:
         return (hashing.hash_strings(vals)
@@ -753,9 +759,17 @@ def keep_best(
     def pick(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
             return _OUT_SCHEMA.empty_table()
-        best = (g.sort_values(["cluster_id", "score", "doc_id"],
-                              ascending=[True, False, True], kind="stable")
-                .groupby("cluster_id", sort=False, as_index=False).head(1))
+        ordered = g.sort_values(["cluster_id", "score", "doc_id"],
+                                ascending=[True, False, True], kind="stable")
+        if emit_all:
+            kept = ~ordered["cluster_id"].duplicated().to_numpy()
+            return pa.Table.from_arrays(
+                [pa.array(ordered["doc_id"].to_numpy(dtype=object), id_type),
+                 pa.array(ordered["cluster_id"].to_numpy(dtype=object),
+                          id_type),
+                 pa.array(kept)],
+                schema=_OUT_SCHEMA)
+        best = ordered.groupby("cluster_id", sort=False, as_index=False).head(1)
         return pa.Table.from_arrays(
             [pa.array(best["doc_id"].to_numpy(dtype=object), id_type),
              pa.array(best["cluster_id"].to_numpy(dtype=object), id_type)],
@@ -786,15 +800,22 @@ def simhash_table(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return ds.map_batches(f, batch_format="pandas", batch_size=8192)
 
 
-def hamming64_dup_pairs(tbl: rd.Dataset, id_col: str, sig_col: str,
-                        max_hamming: int = 3) -> pd.DataFrame:
+def hamming64_dup_pairs_ds(tbl: rd.Dataset, id_col: str, sig_col: str,
+                           max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs for ANY 64-bit signature column (SimHash text
     sketches, image dHashes, ...) by 4x16-bit banding + Hamming verify —
     two signatures within Hamming distance 3 share at least one band.
     One shuffle: per-row signatures explode to 4 (band_id, band_val)
     rows, partitioned on hash(band_id, band_val) % _DEDUP_PARTITIONS;
     pairs are generated inside each partition (python loop only over
-    multi-row buckets, which are rare by construction)."""
+    multi-row buckets, which are rare by construction).
+
+    Returns a DATASET — the pair stream never lands on the driver (at
+    web scale verified pairs aren't guaranteed small). Cross-band pair
+    duplication is resolved IN-PARTITION with no extra exchange: both
+    full signatures are present, so each partition emits a pair only
+    when its band is the lowest-numbered matching band (exactly one
+    partition satisfies that)."""
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         sig = b[sig_col].to_numpy(np.int64).astype(np.uint64)
@@ -825,24 +846,39 @@ def hamming64_dup_pairs(tbl: rd.Dataset, id_col: str, sig_col: str,
             for key, sub in g.groupby(["band_id", "band_val"]):
                 if key not in multi:
                     continue
+                bnd = int(key[0])
                 recs = sorted(set(zip(sub[id_col], sub[sig_col])))
                 for i in range(len(recs)):
+                    s1 = np.uint64(recs[i][1])
                     for j in range(i + 1, len(recs)):
+                        s2 = np.uint64(recs[j][1])
+                        # exactly-once emission without a dedup exchange:
+                        # only the lowest matching band's partition emits
+                        first_band = next(
+                            b for b in range(4)
+                            if (int(s1) >> (16 * b)) & 0xFFFF
+                            == (int(s2) >> (16 * b)) & 0xFFFF)
+                        if first_band != bnd:
+                            continue
                         d = hashing.hamming64(recs[i][1], recs[j][1])
                         if d <= max_hamming:
                             out.append((recs[i][0], recs[j][0], d))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
 
-    allp = rows.groupby("_part").map_groups(
-        partition_pairs, batch_format="pandas"
-    ).to_pandas()
+    return rows.groupby("_part").map_groups(
+        partition_pairs, batch_format="pandas")
+
+
+def hamming64_dup_pairs(tbl: rd.Dataset, id_col: str, sig_col: str,
+                        max_hamming: int = 3) -> pd.DataFrame:
+    """DataFrame wrapper over ``hamming64_dup_pairs_ds`` for oracle
+    checks / small corpora — sorts pairs on the driver. Scale callers
+    consume the Dataset variant."""
+    allp = hamming64_dup_pairs_ds(tbl, id_col, sig_col,
+                                  max_hamming).to_pandas()
     if allp.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    return (
-        allp.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    return (allp.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
 def simhash_dup_pairs(ds: rd.Dataset, text_col: str = "text",

@@ -2505,43 +2505,79 @@ def q_cms_counts(sf_dir: str) -> pd.DataFrame:
 
 def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-doc unigram negative log-likelihood (the classic LM quality
-    filter: improbable-token documents score high): pass 1 reduces
-    per-batch word counts to a broadcast vocabulary-scale table, pass 2
-    scores each doc vectorized (token -> -ln(count/N), one reduceat per
-    batch)."""
-    import ray
+    filter: improbable-token documents score high) — EXACT and fully
+    distributed, no vocabulary-scale driver state: per-(doc, word)
+    multiplicities (doc-vocab scale, pre-aggregated in the batch) meet
+    the word-hash-sharded unigram count table in one large x large
+    bucket_join, then per-doc sums ride one doc-keyed bucket reduce.
+    The only driver data are the token-total scalar and the final
+    doc-scale result (this query's contract is a per-doc frame)."""
+    from ..functions import hashing
+    from .relational import bucket_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    # distributed unigram counts: word-hash shuffle of per-batch partials
     def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["text"].fillna("").str.split().explode().dropna().value_counts()
+        out = pd.DataFrame({"word": vc.index.to_numpy(object),
+                            "c": vc.to_numpy(np.int64)})
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def wc_final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("word", sort=False)["c"].sum()
         return pd.DataFrame({"word": vc.index.to_numpy(object),
                              "c": vc.to_numpy(np.int64)})
 
-    parts = (ds.map_batches(wc_partial, batch_format="pandas",
-                            batch_size=65536).to_pandas())
-    uni = parts.groupby("word")["c"].sum()
-    total = float(uni.sum())
-    uref = ray.put((uni, total))
+    uni = (ds.map_batches(wc_partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby("_part").map_groups(wc_final, batch_format="pandas"))
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        u, n = ray.get(uref)
+    # corpus token total: scalar partials
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+        return pd.DataFrame({"s": [int(n.sum())]})
+
+    total = float(ds.map_batches(tot_partial, batch_format="pandas",
+                                 batch_size=65536).to_pandas()["s"].sum())
+
+    # per-(doc, word) multiplicities — doc-vocab scale, not token scale
+    def doc_words(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].fillna("").str.split()
-        counts = toks.str.len().to_numpy(np.int64)
         flat = toks.explode().dropna()
-        neglogp = -np.log(flat.map(u).to_numpy(np.float64) / n)
-        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        keep = counts > 0
-        sums = np.add.reduceat(neglogp, offs[keep]) if keep.any() else []
-        out = pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy()[keep],
-            "n_tokens": counts[keep],
-            "logprob": np.round(sums, 6),
-        })
+        ids = b["doc_id"].to_numpy()[flat.index.to_numpy()]
+        g = (pd.DataFrame({"doc_id": ids, "word": flat.to_numpy(object)})
+             .groupby(["doc_id", "word"], sort=False, as_index=False)
+             .size().rename(columns={"size": "m"}))
+        return g
+
+    dw = ds.map_batches(doc_words, batch_format="pandas", batch_size=8192)
+    joined = bucket_join(dw, uni, left_on="word", right_on="word")
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["m"].to_numpy(np.float64)
+        lp = m * -np.log(b["c"].to_numpy(np.float64) / total)
+        out = (pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_tokens": b["m"].astype("int64"),
+                             "lp": lp})
+               .groupby("doc_id", sort=False, as_index=False)
+               .agg(n_tokens=("n_tokens", "sum"), lp=("lp", "sum")))
+        out["_part"] = (pd.util.hash_pandas_object(out["doc_id"], index=False)
+                        .to_numpy("uint64") % np.uint64(64)).astype(np.int64)
         return out
 
-    out = ds.map_batches(score, batch_format="pandas",
-                         batch_size=8192).to_pandas()
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False, as_index=False)
+                .agg(n_tokens=("n_tokens", "sum"), lp=("lp", "sum")))
+        return pd.DataFrame({"doc_id": out["doc_id"],
+                             "n_tokens": out["n_tokens"].astype("int64"),
+                             "logprob": np.round(out["lp"], 6)})
+
+    out = (joined.map_batches(contrib, batch_format="pandas")
+           .groupby("_part").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -314,39 +314,35 @@ def semantic_dedup(
     partial-sum passes) -> kmeans_assign (broadcast centroids) ->
     embedding_dup_pairs (per-cluster matmul, LSH prefilter on oversized
     clusters) -> connected_components (delta-frontier label
-    propagation). Near-dups straddling a k-means boundary are missed by
-    construction — SemDeDup's documented approximation."""
-    from .dedup import connected_components, embedding_dup_pairs
+    propagation) -> keep_best(emit_all) (two metadata-scale bucket
+    shuffles; min-id representative via constant score). No driver or
+    ray.put copy of the dup-label map — dup membership at web scale can
+    be a double-digit percentage of the corpus, far past broadcast
+    comfort (keep_best's own rationale). Near-dups straddling a k-means
+    boundary are missed by construction — SemDeDup's documented
+    approximation."""
+    from .dedup import connected_components, embedding_dup_pairs, keep_best
 
     C = kmeans_fit(ds, k=k, vec_col=vec_col, id_col=id_col, iters=iters)
     assigned = kmeans_assign(ds, C, vec_col=vec_col)
     pairs = embedding_dup_pairs(
         assigned, partition_col="cluster", vec_col=vec_col,
         id_col=id_col, threshold=threshold)
-    comp = connected_components(pairs, a_col="id_a", b_col="id_b"
-                                ).to_pandas()  # dup rows only (small)
-    if comp.empty:
-        comp = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                             "cluster_id": pd.Series([], dtype="int64")})
-    else:
-        comp = comp.rename(columns={comp.columns[0]: id_col})
-    lab = {int(r[id_col]): int(r["cluster_id"]) for _, r in comp.iterrows()}
-    keep_of = {}
-    for v, c in lab.items():
-        keep_of[c] = min(keep_of.get(c, v), v)
-    lref = ray.put((lab, keep_of))
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    labels = comp.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b[b.columns[0]].astype("int64"),
+                                "cluster_id": b["cluster_id"].astype("int64")}),
+        batch_format="pandas")
 
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        labels, keepers = ray.get(lref)
-        ids = pd.Series(b[id_col].to_numpy(), dtype="int64")
-        comp = ids.map(labels)  # NaN for non-dup rows
-        in_dup = comp.notna()
-        comp_id = comp.fillna(ids).astype("int64")
-        kept = ~in_dup | (comp.map(keepers) == ids)
-        return pd.DataFrame({
-            id_col: ids.to_numpy(),
-            "component_id": comp_id.to_numpy(),
-            "kept": kept.to_numpy(dtype=bool),
-        })
-
-    return ds.map_batches(mark, batch_format="pandas")
+    # constant score -> ties break on min id (SemDeDup's representative)
+    scored = ds.map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col].astype("int64"),
+                                "score": np.zeros(len(b))}),
+        batch_format="pandas")
+    marked = keep_best(scored, labels, id_col=id_col, score_col="score",
+                       emit_all=True)
+    return marked.map_batches(
+        lambda b: pd.DataFrame({id_col: b["doc_id"].astype("int64"),
+                                "component_id": b["cluster_id"].astype("int64"),
+                                "kept": b["kept"].astype(bool)}),
+        batch_format="pandas")

@@ -343,15 +343,15 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
     """Top-k word-bigram collocations by pointwise mutual information:
     PMI = ln(N_bi * c(a,b) / (c(a) * c(b))) over adjacent-token counts.
 
-    Scale shape: bigram counts ride ONE coarse gram-hash shuffle (same
-    pattern as substring dedup); unigram counts are corpus-vocabulary
-    partials merged driver-side and BROADCAST into the scoring pass
-    (vocab-scale — for open web vocabularies swap in the heavy_hitters
-    candidate set + a min_count floor, which this already applies).
-    Ties break by bigram text ascending."""
-    import ray
-
+    Fully distributed — nothing vocabulary-scale touches the driver:
+    bigram counts ride one coarse gram-hash shuffle, unigram counts ride
+    one word-hash shuffle, and scoring attaches c(a)/c(b) to each
+    surviving (>= min_count) bigram with two large x large bucket_joins
+    keyed on the bigram's words. The only driver data are the N_bi
+    scalar (per-batch partial sums) and the final k x blocks top-k
+    merge. Ties break by bigram text ascending."""
     from ..functions.hashing import batch_word_grams
+    from .relational import bucket_join, topk
 
     def bigram_rows(b: pd.DataFrame) -> pd.DataFrame:
         grams, _d, _p = batch_word_grams(b["text"].tolist(), 2)
@@ -362,32 +362,63 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
         vc = g.groupby("gram", sort=False).size()
-        return pd.DataFrame({"gram": vc.index.to_numpy(object),
-                             "c_ab": vc.to_numpy(np.int64)})
+        cnt = vc.to_numpy(np.int64)
+        keep = cnt >= min_count
+        grams = vc.index.to_numpy(object)[keep]
+        sp = pd.Series(grams).str.split(" ", n=1, expand=True)
+        if len(grams) == 0:
+            return pd.DataFrame({"gram": pd.array([], dtype=object),
+                                 "a": pd.array([], dtype=object),
+                                 "b": pd.array([], dtype=object),
+                                 "c_ab": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"gram": grams, "a": sp[0].to_numpy(object),
+                             "b": sp[1].to_numpy(object),
+                             "c_ab": cnt[keep]})
 
     bi = (ds.map_batches(bigram_rows, batch_format="pandas", batch_size=8192)
             .groupby("_part").map_groups(count_part, batch_format="pandas"))
 
-    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def uni_rows(b: pd.DataFrame) -> pd.DataFrame:
         words = b["text"].fillna("").str.split().explode().dropna()
         vc = words.value_counts()
+        out = pd.DataFrame({"word": vc.index.to_numpy(object),
+                            "c": vc.to_numpy(np.int64)})
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def uni_count(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("word", sort=False)["c"].sum()
         return pd.DataFrame({"word": vc.index.to_numpy(object),
                              "c": vc.to_numpy(np.int64)})
 
-    uni = (ds.map_batches(uni_partial, batch_format="pandas",
-                          batch_size=65536).to_pandas()
-           .groupby("word")["c"].sum())
-    n_bi = None  # filled below from the bigram table itself
+    uni = (ds.map_batches(uni_rows, batch_format="pandas", batch_size=65536)
+             .groupby("_part").map_groups(uni_count, batch_format="pandas"))
 
-    parts = bi.to_pandas()
-    n_bi = int(parts["c_ab"].sum())
-    sp = parts["gram"].str.split(" ", n=1, expand=True)
-    ca = sp[0].map(uni).to_numpy(np.float64)
-    cb = sp[1].map(uni).to_numpy(np.float64)
-    keep = parts["c_ab"].to_numpy() >= min_count
-    pmi = np.log(n_bi * parts["c_ab"].to_numpy(np.float64) / (ca * cb))
-    out = pd.DataFrame({
-        "gram": parts["gram"], "c_ab": parts["c_ab"].astype("int64"),
-        "pmi": np.round(pmi, 6)})[keep]
-    return (out.sort_values(["pmi", "gram"], ascending=[False, True])
-               .head(k).reset_index(drop=True))
+    # N_bi (ALL bigram occurrences, pre-floor) = sum over docs of
+    # max(0, n_words - 1): scalar partials, no extra shuffle
+    def nbi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+        return pd.DataFrame({"s": [int(np.maximum(0, n - 1).sum())]})
+
+    n_bi = int(ds.map_batches(nbi_partial, batch_format="pandas",
+                              batch_size=65536).to_pandas()["s"].sum())
+
+    j1 = bucket_join(bi, uni.map_batches(
+        lambda t: t.rename(columns={"c": "c_a"}), batch_format="pandas"),
+        left_on="a", right_on="word")
+    j2 = bucket_join(j1, uni.map_batches(
+        lambda t: t.rename(columns={"c": "c_b"}), batch_format="pandas"),
+        left_on="b", right_on="word", suffix="_b")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        pmi = np.log(n_bi * b["c_ab"].to_numpy(np.float64)
+                     / (b["c_a"].to_numpy(np.float64)
+                        * b["c_b"].to_numpy(np.float64)))
+        return pd.DataFrame({"gram": b["gram"],
+                             "c_ab": b["c_ab"].astype("int64"),
+                             "pmi": np.round(pmi, 6)})
+
+    scored = j2.map_batches(score, batch_format="pandas")
+    return topk(scored, by=["pmi", "gram"], k=k,
+                ascending=[False, True]).reset_index(drop=True)

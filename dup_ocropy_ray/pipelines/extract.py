@@ -217,8 +217,10 @@ def run_extract_with_checkpoint(
     batch_size: int = 128,
 ) -> dict:
     """Resumable interleaved-extraction run (north-rule checkpoint
-    contract, same fragment store as the OCR flagship): docs are
-    hash-partitioned into fragments; each pending fragment runs
+    contract, same fragment store as the OCR flagship): docs fragment
+    per input FILE GROUP when the input is a multi-file directory (each
+    file read once across the job; doc-id-hash filter fallback for
+    single files — see ocr.fragment_plan); each pending fragment runs
     extract_interleaved, writes parquet to <frag>.tmp, then commits a
     lineage+counter manifest atomically. A killed run reprocesses at
     most one in-flight fragment."""
@@ -229,13 +231,13 @@ def run_extract_with_checkpoint(
     import pyarrow.parquet as pq
 
     from ..state import checkpoint as ckpt
-    from .ocr import _doc_fragment_filter, read_docs
+    from .ocr import fragment_plan
 
     os.makedirs(out_root, exist_ok=True)
+    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
-        docs = read_docs(docs_path).map_batches(
-            _doc_fragment_filter(num_fragments, frag), batch_format="pyarrow")
+        docs = frag_reader(frag)
         out = extract_interleaved(docs, batch_size=batch_size)
         frag_dir = ckpt.fragment_dir(out_root, frag)
         tmp_dir = frag_dir + ".tmp"

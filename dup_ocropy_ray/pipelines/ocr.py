@@ -331,6 +331,46 @@ def _doc_fragment_filter(num_fragments: int, frag: int):
     return fn
 
 
+def fragment_plan(docs_path: str, num_fragments: int):
+    """Checkpoint fragmentation plan shared by the OCR / extraction /
+    dedup jobs: returns (nfrag, reader) where reader(frag) yields that
+    fragment's docs Dataset.
+
+    Scale path — the input is a directory of many parquet files (the
+    100 TB shape): fragments are FILE GROUPS, so running all fragments
+    reads each input file exactly once (1/F of the corpus per fragment),
+    instead of N full-corpus scans with a hash filter (the dedup job's
+    two-scan pattern, dedup.run_dedup_with_checkpoint).
+
+    Fallback — a single file (or jsonl/lance path): per-fragment
+    doc-id-hash filter scans; fine at test scale, and corpus-scale
+    inputs are always many files."""
+    import glob as _glob
+
+    from ..tuning import parquet_schema
+
+    files = (sorted(_glob.glob(os.path.join(docs_path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(docs_path) and not docs_path.endswith(".lance")
+             else [])
+    if len(files) > 1:
+        nfrag = min(num_fragments, len(files))
+        groups = [files[i::nfrag] for i in range(nfrag)]
+
+        def reader(frag: int) -> rd.Dataset:
+            return rd.read_parquet(groups[frag],
+                                   schema=parquet_schema(groups[frag][0]))
+
+        return nfrag, reader
+
+    def reader(frag: int) -> rd.Dataset:
+        return read_docs(docs_path).map_batches(
+            _doc_fragment_filter(num_fragments, frag),
+            batch_format="pyarrow")
+
+    return num_fragments, reader
+
+
 def run_ocr_with_checkpoint(
     docs_path: str,
     media_path: str,
@@ -339,17 +379,19 @@ def run_ocr_with_checkpoint(
     model_path: str | None = None,
     **pipeline_kw,
 ) -> dict:
-    """Resumable run: hash-partition docs into fragments; for each fragment
-    without a manifest, run the pipeline, write parquet, then commit the
-    manifest (lineage + counters) atomically. A killed run reprocesses at
-    most the one in-flight fragment (state/checkpoint.py)."""
+    """Resumable run: partition docs into fragments (per input FILE
+    GROUP when the input is a multi-file directory — each file read
+    once across the whole job — else doc-id-hash filters, see
+    fragment_plan); for each fragment without a manifest, run the
+    pipeline, write parquet, then commit the manifest (lineage +
+    counters) atomically. A killed run reprocesses at most the one
+    in-flight fragment (state/checkpoint.py)."""
     os.makedirs(out_root, exist_ok=True)
     media_ref = put_media_store(media_path)
+    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
-        docs = read_docs(docs_path).map_batches(
-            _doc_fragment_filter(num_fragments, frag), batch_format="pyarrow"
-        )
+        docs = frag_reader(frag)
         out = ocr_pipeline(docs, media_ref, model_path=model_path, **pipeline_kw)
         frag_dir = ckpt.fragment_dir(out_root, frag)
         tmp_dir = frag_dir + ".tmp"

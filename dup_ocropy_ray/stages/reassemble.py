@@ -190,14 +190,82 @@ def reassemble_group(g: pd.DataFrame) -> pa.Table:
 
 
 def reassemble_partition(g: pd.DataFrame) -> pa.Table:
-    """Partition-level reassembly: one UDF call handles ALL docs hashed
-    into this bucket (pandas groupby inside) — never one map_groups call
-    per document, which at corpus scale means millions of tiny UDF
-    invocations."""
-    tables = [reassemble_group(doc) for _, doc in g.groupby("doc_id", sort=True)]
-    if not tables:
+    """Partition-level reassembly, fully vectorized: one UDF call handles
+    ALL docs hashed into this bucket with no per-row Python. The
+    interleave is ONE stable sort on (doc_id, span_offset, rank) — span
+    rows carry rank -1, ok line rows rank = line_order, so each page's
+    lines land right after their media span; offsets renumber via
+    cumcount; the list column builds zero-copy from group sizes
+    (ListArray.from_arrays). Semantically identical to
+    ``reassemble_group`` (kept as the readable single-doc spec +
+    parity-test target)."""
+    import numpy as np
+
+    docs = np.sort(g["doc_id"].unique().astype(object))
+    if len(docs) == 0:
         return pa.Table.from_pylist([], schema=OUT_SCHEMA)
-    return pa.concat_tables(tables)
+    spans = g[g.rowtype == "span"]
+    lines = g[(g.rowtype == "line") & (g.status == "ok")]
+    pages = g[g.rowtype == "page"]
+
+    media = spans.loc[spans["kind"] == "media", ["doc_id", "span_offset"]]
+    # a line attaches only to an existing media span of its doc
+    lines = lines.merge(media.drop_duplicates(), on=["doc_id", "span_offset"],
+                        how="inner")
+
+    out_spans = pd.DataFrame({
+        "doc_id": spans["doc_id"].to_numpy(object),
+        "kind": spans["kind"].to_numpy(object),
+        "text": spans["text"].to_numpy(object),
+        "media_ref": spans["media_ref"].to_numpy(object),
+        "span_offset": spans["span_offset"].to_numpy(),
+        "_rank": np.full(len(spans), -1, dtype=np.int64),
+    })
+    out_lines = pd.DataFrame({
+        "doc_id": lines["doc_id"].to_numpy(object),
+        "kind": np.full(len(lines), "text", dtype=object),
+        "text": lines["text"].to_numpy(object),
+        "media_ref": np.full(len(lines), None, dtype=object),
+        "span_offset": lines["span_offset"].to_numpy(),
+        "_rank": lines["line_order"].to_numpy(np.int64),
+    })
+    allr = pd.concat([out_spans, out_lines], ignore_index=True)
+    allr = allr.sort_values(["doc_id", "span_offset", "_rank"], kind="stable")
+    allr["offset"] = allr.groupby("doc_id", sort=False).cumcount()
+
+    sizes = (allr.groupby("doc_id", sort=False).size()
+             .reindex(docs, fill_value=0))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(allr["kind"].to_numpy(object), pa.string()),
+         pa.array(allr["text"].to_numpy(object), pa.string()),
+         pa.array(allr["media_ref"].to_numpy(object), pa.string()),
+         pa.array(allr["offset"].to_numpy(np.int32), pa.int32())],
+        fields=list(OUT_SPAN))
+    offsets = np.concatenate([[0], np.cumsum(sizes.to_numpy())])
+    spans_col = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), struct)
+
+    def per_doc(s: pd.Series) -> np.ndarray:
+        return s.reindex(docs, fill_value=0).to_numpy(np.int64)
+
+    n_pages = per_doc(media.groupby("doc_id").size())
+    pstat = pages.drop_duplicates(["doc_id", "span_offset"])
+    mm = media.merge(pstat[["doc_id", "span_offset", "status"]],
+                     on=["doc_id", "span_offset"], how="left")
+    n_skipped = per_doc(
+        mm[mm["status"].notna() & (mm["status"] != "ok")]
+        .groupby("doc_id").size())
+    n_lines = per_doc(lines.groupby("doc_id").size())
+    chars = per_doc(lines.assign(_c=lines["text"].fillna("").str.len())
+                    .groupby("doc_id")["_c"].sum())
+    low_conf = per_doc(lines[lines["confidence"] < 0.6]
+                       .groupby("doc_id").size())
+
+    return pa.Table.from_arrays(
+        [pa.array(docs, pa.string()), spans_col,
+         pa.array(n_pages), pa.array(n_lines), pa.array(n_skipped),
+         pa.array(chars), pa.array(low_conf)],
+        schema=OUT_SCHEMA)
 
 
 def map_docs_partitioned(

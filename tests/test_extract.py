@@ -292,6 +292,50 @@ def test_extract_checkpoint_resume(ray_session, tmp_path):
     assert r3["counters"] == c1
 
 
+def test_extract_checkpoint_file_fragments(ray_session, tmp_path):
+    """Multi-file input takes the per-FILE-GROUP fragment path: one read
+    of each input file across the whole job (no N-scan hash filters),
+    same counters as the single-file run, resume semantics intact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.extract import (
+        _span_list_type,
+        run_extract_with_checkpoint,
+    )
+    from dup_ocropy_ray.state import checkpoint as ckpt
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    for part in range(3):
+        ids = [f"d{i}" for i in range(part * 8, (part + 1) * 8)]
+        spans = [[{"kind": "html", "text": wrap_html(i, f"body words {i} " * 6),
+                   "media_ref": None, "offset": 0}]
+                 for i in range(part * 8, (part + 1) * 8)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "spans": pa.array(spans, _span_list_type()),
+        }), str(docs_dir / f"part-{part}.parquet"))
+
+    out_root = str(tmp_path / "out")
+    r1 = run_extract_with_checkpoint(str(docs_dir), out_root,
+                                     num_fragments=2)
+    assert sorted(r1["fragments_run"]) == [0, 1]  # min(2, 3 files)
+    c1 = r1["counters"]
+    assert c1["docs"] == 24 and c1["text_spans"] > 0
+
+    r2 = run_extract_with_checkpoint(str(docs_dir), out_root,
+                                     num_fragments=2)
+    assert r2["fragments_run"] == []
+    os.remove(os.path.join(ckpt.manifest_dir(out_root), "00000.json"))
+    r3 = run_extract_with_checkpoint(str(docs_dir), out_root,
+                                     num_fragments=2)
+    assert r3["fragments_run"] == [0]
+    assert r3["counters"] == c1
+
+
 # --------------------------------------------------------- fuzz hardening
 
 

@@ -344,3 +344,50 @@ def test_read_docs_jsonl(ray_session, tmp_path):
     ds = read_docs(str(p))
     got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(got) == 7 and got["text"].iloc[3] == "line 3"
+
+
+def test_reassemble_partition_matches_group_spec():
+    """Vectorized partition reassembly == per-doc reference spec
+    (reassemble_group) on a frame exercising every edge: skipped pages,
+    non-ok lines, text spans between pages, docs with only page rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from dup_ocropy_ray.stages.reassemble import (
+        OUT_SCHEMA,
+        reassemble_group,
+        reassemble_partition,
+    )
+
+    def row(doc, rowtype, kind=None, text=None, media_ref=None,
+            span_offset=0, line_order=-1, status="ok", confidence=1.0):
+        return dict(doc_id=doc, rowtype=rowtype, kind=kind, text=text,
+                    media_ref=media_ref, span_offset=span_offset,
+                    line_order=line_order, status=status,
+                    confidence=confidence)
+
+    rows = [
+        # doc a: text span, media page with 2 ok lines (one low-conf) +
+        # 1 failed line, another text span, then a SKIPPED media page
+        row("a", "span", "text", "intro", None, 0),
+        row("a", "span", "media", None, "m1", 1),
+        row("a", "line", "text", "l one", "m1", 1, 0, "ok", 0.9),
+        row("a", "line", "text", "l two", "m1", 1, 1, "ok", 0.3),
+        row("a", "line", "text", "bad", "m1", 1, 2, "seg_fail", 0.9),
+        row("a", "span", "text", "middle", None, 2),
+        row("a", "span", "media", None, "m2", 3),
+        row("a", "page", "media", None, "m2", 3, -1, "too_few_lines"),
+        # doc b: only a page-status row (no spans at all)
+        row("b", "page", "media", None, "m9", 0, -1, "decode_error"),
+        # doc c: one media page, ok status row, one line
+        row("c", "span", "media", None, "m3", 0),
+        row("c", "page", "media", None, "m3", 0, -1, "ok"),
+        row("c", "line", "text", "ccc", "m3", 0, 0, "ok", 0.7),
+    ]
+    g = pd.DataFrame(rows)
+
+    got = reassemble_partition(g)
+    want = pa.concat_tables(
+        [reassemble_group(doc) for _, doc in g.groupby("doc_id", sort=True)])
+    assert got.schema.equals(OUT_SCHEMA)
+    assert got.to_pylist() == want.to_pylist()

@@ -60,6 +60,27 @@ def load_uw3(tgz_path: str = DEFAULT_TGZ) -> list[dict]:
     return out
 
 
+def load_uw3_cached(tgz_path: str = DEFAULT_TGZ,
+                    cache: str = "/tmp/uw3_cache.pkl") -> list[dict]:
+    """load_uw3 with a /tmp pickle cache — the pure-python PNG decode of
+    500 scans costs ~90 s; tests and the trainer share one decode."""
+    import pickle
+
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
+            tgz_path):
+        try:
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # corrupt/partial cache: re-decode
+    lines = load_uw3(tgz_path)
+    tmp = cache + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(lines, f)
+    os.replace(tmp, cache)
+    return lines
+
+
 def split_uw3(lines: list[dict], test_frac: float = 0.2):
     """Deterministic hash split -> (train, test). A line's split never
     depends on the rest of the corpus, so adding lines never moves

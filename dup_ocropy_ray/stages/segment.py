@@ -432,12 +432,17 @@ def segment_page(bin_white1: np.ndarray, **params) -> dict:
     objects = find_objects(labels, n)
     h, w = ink.shape
     slots = int(w * h / (30 * 30))
-    if n < 10:
-        return {"status": f"too few connected components for a page image (got {n})",
-                "scale": 0.0, "lines": []}
-    if n > slots:
-        return {"status": f"too many connected components ({n} > {slots})",
-                "scale": 0.0, "lines": []}
+    # component-count sanity guards are skippable, mirroring the
+    # reference's --nocheck (ocropus-gpageseg:38,400 — its CI drives
+    # table.bin.png, which trips the slots bound, with -n)
+    if not p.get("nocheck", False):
+        if n < 10:
+            return {"status":
+                    f"too few connected components for a page image (got {n})",
+                    "scale": 0.0, "lines": []}
+        if n > slots:
+            return {"status": f"too many connected components ({n} > {slots})",
+                    "scale": 0.0, "lines": []}
     scale = estimate_scale_from_objects(objects, ink.shape)
     if np.isnan(scale) or scale > 1000.0:
         return {"status": f"bad scale ({scale:g})", "scale": 0.0, "lines": []}

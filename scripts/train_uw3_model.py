@@ -31,20 +31,14 @@ import ray
 from dup_ocropy_ray.functions.edist import levenshtein
 from dup_ocropy_ray.functions.text import normalize_text
 from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer, prepare_line
-from dup_ocropy_ray.sources.uw3 import load_uw3, split_uw3, uw3_charset
+from dup_ocropy_ray.sources.uw3 import load_uw3_cached, split_uw3, uw3_charset
 from dup_ocropy_ray.stages.lineest import check_line, normalize_line
 
 CACHE = "/tmp/uw3_cache.pkl"
 
 
 def load_corpus():
-    if os.path.exists(CACHE):
-        with open(CACHE, "rb") as f:
-            return pickle.load(f)
-    lines = load_uw3()
-    with open(CACHE, "wb") as f:
-        pickle.dump(lines, f)
-    return lines
+    return load_uw3_cached(cache=CACHE)
 
 
 def prep_records(lines):
@@ -74,9 +68,14 @@ class Trainer:
         self.net = BiLSTMRecognizer(ni=48, ns=ns, charset=charset, seed=seed)
         self.wid = worker_id
 
-    def grads(self, weights, step, bsize):
+    def grads(self, weights, step, bsize, frac=1.0):
+        """One minibatch gradient. ``frac`` is the length-curriculum
+        cap: sample only from the shortest ``frac`` of the (length-
+        sorted) pool — short lines exit the CTC blank-plateau far
+        faster, then the cap opens to the full corpus."""
         rng = np.random.default_rng((self.wid + 1) * 1_000_003 + step)
-        start = int(rng.integers(0, max(1, len(self.data) - bsize)))
+        hi = max(bsize, int(len(self.data) * min(1.0, frac)))
+        start = int(rng.integers(0, max(1, hi - bsize)))
         batch = self.data[start : start + bsize]
         self.net.set_weights(weights)
         err = self.net.grad_minibatch_batched([(x, t) for _, x, t in batch])
@@ -99,8 +98,12 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--ns", type=int, default=100)
-    ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--lr-half-life", type=int, default=1500)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr-half-life", type=int, default=1200)
+    ap.add_argument("--lr-hold", type=int, default=800,
+                    help="steps at full lr before the half-life decay")
+    ap.add_argument("--curriculum", type=int, default=600,
+                    help="steps to open the length cap from 25% to 100%")
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--init", default=None)
@@ -138,10 +141,13 @@ def main():
     best = (1e9, -1)
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        lr = args.lr * (0.5 ** (step / args.lr_half_life)
+        lr = args.lr * (0.5 ** (max(0, step - args.lr_hold)
+                                / args.lr_half_life)
                         if args.lr_half_life else 1.0)
+        frac = (1.0 if not args.curriculum
+                else 0.25 + 0.75 * min(1.0, step / args.curriculum))
         wref = ray.put(net.get_weights())
-        outs = ray.get([w.grads.remote(wref, step, args.batch)
+        outs = ray.get([w.grads.remote(wref, step, args.batch, frac)
                         for w in workers])
         total_n = sum(n for _, _, n in outs)
         avg = {}

@@ -79,16 +79,19 @@ def langid_table(ds: rd.Dataset) -> rd.Dataset:
     langs = sorted(LANG_STOPWORDS)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.split()
+        # one explode + one isin per language (C-level), no per-row loop
+        flat = batch["text"].fillna("").str.split().explode().dropna()
+        pos = flat.index.to_numpy()
+        n = len(batch)
         out = {"doc_id": batch["doc_id"].values}
         scores = []
         for lg in langs:
-            sw = set(LANG_STOPWORDS[lg])
-            s = toks.map(lambda ts: sum(1 for t in ts if t in sw)).astype("int64")
+            hit = flat.isin(LANG_STOPWORDS[lg]).to_numpy()
+            s = np.bincount(pos[hit], minlength=n).astype("int64")
             out[f"hits_{lg}"] = s
-            scores.append(s.to_numpy())
+            scores.append(s)
         S = np.stack(scores, axis=1)
-        out["pred_lang"] = [langs[i] for i in S.argmax(axis=1)]
+        out["pred_lang"] = np.array(langs, dtype=object)[S.argmax(axis=1)]
         return pd.DataFrame(out)
 
     return ds.map_batches(f, batch_format="pandas", batch_size=65536)
@@ -171,24 +174,37 @@ def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
     frequent bigram, as INTEGER counts (fractions are downstream
     division; integers keep the oracle compare exact). Stateless
     per-batch map, no shuffle."""
-    from collections import Counter
-
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        tw, nw, tb, nb = [], [], [], []
-        for t in batch["text"]:
-            w = (t or "").split()
-            cw = Counter(w)
-            tw.append(max(cw.values()) if cw else 0)
-            nw.append(len(w))
-            cb = Counter(zip(w, w[1:]))
-            tb.append(max(cb.values()) if cb else 0)
-            nb.append(max(len(w) - 1, 0))
+        # explode once; per-doc top word/bigram mass via C-level
+        # (doc, gram) groupby -> per-doc max (no Counter-per-row loop)
+        n = len(batch)
+        flat = batch["text"].fillna("").str.split().explode().dropna()
+        pos = flat.index.to_numpy(np.int64)
+        words = flat.to_numpy(object)
+        n_words = np.bincount(pos, minlength=n).astype(np.int64)
+
+        def top_mass(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
+            if len(keys) == 0:
+                return np.zeros(n, dtype=np.int64)
+            g = (pd.DataFrame({"d": docs, "k": keys})
+                 .groupby(["d", "k"], sort=False).size()
+                 .groupby(level=0).max())
+            out = np.zeros(n, dtype=np.int64)
+            out[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+            return out
+
+        tw = top_mass(words, pos)
+        same_doc = pos[1:] == pos[:-1] if len(pos) else np.array([], bool)
+        big = np.char.add(np.char.add(words[:-1].astype(str), "\x1f"),
+                          words[1:].astype(str))[same_doc] \
+            if len(words) > 1 else np.array([], object)
+        tb = top_mass(big, pos[1:][same_doc] if len(pos) else pos)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
-            "top_word_n": pd.Series(tw, dtype="int64"),
-            "n_words": pd.Series(nw, dtype="int64"),
-            "top_bigram_n": pd.Series(tb, dtype="int64"),
-            "n_bigrams": pd.Series(nb, dtype="int64"),
+            "top_word_n": tw,
+            "n_words": n_words,
+            "top_bigram_n": tb,
+            "n_bigrams": np.maximum(n_words - 1, 0),
         })
 
     return ds.map_batches(f, batch_format="pandas", batch_size=8192)

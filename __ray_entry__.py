@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q.q_cms_counts,
         "unigram_logprob": q.q_unigram_logprob,
         "video_dups": q.q_video_dups,
+        "ttf_linegen": q.q_ttf_linegen,
         "audio_dups": q.q_audio_dups,
     }
 

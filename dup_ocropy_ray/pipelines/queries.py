@@ -2595,6 +2595,40 @@ GROUP BY doc_id
 """
 
 
+def q_ttf_linegen(sf_dir: str) -> pd.DataFrame:
+    """Distributed TTF training-line synthesis (reference
+    ocropus-linegen rebuilt on the from-scratch rasterizer +
+    degradations, sources/linegen.py): render a degraded DejaVu line per
+    document text, deterministic per (text, doc_id). Rows-only oracle —
+    rendering is not SQL — but the per-line stats (shape, ink mass) are
+    bit-stable across runs/workers by construction."""
+    from ..sources import linegen
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"].astype("int64") < 200]
+        rows = []
+        for did, txt in zip(keep["doc_id"].astype("int64"),
+                            keep["text"].fillna("")):
+            t = txt[:24].strip()
+            if not t:
+                continue
+            img = linegen.genline(t, int(did), degradations="med")
+            if min(img.shape) < 10 or not (img < 0.5).any():
+                continue
+            rows.append((int(did), t, img.shape[0], img.shape[1],
+                         int((img < 0.5).sum())))
+        return pd.DataFrame(rows, columns=["doc_id", "text_rendered",
+                                           "h", "w", "ink_px"])
+
+    out = ds.map_batches(render, batch_format="pandas",
+                         batch_size=1024).to_pandas()
+    out = out.astype({"doc_id": "int64", "h": "int64", "w": "int64",
+                      "ink_px": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_video_dups(sf_dir: str) -> pd.DataFrame:
     """Video near-dup detection: decode each doc's AVI (clip content
     keyed by doc_id % 250, so every residue class is one duplicate

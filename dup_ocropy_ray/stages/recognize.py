@@ -31,13 +31,24 @@ DEFAULT_MODEL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__f
 LOW_CONFIDENCE = 0.6
 
 
+def _load_model(model_path: str | None):
+    """npz (native) or legacy reference .pyrnn(.gz) (ocropus-rpred:119-131
+    load path via nn/pyrnn.py importer)."""
+    mp = str(model_path or DEFAULT_MODEL)
+    if mp.endswith((".pyrnn", ".pyrnn.gz")):
+        from ..nn.pyrnn import load_pyrnn
+
+        return load_pyrnn(mp)
+    return BiLSTMRecognizer.load_npz(mp)
+
+
 class LineRecognizer:
     """Actor-pool UDF: line_png -> (text, confidence, rec_status)."""
 
     def __init__(self, model_path: str | None = None, pad: int = 16,
                  nocheck: bool = False, bucket_width: int = 32,
                  keep_png: bool = False, keep_llocs: bool = False):
-        self.net = BiLSTMRecognizer.load_npz(model_path or DEFAULT_MODEL)
+        self.net = _load_model(model_path)
         self.pad = pad
         self.nocheck = nocheck
         self.bucket_width = bucket_width
@@ -161,7 +172,7 @@ class AlignedLocs:
     carry ``line_png`` + ``gt_text``; emits an ``alocs`` list column."""
 
     def __init__(self, model_path: str | None = None, pad: int = 16):
-        self.net = BiLSTMRecognizer.load_npz(model_path or DEFAULT_MODEL)
+        self.net = _load_model(model_path)
         self.pad = pad
 
     def __call__(self, batch: pa.Table) -> pa.Table:

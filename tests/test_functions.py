@@ -293,3 +293,78 @@ def test_batch_minhash_empty_doc_sentinel():
     assert (sigs[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
     assert (sigs[0] == hashing.minhash_signature(vals[offs[0]:offs[1]], a, b)).all()
     assert (sigs[2] == hashing.minhash_signature(vals[offs[2]:offs[3]], a, b)).all()
+
+
+def test_pyrnn_legacy_model_importer():
+    """.pyrnn.gz import (reference ocrolib/common.py:430-450 format):
+    synthesize the reference's SeqRecognizer object graph under the
+    ocrolib.lstm module names, pickle+gzip it, and verify the restricted
+    importer reconstructs a recognizer whose outputs are bit-identical
+    to a native net carrying the same weights. Hostile globals must not
+    execute."""
+    import gzip
+    import pickle
+    import sys
+    import types
+
+    import numpy as np
+
+    from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer
+    from dup_ocropy_ray.nn.pyrnn import load_pyrnn
+
+    # --- mimic module with the reference's class names
+    mod = types.ModuleType("ocrolib.lstm")
+
+    def mk(name):
+        cls = type(name, (), {"__module__": "ocrolib.lstm"})
+        setattr(mod, name, cls)
+        return cls
+
+    LSTM, Rev, Par, Stk, Sm, Codec, SeqR = (
+        mk("LSTM"), mk("Reversed"), mk("Parallel"), mk("Stacked"),
+        mk("Softmax"), mk("Codec"), mk("SeqRecognizer"))
+    pkg = types.ModuleType("ocrolib")
+    pkg.lstm = mod
+    sys.modules["ocrolib"] = pkg
+    sys.modules["ocrolib.lstm"] = mod
+    try:
+        src = BiLSTMRecognizer(ni=8, ns=6, charset=["", "~", "a", "b"],
+                               seed=42)
+
+        def lstm_obj(layer):
+            o = LSTM()
+            o.WGI, o.WGF, o.WCI, o.WGO = (layer.Wi, layer.Wf, layer.Wc,
+                                          layer.Wo)
+            o.WIP, o.WFP, o.WOP = layer.pi, layer.pf, layer.po
+            return o
+
+        rev = Rev(); rev.net = lstm_obj(src.bwd)
+        par = Par(); par.nets = (lstm_obj(src.fwd), rev)
+        sm = Sm(); sm.W2 = src.out.W
+        stk = Stk(); stk.nets = [par, sm]
+        codec = Codec()
+        codec.code2char = {0: "", 1: "~", 2: "a", 3: "b"}
+        rec = SeqR(); rec.lstm = stk; rec.codec = codec; rec.Ni = 8
+        blob = gzip.compress(pickle.dumps(rec, protocol=2))
+    finally:
+        del sys.modules["ocrolib.lstm"]
+        del sys.modules["ocrolib"]
+
+    net = load_pyrnn(blob)
+    assert net.ni == 8 and net.ns == 6
+    assert net.codec.size() == 4
+    rng = np.random.default_rng(0)
+    xs = rng.random((37, 8))
+    np.testing.assert_array_equal(src.forward(xs), net.forward(xs))
+    assert net.predict_string(xs) == src.predict_string(xs)
+
+    # hostile global (os.system REDUCE): resolves to an inert shim class
+    # whose instantiation never runs the named callable
+    payload = b"cos\nsystem\n(S'echo pwned'\ntR."
+    import subprocess  # noqa: F401  (nothing to spawn; marker import)
+    try:
+        load_pyrnn(gzip.compress(payload))
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # not a SeqRecognizer graph -> rejected, not executed

@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q.q_unigram_logprob,
         "video_dups": q.q_video_dups,
         "ttf_linegen": q.q_ttf_linegen,
+        "uw3_cer": q.q_uw3_cer,
         "audio_dups": q.q_audio_dups,
     }
 

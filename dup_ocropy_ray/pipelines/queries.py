@@ -2595,6 +2595,50 @@ GROUP BY doc_id
 """
 
 
+def q_uw3_cer(sf_dir: str) -> pd.DataFrame:
+    """Recognizer conformance on the reference's REAL uw3-500 scan
+    corpus (reference run-rtrain:5-6): run the HELD-OUT split (never
+    trained on; deterministic hash split) through the production
+    LineRecognizer actor pool with the uw3-trained model and report
+    per-line edit distance. Rows-only oracle — the CER gate itself is
+    pinned in tests/test_uw3.py. ``sf_dir`` is unused: the input is the
+    reference's own fixture tarball."""
+    import ray.data as rd
+
+    from ..functions import png as _png
+    from ..functions.edist import levenshtein
+    from ..functions.text import normalize_text
+    from ..sources.uw3 import load_uw3_cached, split_uw3
+    from ..stages.recognize import LineRecognizer
+
+    model = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "uw3_model.npz")
+    _, test = split_uw3(load_uw3_cached())
+    tbl = pa.table({
+        "line_id": pa.array([r["line_id"] for r in test], pa.string()),
+        "gt_text": pa.array([normalize_text(r["text"]) for r in test],
+                            pa.string()),
+        "line_png": pa.array([_png.encode_gray(r["image"]) for r in test],
+                             pa.binary()),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    rec = ds.map_batches(
+        LineRecognizer, fn_constructor_kwargs={"model_path": model},
+        batch_size=32, concurrency=(1, 4), batch_format="pyarrow")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dist = [levenshtein(p, g) for p, g in zip(b["text"], b["gt_text"])]
+        return pd.DataFrame({
+            "line_id": b["line_id"],
+            "gt_len": b["gt_text"].str.len().astype("int64"),
+            "dist": pd.Series(dist, dtype="int64"),
+            "rec_status": b["rec_status"],
+        })
+
+    out = rec.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("line_id").reset_index(drop=True)
+
+
 def q_ttf_linegen(sf_dir: str) -> pd.DataFrame:
     """Distributed TTF training-line synthesis (reference
     ocropus-linegen rebuilt on the from-scratch rasterizer +

@@ -9,6 +9,8 @@ by name). Float aggregates are rounded identically on both sides.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

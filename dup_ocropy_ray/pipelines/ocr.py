@@ -54,21 +54,25 @@ def read_docs(path: str) -> rd.Dataset:
 
 
 def explode_media_spans(batch: pa.Table) -> pa.Table:
-    """docs -> page rows (doc_id, media_ref, span_offset)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    spans = batch.column("spans").to_pylist()
-    d, r, o = [], [], []
-    for doc, ss in zip(doc_ids, spans):
-        for s in ss:
-            if s["kind"] == "media":
-                d.append(doc)
-                r.append(s["media_ref"])
-                o.append(s["offset"])
+    """docs -> page rows (doc_id, media_ref, span_offset). Pure Arrow
+    kernels: list_flatten + list_parent_indices + a kind filter — no
+    Python per span."""
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    doc_ids = pc.take(batch.column("doc_id"), parents)
+    keep = pc.equal(pc.struct_field(flat, "kind"), "media")
     return pa.table(
         {
-            "doc_id": pa.array(d, pa.string()),
-            "media_ref": pa.array(r, pa.string()),
-            "span_offset": pa.array(o, pa.int32()),
+            "doc_id": doc_ids.filter(keep).cast(pa.string()),
+            "media_ref": pc.struct_field(flat, "media_ref").filter(keep)
+                           .cast(pa.string()),
+            "span_offset": pc.struct_field(flat, "offset").filter(keep)
+                             .cast(pa.int32()),
         }
     )
 

@@ -54,57 +54,62 @@ UNION_SCHEMA = pa.schema([pa.field(n, t) for n, t in UNION_FIELDS])
 
 
 def spans_to_union_rows(batch: pa.Table) -> pa.Table:
-    """Explode original docs (doc_id, spans) into union rows."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    spans = batch.column("spans").to_pylist()
-    rows = []
-    for d, ss in zip(doc_ids, spans):
-        for s in ss:
-            rows.append(
-                {
-                    "doc_id": d,
-                    "rowtype": "span",
-                    "kind": s["kind"],
-                    "text": s["text"],
-                    "media_ref": s["media_ref"],
-                    "span_offset": s["offset"],
-                    "line_order": -1,
-                    "status": "ok",
-                    "confidence": 1.0,
-                }
-            )
-    return pa.Table.from_pylist(rows, schema=UNION_SCHEMA)
+    """Explode original docs (doc_id, spans) into union rows — pure
+    Arrow list_flatten/list_parent_indices, no Python per span."""
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    n = len(flat)
+    return pa.Table.from_arrays(
+        [
+            pc.take(batch.column("doc_id"), parents).cast(pa.string()),
+            pa.nulls(n, pa.string()).fill_null("span"),
+            pc.struct_field(flat, "kind").cast(pa.string()),
+            pc.struct_field(flat, "text").cast(pa.string()),
+            pc.struct_field(flat, "media_ref").cast(pa.string()),
+            pc.struct_field(flat, "offset").cast(pa.int32()),
+            pa.nulls(n, pa.int32()).fill_null(-1),
+            pa.nulls(n, pa.string()).fill_null("ok"),
+            pa.nulls(n, pa.float64()).fill_null(1.0),
+        ],
+        schema=UNION_SCHEMA,
+    )
 
 
 def lines_to_union_rows(batch: pa.Table) -> pa.Table:
     """Recognized line rows -> union rows. Marker rows (line_order = -1,
     emitted by explode_lines(page_markers=True)) become 'page' accounting
     rows carrying the page's seg status; real lines become 'line' rows."""
-    names = ("doc_id", "media_ref", "span_offset", "line_order", "text",
-             "confidence", "rec_status")
-    cols = {n: batch.column(n).to_pylist() for n in names}
-    pstat = (
-        batch.column("page_status").to_pylist()
-        if "page_status" in batch.column_names
-        else ["ok"] * batch.num_rows
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    lo = batch.column("line_order")
+    marker = pc.and_kleene(pc.is_valid(lo), pc.less(lo, 0))
+    marker = marker.combine_chunks() if isinstance(marker, pa.ChunkedArray) \
+        else marker
+    pstat = (batch.column("page_status")
+             if "page_status" in batch.column_names
+             else pa.nulls(n, pa.string()).fill_null("ok"))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id").cast(pa.string()),
+            pc.if_else(marker, "page", "line").cast(pa.string()),
+            pc.if_else(marker, "media", "text").cast(pa.string()),
+            pc.if_else(marker, pa.nulls(n, pa.string()),
+                       batch.column("text").cast(pa.string())),
+            batch.column("media_ref").cast(pa.string()),
+            batch.column("span_offset").cast(pa.int32()),
+            lo.cast(pa.int32()),
+            pc.if_else(marker, pstat.cast(pa.string()),
+                       batch.column("rec_status").cast(pa.string())),
+            batch.column("confidence").cast(pa.float64()),
+        ],
+        schema=UNION_SCHEMA,
     )
-    rows = []
-    for i in range(batch.num_rows):
-        is_marker = cols["line_order"][i] is not None and cols["line_order"][i] < 0
-        rows.append(
-            {
-                "doc_id": cols["doc_id"][i],
-                "rowtype": "page" if is_marker else "line",
-                "kind": "media" if is_marker else "text",
-                "text": None if is_marker else cols["text"][i],
-                "media_ref": cols["media_ref"][i],
-                "span_offset": cols["span_offset"][i],
-                "line_order": cols["line_order"][i],
-                "status": pstat[i] if is_marker else cols["rec_status"][i],
-                "confidence": cols["confidence"][i],
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=UNION_SCHEMA)
 
 
 def page_status_union_rows(batch: pa.Table) -> pa.Table:

@@ -292,8 +292,17 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
         vc = words.value_counts()  # sorted desc
         return pd.DataFrame({"word": vc.index[: counters].to_numpy(object)})
 
-    cand_ds = ds.map_batches(local_topm, batch_format="pandas",
-                             batch_size=65536)
+    def dedup_level(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner-tree level: dedup candidates across many blocks so the
+        # driver union sees <= distinct x (blocks / fan-in) rows, not the
+        # raw counters x blocks stream (matters at 10^6 blocks)
+        return pd.DataFrame({"word": b["word"].drop_duplicates()
+                             .to_numpy(object)})
+
+    cand_ds = (ds.map_batches(local_topm, batch_format="pandas",
+                              batch_size=65536)
+               .map_batches(dedup_level, batch_format="pandas",
+                            batch_size=1 << 20))
     cand = np.unique(np.concatenate(
         [b["word"].to_numpy(object) for b in
          cand_ds.iter_batches(batch_format="pandas", batch_size=65536)]
@@ -310,9 +319,14 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
         nz = np.flatnonzero(cnt)
         return pd.DataFrame({"word": c[nz], "n": cnt[nz].astype("int64")})
 
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("word", as_index=False)["n"].sum()
+
     parts = (ds.map_batches(recount, batch_format="pandas",
-                            batch_size=65536).to_pandas())
-    # candidate-scale driver merge (<= counters x n_blocks rows) — no
+                            batch_size=65536)
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=1 << 20).to_pandas())
+    # candidate-scale driver merge (combiner-tree-reduced) — no
     # keyed-aggregate shuffle for a table this small
     totals = parts.groupby("word", as_index=False)["n"].sum()
     totals["n"] = totals.n.astype("int64")

@@ -143,6 +143,29 @@ def main():
         "pages_per_sec": round(pages / ocr_sec, 2),
         "lines_per_sec": round(lines / ocr_sec, 2),
     }
+
+    # uw3-500 leg (the north star names a uw3-500-derived corpus):
+    # recognized lines/sec over the reference's REAL scan lines through
+    # the production actor pool with the uw3-trained model. Skipped when
+    # the model/tarball are absent, and in scaling mode.
+    uw3_model = os.path.join(REPO, "dup_ocropy_ray", "models",
+                             "uw3_model.npz")
+    if subset and os.path.exists(uw3_model) and os.path.exists(
+            "/root/reference/tests/uw3-500.tgz"):
+        from dup_ocropy_ray.pipelines.queries import q_uw3_cer
+        from dup_ocropy_ray.sources.uw3 import load_uw3_cached
+
+        load_uw3_cached()  # decode cache warm-up (untimed)
+        t0 = time.time()
+        cer_df = q_uw3_cer(SF_DIR)
+        uw3_sec = time.time() - t0
+        ok = cer_df[cer_df.rec_status == "ok"]
+        result["uw3_lines"] = int(len(cer_df))
+        result["uw3_sec"] = round(uw3_sec, 3)
+        result["uw3_lines_per_sec"] = round(len(cer_df) / uw3_sec, 2)
+        result["uw3_heldout_cer"] = round(
+            float(ok.dist.sum() / max(1, ok.gt_len.sum())), 4)
+
     ray.shutdown()
     print(json.dumps(result))
 

@@ -64,6 +64,10 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF bit depth {bits}")
     if comp not in (1, 8):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = t.get(317, [1])[0]
+    if predictor != 1:
+        # horizontal differencing would decode to silent garbage
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
 
     stride = (w * bits + 7) // 8
     out = np.empty((h, w), dtype=np.uint8)

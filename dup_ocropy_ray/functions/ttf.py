@@ -258,8 +258,11 @@ def _fill_contours(contours: list[np.ndarray], w: int, h: int) -> np.ndarray:
         # spans between crossing i and i+1 where winding nonzero
         lo = np.ceil(xi[:-1][inside[:-1]] - 0.5).astype(int)
         hi2 = np.ceil(xi[1:][inside[:-1]] - 0.5).astype(int)
-        for a, b in zip(lo, hi2):
-            img[row, max(a, 0):min(b, w)] = 1
+        # clamp BOTH ends: a span entirely left of x=0 must fill nothing
+        # (min(b,w) alone turns negative b into a wrap-around slice)
+        for a, b in zip(np.maximum(lo, 0), np.minimum(hi2, w)):
+            if b > a:
+                img[row, a:b] = 1
     return img
 
 

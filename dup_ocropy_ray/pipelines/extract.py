@@ -234,7 +234,8 @@ def run_extract_with_checkpoint(
     from .ocr import fragment_plan
 
     os.makedirs(out_root, exist_ok=True)
-    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments)
+    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments,
+                                               out_root=out_root)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
         docs = frag_reader(frag)

@@ -335,7 +335,8 @@ def _doc_fragment_filter(num_fragments: int, frag: int):
     return fn
 
 
-def fragment_plan(docs_path: str, num_fragments: int):
+def fragment_plan(docs_path: str, num_fragments: int,
+                  out_root: str | None = None):
     """Checkpoint fragmentation plan shared by the OCR / extraction /
     dedup jobs: returns (nfrag, reader) where reader(frag) yields that
     fragment's docs Dataset.
@@ -344,24 +345,50 @@ def fragment_plan(docs_path: str, num_fragments: int):
     100 TB shape): fragments are FILE GROUPS, so running all fragments
     reads each input file exactly once (1/F of the corpus per fragment),
     instead of N full-corpus scans with a hash filter (the dedup job's
-    two-scan pattern, dedup.run_dedup_with_checkpoint).
+    two-scan pattern, dedup.run_dedup_with_checkpoint). The file list
+    is PINNED in ``<out_root>/_plan.json`` on the first run: a resume
+    re-reads the recorded groups, so files that appear in (or vanish
+    from) the input directory between runs cannot silently reassign
+    docs across already-committed fragments — new files need a new
+    out_root (or a completed job rerun).
 
     Fallback — a single file (or jsonl/lance path): per-fragment
     doc-id-hash filter scans; fine at test scale, and corpus-scale
     inputs are always many files."""
     import glob as _glob
+    import json
 
-    from ..tuning import parquet_schema
+    from ..tuning import configure_data_context, parquet_schema
 
     files = (sorted(_glob.glob(os.path.join(docs_path, "**", "*.parquet"),
                                recursive=True))
              if os.path.isdir(docs_path) and not docs_path.endswith(".lance")
              else [])
     if len(files) > 1:
-        nfrag = min(num_fragments, len(files))
-        groups = [files[i::nfrag] for i in range(nfrag)]
+        plan_path = (os.path.join(out_root, "_plan.json")
+                     if out_root else None)
+        if plan_path and os.path.exists(plan_path):
+            with open(plan_path) as f:
+                plan = json.load(f)
+            groups = plan["groups"]
+            nfrag = len(groups)
+            missing = [p for g in groups for p in g if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"fragment plan references vanished inputs: "
+                    f"{missing[:3]}{'...' if len(missing) > 3 else ''}")
+        else:
+            nfrag = min(num_fragments, len(files))
+            groups = [files[i::nfrag] for i in range(nfrag)]
+            if plan_path:
+                os.makedirs(out_root, exist_ok=True)
+                tmp = plan_path + f".tmp{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump({"groups": groups}, f)
+                os.replace(tmp, plan_path)
 
         def reader(frag: int) -> rd.Dataset:
+            configure_data_context()
             return rd.read_parquet(groups[frag],
                                    schema=parquet_schema(groups[frag][0]))
 
@@ -392,7 +419,8 @@ def run_ocr_with_checkpoint(
     in-flight fragment (state/checkpoint.py)."""
     os.makedirs(out_root, exist_ok=True)
     media_ref = put_media_store(media_path)
-    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments)
+    num_fragments, frag_reader = fragment_plan(docs_path, num_fragments,
+                                               out_root=out_root)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
         docs = frag_reader(frag)

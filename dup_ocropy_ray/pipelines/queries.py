@@ -2533,17 +2533,20 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"word": vc.index.to_numpy(object),
                              "c": vc.to_numpy(np.int64)})
 
+    # materialize: the vocab-scale count table is consumed twice (the
+    # total below and the join) — without this the word-hash shuffle
+    # would re-run per consumer; the blocks stay distributed in the
+    # object store, nothing lands on the driver
     uni = (ds.map_batches(wc_partial, batch_format="pandas",
                           batch_size=65536)
-             .groupby("_part").map_groups(wc_final, batch_format="pandas"))
+             .groupby("_part").map_groups(wc_final, batch_format="pandas")
+             .materialize())
 
-    # corpus token total: scalar partials
-    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["text"].fillna("").str.split().str.len().to_numpy(np.int64)
-        return pd.DataFrame({"s": [int(n.sum())]})
-
-    total = float(ds.map_batches(tot_partial, batch_format="pandas",
-                                 batch_size=65536).to_pandas()["s"].sum())
+    # corpus token total == sum of the unigram counts: a metadata-scale
+    # reduce over uni, NOT another full-corpus tokenize pass
+    total = float(uni.map_batches(
+        lambda b: pd.DataFrame({"s": [int(b["c"].sum())]}),
+        batch_format="pandas").to_pandas()["s"].sum())
 
     # per-(doc, word) multiplicities — doc-vocab scale, not token scale
     def doc_words(b: pd.DataFrame) -> pd.DataFrame:
@@ -2660,7 +2663,12 @@ def q_ttf_linegen(sf_dir: str) -> pd.DataFrame:
             t = txt[:24].strip()
             if not t:
                 continue
-            img = linegen.genline(t, int(did), degradations="med")
+            try:
+                img = linegen.genline(t, int(did), degradations="med")
+            except KeyError:
+                # char outside the font's BMP cmap -> skip the line,
+                # same contract as the blank/sliver guards below
+                continue
             if min(img.shape) < 10 or not (img < 0.5).any():
                 continue
             rows.append((int(did), t, img.shape[0], img.shape[1],

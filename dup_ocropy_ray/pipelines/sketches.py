@@ -110,13 +110,15 @@ def sampled_quantiles(
     """
     # rate >= 1.0 means "sample everything": clamp to the max uint64
     # (int(rate * 2**64) itself overflows the uint64 constructor there).
-    thr = (np.iinfo(np.uint64).max if rate >= 1.0
+    full = rate >= 1.0  # sample everything (h < thr would still drop a
+    # row hashing to exactly 2^64-1)
+    thr = (np.iinfo(np.uint64).max if full
            else np.uint64(int(rate * float(2**64))))
     salt = str(seed) + "\x1f"
 
     def sample(b: pd.DataFrame) -> pd.DataFrame:
         h = hash_strings((salt + b[id_col].astype(str)).to_numpy(dtype=object))
-        keep = h < thr
+        keep = np.ones(len(b), dtype=bool) if full else (h < thr)
         return pd.DataFrame({value_col: b[value_col].to_numpy()[keep]})
 
     samp = ds.map_batches(sample, batch_format="pandas",

@@ -422,8 +422,12 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
         return pd.DataFrame({"word": vc.index.to_numpy(object),
                              "c": vc.to_numpy(np.int64)})
 
+    # materialized: consumed twice (c_a and c_b join legs) — the blocks
+    # stay distributed; this only pins the vocab-scale table so the
+    # word-hash shuffle runs once
     uni = (ds.map_batches(uni_rows, batch_format="pandas", batch_size=65536)
-             .groupby("_part").map_groups(uni_count, batch_format="pandas"))
+             .groupby("_part").map_groups(uni_count, batch_format="pandas")
+             .materialize())
 
     # N_bi (ALL bigram occurrences, pre-floor) = sum over docs of
     # max(0, n_words - 1): scalar partials, no extra shuffle

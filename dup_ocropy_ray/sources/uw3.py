@@ -61,11 +61,15 @@ def load_uw3(tgz_path: str = DEFAULT_TGZ) -> list[dict]:
 
 
 def load_uw3_cached(tgz_path: str = DEFAULT_TGZ,
-                    cache: str = "/tmp/uw3_cache.pkl") -> list[dict]:
+                    cache: str | None = None) -> list[dict]:
     """load_uw3 with a /tmp pickle cache — the pure-python PNG decode of
     500 scans costs ~90 s; tests and the trainer share one decode."""
     import pickle
 
+    if cache is None:
+        # per-uid path: a shared /tmp name would collide across users
+        # (EPERM on sticky-bit replace) and trust another user's pickle
+        cache = f"/tmp/uw3_cache_{os.getuid()}.pkl"
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
             tgz_path):
         try:

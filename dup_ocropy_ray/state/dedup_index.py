@@ -133,6 +133,16 @@ class DedupIndex:
             json.dump({"num_shards": self.num_shards,
                        "sizes": [int(len(a)) for a in snaps]}, f)
         os.replace(tmp, os.path.join(root, f"snap-{n:06d}"))
+        # prune: keep the 2 newest complete snapshots (the set is a full
+        # copy per save — unbounded growth otherwise) and sweep stale
+        # .inprogress-* from crashed saves
+        snaps_all = sorted(d for d in os.listdir(root)
+                           if d.startswith("snap-"))
+        for d in snaps_all[:-2]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        for d in os.listdir(root):
+            if d.startswith(".inprogress-") and d != os.path.basename(tmp):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def load(self, root: str) -> None:
         """Restore from the newest COMPLETE snapshot (highest snap-<n>

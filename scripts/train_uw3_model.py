@@ -75,7 +75,9 @@ class Trainer:
         faster, then the cap opens to the full corpus."""
         rng = np.random.default_rng((self.wid + 1) * 1_000_003 + step)
         hi = max(bsize, int(len(self.data) * min(1.0, frac)))
-        start = int(rng.integers(0, max(1, hi - bsize)))
+        # +1: integers() is exclusive-high — without it the longest
+        # line in the (length-sorted) pool is never sampled
+        start = int(rng.integers(0, max(1, hi - bsize + 1)))
         batch = self.data[start : start + bsize]
         self.net.set_weights(weights)
         err = self.net.grad_minibatch_batched([(x, t) for _, x, t in batch])

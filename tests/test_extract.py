@@ -335,6 +335,22 @@ def test_extract_checkpoint_file_fragments(ray_session, tmp_path):
     assert r3["fragments_run"] == [0]
     assert r3["counters"] == c1
 
+    # drift protection: a file that lands in the input dir AFTER the
+    # plan was pinned must NOT reassign docs across committed fragments
+    # — the resume keeps reading the recorded groups
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["late-1"], pa.string()),
+        "spans": pa.array([[{"kind": "html",
+                             "text": wrap_html(99, "late words " * 6),
+                             "media_ref": None, "offset": 0}]],
+                          _span_list_type()),
+    }), str(docs_dir / "part-late.parquet"))
+    os.remove(os.path.join(ckpt.manifest_dir(out_root), "00001.json"))
+    r4 = run_extract_with_checkpoint(str(docs_dir), out_root,
+                                     num_fragments=2)
+    assert r4["fragments_run"] == [1]
+    assert r4["counters"] == c1  # still 24 docs: late file not absorbed
+
 
 # --------------------------------------------------------- fuzz hardening
 

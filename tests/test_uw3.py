@@ -87,15 +87,20 @@ def test_uw3_cer_query_pipeline(ray_session):
     from dup_ocropy_ray.pipelines.queries import q_uw3_cer
     from dup_ocropy_ray.stages.lineest import normalize_line
 
+    from dup_ocropy_ray.functions.text import normalize_text
+    from dup_ocropy_ray.nn.lstm import translate_back
+
     out = q_uw3_cer("unused")
     held = _heldout()
     ok = out[out.rec_status == "ok"]
     assert set(ok.line_id) == {lid for lid, _, _ in held}
-    # spot-check three lines against the direct net
+    # spot-check three lines against the direct net using the SAME
+    # decode as the stage (translate_back region decode + normalize)
     net = BiLSTMRecognizer.load_npz(MODEL)
     sample = dict((lid, (img, txt)) for lid, img, txt in held[:3])
     for lid, (img, txt) in sample.items():
-        pred = net.predict_string(prepare_line(normalize_line(img)))
+        y = net.forward(prepare_line(normalize_line(img)))
+        pred = normalize_text(net.codec.decode(translate_back(y)))
         want = levenshtein(pred, txt)
         got = int(out.loc[out.line_id == lid, "dist"].iloc[0])
         assert got == want, (lid, got, want)

@@ -109,6 +109,8 @@ def main():
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--init", default=None)
+    ap.add_argument("--ttf-augment", type=int, default=0,
+                    help="add N TTF-degraded renders of train texts")
     ap.add_argument("--time-budget", type=float, default=0,
                     help="stop after this many seconds (0 = no limit)")
     ap.add_argument("--out", default=os.path.join(
@@ -125,6 +127,29 @@ def main():
     train, test = split_uw3(lines)
     tr = prep_records(train)
     te = prep_records(test)
+    if args.ttf_augment > 0:
+        # regularization pool: TTF-degraded renders of the TRAIN texts
+        # (sources/linegen.py) — same transcripts, different font/noise
+        # distribution; eval stays pure uw3 held-out
+        from dup_ocropy_ray.sources import linegen
+
+        texts = [t for _, _, t in tr]
+        k = 0
+        aug = []
+        while len(aug) < args.ttf_augment:
+            t = texts[k % len(texts)]
+            try:
+                img = linegen.genline(t, 10_000 + k, degradations="med")
+                if min(img.shape) >= 10 and (img < 0.5).any():
+                    aug.append((f"ttf-{k}", prepare_line(normalize_line(img)),
+                                t))
+            except KeyError:
+                pass
+            k += 1
+            if k > 4 * args.ttf_augment:
+                break
+        tr = tr + aug
+        print(f"ttf augmentation: +{len(aug)} lines", flush=True)
     print(f"train {len(tr)} test {len(te)} charset {len(charset)}", flush=True)
 
     if args.init:

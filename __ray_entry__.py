@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from dup_ocropy_ray.pipelines import queries as q
 
     return {
+        # oracle-backed queries first: the driver's correctness
+        # sweep records a fixed-size prefix of this dict
         "pricing_summary": q.q_pricing_summary,
         "revenue_filter": q.q_revenue_filter,
         "top_orders": q.q_top_orders,
@@ -274,23 +276,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": q.q_dedup_ngram,
         "dedup_clusters": q.q_dedup_clusters,
         "dedup_keep": q.q_dedup_keep,
-        "dedup_minhash": q.q_dedup_minhash,
-        "dedup_simhash": q.q_dedup_simhash,
         "dedup_embedding": q.q_dedup_embedding,
         "knn": q.q_knn,
         "knn_multi": q.q_knn_multi,
-        "knn_ivf": q.q_knn_ivf,
         "knn_ivf_exact": q.q_knn_ivf_exact,
-        "kmeans": q.q_kmeans,
         "token_stats": q.q_token_stats,
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
         "top_docs_by_source": q.q_top_docs_by_source,
         "top_terms_by_source": q.q_top_terms_by_source,
         "langid": q.q_langid,
-        "fingerprints": q.q_fingerprints,
         "cer_pairs": q.q_cer_pairs,
-        "confusions": q.q_confusions,
         "late_events": q.q_late_events,
         "running_totals": q.q_running_totals,
         "sessions": q.q_sessions,
@@ -301,25 +297,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_priority": q.q_join_revenue_priority,
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
-        "ocr_spans": _ocr_spans,
-        "hocr": _hocr,
-        "gtedit": _gtedit,
-        "debug_html": _debug_html,
-        "dewarp": _dewarp,
-        "llocs": _llocs,
-        "alocs": _alocs,
-        "media_features": _media_features,
-        "media_dups": _media_dups,
         "html_extract": q.q_html_extract,
-        "web_spans": q.q_web_spans,
         "web_span_counts": q.q_web_span_counts,
         "pdf_extract": q.q_pdf_extract,
-        "web_interleaved": q.q_web_interleaved,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "sample_by_source": q.q_sample_by_source,
-        "distinct_users_hll": q.q_distinct_users_hll,
         "repetition_stats": q.q_repetition_stats,
         "curate_corpus": q.q_curate_corpus,
         "html_tables": q.q_html_tables,
@@ -334,20 +318,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_outliers": q.q_centroid_outliers,
         "incremental_dedup": q.q_incremental_dedup,
         "dedup_events_window": q.q_dedup_events_window,
-        "semantic_dedup": q.q_semantic_dedup,
         "stratified_sample": q.q_stratified_sample,
-        "quantiles_sketch": q.q_quantiles_sketch,
-        "text_knn": q.q_text_knn,
         "pmi_bigrams": q.q_pmi_bigrams,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
         "revenue_rollup": q.q_revenue_rollup,
-        "cms_counts": q.q_cms_counts,
         "unigram_logprob": q.q_unigram_logprob,
         "video_dups": q.q_video_dups,
+        "audio_dups": q.q_audio_dups,
+        # rows-only (non-SQL-expressible) queries
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "knn_ivf": q.q_knn_ivf,
+        "kmeans": q.q_kmeans,
+        "fingerprints": q.q_fingerprints,
+        "confusions": q.q_confusions,
+        "ocr_spans": _ocr_spans,
+        "hocr": _hocr,
+        "gtedit": _gtedit,
+        "debug_html": _debug_html,
+        "dewarp": _dewarp,
+        "llocs": _llocs,
+        "alocs": _alocs,
+        "media_features": _media_features,
+        "media_dups": _media_dups,
+        "web_spans": q.q_web_spans,
+        "web_interleaved": q.q_web_interleaved,
+        "distinct_users_hll": q.q_distinct_users_hll,
+        "semantic_dedup": q.q_semantic_dedup,
+        "quantiles_sketch": q.q_quantiles_sketch,
+        "text_knn": q.q_text_knn,
+        "cms_counts": q.q_cms_counts,
         "ttf_linegen": q.q_ttf_linegen,
         "uw3_cer": q.q_uw3_cer,
-        "audio_dups": q.q_audio_dups,
     }
 
 

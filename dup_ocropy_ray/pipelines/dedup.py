@@ -455,6 +455,11 @@ def connected_components(
     come back as 29 clusters when the plain loop hit the cap silently;
     now it collapses to 1). Near-dup graphs are clique-ish and finish
     in 2-3 plain rounds, never paying the jump pass's extra shuffle."""
+    # materialize FIRST: the schema() call below and the sym_raw
+    # materialize would otherwise each execute the caller's (possibly
+    # expensive) lazy pair pipeline — measured 2x the whole
+    # semantic_dedup pair+cc cost. Edges are pair-scale by contract.
+    edges = edges.materialize()
     id_type = _arrow_id_type(edges, a_col)
     _SYM_SCHEMA = pa.schema([("v", id_type), ("u", id_type),
                              ("lbl", id_type), ("chg", pa.int8()),

@@ -2559,7 +2559,13 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
         return g
 
     dw = ds.map_batches(doc_words, batch_format="pandas", batch_size=8192)
-    joined = bucket_join(dw, uni, left_on="word", right_on="word")
+    joined = bucket_join(
+        dw, uni, left_on="word", right_on="word",
+        # explicit schemas: .schema() on the lazy uni shuffle / dw map
+        # would execute them ahead of the join's own consumption
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("word", pa.string()), ("m", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()), ("c", pa.int64())]))
 
     def contrib(b: pd.DataFrame) -> pd.DataFrame:
         m = b["m"].to_numpy(np.float64)

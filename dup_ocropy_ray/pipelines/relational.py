@@ -173,6 +173,8 @@ def bucket_join(
     right_on: str,
     num_partitions: int | None = None,
     suffix: str = "_r",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> rd.Dataset:
     """Large x large inner join on the repo's fixed-bucket shuffle
     pattern: both sides are tagged into ONE union keyed by
@@ -186,7 +188,13 @@ def bucket_join(
 
     Right columns colliding with left names (other than the keys) get
     ``suffix``. Sides are split INSIDE each partition as Arrow (null
-    int columns never pass through pandas, so dtypes survive)."""
+    int columns never pass through pandas, so dtypes survive).
+
+    Pass ``left_schema``/``right_schema`` when a side ends in a lazy
+    shuffle (groupby.map_groups / another bucket_join): ``.schema()``
+    on such a plan EXECUTES it, and the union then executes it again —
+    the same double-execution connected_components had to guard
+    against. With explicit schemas no plan runs early."""
     import pyarrow.compute as pc
 
     from ..tuning import suggested_partitions
@@ -210,7 +218,8 @@ def bucket_join(
                 f"bucket_join: unsupported column dtype {t!r}; pass Arrow "
                 f"blocks (batch_format='pyarrow') for list/struct columns")
 
-    ls, rs = left.schema(), right.schema()
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
     lcols = list(ls.names)
     rcols = list(rs.names)
     ren = {c: (c + suffix if c in lcols else c) for c in rcols}

@@ -438,12 +438,23 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
     n_bi = int(ds.map_batches(nbi_partial, batch_format="pandas",
                               batch_size=65536).to_pandas()["s"].sum())
 
+    import pyarrow as pa
+
+    _BI = pa.schema([("gram", pa.string()), ("a", pa.string()),
+                     ("b", pa.string()), ("c_ab", pa.int64())])
+    _UNI = lambda c: pa.schema([("word", pa.string()), (c, pa.int64())])
+    # explicit schemas: .schema() on a lazy shuffle would execute it,
+    # then the join union would execute it again (see bucket_join doc)
     j1 = bucket_join(bi, uni.map_batches(
         lambda t: t.rename(columns={"c": "c_a"}), batch_format="pandas"),
-        left_on="a", right_on="word")
+        left_on="a", right_on="word",
+        left_schema=_BI, right_schema=_UNI("c_a"))
+    _J1 = pa.schema(list(_BI) + [("word", pa.string()),
+                                 ("c_a", pa.int64())])
     j2 = bucket_join(j1, uni.map_batches(
         lambda t: t.rename(columns={"c": "c_b"}), batch_format="pandas"),
-        left_on="b", right_on="word", suffix="_b")
+        left_on="b", right_on="word", suffix="_b",
+        left_schema=_J1, right_schema=_UNI("c_b"))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         pmi = np.log(n_bi * b["c_ab"].to_numpy(np.float64)

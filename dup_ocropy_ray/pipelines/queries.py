@@ -2400,7 +2400,12 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     # source map? No: source rides from the start instead — merge here
     src = relational.bucket_join(
         deduped, docs.drop_columns(["text"]), "doc_id", "doc_id",
-        suffix="_d")
+        suffix="_d",
+        # deduped ends in a shuffle: explicit schema stops .schema()
+        # from executing the strip+dedup chain ahead of the join
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("clean_text", pa.string()),
+                               ("n_words", pa.int64())]))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("source", as_index=False).agg(

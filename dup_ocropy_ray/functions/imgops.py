@@ -100,6 +100,35 @@ def rotate(
     return out
 
 
+def rotate_rowmeans(
+    a: np.ndarray, angles, cval: float = 0.0
+) -> list[np.ndarray]:
+    """Row means of ``rotate(a, angle, cval, order=0)`` for each angle,
+    sharing one coordinate grid across the sweep and never materializing
+    the rotated pages (the skew sweep only scores row-mean variance —
+    ocropus-nlbin:71-81). Bit-equal to rotating then ``.mean(axis=1)``:
+    ``np.where(inside, vals, cval)`` builds the identical array the
+    rotate path fills."""
+    a = _f(a)
+    h, w = a.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(h) - cy, np.arange(w) - cx, indexing="ij")
+    out = []
+    for angle_deg in angles:
+        if abs(angle_deg) < 1e-12:
+            out.append(a.mean(axis=1))
+            continue
+        th = np.deg2rad(angle_deg)
+        c, s = np.cos(th), np.sin(th)
+        sy = c * yy - s * xx + cy
+        sx = s * yy + c * xx + cx
+        inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
+        yi = np.clip(np.rint(sy).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.rint(sx).astype(np.int64), 0, w - 1)
+        out.append(np.where(inside, a[yi, xi], cval).mean(axis=1))
+    return out
+
+
 # ------------------------------------------------------------------- filters
 
 

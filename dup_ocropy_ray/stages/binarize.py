@@ -22,6 +22,7 @@ from ..functions.imgops import (
     maximum_filter,
     percentile_filter,
     rotate,
+    rotate_rowmeans,
     zoom,
     zoom_to,
 )
@@ -92,8 +93,7 @@ def estimate_skew_angle(image: np.ndarray, angles: np.ndarray) -> float:
     than the whole sweep)."""
     def sweep(img, angs):
         return [
-            float(np.var(rotate(img, a, cval=1.0, order=0).mean(axis=1)))
-            for a in angs
+            float(np.var(m)) for m in rotate_rowmeans(img, angs, cval=1.0)
         ]
 
     def best(angs, scores):

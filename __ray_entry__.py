@@ -423,7 +423,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
-        # minhash, simhash, knn_ivf, kmeans, semantic_dedup, fingerprints, confusions, ocr_spans,
+        "fingerprints": q.SQL_FINGERPRINTS,
+        # minhash, simhash, knn_ivf, kmeans, semantic_dedup, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check
     }

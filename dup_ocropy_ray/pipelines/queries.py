@@ -2840,3 +2840,44 @@ def q_audio_dups(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_AUDIO_DUPS = SQL_VIDEO_DUPS
+
+# DuckDB twin of hashing.rolling_fingerprints (window=8, keep_mod=8, base
+# 1000003, mod 2^64): each product code_point * base^(7-j) fits HUGEINT
+# (< 2^85) and the 8-term sum (< 2^88) takes one final mod — identical to
+# the kernel's uint64 wraparound accumulation. The powers below are
+# pow(1000003, 7-j, 2**64). count(DISTINCT) mirrors np.unique; the signed
+# CASE mirrors the engine's int64 reinterpretation of the uint64 min.
+_FP_TERMS = " + ".join(
+    f"unicode(substr(t, i+{_j}, 1))::HUGEINT * {_p}::HUGEINT"
+    for _j, _p in enumerate(
+        [12924618581234127435, 10923514805226455897, 14453212906556403763,
+         14003818205314896721, 1000009000027000027, 1000006000009,
+         1000003, 1]
+    )
+)
+SQL_FINGERPRINTS = rf"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i
+  FROM s WHERE length(t) >= 8
+),
+h AS (
+  SELECT doc_id, (({_FP_TERMS}) % 18446744073709551616::HUGEINT) AS hash
+  FROM pos
+),
+kept AS (
+  SELECT doc_id, count(DISTINCT hash) AS n, min(hash) AS mn
+  FROM h WHERE hash % 8 = 0 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(kept.n, 0)::BIGINT AS n_fingerprints,
+       (CASE WHEN kept.mn IS NULL THEN 0
+             WHEN kept.mn >= 9223372036854775808::HUGEINT
+               THEN kept.mn - 18446744073709551616::HUGEINT
+             ELSE kept.mn END)::BIGINT AS min_fingerprint
+FROM s LEFT JOIN kept USING (doc_id)
+"""

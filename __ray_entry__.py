@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         "kmeans": q.q_kmeans,
         "fingerprints": q.q_fingerprints,
+        "shuffle_shards": q.q_shuffle_shards,
         "confusions": q.q_confusions,
         "ocr_spans": _ocr_spans,
         "hocr": _hocr,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,
+        "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

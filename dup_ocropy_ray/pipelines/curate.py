@@ -34,6 +34,138 @@ _PII_RE = re.compile(f"(?:{_EMAIL_RE}|{_PHONE_RE}|{_IP_RE})")
 _WS_RE = re.compile(r"\s+")
 
 
+# ------------------------------------------- global shuffle -> shards
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+_FNV = np.uint64(1099511628211)
+_M63 = np.uint64((1 << 63) - 1)
+
+
+def _shard_keys(b: pd.DataFrame, n_shards: int, seed: int) -> pd.DataFrame:
+    d = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        skey = (d * _KNUTH + np.uint64(seed)) % _M32
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(np.int64),
+        "n_chars": b["n_chars"].to_numpy(np.int64),
+        "skey": skey.astype(np.int64),
+        "shard": (skey % np.uint64(n_shards)).astype(np.int64),
+    })
+
+
+def shuffled_docs(docs: rd.Dataset, n_shards: int = 16,
+                  seed: int = 1) -> rd.Dataset:
+    """Deterministic global shuffle: key every doc with the Knuth
+    multiplicative hash (the repo's established SQL-reproducible mix),
+    ONE distributed range-sort on (shard, skey, doc_id). The sorted
+    stream IS the shuffled training order; shard = skey % n_shards.
+    The only exchange is the sort — no driver materialization."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return _shard_keys(b, n_shards, seed)
+
+    return (docs.map_batches(keyed, batch_format="pandas", batch_size=65536)
+                .sort(["shard", "skey", "doc_id"]))
+
+
+def write_shards(docs: rd.Dataset, out_dir: str, n_shards: int = 16,
+                 seed: int = 1) -> None:
+    """Shuffle + write one hive partition per shard (resumable output:
+    a re-run can skip finished shard directories)."""
+    shuffled_docs(docs, n_shards, seed).write_parquet(
+        out_dir, partition_cols=["shard"])
+
+
+def shard_manifest(docs: rd.Dataset, n_shards: int = 16,
+                   seed: int = 1) -> pd.DataFrame:
+    """Per-shard manifest of the deterministic shuffle: doc count, char
+    sum, and an ORDER-SENSITIVE checksum — bit_xor over
+    ((rank_in_shard) * mix64(doc_id)) mod 2^63, rank taken in the global
+    shuffled order. Verifies the shuffle's exact permutation, not just
+    its membership; block-layout independent (ranks come from a
+    cross-block prefix, so any parallelism yields the same manifest).
+
+    Two passes over the sorted stream (the ordered_scan shape): pass 1
+    emits per-BLOCK per-shard counts (driver sees one row per
+    block*shards-in-block — metadata scale); pass 2 adds the broadcast
+    prefix to in-block ranks and folds per-shard partials."""
+    s = shuffled_docs(docs, n_shards, seed).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"_first_doc": pd.Series([], dtype="int64"),
+                                 "_first_shard": pd.Series([], dtype="int64"),
+                                 "_first_skey": pd.Series([], dtype="int64"),
+                                 "shard": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = b.groupby("shard", sort=True).size()
+        return pd.DataFrame({
+            "_first_doc": np.int64(b["doc_id"].iloc[0]),
+            "_first_shard": np.int64(b["shard"].iloc[0]),
+            "_first_skey": np.int64(b["skey"].iloc[0]),
+            "shard": g.index.to_numpy(np.int64),
+            "cnt": g.to_numpy(np.int64),
+        })
+
+    sums = (s.map_batches(summarize, batch_format="pandas", batch_size=None)
+             .to_pandas())
+    # blocks are disjoint ranges of the global sort, so their FIRST
+    # (shard, skey, doc_id) keys order them; doc_id uniqueness makes the
+    # block tag collision-free
+    sums = sums.sort_values(["shard", "_first_shard", "_first_skey",
+                             "_first_doc"])
+    sums["start"] = (sums.groupby("shard")["cnt"].cumsum()
+                     - sums["cnt"]).astype("int64")
+    pre = {(int(fd), int(sh)): int(st)
+           for fd, sh, st in zip(sums["_first_doc"], sums["shard"],
+                                 sums["start"])}
+    pre_ref = ray.put(pre)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                                 "n_docs": pd.Series([], dtype="int64"),
+                                 "sum_chars": pd.Series([], dtype="int64"),
+                                 "xor": pd.Series([], dtype="int64")})
+        P = ray.get(pre_ref)
+        first = int(b["doc_id"].iloc[0])
+        shard = b["shard"].to_numpy(np.int64)
+        d = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        chars = b["n_chars"].to_numpy(np.int64)
+        # in-block rank within shard: stream is sorted by shard first
+        bounds = np.flatnonzero(np.diff(shard)) + 1
+        seg = np.concatenate([[0], bounds])
+        lens = np.diff(np.concatenate([seg, [len(b)]]))
+        local = np.arange(len(b), dtype=np.int64) - np.repeat(seg, lens)
+        starts = np.repeat(
+            np.array([P[(first, int(shard[i]))] for i in seg],
+                     dtype=np.int64), lens)
+        rank = (local + starts).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            term = ((rank + np.uint64(1)) * ((d * _FNV) | np.uint64(1))) & _M63
+        out_rows = {"shard": [], "n_docs": [], "sum_chars": [], "xor": []}
+        for i, st in enumerate(seg):
+            en = st + lens[i]
+            out_rows["shard"].append(int(shard[st]))
+            out_rows["n_docs"].append(int(lens[i]))
+            out_rows["sum_chars"].append(int(chars[st:en].sum()))
+            out_rows["xor"].append(
+                int(np.bitwise_xor.reduce(term[st:en])))
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out_rows.items()})
+
+    part = (s.map_batches(partials, batch_format="pandas", batch_size=None)
+             .to_pandas())  # blocks x shards-in-block rows: metadata scale
+    agg = part.groupby("shard", sort=True).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+        checksum=("xor", lambda v: int(np.bitwise_xor.reduce(
+            v.to_numpy(np.int64)))))
+    out = agg.reset_index()
+    out["checksum"] = out["checksum"].astype("int64")
+    return out
+
+
 # ------------------------------------------------------- sequence packing
 
 

@@ -1157,6 +1157,46 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     return textstats.fingerprint_table(ds).to_pandas()
 
 
+def q_shuffle_shards(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global shuffle -> training shards: per-shard
+    manifest with an order-sensitive checksum over the shuffled rank
+    sequence (pipelines/curate.py shard_manifest). The checksum pins
+    the exact permutation, so the oracle verifies the distributed sort
+    + cross-block rank prefix, not just shard membership."""
+    from . import curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return curate.shard_manifest(ds, n_shards=16, seed=1)
+
+
+# DuckDB twin of curate.shard_manifest (n_shards=16, seed=1): Knuth
+# multiplicative key mod 2^32, shard = key % 16, rank by (key, doc_id)
+# within shard; checksum = bit_xor of (rank * ((doc_id*FNV mod 2^64)|1))
+# mod 2^63 — mod-2^63 commutes with the engine's uint64 wraparound
+# because 2^64 is a multiple of 2^63.
+SQL_SHUFFLE_SHARDS = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         (doc_id * 2654435761 + 1) % 4294967296 AS skey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, skey, skey % 16 AS shard,
+         row_number() OVER (PARTITION BY skey % 16
+                            ORDER BY skey, doc_id) AS rnk
+  FROM k
+)
+SELECT shard::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       bit_xor(((rnk::HUGEINT *
+                 (((doc_id::HUGEINT * 1099511628211) % 18446744073709551616::HUGEINT)
+                  | 1::HUGEINT))
+                % 9223372036854775808::HUGEINT)::BIGINT) AS checksum
+FROM r GROUP BY shard ORDER BY shard
+"""
+
+
 # --------------------------------------------------------------------- eval
 
 

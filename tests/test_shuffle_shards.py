@@ -1,0 +1,81 @@
+"""Deterministic global shuffle -> training shards (pipelines/curate.py).
+
+The manifest checksum is order-sensitive, so these tests pin the exact
+permutation: identical across input block layouts (the cross-block rank
+prefix), and consistent with what write_shards puts on disk.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dup_ocropy_ray.pipelines.curate import (
+    shard_manifest,
+    shuffled_docs,
+    write_shards,
+)
+
+
+def _docs(n=211):
+    rng = np.random.default_rng(5)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64) * 7 + 3,
+        "n_chars": rng.integers(1, 500, size=n).astype(np.int64),
+    })
+
+
+def test_manifest_is_block_layout_independent(ray_session):
+    df = _docs()
+    manifests = []
+    for parts in (1, 3, 8):
+        ds = rd.from_pandas(df).repartition(parts)
+        m = shard_manifest(ds, n_shards=4, seed=1)
+        manifests.append(m.reset_index(drop=True))
+    assert manifests[0].equals(manifests[1])
+    assert manifests[0].equals(manifests[2])
+    assert int(manifests[0]["n_docs"].sum()) == len(df)
+    assert int(manifests[0]["sum_chars"].sum()) == int(df["n_chars"].sum())
+
+
+def test_checksum_detects_permutation_changes(ray_session):
+    df = _docs()
+    ds = rd.from_pandas(df)
+    base = shard_manifest(ds, n_shards=4, seed=1)
+    reseeded = shard_manifest(ds, n_shards=4, seed=2)
+    # a different seed is a different permutation: membership moves, and
+    # even where counts agree the checksums must not all survive
+    assert not base.equals(reseeded)
+
+
+def test_write_shards_round_trip(ray_session, tmp_path):
+    df = _docs(97)
+    out = str(tmp_path / "shards")
+    write_shards(rd.from_pandas(df), out, n_shards=4, seed=1)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 4
+    got = []
+    for d in dirs:
+        t = pq.read_table(d).to_pandas()
+        shard = int(os.path.basename(d).split("=")[1])
+        # within-shard file order is the shuffled order
+        assert (np.diff(t["skey"].to_numpy()) >= 0).all()
+        got.append((shard, len(t), int(t["n_chars"].sum())))
+    m = shard_manifest(rd.from_pandas(df), n_shards=4, seed=1)
+    expect = [(int(r.shard), int(r.n_docs), int(r.sum_chars))
+              for r in m.itertuples()]
+    assert got == expect
+    # every doc lands exactly once
+    total = sum(n for _, n, _ in got)
+    assert total == len(df)
+
+
+def test_shuffled_docs_orders_by_shard_then_key(ray_session):
+    df = _docs(50)
+    rows = shuffled_docs(rd.from_pandas(df), n_shards=4, seed=1).to_pandas()
+    key = list(zip(rows["shard"], rows["skey"], rows["doc_id"]))
+    assert key == sorted(key)

@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q.q_kmeans,
         "fingerprints": q.q_fingerprints,
         "shuffle_shards": q.q_shuffle_shards,
+        "leakage_safe_split": q.q_leakage_safe_split,
         "confusions": q.q_confusions,
         "ocr_spans": _ocr_spans,
         "hocr": _hocr,
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
+        "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,
         # minhash, simhash, knn_ivf, kmeans, semantic_dedup, confusions, ocr_spans,
         # hocr, gtedit, debug_html, dewarp: intentionally omitted (not
         # ANSI-SQL-expressible) -> rows-only check

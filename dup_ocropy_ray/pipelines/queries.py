@@ -1169,6 +1169,99 @@ def q_shuffle_shards(sf_dir: str) -> pd.DataFrame:
     return curate.shard_manifest(ds, n_shards=16, seed=1)
 
 
+def q_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Cluster-atomic train/test split (eval-leakage guard): near-dup
+    clusters are assigned to a split as a UNIT by hashing the cluster
+    id, so near-duplicates can never straddle train and test. Composes
+    the existing scale paths — ngram_jaccard_pairs -> connected
+    components -> keep_best(emit_all=True) annotation (two
+    metadata-scale shuffles, no label-map broadcast) -> one doc-keyed
+    bucket_join to re-attach (lang, n_chars) -> grouped partial agg."""
+    from . import curate as _c  # noqa: F401  (family neighbor)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
+    labels = dedup.connected_components(pairs)
+
+    def meta(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "lang": b["lang"].astype(str),
+            "n_chars": b["n_chars"].astype("int64"),
+            "score": 0.0,
+        })
+
+    docs_meta = ds.map_batches(meta, batch_format="pandas",
+                               batch_size=65536)
+    ann = dedup.keep_best(docs_meta, labels, emit_all=True)
+    joined = relational.bucket_join(
+        docs_meta.drop_columns(["score"]), ann, "doc_id", "doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string()),
+                               ("n_chars", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("cluster_id", pa.int64()),
+                                ("kept", pa.bool_())]),
+    )
+
+    def with_split(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cluster_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (c * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pd.DataFrame({
+            "split": np.where(h % np.uint64(10) < 8, "train", "test"),
+            "lang": b["lang"].astype(str),
+            "n_chars": b["n_chars"].to_numpy(np.int64),
+        })
+
+    g = relational.grouped_agg(
+        joined.map_batches(with_split, batch_format="pandas",
+                           batch_size=65536),
+        ["split", "lang"], sums=["n_chars"])
+    out = pd.DataFrame({
+        "split": g["split"].astype(str),
+        "lang": g["lang"].astype(str),
+        "n_docs": g["n"].astype("int64"),
+        "sum_chars": g["sum_n_chars"].astype("int64"),
+    })
+    return out.sort_values(["split", "lang"]).reset_index(drop=True)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(v, l) AS (
+  SELECT a AS v, a AS l FROM e
+  UNION
+  SELECT e.b AS v, reach.l FROM reach JOIN e ON e.a = reach.v
+), cl AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+), lab AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT CASE WHEN (cluster_id * 2654435761) % 4294967296 % 10 < 8
+            THEN 'train' ELSE 'test' END AS split,
+       lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # DuckDB twin of curate.shard_manifest (n_shards=16, seed=1): Knuth
 # multiplicative key mod 2^32, shard = key % 16, rank by (key, doc_id)
 # within shard; checksum = bit_xor of (rank * ((doc_id*FNV mod 2^64)|1))

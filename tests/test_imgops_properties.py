@@ -96,3 +96,14 @@ def test_box_gaussian_preserves_mass_and_range(a, sigma):
     out = imgops.box_gaussian_filter1d(a, sigma, 0)
     assert out.shape == a.shape
     assert out.min() >= -1e-4 and out.max() <= 1 + 1e-4
+
+
+@settings(max_examples=30, deadline=None)
+@given(_imgs, st.lists(st.floats(-3.0, 3.0), min_size=1, max_size=5))
+def test_rotate_rowmeans_matches_rotate(a, angles):
+    if a.shape[0] < 2 or a.shape[1] < 2:
+        return
+    got = imgops.rotate_rowmeans(a, angles, cval=1.0)
+    for ang, m in zip(angles, got):
+        want = imgops.rotate(a, ang, cval=1.0, order=0).mean(axis=1)
+        np.testing.assert_array_equal(m, want)

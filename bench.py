@@ -51,6 +51,7 @@ QUERY_SUBSET = [
     "strip_dup_spans",
     "heavy_hitters",
     "dedup_events_window",
+    "shuffle_shards",
 ]
 
 

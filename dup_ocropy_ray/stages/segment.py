@@ -251,9 +251,9 @@ def compute_line_seeds(
     tmm = tmarked > 0
     tmm_s = tmm.copy()
     tmm_s[0, :] = True
-    ys = np.arange(H, dtype=np.int64)[:, None]
-    last_t = np.maximum.accumulate(np.where(tmm_s, ys, -1), axis=0)
-    last_b = np.maximum.accumulate(np.where(bmm, ys, -1), axis=0)
+    ys = np.arange(H, dtype=np.int32)[:, None]
+    last_t = np.maximum.accumulate(np.where(tmm_s, ys, np.int32(-1)), axis=0)
+    last_b = np.maximum.accumulate(np.where(bmm, ys, np.int32(-1)), axis=0)
     last_b_below = np.empty_like(last_b)
     last_b_below[0] = -1
     last_b_below[1:] = last_b[:-1]

@@ -46,12 +46,13 @@ def _shard_keys(b: pd.DataFrame, n_shards: int, seed: int) -> pd.DataFrame:
     d = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
     with np.errstate(over="ignore"):
         skey = (d * _KNUTH + np.uint64(seed)) % _M32
-    return pd.DataFrame({
-        "doc_id": b["doc_id"].to_numpy(np.int64),
-        "n_chars": b["n_chars"].to_numpy(np.int64),
-        "skey": skey.astype(np.int64),
-        "shard": (skey % np.uint64(n_shards)).astype(np.int64),
-    })
+    # append the keys, keep EVERY payload column — a training-shard
+    # writer that drops the document body would force consumers into a
+    # full-corpus re-join by doc_id
+    out = b.copy()
+    out["skey"] = skey.astype(np.int64)
+    out["shard"] = (skey % np.uint64(n_shards)).astype(np.int64)
+    return out
 
 
 def shuffled_docs(docs: rd.Dataset, n_shards: int = 16,
@@ -72,7 +73,9 @@ def shuffled_docs(docs: rd.Dataset, n_shards: int = 16,
 def write_shards(docs: rd.Dataset, out_dir: str, n_shards: int = 16,
                  seed: int = 1) -> None:
     """Shuffle + write one hive partition per shard (resumable output:
-    a re-run can skip finished shard directories)."""
+    a re-run can skip finished shard directories). All input columns
+    travel with the rows — the shards are self-contained training data,
+    plus the (skey, shard) shuffle keys."""
     shuffled_docs(docs, n_shards, seed).write_parquet(
         out_dir, partition_cols=["shard"])
 

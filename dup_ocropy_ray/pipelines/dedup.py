@@ -854,15 +854,18 @@ def hamming64_dup_pairs_ds(tbl: rd.Dataset, id_col: str, sig_col: str,
                 bnd = int(key[0])
                 recs = sorted(set(zip(sub[id_col], sub[sig_col])))
                 for i in range(len(recs)):
-                    s1 = np.uint64(recs[i][1])
+                    # mask to the 64-bit pattern via Python int:
+                    # signatures ride as SIGNED int64 and np.uint64() of a
+                    # negative raises OverflowError on numpy >= 2.0
+                    u1 = int(recs[i][1]) & 0xFFFFFFFFFFFFFFFF
                     for j in range(i + 1, len(recs)):
-                        s2 = np.uint64(recs[j][1])
+                        u2 = int(recs[j][1]) & 0xFFFFFFFFFFFFFFFF
                         # exactly-once emission without a dedup exchange:
                         # only the lowest matching band's partition emits
                         first_band = next(
                             b for b in range(4)
-                            if (int(s1) >> (16 * b)) & 0xFFFF
-                            == (int(s2) >> (16 * b)) & 0xFFFF)
+                            if (u1 >> (16 * b)) & 0xFFFF
+                            == (u2 >> (16 * b)) & 0xFFFF)
                         if first_band != bnd:
                             continue
                         d = hashing.hamming64(recs[i][1], recs[j][1])

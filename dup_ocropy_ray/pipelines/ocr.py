@@ -364,12 +364,17 @@ def fragment_plan(docs_path: str, num_fragments: int,
                                recursive=True))
              if os.path.isdir(docs_path) and not docs_path.endswith(".lance")
              else [])
+    plan_path = (os.path.join(out_root, "_plan.json") if out_root else None)
     if len(files) > 1:
-        plan_path = (os.path.join(out_root, "_plan.json")
-                     if out_root else None)
         if plan_path and os.path.exists(plan_path):
             with open(plan_path) as f:
                 plan = json.load(f)
+            if plan.get("mode", "file_groups") != "file_groups":
+                raise RuntimeError(
+                    f"checkpoint at {out_root} was fragmented by "
+                    f"{plan.get('mode')!r}, not file groups — its committed "
+                    f"manifests don't map to file-group fragments; use a "
+                    f"fresh out_root")
             groups = plan["groups"]
             nfrag = len(groups)
             missing = [p for g in groups for p in g if not os.path.exists(p)]
@@ -378,13 +383,22 @@ def fragment_plan(docs_path: str, num_fragments: int,
                     f"fragment plan references vanished inputs: "
                     f"{missing[:3]}{'...' if len(missing) > 3 else ''}")
         else:
+            if plan_path and ckpt.completed_fragments(out_root):
+                # Manifests without a plan = a checkpoint produced by a
+                # different fragmentation scheme (pre-plan doc-id-hash
+                # runs). Mapping those fragment ids onto file groups
+                # would silently skip/duplicate documents on resume.
+                raise RuntimeError(
+                    f"checkpoint at {out_root} has committed fragments but "
+                    f"no _plan.json — it was produced under a different "
+                    f"fragmentation scheme; use a fresh out_root")
             nfrag = min(num_fragments, len(files))
             groups = [files[i::nfrag] for i in range(nfrag)]
             if plan_path:
                 os.makedirs(out_root, exist_ok=True)
                 tmp = plan_path + f".tmp{os.getpid()}"
                 with open(tmp, "w") as f:
-                    json.dump({"groups": groups}, f)
+                    json.dump({"mode": "file_groups", "groups": groups}, f)
                 os.replace(tmp, plan_path)
 
         def reader(frag: int) -> rd.Dataset:
@@ -393,6 +407,29 @@ def fragment_plan(docs_path: str, num_fragments: int,
                                    schema=parquet_schema(groups[frag][0]))
 
         return nfrag, reader
+
+    if plan_path and os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        if plan.get("mode") != "doc_hash" or \
+                plan.get("num_fragments") != num_fragments:
+            raise RuntimeError(
+                f"checkpoint at {out_root} was planned as "
+                f"{plan.get('mode')!r}/{plan.get('num_fragments')} but this "
+                f"run would fragment by doc_hash/{num_fragments}; use a "
+                f"fresh out_root or the original settings")
+    elif plan_path:
+        if ckpt.completed_fragments(out_root):
+            raise RuntimeError(
+                f"checkpoint at {out_root} has committed fragments but no "
+                f"_plan.json — it predates plan pinning; use a fresh "
+                f"out_root")
+        os.makedirs(out_root, exist_ok=True)
+        tmp = plan_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"mode": "doc_hash", "num_fragments": num_fragments},
+                      f)
+        os.replace(tmp, plan_path)
 
     def reader(frag: int) -> rd.Dataset:
         return read_docs(docs_path).map_batches(

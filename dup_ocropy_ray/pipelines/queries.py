@@ -706,8 +706,12 @@ def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
 
 SQL_DEDUP_NGRAM = """
 WITH t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
   SELECT doc_id, lang, source,
-         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -741,8 +745,12 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
 
 SQL_DEDUP_CLUSTERS = """
 WITH RECURSIVE t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
   SELECT doc_id, lang, source,
-         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
   FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -795,8 +803,12 @@ def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
 
 SQL_DEDUP_KEEP = """
 WITH RECURSIVE t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
   SELECT doc_id, lang, source,
-         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
   FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1177,8 +1189,6 @@ def q_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
     components -> keep_best(emit_all=True) annotation (two
     metadata-scale shuffles, no label-map broadcast) -> one doc-keyed
     bucket_join to re-attach (lang, n_chars) -> grouped partial agg."""
-    from . import curate as _c  # noqa: F401  (family neighbor)
-
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source",
                                      "n_chars"])
     pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
@@ -1230,8 +1240,12 @@ def q_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
 
 SQL_LEAKAGE_SAFE_SPLIT = """
 WITH RECURSIVE t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
   SELECT doc_id, lang, source,
-         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
   FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2732,7 +2746,12 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
 
 SQL_UNIGRAM_LOGPROB = r"""
 WITH w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  -- list_filter drops the [''] artifact regexp_split produces for
+  -- empty/whitespace-only text, matching the engine's str.split()
+  -- (empty docs emit no tokens on either side and don't inflate tot)
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'),
+           x -> x <> '')) AS word
   FROM documents
 ), uni AS (
   SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word

@@ -34,11 +34,10 @@ from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer, prepare_line
 from dup_ocropy_ray.sources.uw3 import load_uw3_cached, split_uw3, uw3_charset
 from dup_ocropy_ray.stages.lineest import check_line, normalize_line
 
-CACHE = "/tmp/uw3_cache.pkl"
-
-
 def load_corpus():
-    return load_uw3_cached(cache=CACHE)
+    # default per-uid cache path — a fixed shared /tmp path would load
+    # (unpickle) a file another user could have pre-created
+    return load_uw3_cached()
 
 
 def prep_records(lines):

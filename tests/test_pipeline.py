@@ -58,6 +58,58 @@ def test_ocr_line_counts_match_groundtruth(ray_session, corpus):
         assert row["n_lines"] == want, (row["doc_id"], row["n_lines"], want)
 
 
+def test_fragment_plan_mode_guards(tmp_path):
+    """A checkpoint produced under one fragmentation scheme must not be
+    silently reinterpreted under another — committed doc-hash manifests
+    counted as file-group fragments would skip/duplicate documents."""
+    import pyarrow as pa
+
+    from dup_ocropy_ray.pipelines.ocr import fragment_plan
+    from dup_ocropy_ray.state import checkpoint as ckpt
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"doc_id": pa.array([f"d{i}"])}),
+                       str(docs_dir / f"part-{i}.parquet"))
+    single = tmp_path / "single.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(["d0"])}), str(single))
+
+    # 1. multi-file input, manifests but no plan (pre-plan checkpoint)
+    out1 = str(tmp_path / "out1")
+    os.makedirs(out1)
+    ckpt.commit_fragment(out1, 0, {"docs": 1})
+    with pytest.raises(RuntimeError, match="different fragmentation"):
+        fragment_plan(str(docs_dir), 2, out_root=out1)
+
+    # 2. multi-file input resuming a doc_hash-planned checkpoint
+    out2 = str(tmp_path / "out2")
+    nfrag, _ = fragment_plan(str(single), 4, out_root=out2)
+    assert nfrag == 4
+    with pytest.raises(RuntimeError, match="file groups"):
+        fragment_plan(str(docs_dir), 2, out_root=out2)
+
+    # 3. single-file input resuming a file-group-planned checkpoint
+    out3 = str(tmp_path / "out3")
+    nfrag, _ = fragment_plan(str(docs_dir), 2, out_root=out3)
+    assert nfrag == 2
+    with pytest.raises(RuntimeError, match="doc_hash"):
+        fragment_plan(str(single), 4, out_root=out3)
+
+    # 4. doc_hash resume must keep the planned fragment count
+    with pytest.raises(RuntimeError, match="doc_hash"):
+        fragment_plan(str(single), 8, out_root=out2)
+    nfrag, _ = fragment_plan(str(single), 4, out_root=out2)  # same: ok
+    assert nfrag == 4
+
+    # 5. single-file input, manifests but no plan
+    out5 = str(tmp_path / "out5")
+    os.makedirs(out5)
+    ckpt.commit_fragment(out5, 0, {"docs": 1})
+    with pytest.raises(RuntimeError, match="predates plan pinning"):
+        fragment_plan(str(single), 4, out_root=out5)
+
+
 def test_checkpoint_resume(ray_session, corpus, tmp_path):
     from dup_ocropy_ray.pipelines.ocr import run_ocr_with_checkpoint
     from dup_ocropy_ray.state import checkpoint as ckpt

@@ -54,17 +54,23 @@ def test_checksum_detects_permutation_changes(ray_session):
 
 def test_write_shards_round_trip(ray_session, tmp_path):
     df = _docs(97)
+    # payload column: the shards must be self-contained training data
+    df["text"] = ["doc body %d" % i for i in df["doc_id"]]
     out = str(tmp_path / "shards")
     write_shards(rd.from_pandas(df), out, n_shards=4, seed=1)
     dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
     assert len(dirs) == 4
     got = []
+    seen_text = {}
     for d in dirs:
         t = pq.read_table(d).to_pandas()
         shard = int(os.path.basename(d).split("=")[1])
         # within-shard file order is the shuffled order
         assert (np.diff(t["skey"].to_numpy()) >= 0).all()
+        seen_text.update(zip(t["doc_id"], t["text"]))
         got.append((shard, len(t), int(t["n_chars"].sum())))
+    # every payload value survived the shuffle+write untouched
+    assert seen_text == dict(zip(df["doc_id"], df["text"]))
     m = shard_manifest(rd.from_pandas(df), n_shards=4, seed=1)
     expect = [(int(r.shard), int(r.n_docs), int(r.sum_chars))
               for r in m.itertuples()]

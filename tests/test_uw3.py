@@ -18,7 +18,7 @@ TGZ = "/root/reference/tests/uw3-500.tgz"
 # Held-out CER gate. The committed model's recorded held-out CER is in
 # uw3_model.npz.json; the gate leaves headroom for numeric drift only —
 # regressions in normalize_line/prepare_line/decode land well above it.
-CER_GATE = 0.12
+CER_GATE = 0.10
 
 def _model_ready() -> bool:
     """The committed model must exist AND its recorded held-out CER must

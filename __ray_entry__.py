@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q.q_dedup_corpus,
         "revenue_rollup": q.q_revenue_rollup,
         "unigram_logprob": q.q_unigram_logprob,
+        "bigram_logprob": q.q_bigram_logprob,
+        "tier_extract": q.q_tier_extract,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -423,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
         "revenue_rollup": q.SQL_REVENUE_ROLLUP,
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
+        "bigram_logprob": q.SQL_BIGRAM_LOGPROB,
+        "tier_extract": q.SQL_TIER_EXTRACT,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

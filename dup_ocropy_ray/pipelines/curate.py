@@ -382,3 +382,70 @@ def chunk_documents(docs: rd.Dataset, size: int = 200,
         })
 
     return docs.map_batches(f, batch_format="pandas", batch_size=8192)
+
+
+# ------------------------------------------------------ tier extraction
+
+
+TIER_RATES = (5, 15, 40, 80, 100)  # percent kept per tier, worst -> best
+
+
+def tier_extract(docs: rd.Dataset, rates: tuple = TIER_RATES
+                 ) -> pd.DataFrame:
+    """Quality-tier corpus extraction (the FineWeb-style curation
+    primitive): per-source percent-rank of document quality (n_chars,
+    the same SQL-exact score quality_percentile uses) bins every doc
+    into ``len(rates)`` tiers, and each tier keeps a deterministic
+    hash-selected fraction — extract most of the best tier, a sliver of
+    the worst. Returns per (source, tier): doc count, kept count, kept
+    chars.
+
+    One source-keyed shuffle (sources are partition-complete, so ranks
+    and the per-(source, tier) aggregate finalize inside the
+    partition); membership is the stable Knuth permutation of doc_id
+    (reproducible across runs/workers, like sample_by_source). Driver
+    sees only the sources x tiers summary."""
+    from ..functions import hashing
+
+    n_tiers = len(rates)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = hashing.hash_strings(b["source"].to_numpy(dtype=object))
+        b["_part"] = (h % np.uint64(32)).astype(np.int64)
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "tier": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "kept_chars": pd.Series([], dtype="int64")})
+        r = g.groupby("source")["n_chars"].rank(method="min")
+        n = g.groupby("source")["n_chars"].transform("size")
+        pr = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+        tier = np.minimum((pr * n_tiers).astype(np.int64), n_tiers - 1)
+        h = (g["doc_id"].to_numpy("int64") * 2654435761) % 4294967296 % 100
+        kept = h < np.asarray(rates, dtype=np.int64)[tier]
+        chars = g["n_chars"].to_numpy("int64")
+        df = pd.DataFrame({
+            "source": g["source"].astype(str),
+            "tier": tier,
+            "kept": kept.astype("int64"),
+            "kc": np.where(kept, chars, 0),
+        })
+        agg = (df.groupby(["source", "tier"], as_index=False)
+                 .agg(n_docs=("kept", "size"), n_kept=("kept", "sum"),
+                      kept_chars=("kc", "sum")))
+        return pd.DataFrame({
+            "source": agg["source"], "tier": agg["tier"].astype("int64"),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_kept": agg["n_kept"].astype("int64"),
+            "kept_chars": agg["kept_chars"].astype("int64")})
+
+    out = (docs.map_batches(tag, batch_format="pandas", batch_size=65536)
+               .groupby("_part").map_groups(per_part, batch_format="pandas")
+               .to_pandas())
+    return out.sort_values(["source", "tier"]).reset_index(drop=True)

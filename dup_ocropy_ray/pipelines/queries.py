@@ -2763,6 +2763,72 @@ GROUP BY doc_id
 """
 
 
+def q_tier_extract(sf_dir: str) -> pd.DataFrame:
+    """Quality-tier corpus extraction (FineWeb-style): per-source
+    percent-rank bins docs into 5 quality tiers; each tier keeps a
+    deterministic hash-selected fraction (5/15/40/80/100% worst->best).
+    One source-keyed shuffle; driver sees the sources x tiers summary
+    (pipelines/curate.py tier_extract)."""
+    from .curate import tier_extract
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return tier_extract(ds)
+
+
+SQL_TIER_EXTRACT = """
+WITH pr AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+  FROM documents
+), t AS (
+  SELECT doc_id, source, n_chars,
+         least(CAST(floor(pr * 5) AS BIGINT), 4) AS tier
+  FROM pr
+), k AS (
+  SELECT source, tier, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 100 <
+           CASE tier WHEN 0 THEN 5 WHEN 1 THEN 15 WHEN 2 THEN 40
+                     WHEN 3 THEN 80 ELSE 100 END AS kept
+  FROM t
+)
+SELECT source, tier, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN kept THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+FROM k GROUP BY source, tier ORDER BY source, tier
+"""
+
+
+def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-doc bigram conditional negative log-likelihood (the CCNet-
+    style LM perplexity quality filter): -sum ln(c(a,b)/c(a.)) over the
+    doc's adjacent-token bigrams, counts taken corpus-wide. Same
+    distributed shape as pmi_bigrams/unigram_logprob — one gram-hash
+    shuffle, a gram-vocab-scale ctx rekey, two large x large
+    bucket_joins, one doc-keyed reduce; no vocab on the driver."""
+    from .textstats import bigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks
+), bi AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM idx
+), cnt AS (SELECT a, b, count(*)::DOUBLE AS cab FROM bi GROUP BY a, b),
+ctx AS (SELECT a, count(*)::DOUBLE AS ca FROM bi GROUP BY a)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(-ln(cnt.cab / ctx.ca)), 6) AS logprob
+FROM bi JOIN cnt USING (a, b) JOIN ctx USING (a)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_uw3_cer(sf_dir: str) -> pd.DataFrame:
     """Recognizer conformance on the reference's REAL uw3-500 scan
     corpus (reference run-rtrain:5-6): run the HELD-OUT split (never

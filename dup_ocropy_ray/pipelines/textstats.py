@@ -467,3 +467,116 @@ def pmi_bigrams(ds: rd.Dataset, k: int = 20, min_count: int = 5
     scored = j2.map_batches(score, batch_format="pandas")
     return topk(scored, by=["pmi", "gram"], k=k,
                 ascending=[False, True]).reset_index(drop=True)
+
+
+def bigram_logprob(ds: rd.Dataset) -> pd.DataFrame:
+    """Per-doc bigram conditional negative log-likelihood — the LM
+    perplexity quality filter (CCNet-style: documents whose token
+    transitions are improbable under the corpus-level bigram model
+    score high). score(doc) = sum over its bigrams of
+    -ln(c(a,b) / c(a·)), c(a·) = occurrences of ``a`` as a bigram left
+    context. Docs with < 2 tokens emit no bigrams and no row.
+
+    Fully distributed, the pmi_bigrams/unigram_logprob shape: bigram
+    counts ride one gram-hash shuffle; left-context counts derive from
+    THAT table via a word-hash reshuffle (gram-vocab scale, never a
+    second corpus tokenize); per-(doc, gram) multiplicities meet the
+    count tables in two large x large bucket_joins; per-doc sums ride
+    one doc-keyed bucket reduce. Nothing vocabulary-scale lands on the
+    driver."""
+    import pyarrow as pa
+
+    from ..functions.hashing import batch_word_grams
+    from .relational import bucket_join
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        grams, _d, _p = batch_word_grams(b["text"].tolist(), 2)
+        vc = pd.Series(grams, dtype=object).value_counts()
+        out = pd.DataFrame({"gram": vc.index.to_numpy(object),
+                            "c_ab": vc.to_numpy(np.int64)})
+        out["_part"] = (hashing.hash_strings(out["gram"].to_numpy(object))
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def bi_final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("gram", sort=False)["c_ab"].sum()
+        return pd.DataFrame({"gram": vc.index.to_numpy(object),
+                             "c_ab": vc.to_numpy(np.int64)})
+
+    # materialized: consumed twice (ctx derivation + the join) — blocks
+    # stay distributed, only the plan is pinned
+    bi_cnt = (ds.map_batches(bi_partial, batch_format="pandas",
+                             batch_size=8192)
+                .groupby("_part").map_groups(bi_final,
+                                             batch_format="pandas")
+                .materialize())
+
+    # c(a.) by re-keying the gram table on its LEFT word (gram strings
+    # are space-joined; tokens are whitespace-split so the first space
+    # is the boundary)
+    def ctx_partial(b: pd.DataFrame) -> pd.DataFrame:
+        left = b["gram"].str.split(" ", n=1).str[0]
+        s = b.groupby(left, sort=False)["c_ab"].sum()
+        out = pd.DataFrame({"word": s.index.to_numpy(object),
+                            "c_a": s.to_numpy(np.int64)})
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def ctx_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word", sort=False)["c_a"].sum()
+        return pd.DataFrame({"word": s.index.to_numpy(object),
+                             "c_a": s.to_numpy(np.int64)})
+
+    ctx = (bi_cnt.map_batches(ctx_partial, batch_format="pandas",
+                              batch_size=65536)
+                 .groupby("_part").map_groups(ctx_final,
+                                              batch_format="pandas"))
+
+    # per-(doc, gram) multiplicities, pre-aggregated in the batch
+    def doc_grams(b: pd.DataFrame) -> pd.DataFrame:
+        grams, didx, _p = batch_word_grams(b["text"].tolist(), 2)
+        ids = b["doc_id"].to_numpy(np.int64)[didx]
+        df = pd.DataFrame({"doc_id": ids, "gram": grams})
+        g = (df.groupby(["doc_id", "gram"], sort=False).size()
+               .reset_index(name="m"))
+        g["a"] = g["gram"].str.split(" ", n=1).str[0]
+        return g
+
+    dg = ds.map_batches(doc_grams, batch_format="pandas", batch_size=8192)
+
+    _DG = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                     ("m", pa.int64()), ("a", pa.string())])
+    _BIC = pa.schema([("gram", pa.string()), ("c_ab", pa.int64())])
+    _CTX = pa.schema([("word", pa.string()), ("c_a", pa.int64())])
+    j1 = bucket_join(dg, bi_cnt, left_on="gram", right_on="gram",
+                     left_schema=_DG, right_schema=_BIC)
+    _J1 = pa.schema(list(_DG) + [("c_ab", pa.int64())])
+    j2 = bucket_join(j1, ctx, left_on="a", right_on="word",
+                     left_schema=_J1, right_schema=_CTX)
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["m"].to_numpy(np.float64)
+        lp = m * -np.log(b["c_ab"].to_numpy(np.float64)
+                         / b["c_a"].to_numpy(np.float64))
+        out = (pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_bigrams": b["m"].astype("int64"),
+                             "lp": lp})
+               .groupby("doc_id", sort=False, as_index=False)
+               .agg(n_bigrams=("n_bigrams", "sum"), lp=("lp", "sum")))
+        out["_part"] = (pd.util.hash_pandas_object(out["doc_id"],
+                                                   index=False)
+                        .to_numpy("uint64") % np.uint64(64)).astype(np.int64)
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False, as_index=False)
+                .agg(n_bigrams=("n_bigrams", "sum"), lp=("lp", "sum")))
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "n_bigrams": out["n_bigrams"].astype("int64"),
+                             "logprob": np.round(out["lp"], 6)})
+
+    out = (j2.map_batches(contrib, batch_format="pandas")
+             .groupby("_part").map_groups(per_doc, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

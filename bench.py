@@ -52,6 +52,8 @@ QUERY_SUBSET = [
     "heavy_hitters",
     "dedup_events_window",
     "shuffle_shards",
+    "bigram_logprob",
+    "tier_extract",
 ]
 
 

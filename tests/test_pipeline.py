@@ -436,3 +436,35 @@ def test_bucket_join_property_random_frames(ray_session):
                        rd.from_pandas(empty), "k", "rk", num_partitions=4)
            .to_pandas())
     assert len(got) == 0
+
+
+def test_run_job_cli_smoke_and_resume(corpus, tmp_path):
+    """scripts/run_job.py is the `ray job submit` target: drive it as a
+    real subprocess (own Ray session, CLI arg wiring, checkpoint
+    layout), then rerun to confirm the resume path reports zero pending
+    fragments."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_root = str(tmp_path / "jobout")
+    cmd = [sys.executable, os.path.join(repo, "scripts", "run_job.py"),
+           "--pipeline", "ocr", "--docs", corpus["docs"],
+           "--media", corpus["media"], "--out", out_root,
+           "--fragments", "2", "--recognizer-min", "1",
+           "--recognizer-max", "1"]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rec1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert sorted(rec1["fragments_run"]) == [0, 1]
+    assert rec1["counters"]["docs"] == 6
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec2["fragments_run"] == []
+    assert rec2["counters"] == rec1["counters"]

@@ -942,6 +942,25 @@ def q_knn_ivf_exact(sf_dir: str) -> pd.DataFrame:
     return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=8)
 
 
+def q_knn_ivf_disk(sf_dir: str) -> pd.DataFrame:
+    """IVF with pruning AT THE READ: the corpus is written
+    hive-partitioned by coarse cell once (cached per sf under /tmp),
+    and the query reads ONLY its nprobe cell directories — the other
+    cells never leave storage. nprobe == num_centroids probes every
+    cell, so the result reproduces knn brute force exactly (rows-only
+    here; the value-for-value gate is tests/test_curate.py)."""
+    import hashlib
+    import os
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/ivf_index_{key}"
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        similarity.build_ivf_index(ds, idx, num_centroids=8)
+    return similarity.knn_ivf_indexed(idx, np.asarray(q), k=10, nprobe=4)
+
+
 def q_knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product-quantized ADC top-k (rows-only: PQ is approximate by
     construction) — the memory-compressed ANN scale path: vectors

@@ -445,3 +445,73 @@ def knn_pq(ds: rd.Dataset, query: np.ndarray, k: int = 10, m: int = 8,
                             ascending=[False, True]).head(k)
     out["pq_sim"] = np.round(out["pq_sim"], 6)
     return out.reset_index(drop=True)
+
+
+# ------------------------------------------- IVF index on storage
+
+
+def build_ivf_index(ds: rd.Dataset, out_dir: str, num_centroids: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample: int = 2048, seed: int = 0) -> np.ndarray:
+    """Write the corpus hive-partitioned by coarse IVF cell
+    (``cell=K/part-*.parquet``) and persist the centroids alongside.
+    This is the storage half of the 10^12-vector path: a query then
+    READS only its nprobe cell directories — pruning at the read, not
+    after it. Returns the centroids (also saved to
+    ``<out_dir>/_centroids.npy``)."""
+    import os
+
+    C = train_centroids(ds, num_centroids, vec_col, sample=sample, seed=seed)
+    cref = ray.put(C)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        Ci = ray.get(cref)
+        X = _normalize(_stack(b[vec_col]))
+        b = b.copy()
+        b["cell"] = (X @ Ci.T).argmax(axis=1).astype(np.int64)
+        return b
+
+    (ds.map_batches(assign, batch_format="pandas", batch_size=65536)
+       .write_parquet(out_dir, partition_cols=["cell"]))
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "_centroids.npy"), C)
+    return C
+
+
+def knn_ivf_indexed(index_dir: str, query: np.ndarray, k: int = 10,
+                    nprobe: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> pd.DataFrame:
+    """ANN over a ``build_ivf_index`` layout: pick the query's nprobe
+    nearest centroids, ``read_parquet`` ONLY those cell directories
+    (1/num_centroids of the corpus each — the other cells never leave
+    storage), brute-force within them. nprobe == num_centroids reads
+    everything and reduces to brute force."""
+    import glob as _glob
+    import os
+
+    C = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(C @ q))[:nprobe].tolist()
+    files = [f for c in probe
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"cell={c}", "*.parquet")))]
+    if not files:
+        return pd.DataFrame({id_col: [], "cos_sim": []})
+    qref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        M = _normalize(_stack(batch[vec_col]))
+        out = pd.DataFrame({id_col: batch[id_col].values,
+                            "cos_sim": M @ qv})
+        return out.sort_values(["cos_sim", id_col],
+                               ascending=[False, True]).head(k)
+
+    parts = (rd.read_parquet(files)
+               .map_batches(score, batch_format="pandas", batch_size=65536)
+               .to_pandas())
+    out = parts.sort_values(["cos_sim", id_col],
+                            ascending=[False, True]).head(k)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out.reset_index(drop=True)

@@ -583,3 +583,39 @@ def test_pq_lossless_roundtrip_and_recall(ray_session):
     # tight cluster is near-tie noise, so the gate is cluster fidelity.
     assert all(80 <= i < 120 for i in want)
     assert all(80 <= i < 120 for i in got)
+
+
+def test_ivf_index_prunes_at_the_read(ray_session, tmp_path):
+    """build_ivf_index writes one hive partition per coarse cell;
+    knn_ivf_indexed reads ONLY the probed cells. nprobe == all cells
+    reduces to brute force exactly; small nprobe touches a strict
+    subset of the partition directories."""
+    import glob
+
+    from dup_ocropy_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_brute,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32)) * 3
+    X = np.vstack([c + rng.normal(scale=0.25, size=(30, 32))
+                   for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(X), dtype="int64"),
+                       "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(4)
+    idx = str(tmp_path / "ivf")
+    C = build_ivf_index(ds, idx, num_centroids=6, sample=180, seed=2)
+    cells = glob.glob(idx + "/cell=*")
+    assert len(cells) == 6
+
+    q = centers[4] + rng.normal(scale=0.25, size=32)
+    # exhaustive probe == brute force, value for value
+    full = knn_ivf_indexed(idx, q, k=8, nprobe=6)
+    brute = knn_brute(ds, q, k=8)
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    assert np.allclose(full["cos_sim"], brute["cos_sim"], atol=1e-9)
+    # pruned probe: same neighborhood (query cell dominates top-k)
+    pruned = knn_ivf_indexed(idx, q, k=8, nprobe=2)
+    assert list(pruned["vec_id"]) == list(brute["vec_id"])

@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q.q_unigram_logprob,
         "bigram_logprob": q.q_bigram_logprob,
         "tier_extract": q.q_tier_extract,
+        "quantiles_by_type": q.q_quantiles_by_type,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": q.SQL_BIGRAM_LOGPROB,
         "tier_extract": q.SQL_TIER_EXTRACT,
+        "quantiles_by_type": q.SQL_QUANTILES_BY_TYPE,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

@@ -942,6 +942,30 @@ def q_knn_ivf_exact(sf_dir: str) -> pd.DataFrame:
     return similarity.knn_ivf(ds, np.asarray(q), k=10, num_centroids=8, nprobe=8)
 
 
+def q_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type p50/p90/p99 of value (telemetry quantiles):
+    one key-hash shuffle + in-partition sort/select, DuckDB
+    quantile_disc selection rule (relational.grouped_quantiles)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = relational.grouped_quantiles(ds, "event_type", "value")
+    out["value"] = np.round(out["value"], 6)
+    return out
+
+
+SQL_QUANTILES_BY_TYPE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.5)  AS q50,
+         quantile_disc(value, 0.9)  AS q90,
+         quantile_disc(value, 0.99) AS q99
+  FROM events GROUP BY event_type
+)
+SELECT event_type, u.q, round(u.value, 6) AS value
+FROM q, LATERAL (VALUES (0.5, q50), (0.9, q90), (0.99, q99)) u(q, value)
+ORDER BY event_type, q
+"""
+
+
 def q_knn_ivf_disk(sf_dir: str) -> pd.DataFrame:
     """IVF with pruning AT THE READ: the corpus is written
     hive-partitioned by coarse cell once (cached per sf under /tmp),

@@ -271,3 +271,43 @@ def bucket_join(
 
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
+                      qs: Sequence[float] = (0.5, 0.9, 0.99),
+                      num_partitions: int = 32) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (telemetry p50/p90/p99): one
+    key-hash shuffle co-locates each group, then a single in-partition
+    sort + index selection per group. The selection rule is DuckDB's
+    ``quantile_disc`` — sorted[max(ceil(q*n) - 1, 0)] — so the SQL twin
+    matches value-for-value. Driver sees groups x quantiles rows.
+
+    Scale note: a group's values must fit one partition (same contract
+    as every keyed map_groups here); for heavy-hitter keys switch to
+    the mergeable sampled_quantiles sketch (pipelines/sketches.py)."""
+    import math
+
+    from ..functions import hashing
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, val]].copy()
+        h = hashing.hash_strings(b[key].astype(str).to_numpy(dtype=object))
+        b["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: [], "q": [], "value": []}
+        for k_, sub in g.groupby(key, sort=False):
+            v = np.sort(sub[val].to_numpy(np.float64))
+            n = len(v)
+            for q in qs:
+                idx = max(int(math.ceil(q * n)) - 1, 0)
+                rows[key].append(k_)
+                rows["q"].append(float(q))
+                rows["value"].append(float(v[idx]))
+        return pd.DataFrame(rows)
+
+    out = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values([key, "q"]).reset_index(drop=True)

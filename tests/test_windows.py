@@ -446,3 +446,28 @@ def test_connected_components_long_chain_pointer_jump(ray_session):
     assert out.cluster_id.nunique() == 1
     assert set(out.cluster_id) == {0}
     assert len(out) == n + 1
+
+
+def test_grouped_quantiles_serial_parity(ray_session):
+    """grouped_quantiles matches the quantile_disc selection rule
+    (sorted[max(ceil(q*n)-1, 0)]) and is block-layout independent."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.relational import grouped_quantiles
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=500),
+        "v": rng.normal(size=500),
+    })
+    outs = [grouped_quantiles(rd.from_pandas(df).repartition(p), "k", "v")
+            for p in (1, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for (k_, q), sub in outs[0].groupby(["k", "q"]):
+        v = np.sort(df.loc[df["k"] == k_, "v"].to_numpy())
+        idx = max(int(math.ceil(q * len(v))) - 1, 0)
+        assert sub["value"].iloc[0] == v[idx], (k_, q)

@@ -120,6 +120,35 @@ def genline(text: str, seed: int, font: str = DEJAVU, size: int = 36,
     return a.astype(np.float32)
 
 
+def degrade_real(image: np.ndarray, seed: int,
+                 degradations: str = "med") -> np.ndarray:
+    """Degrade an EXISTING grayscale line scan (float, white=high) with
+    the genline chain minus the render step: blur -> clipped noise ->
+    random affine -> threshold -> crop. Used to augment real training
+    scans (e.g. uw3-500) without leaving their glyph distribution; pure
+    function of (image bytes, seed)."""
+    import hashlib
+
+    key = hashlib.sha1(np.ascontiguousarray(image).tobytes()
+                       + seed.to_bytes(8, "big", signed=True)).digest()
+    rng = np.random.default_rng(int.from_bytes(key[:8], "big"))
+    preset = DEGRADATIONS[degradations]
+    sigma, ssig, thr, sthr = preset[int(rng.integers(len(preset)))]
+    sigma += (2 * rng.random() - 1) * ssig
+    thr += (2 * rng.random() - 1) * sthr
+    a = image.astype(np.float64)
+    lo, hi = float(a.min()), float(a.max())
+    if hi > lo:
+        a = (a - lo) / (hi - lo)
+    if sigma > 0:
+        a = gaussian_filter(a, sigma)
+    a += np.clip(rng.standard_normal(a.shape) * 0.15, -0.2, 0.2)
+    a = rgeometry(a, rng, eps=0.02, delta=0.3)
+    a = (a > thr).astype(np.float64)
+    a = _crop(a, pad=3)
+    return a.astype(np.float32)
+
+
 def training_lines_ttf(texts: list[str], seed: int = 7, size: int = 36,
                        degradations: str = "med",
                        font: str = DEJAVU) -> list[tuple[str, np.ndarray]]:

@@ -108,6 +108,11 @@ def main():
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--init", default=None)
+    ap.add_argument("--real-augment", type=int, default=0,
+                    help="add N degraded copies of the REAL uw3 train "
+                         "scans (linegen.degrade_real: blur/noise/affine "
+                         "on the scan itself — stays in the uw3 glyph "
+                         "distribution, unlike --ttf-augment)")
     ap.add_argument("--ttf-augment", type=int, default=0,
                     help="add N TTF-degraded renders of train texts")
     ap.add_argument("--time-budget", type=float, default=0,
@@ -126,6 +131,29 @@ def main():
     train, test = split_uw3(lines)
     tr = prep_records(train)
     te = prep_records(test)
+    if args.real_augment > 0:
+        # in-distribution pool: degraded copies of the real train scans
+        # (sources/linegen.py degrade_real); eval stays pure held-out
+        from dup_ocropy_ray.sources import linegen
+
+        raw = [(rec["line_id"], rec["image"], normalize_text(rec["text"]))
+               for rec in train]
+        aug = []
+        k = 0
+        while len(aug) < args.real_augment and k < 4 * args.real_augment:
+            _, img, txt = raw[k % len(raw)]
+            if txt:
+                try:
+                    d = linegen.degrade_real(img, 20_000 + k)
+                    if (min(d.shape) >= 10 and (d < 0.5).any()
+                            and not check_line(1.0 - d)):
+                        aug.append((f"real-{k}",
+                                    prepare_line(normalize_line(d)), txt))
+                except Exception:
+                    pass
+            k += 1
+        tr = tr + aug
+        print(f"real augmentation: +{len(aug)} lines", flush=True)
     if args.ttf_augment > 0:
         # regularization pool: TTF-degraded renders of the TRAIN texts
         # (sources/linegen.py) — same transcripts, different font/noise

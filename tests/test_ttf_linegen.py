@@ -96,3 +96,20 @@ def test_degraded_ttf_lines_survive_line_normalization():
         x = prepare_line(normalize_line(img))
         assert x.shape[1] == 48
         assert x.shape[0] > 2 * len("training pool line")
+
+
+def test_degrade_real_deterministic_binary_and_seeded():
+    """degrade_real: degrades an existing scan (not a render), pure in
+    (image, seed), binary output, preserves ink."""
+    import numpy as np
+
+    from dup_ocropy_ray.sources import linegen
+
+    img = linegen.genline("real scan stand-in text", 9, degradations="lo")
+    a = linegen.degrade_real(img, 42)
+    b = linegen.degrade_real(img, 42)
+    c = linegen.degrade_real(img, 43)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert set(np.unique(a)).issubset({0.0, 1.0})
+    assert (a < 0.5).any() and (a > 0.5).any()

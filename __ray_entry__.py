@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": q.q_bigram_logprob,
         "tier_extract": q.q_tier_extract,
         "quantiles_by_type": q.q_quantiles_by_type,
+        "gopher_quality": q.q_gopher_quality,
+        "c4_clean": q.q_c4_clean,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -431,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": q.SQL_BIGRAM_LOGPROB,
         "tier_extract": q.SQL_TIER_EXTRACT,
         "quantiles_by_type": q.SQL_QUANTILES_BY_TYPE,
+        "gopher_quality": q.SQL_GOPHER_QUALITY,
+        "c4_clean": q.SQL_C4_CLEAN,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

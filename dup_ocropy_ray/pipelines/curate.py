@@ -449,3 +449,63 @@ def tier_extract(docs: rd.Dataset, rates: tuple = TIER_RATES
                .groupby("_part").map_groups(per_part, batch_format="pandas")
                .to_pandas())
     return out.sort_values(["source", "tier"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------- C4 line cleaning
+
+_C4_STRIP = " \t\r\x0b\x0c"  # shared with the SQL twin (no \n: separator)
+
+
+def c4_clean(docs: rd.Dataset) -> rd.Dataset:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    classic web-text scrubber, spec'd deterministically so the DuckDB
+    twin is exact:
+
+      line kept iff (after strip): ends in terminal punctuation
+      (. ! ? \"), has >= 5 whitespace words, and does not contain
+      'javascript' (case-insensitive);
+      doc kept iff: >= 3 kept lines and the full lowercased text
+      contains neither 'lorem ipsum' nor '{'.
+
+    Emits one row per input doc (kept flag + cleaned text, '' when
+    dropped) so corpus accounting is lossless. Stateless per-doc map
+    over an exploded line frame — no shuffle."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        n = len(b)
+        text = b["text"].fillna("")
+        if n == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_kept_lines": pd.Series([], dtype="int64"),
+                "kept": pd.Series([], dtype="int64"),
+                "clean_text": pd.Series([], dtype=str)})
+        lines = text.str.split("\n")
+        n_lines = lines.map(len).to_numpy(np.int64)
+        le = lines.explode().dropna()
+        lidx = le.index.to_numpy(np.int64)
+        lt = le.str.strip(_C4_STRIP)
+        keep = (lt.str.contains(r'[.!?"]$', regex=True)
+                & (lt.str.split().map(len) >= 5)
+                & ~lt.str.lower().str.contains("javascript", regex=False)
+                ).to_numpy()
+        n_kept = np.bincount(lidx[keep], minlength=n).astype(np.int64)
+        kept_lines = pd.Series(lt.to_numpy()[keep], index=lidx[keep])
+        joined = kept_lines.groupby(level=0).agg("\n".join)
+        clean = np.full(n, "", dtype=object)
+        clean[joined.index.to_numpy(np.int64)] = joined.to_numpy()
+        low = text.str.lower()
+        doc_ok = ((n_kept >= 3)
+                  & ~low.str.contains("lorem ipsum", regex=False).to_numpy()
+                  & ~low.str.contains("{", regex=False).to_numpy())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_lines": n_lines,
+            "n_kept_lines": n_kept,
+            "kept": doc_ok.astype("int64"),
+            "clean_text": pd.Series(np.where(doc_ok, clean, ""), dtype=str),
+        })
+
+    return docs.map_batches(f, batch_format="pandas", batch_size=65536)

@@ -3152,3 +3152,100 @@ SELECT s.doc_id,
              ELSE kept.mn END)::BIGINT AS min_fingerprint
 FROM s LEFT JOIN kept USING (doc_id)
 """
+
+
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule flags per document (Rae et al. 2021 App. A;
+    pipelines/textstats.py gopher_quality_table)."""
+    from .textstats import gopher_quality_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_quality_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# every ratio rule is an integer cross-multiplication on both sides —
+# exact value parity, no float division anywhere
+SQL_GOPHER_QUALITY = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+    list_transform(regexp_split_to_array(text, '\\n'),
+        l -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS tl
+  FROM t
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sum_len,
+    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+    len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+        x -> list_contains(['the','be','to','of','and','that','have','with'],
+                           x)))) AS n_stop,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.'))
+      + len(regexp_extract_all(text, '…')) AS n_sym,
+    len(tl) AS n_lines,
+    len(list_filter(tl, l -> regexp_matches(l, '^[-•*]'))) AS n_bullet,
+    len(list_filter(tl, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ellend
+  FROM w
+)
+SELECT doc_id, n_words::BIGINT AS n_words, n_stop::BIGINT AS n_stop,
+  (n_words >= 50 AND n_words <= 100000)::BIGINT AS r_words,
+  (3 * n_words <= sum_len AND sum_len <= 10 * n_words)::BIGINT AS r_mwl,
+  (10 * n_sym < n_words)::BIGINT AS r_sym,
+  (10 * n_alpha > 8 * n_words)::BIGINT AS r_alpha,
+  (n_stop >= 2)::BIGINT AS r_stop,
+  (10 * n_bullet < 9 * n_lines)::BIGINT AS r_bullet,
+  (10 * n_ellend < 3 * n_lines)::BIGINT AS r_ellip,
+  (n_words >= 50 AND n_words <= 100000
+   AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+   AND 10 * n_sym < n_words
+   AND 10 * n_alpha > 8 * n_words
+   AND n_stop >= 2
+   AND 10 * n_bullet < 9 * n_lines
+   AND 10 * n_ellend < 3 * n_lines)::BIGINT AS passed
+FROM m ORDER BY doc_id
+"""
+
+
+def q_c4_clean(sf_dir: str) -> pd.DataFrame:
+    """C4 line-level cleaning per document (Raffel et al. 2020 §2.2;
+    pipelines/curate.py c4_clean)."""
+    from .curate import c4_clean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = c4_clean(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_C4_CLEAN = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), l AS (
+  SELECT doc_id, text,
+    list_transform(regexp_split_to_array(text, '\\n'),
+        x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS tl
+  FROM t
+), k AS (
+  SELECT doc_id, text, tl,
+    list_filter(tl, x -> regexp_matches(x, '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                            w -> w <> '')) >= 5
+        AND NOT contains(lower(x), 'javascript')) AS kept_lines
+  FROM l
+), d AS (
+  SELECT doc_id, tl, kept_lines,
+    (len(kept_lines) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(lower(text), '{')) AS doc_ok
+  FROM k
+)
+SELECT doc_id,
+  len(tl)::BIGINT AS n_lines,
+  len(kept_lines)::BIGINT AS n_kept_lines,
+  doc_ok::BIGINT AS kept,
+  CASE WHEN doc_ok THEN array_to_string(kept_lines, chr(10))
+       ELSE '' END AS clean_text
+FROM d ORDER BY doc_id
+"""

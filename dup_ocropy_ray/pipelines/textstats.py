@@ -580,3 +580,93 @@ def bigram_logprob(ds: rd.Dataset) -> pd.DataFrame:
              .groupby("_part").map_groups(per_doc, batch_format="pandas")
              .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------- named quality-rule filters
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# strip set shared with the SQL twin: DuckDB trim() strips only ' ' by
+# default, so both sides name the whitespace set explicitly (no \n: it
+# is the line separator)
+_LINE_STRIP = " \t\r\x0b\x0c"
+
+
+def gopher_quality_table(ds: rd.Dataset) -> rd.Dataset:
+    """Gopher quality rules (Rae et al. 2021, App. A) per document —
+    the classic pretraining-corpus repetition/format filter. Every rule
+    threshold is evaluated as an integer cross-multiplication so the
+    DuckDB twin is exact (no float-division divergence):
+
+      r_words : 50 <= n_words <= 100000
+      r_mwl   : mean word length in [3, 10]
+      r_sym   : (count '#' + count '...' + count '…') / n_words < 0.1
+      r_alpha : words containing [a-zA-Z] > 80%
+      r_stop  : >= 2 distinct Gopher stopwords present
+      r_bullet: lines starting with a bullet (- • *) < 90%
+      r_ellip : lines ending with an ellipsis < 30%
+
+    Stateless per-doc map over exploded word/line frames (C-level
+    pandas string kernels + bincount folds) — no shuffle, scales
+    linearly with the corpus."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        n = len(b)
+        text = b["text"].fillna("")
+        if n == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["doc_id", "n_words", "n_stop",
+                                           "r_words", "r_mwl", "r_sym",
+                                           "r_alpha", "r_stop", "r_bullet",
+                                           "r_ellip", "passed"]})
+        words = text.str.split()
+        n_words = words.map(len).to_numpy(np.int64)
+        we = words.explode().dropna()
+        widx = we.index.to_numpy(np.int64)
+        sum_len = np.bincount(widx, weights=we.str.len().to_numpy(np.float64),
+                              minlength=n).astype(np.int64)
+        alpha = we.str.contains("[a-zA-Z]", regex=True).to_numpy()
+        n_alpha = np.bincount(widx[alpha], minlength=n).astype(np.int64)
+        sw = we.str.lower()
+        swm = sw.isin(GOPHER_STOPWORDS).to_numpy()
+        sdf = pd.DataFrame({"i": widx[swm],
+                            "w": sw.to_numpy()[swm]}).drop_duplicates()
+        n_stop = np.bincount(sdf["i"].to_numpy(np.int64),
+                             minlength=n).astype(np.int64)
+        n_sym = (text.str.count("#") + text.str.count(r"\.\.\.")
+                 + text.str.count("…")).to_numpy(np.int64)
+        lines = text.str.split("\n")
+        n_lines = lines.map(len).to_numpy(np.int64)
+        le = lines.explode().dropna()
+        lidx = le.index.to_numpy(np.int64)
+        lt = le.str.strip(_LINE_STRIP)
+        bullet = lt.str.match(r"[-•*]").to_numpy()
+        ell = (lt.str.endswith("...") | lt.str.endswith("…")).to_numpy()
+        n_bullet = np.bincount(lidx[bullet], minlength=n).astype(np.int64)
+        n_ellend = np.bincount(lidx[ell], minlength=n).astype(np.int64)
+
+        r_words = (n_words >= 50) & (n_words <= 100_000)
+        r_mwl = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+        r_sym = 10 * n_sym < n_words
+        r_alpha = 10 * n_alpha > 8 * n_words
+        r_stop = n_stop >= 2
+        r_bullet = 10 * n_bullet < 9 * n_lines
+        r_ellip = 10 * n_ellend < 3 * n_lines
+        passed = (r_words & r_mwl & r_sym & r_alpha & r_stop
+                  & r_bullet & r_ellip)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_words": n_words,
+            "n_stop": n_stop,
+            "r_words": r_words.astype("int64"),
+            "r_mwl": r_mwl.astype("int64"),
+            "r_sym": r_sym.astype("int64"),
+            "r_alpha": r_alpha.astype("int64"),
+            "r_stop": r_stop.astype("int64"),
+            "r_bullet": r_bullet.astype("int64"),
+            "r_ellip": r_ellip.astype("int64"),
+            "passed": passed.astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)

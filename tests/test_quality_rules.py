@@ -1,0 +1,121 @@
+"""Named quality-rule filters: Gopher rules (Rae et al. 2021 App. A,
+textstats.gopher_quality_table) and C4 line cleaning (Raffel et al. 2020
+§2.2, curate.c4_clean). The driver fixtures are single-line texts, so
+these tests plant a synthetic multi-line corpus that exercises every
+rule branch and checks value parity against the DuckDB SQL twins."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+GOOD = " ".join(
+    ["the quick brown fox jumps over and that lazy dog have fun with it"]
+    * 5
+)  # 65 words, all alpha, 4+ distinct Gopher stopwords
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(2)
+
+
+def _oracle(sql, texts):
+    con = duckdb.connect()
+    con.register("docs_src", pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    }))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    return con.sql(sql).df()
+
+
+CORPUS = [
+    GOOD,                                    # passes everything
+    "too few words here.",                   # fails r_words (short)
+    "the of " + "x " * 60,                   # mean word len < 3 -> r_mwl
+    GOOD + " " + "#" * 1 + " ### ### ###",   # many '#' -> r_sym
+    GOOD.replace("the", "123").replace("and", "456")
+        .replace("that", "789").replace("have", "000")
+        .replace("with", "111"),             # no stopwords -> r_stop
+    "\n".join(["- the bullet item list of and"] * 10),   # r_bullet
+    "\n".join([GOOD, "trailing thought..."] * 3),        # ellipsis lines
+    "12 34 " * 40 + "the of",                # digits -> r_alpha
+    "",                                      # empty text
+    None,                                    # NULL text
+]
+
+
+def test_gopher_rules_match_duckdb_twin(ray_session):
+    from dup_ocropy_ray.pipelines.queries import SQL_GOPHER_QUALITY
+    from dup_ocropy_ray.pipelines.textstats import gopher_quality_table
+
+    got = (gopher_quality_table(_docs(CORPUS)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _oracle(SQL_GOPHER_QUALITY, CORPUS)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(got[sorted(got.columns)].dtypes
+                                          .to_dict()))
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "passed"] == 1
+    assert byid.loc[1, "r_words"] == 0
+    assert byid.loc[2, "r_mwl"] == 0
+    assert byid.loc[3, "r_sym"] == 0
+    assert byid.loc[4, "r_stop"] == 0 and byid.loc[4, "n_stop"] == 0
+    assert byid.loc[5, "r_bullet"] == 0
+    assert byid.loc[6, "r_ellip"] == 0
+    assert byid.loc[7, "r_alpha"] == 0
+    assert byid.loc[8, "passed"] == 0 and byid.loc[9, "passed"] == 0
+    # only the planted-good doc survives every rule
+    assert got["passed"].sum() == 1
+
+
+C4_CORPUS = [
+    # 3 qualifying lines -> kept
+    "\n".join(["this line has enough words to stay."] * 3),
+    # only 2 qualifying lines -> dropped
+    "\n".join(["this line has enough words to stay."] * 2 + ["short."]),
+    # line-level filters: no terminal punct / too short / javascript
+    "\n".join(["this line has enough words to stay.",
+               "no terminal punctuation on this long line",
+               "tiny line.",
+               "enable javascript to view this content.",
+               "  padded line with many words survives the trim.  ",
+               "another good line with plenty of words here!",
+               'quoted line with enough words to qualify."']),
+    # doc-level vetoes
+    "\n".join(["this line has enough words to stay."] * 3) + "\nlorem ipsum",
+    "\n".join(["this line has enough words to stay."] * 3) + "\ncode { x }",
+    "",
+    None,
+]
+
+
+def test_c4_clean_matches_duckdb_twin(ray_session):
+    from dup_ocropy_ray.pipelines.curate import c4_clean
+    from dup_ocropy_ray.pipelines.queries import SQL_C4_CLEAN
+
+    got = (c4_clean(_docs(C4_CORPUS)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _oracle(SQL_C4_CLEAN, C4_CORPUS)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(got[sorted(got.columns)].dtypes
+                                          .to_dict()))
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "kept"] == 1
+    assert byid.loc[1, "kept"] == 0 and byid.loc[1, "clean_text"] == ""
+    # line filters: of the 7 lines only the 4 qualifying ones remain
+    assert byid.loc[2, "n_kept_lines"] == 4
+    kept_lines = byid.loc[2, "clean_text"].split("\n")
+    assert kept_lines[0] == "this line has enough words to stay."
+    assert kept_lines[1] == "padded line with many words survives the trim."
+    assert byid.loc[3, "kept"] == 0          # lorem ipsum veto
+    assert byid.loc[4, "kept"] == 0          # '{' veto
+    assert byid.loc[5, "kept"] == 0 and byid.loc[6, "kept"] == 0
+    assert got["kept"].sum() == 2  # docs 0 and 2

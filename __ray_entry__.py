@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_type": q.q_quantiles_by_type,
         "gopher_quality": q.q_gopher_quality,
         "c4_clean": q.q_c4_clean,
+        "dsir_weights": q.q_dsir_weights,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_type": q.SQL_QUANTILES_BY_TYPE,
         "gopher_quality": q.SQL_GOPHER_QUALITY,
         "c4_clean": q.SQL_C4_CLEAN,
+        "dsir_weights": q.SQL_DSIR_WEIGHTS,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

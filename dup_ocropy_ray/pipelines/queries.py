@@ -3249,3 +3249,119 @@ SELECT doc_id,
        ELSE '' END AS clean_text
 FROM d ORDER BY doc_id
 """
+
+
+def q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-doc log importance ratio between a
+    TARGET distribution (here the lang='en' slice) and the RAW corpus,
+    under add-one-smoothed unigram LMs over the shared vocabulary.
+    Docs that look like the target score high; resampling keeps docs
+    with probability proportional to exp(weight).
+
+    The paper hashes grams into buckets to bound the feature table;
+    here raw-gram counts keep the DuckDB twin value-exact, and the
+    engine's gram-hash shuffle plays the same routing role. Fully
+    distributed like unigram_logprob: ONE gram-sharded count table
+    carries both (raw, target) counts — a single vocabulary shuffle —
+    then per-(doc, word) multiplicities meet it in a large x large
+    bucket_join and per-doc sums ride a doc-keyed bucket reduce. Only
+    three scalars (token totals, vocab size) and the doc-scale result
+    land on the driver."""
+    from ..functions import hashing
+    from .relational import bucket_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        tgt = (b["lang"].to_numpy(object)[flat.index.to_numpy()] == "en")
+        g = (pd.DataFrame({"word": flat.to_numpy(object),
+                           "cr": np.ones(len(flat), dtype=np.int64),
+                           "ct": tgt.astype(np.int64)})
+             .groupby("word", sort=False, as_index=False).sum())
+        g["_part"] = (hashing.hash_strings(g["word"].to_numpy(object))
+                      % np.uint64(64)).astype(np.int64)
+        return g
+
+    def wc_final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("word", sort=False, as_index=False)[["cr", "ct"]].sum()
+        return vc
+
+    uni = (ds.map_batches(wc_partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby("_part").map_groups(wc_final, batch_format="pandas")
+             .materialize())
+
+    # scalars: raw/target token totals + vocab size (metadata-scale)
+    tots = uni.map_batches(
+        lambda b: pd.DataFrame({"nr": [int(b["cr"].sum())],
+                                "nt": [int(b["ct"].sum())],
+                                "v": [len(b)]}),
+        batch_format="pandas").to_pandas().sum()
+    nr, nt, v = float(tots["nr"]), float(tots["nt"]), float(tots["v"])
+
+    def doc_words(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        ids = b["doc_id"].to_numpy()[flat.index.to_numpy()]
+        return (pd.DataFrame({"doc_id": ids, "word": flat.to_numpy(object)})
+                .groupby(["doc_id", "word"], sort=False, as_index=False)
+                .size().rename(columns={"size": "m"}))
+
+    dw = ds.map_batches(doc_words, batch_format="pandas", batch_size=8192)
+    joined = bucket_join(
+        dw, uni, left_on="word", right_on="word",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("word", pa.string()), ("m", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()), ("cr", pa.int64()),
+                                ("ct", pa.int64())]))
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["m"].to_numpy(np.float64)
+        lw = m * (np.log((b["ct"].to_numpy(np.float64) + 1.0) / (nt + v))
+                  - np.log((b["cr"].to_numpy(np.float64) + 1.0) / (nr + v)))
+        out = (pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_tokens": b["m"].astype("int64"), "lw": lw})
+               .groupby("doc_id", sort=False, as_index=False)
+               .agg(n_tokens=("n_tokens", "sum"), lw=("lw", "sum")))
+        out["_part"] = (pd.util.hash_pandas_object(out["doc_id"], index=False)
+                        .to_numpy("uint64") % np.uint64(64)).astype(np.int64)
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False, as_index=False)
+                .agg(n_tokens=("n_tokens", "sum"), lw=("lw", "sum")))
+        return pd.DataFrame({"doc_id": out["doc_id"],
+                             "n_tokens": out["n_tokens"].astype("int64"),
+                             "weight": np.round(out["lw"], 6)})
+
+    out = (joined.map_batches(contrib, batch_format="pandas")
+           .groupby("_part").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'),
+           x -> x <> '')) AS word
+  FROM documents
+), uni AS (
+  SELECT word, count(*)::BIGINT AS cr,
+         coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0)::BIGINT
+           AS ct
+  FROM w GROUP BY word
+), tot AS (
+  SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt,
+         count(*)::DOUBLE AS v
+  FROM uni
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(ln((u.ct + 1) / (t.nt + t.v))
+                 - ln((u.cr + 1) / (t.nr + t.v))), 6) AS weight
+FROM w JOIN uni u USING (word), tot t
+GROUP BY doc_id
+"""

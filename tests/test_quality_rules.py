@@ -119,3 +119,45 @@ def test_c4_clean_matches_duckdb_twin(ray_session):
     assert byid.loc[4, "kept"] == 0          # '{' veto
     assert byid.loc[5, "kept"] == 0 and byid.loc[6, "kept"] == 0
     assert got["kept"].sum() == 2  # docs 0 and 2
+
+
+def test_dsir_weights_favor_target_like_docs(ray_session):
+    """DSIR (Xie et al. 2023): docs sharing the target slice's
+    distinctive vocabulary must outweigh raw-typical docs; values match
+    the DuckDB twin exactly."""
+    import duckdb
+
+    from dup_ocropy_ray.pipelines.queries import SQL_DSIR_WEIGHTS
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "zig zag zip zap zig zag zip zap"
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype="int64"),
+        "lang": ["en"] * 3 + ["de"] * 5,
+        "text": [tgt_text] * 3            # the en target slice
+        + [raw_text] * 4                  # raw-typical docs
+        + [tgt_text],                     # de doc that LOOKS like target
+    })
+    import tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.queries import q_dsir_weights
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa_.Table.from_pandas(df), f"{d}/documents.parquet")
+        got = q_dsir_weights(d)
+    con = duckdb.connect()
+    con.register("docs_src", df)
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = con.sql(SQL_DSIR_WEIGHTS).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(got[sorted(got.columns)]
+                                          .dtypes.to_dict()))
+    byid = got.set_index("doc_id")["weight"]
+    # target-looking docs (0-2 and the de look-alike 7) beat raw docs
+    assert byid[7] == byid[0]
+    assert byid[0] > byid[3] + 1.0

@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_knn": q.q_text_knn,
         "cms_counts": q.q_cms_counts,
         "ttf_linegen": q.q_ttf_linegen,
+        "bpe_merges": q.q_bpe_merges,
         "uw3_cer": q.q_uw3_cer,
     }
 

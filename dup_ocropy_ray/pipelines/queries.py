@@ -3365,3 +3365,14 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM w JOIN uni u USING (word), tot t
 GROUP BY doc_id
 """
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents table: first 24 merge rules with counts
+    (pipelines/textstats.py bpe_train). Iterative — no SQL oracle; the
+    pytest pins exact parity with a serial reference implementation."""
+    from .textstats import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, num_merges=24)

@@ -670,3 +670,121 @@ def gopher_quality_table(ds: rd.Dataset) -> rd.Dataset:
         })
 
     return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+# ------------------------------------------------- BPE tokenizer training
+
+
+def bpe_train(ds: rd.Dataset, num_merges: int = 30,
+              parts: int = 64) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``num_merges`` merge rules over the corpus word distribution.
+
+    Scale shape: the corpus collapses ONCE to a distinct-word count
+    table (gram-hash shuffle of per-batch partials) that stays
+    distributed for the whole run; each merge round is (a) per-block
+    adjacent-pair partial counts, (b) a pair-hash shuffle where each
+    partition reduces to its own top pair, (c) a metadata-scale driver
+    argmax over the ``parts`` partition winners (exact, like
+    heavy_hitters), (d) a map applying the merge only to words that
+    contain the pair. Driver state is the merge list — never a
+    vocabulary-scale table. Ties break on (count desc, left asc,
+    right asc) so results are deterministic and serially reproducible.
+
+    Returns (rank, left, right, count) per learned merge."""
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b["text"].fillna("").str.split().explode().dropna()
+              .value_counts())
+        out = pd.DataFrame({"word": vc.index.to_numpy(object),
+                            "c": vc.to_numpy(np.int64)})
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(parts)).astype(np.int64)
+        return out
+
+    def wc_final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("word", sort=False)["c"].sum()
+        words = vc.index.to_numpy(object)
+        # symbol sequences: characters + the end-of-word marker
+        syms = [list(w) + ["</w>"] for w in words]
+        return pd.DataFrame({"syms": syms, "c": vc.to_numpy(np.int64)})
+
+    vocab = (ds.map_batches(wc_partial, batch_format="pandas",
+                            batch_size=65536)
+               .groupby("_part").map_groups(wc_final, batch_format="pandas")
+               .materialize())
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {}
+        for syms, c in zip(b["syms"], b["c"]):
+            c = int(c)
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                rows[k] = rows.get(k, 0) + c
+        if not rows:
+            return pd.DataFrame({"left": pd.Series([], dtype=str),
+                                 "right": pd.Series([], dtype=str),
+                                 "pc": pd.Series([], dtype="int64")})
+        ks = list(rows.keys())
+        out = pd.DataFrame({"left": [k[0] for k in ks],
+                            "right": [k[1] for k in ks],
+                            "pc": pd.Series(list(rows.values()),
+                                            dtype="int64")})
+        out["_p2"] = (hashing.hash_strings(
+            (out["left"] + "\x00" + out["right"]).to_numpy(object))
+            % np.uint64(parts)).astype(np.int64)
+        return out
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"left": pd.Series([], dtype=str),
+                                 "right": pd.Series([], dtype=str),
+                                 "pc": pd.Series([], dtype="int64")})
+        s = (g.groupby(["left", "right"], sort=False, as_index=False)["pc"]
+             .sum()
+             .sort_values(["pc", "left", "right"],
+                          ascending=[False, True, True]))
+        return s.head(1).drop(columns=[c for c in s.columns
+                                       if c == "_p2"], errors="ignore")
+
+    merges = []
+    for rank in range(num_merges):
+        tops = (vocab.map_batches(pair_partial, batch_format="pandas")
+                .groupby("_p2").map_groups(part_top, batch_format="pandas")
+                .to_pandas())
+        if len(tops) == 0:
+            break
+        tops = tops.sort_values(["pc", "left", "right"],
+                                ascending=[False, True, True])
+        left, right = str(tops.iloc[0]["left"]), str(tops.iloc[0]["right"])
+        count = int(tops.iloc[0]["pc"])
+        if count < 1:
+            break
+        merges.append((rank, left, right, count))
+        tok = left + right
+
+        def apply_merge(b: pd.DataFrame, left=left, right=right, tok=tok
+                        ) -> pd.DataFrame:
+            out = []
+            for syms in b["syms"]:
+                syms = list(syms)
+                if left in syms:  # cheap prefilter: most words untouched
+                    i = 0
+                    while i < len(syms) - 1:
+                        if syms[i] == left and syms[i + 1] == right:
+                            syms[i : i + 2] = [tok]
+                        else:
+                            i += 1
+                out.append(syms)
+            return pd.DataFrame({"syms": out,
+                                 "c": b["c"].astype("int64")})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    return pd.DataFrame({
+        "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+        "left": pd.Series([m[1] for m in merges], dtype=str),
+        "right": pd.Series([m[2] for m in merges], dtype=str),
+        "count": pd.Series([m[3] for m in merges], dtype="int64"),
+    })

@@ -1,0 +1,77 @@
+"""Distributed BPE trainer (textstats.bpe_train) vs a serial reference
+implementation of Sennrich et al. 2016 — exact merge-sequence parity,
+including the deterministic (count desc, left asc, right asc) tie rule."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from dup_ocropy_ray.pipelines.textstats import bpe_train
+
+
+def serial_bpe(texts, num_merges):
+    wc = Counter(w for t in texts for w in (t or "").split())
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), count = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, count))
+        tok = left + right
+        for w in vocab:
+            s = vocab[w]
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == left and s[i + 1] == right:
+                    s[i : i + 2] = [tok]
+                else:
+                    i += 1
+    return pd.DataFrame({
+        "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+        "left": pd.Series([m[1] for m in merges], dtype=str),
+        "right": pd.Series([m[2] for m in merges], dtype=str),
+        "count": pd.Series([m[3] for m in merges], dtype="int64"),
+    })
+
+
+def _ds(texts):
+    return rd.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+
+
+def test_bpe_train_matches_serial_reference(ray_session):
+    rng = np.random.default_rng(17)
+    base = ["lower", "lowest", "newer", "newest", "wider", "widest",
+            "low", "new", "wide", "er", "est"]
+    texts = [" ".join(rng.choice(base, size=rng.integers(3, 12)))
+             for _ in range(40)]
+    got = bpe_train(_ds(texts), num_merges=20)
+    want = serial_bpe(texts, 20)
+    pd.testing.assert_frame_equal(got, want)
+    # the classic corpus learns multi-char subwords, not just pairs
+    assert any(len(l) + len(r) > 3 for l, r in zip(got["left"], got["right"]))
+
+
+def test_bpe_train_on_fixture_table(ray_session):
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    got = bpe_train(_ds(texts), num_merges=8)
+    want = serial_bpe(texts, 8)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_train_empty_and_degenerate(ray_session):
+    got = bpe_train(_ds(["", None, "a"]), num_merges=5)
+    want = serial_bpe(["", None, "a"], 5)
+    pd.testing.assert_frame_equal(got, want)

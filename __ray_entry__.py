@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "c4_clean": q.q_c4_clean,
         "dsir_weights": q.q_dsir_weights,
+        "mix_corpus": q.q_mix_corpus,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": q.SQL_GOPHER_QUALITY,
         "c4_clean": q.SQL_C4_CLEAN,
         "dsir_weights": q.SQL_DSIR_WEIGHTS,
+        "mix_corpus": q.SQL_MIX_CORPUS,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

@@ -509,3 +509,54 @@ def c4_clean(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+# --------------------------------------------------- corpus mixing
+
+
+def mix_corpus(docs: rd.Dataset, budget_pct: int = 50) -> pd.DataFrame:
+    """Corpus mixing to a UNIFORM target over sources under a global
+    char budget (the data-mixture rebalancing step: oversampled sources
+    are cut hard, rare sources kept whole). Each source's keep percent
+    is
+
+        pct_s = min(100, (budget_pct * total_chars) // (n_sources * chars_s))
+
+    — integer arithmetic end-to-end so the DuckDB twin is exact —
+    and membership is the stable Knuth permutation of doc_id
+    (reproducible across runs/workers, like sample_by_source).
+
+    Scale shape: pass 1 is a metadata-scale per-source char aggregate;
+    the per-source pct dict (sources are few) is a broadcast small
+    side; pass 2 is a stateless filter + metadata-scale summary. No
+    corpus-scale shuffle, no driver materialization."""
+    from .relational import grouped_agg
+
+    sizes = grouped_agg(docs.select_columns(["source", "n_chars"]),
+                        ["source"], sums=["n_chars"])
+    cs = sizes.set_index("source")["sum_n_chars"].astype("int64")
+    total = int(cs.sum())
+    ns = len(cs)
+    pct = np.minimum(100, (budget_pct * total) // (ns * cs.to_numpy()))
+    pct_by_source = dict(zip(cs.index, pct.astype(np.int64)))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy("int64") * 2654435761) % 4294967296 % 100
+        quota = b["source"].map(pct_by_source).to_numpy("int64")
+        sel = b[h < quota]
+        return pd.DataFrame({
+            "source": sel["source"].astype(str),
+            "kept_chars": sel["n_chars"].to_numpy("int64"),
+        })
+
+    g = grouped_agg(
+        docs.map_batches(pick, batch_format="pandas", batch_size=8192),
+        ["source"], sums=["kept_chars"]).set_index("source")
+    out = pd.DataFrame({
+        "source": cs.index,
+        "pct": [int(pct_by_source[s]) for s in cs.index],
+        "n_kept": [int(g["n"].get(s, 0)) for s in cs.index],
+        "kept_chars": [int(g["sum_kept_chars"].get(s, 0))
+                       for s in cs.index],
+    })
+    return out.sort_values("source").reset_index(drop=True)

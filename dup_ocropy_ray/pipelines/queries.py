@@ -3376,3 +3376,35 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["text"])
     return bpe_train(ds, num_merges=24)
+
+
+def q_mix_corpus(sf_dir: str) -> pd.DataFrame:
+    """Uniform-target corpus mixing under a 50% char budget
+    (pipelines/curate.py mix_corpus)."""
+    from .curate import mix_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return mix_corpus(ds)
+
+
+SQL_MIX_CORPUS = """
+WITH s AS (
+  SELECT source, sum(n_chars)::BIGINT AS cs FROM documents GROUP BY source
+), t AS (
+  SELECT sum(cs)::BIGINT AS total, count(*)::BIGINT AS ns FROM s
+), p AS (
+  SELECT source, least(100, (50 * t.total) // (t.ns * s.cs)) AS pct
+  FROM s, t
+), k AS (
+  SELECT d.source, count(*)::BIGINT AS n_kept,
+         sum(d.n_chars)::BIGINT AS kept_chars
+  FROM documents d JOIN p USING (source)
+  WHERE (d.doc_id * 2654435761) % 4294967296 % 100 < p.pct
+  GROUP BY d.source
+)
+SELECT p.source, p.pct::BIGINT AS pct,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.kept_chars, 0)::BIGINT AS kept_chars
+FROM p LEFT JOIN k USING (source)
+ORDER BY p.source
+"""

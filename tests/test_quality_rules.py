@@ -161,3 +161,22 @@ def test_dsir_weights_favor_target_like_docs(ray_session):
     # target-looking docs (0-2 and the de look-alike 7) beat raw docs
     assert byid[7] == byid[0]
     assert byid[0] > byid[3] + 1.0
+
+
+def test_mix_corpus_rebalances_skewed_sources(ray_session):
+    """mix_corpus: an oversampled source is cut toward the uniform
+    budget share while a rare source keeps 100%."""
+    from dup_ocropy_ray.pipelines.curate import mix_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"),
+        "source": ["big"] * 280 + ["rare"] * 20,
+        "n_chars": np.full(300, 100, dtype="int64"),
+    })
+    out = mix_corpus(rd.from_pandas(df).repartition(3), budget_pct=50)
+    byid = out.set_index("source")
+    # uniform share = 50% * 30000 / 2 = 7500 chars per source
+    assert byid.loc["rare", "pct"] == 100      # 2000 < 7500: keep all
+    assert byid.loc["rare", "n_kept"] == 20
+    assert byid.loc["big", "pct"] == 26        # 7500*100 // 28000
+    assert 0 < byid.loc["big", "n_kept"] < 280

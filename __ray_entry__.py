@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q.q_cms_counts,
         "ttf_linegen": q.q_ttf_linegen,
         "bpe_merges": q.q_bpe_merges,
+        "coreset": q.q_coreset,
         "uw3_cer": q.q_uw3_cer,
     }
 

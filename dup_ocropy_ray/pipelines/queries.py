@@ -3408,3 +3408,13 @@ SELECT p.source, p.pct::BIGINT AS pct,
 FROM p LEFT JOIN k USING (source)
 ORDER BY p.source
 """
+
+
+def q_coreset(sf_dir: str) -> pd.DataFrame:
+    """k-center greedy coreset over the embeddings table (16 centers;
+    pipelines/similarity.py kcenter_coreset). Iterative argmax — no SQL
+    oracle; the pytest pins exact parity with a serial reference."""
+    from .similarity import kcenter_coreset
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_coreset(ds, k=16)

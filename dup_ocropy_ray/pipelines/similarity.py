@@ -515,3 +515,81 @@ def knn_ivf_indexed(index_dir: str, query: np.ndarray, k: int = 10,
                             ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)
+
+
+# ------------------------------------------- k-center greedy coreset
+
+
+def kcenter_coreset(ds: rd.Dataset, k: int = 16,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> pd.DataFrame:
+    """k-center greedy coreset selection (the classic diversity-based
+    data-selection rule, Sener & Savarese 2018 shape): start from the
+    lowest id, then k-1 times add the point FARTHEST (euclidean) from
+    its nearest already-chosen center. Deterministic: distance ties
+    break on lowest id.
+
+    Scale shape: the corpus keeps a per-point min-distance column that
+    each round is min'd against the distance to the single NEWEST
+    center (one broadcast vector via ray.put — O(N·dim) work per round,
+    not O(N·k·dim) recompute); the driver sees only each round's
+    per-block argmax candidates (blocks × 1 rows) and holds the k
+    selected vectors — metadata-scale state. k materializations of the
+    (id, vec, mindist) table, which stays in the object store."""
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            vec_col: b[vec_col],
+            "_mind": np.full(len(b), np.inf),
+        })
+
+    state = ds.map_batches(init, batch_format="pandas").materialize()
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        # per-block argmax candidate, VECTOR INCLUDED so the driver
+        # never runs a separate fetch pass (blocks × 1 rows total).
+        # seed rank uses _mind=inf everywhere, so ties fall to min id.
+        s = b.sort_values(["_mind", id_col], ascending=[False, True])
+        return s.head(1)
+
+    def pick(cands: pd.DataFrame) -> tuple[int, float, np.ndarray]:
+        cands = cands.sort_values(["_mind", id_col],
+                                  ascending=[False, True])
+        row = cands.iloc[0]
+        return (int(row[id_col]), float(row["_mind"]),
+                np.asarray(row[vec_col], dtype=np.float64))
+
+    # seed: _mind is inf everywhere -> argmax tie-breaks to lowest id
+    new_id, new_dist, cvec = pick(
+        state.map_batches(block_top, batch_format="pandas").to_pandas())
+
+    chosen: list[tuple[int, int, float]] = []  # (order, id, dist)
+    for rank in range(k):
+        chosen.append((rank, new_id,
+                       0.0 if rank == 0 else new_dist))
+        if rank == k - 1:
+            break
+        cref = ray.put(cvec)
+
+        def upd(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            M = _stack(b[vec_col])
+            d = np.linalg.norm(M - c[None, :], axis=1)
+            return pd.DataFrame({
+                id_col: b[id_col].astype("int64"),
+                vec_col: b[vec_col],
+                "_mind": np.minimum(b["_mind"].to_numpy(np.float64), d),
+            })
+
+        # one fused execution per round: update min-dists AND emit the
+        # per-block candidates; state re-materializes for the next round
+        state = state.map_batches(upd, batch_format="pandas").materialize()
+        new_id, new_dist, cvec = pick(
+            state.map_batches(block_top, batch_format="pandas").to_pandas())
+
+    return pd.DataFrame({
+        "rank": pd.Series([c[0] for c in chosen], dtype="int64"),
+        id_col: pd.Series([c[1] for c in chosen], dtype="int64"),
+        "dist": np.round([c[2] for c in chosen], 6),
+    })

@@ -75,3 +75,38 @@ def test_bpe_train_empty_and_degenerate(ray_session):
     got = bpe_train(_ds(["", None, "a"]), num_merges=5)
     want = serial_bpe(["", None, "a"], 5)
     pd.testing.assert_frame_equal(got, want)
+
+
+def serial_kcenter(ids, vecs, k):
+    import numpy as np
+    order = np.argsort(ids)
+    ids = np.asarray(ids)[order]
+    M = np.asarray(vecs, dtype=np.float64)[order]
+    chosen = [(0, int(ids[0]), 0.0)]
+    mind = np.linalg.norm(M - M[0][None, :], axis=1)
+    for rank in range(1, k):
+        i = int(np.lexsort((ids, -mind))[0])
+        chosen.append((rank, int(ids[i]), round(float(mind[i]), 6)))
+        mind = np.minimum(mind, np.linalg.norm(M - M[i][None, :], axis=1))
+    return pd.DataFrame({
+        "rank": pd.Series([c[0] for c in chosen], dtype="int64"),
+        "vec_id": pd.Series([c[1] for c in chosen], dtype="int64"),
+        "dist": [c[2] for c in chosen],
+    })
+
+
+def test_kcenter_coreset_matches_serial(ray_session):
+    from dup_ocropy_ray.pipelines.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 8
+    vecs = rng.standard_normal((n, dim))
+    ids = rng.permutation(n).astype("int64") * 7 + 1
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": ids, "embedding": list(vecs)})).repartition(4)
+    got = kcenter_coreset(ds, k=10)
+    want = serial_kcenter(ids, vecs, 10)
+    pd.testing.assert_frame_equal(got, want)
+    # coverage radius shrinks (weakly) as centers are added
+    d = got["dist"].to_numpy()[1:]
+    assert (np.diff(d) <= 1e-9).all()

@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttf_linegen": q.q_ttf_linegen,
         "bpe_merges": q.q_bpe_merges,
         "coreset": q.q_coreset,
+        "ann_recall": q.q_ann_recall,
         "uw3_cer": q.q_uw3_cer,
     }
 

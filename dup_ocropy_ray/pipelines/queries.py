@@ -3418,3 +3418,17 @@ def q_coreset(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kcenter_coreset(ds, k=16)
+
+
+def q_ann_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN recall@10 vs brute force over an nprobe sweep (4 fixture
+    queries; pipelines/similarity.py ann_recall). Approximate by
+    construction — rows-only; the pytest pins recall==1.0 at full probe
+    and monotone non-decreasing recall in nprobe."""
+    from .similarity import ann_recall
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _read_pd(sf_dir, "embeddings").set_index("vec_id")
+    Q = np.stack([np.asarray(qdf.loc[i, "embedding"], dtype=np.float64)
+                  for i in range(4)])
+    return ann_recall(ds, Q, k=10, num_centroids=8, probes=(1, 2, 4, 8))

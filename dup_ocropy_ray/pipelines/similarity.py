@@ -593,3 +593,36 @@ def kcenter_coreset(ds: rd.Dataset, k: int = 16,
         id_col: pd.Series([c[1] for c in chosen], dtype="int64"),
         "dist": np.round([c[2] for c in chosen], 6),
     })
+
+
+# -------------------------------------------------- ANN quality eval
+
+
+def ann_recall(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+               num_centroids: int = 8, probes: tuple = (1, 2, 4, 8),
+               vec_col: str = "embedding", id_col: str = "vec_id"
+               ) -> pd.DataFrame:
+    """Recall@k of the IVF index against exact brute force over an
+    nprobe sweep — the standard ANN quality/speed trade-off report.
+    Centroids are trained ONCE and shared across every (query, nprobe)
+    evaluation; ground truth is one brute-force top-k per query. Each
+    evaluation is a per-block top-k map (broadcast query), so the
+    corpus is never shuffled or collected. Returns (nprobe, recall)
+    with recall averaged over the query set."""
+    Q = np.asarray(queries, dtype=np.float64)
+    cents = train_centroids(ds, num_centroids, vec_col)
+    truth = [set(knn_brute(ds, q, k=k, vec_col=vec_col,
+                           id_col=id_col)[id_col]) for q in Q]
+    rows = []
+    for nprobe in probes:
+        hits = 0
+        for q, t in zip(Q, truth):
+            got = set(knn_ivf(ds, q, k=k, num_centroids=num_centroids,
+                              nprobe=nprobe, vec_col=vec_col,
+                              id_col=id_col, centroids=cents)[id_col])
+            hits += len(got & t)
+        rows.append((int(nprobe),
+                     round(hits / (len(Q) * k), 6)))
+    return pd.DataFrame({"nprobe": pd.Series([r[0] for r in rows],
+                                             dtype="int64"),
+                         "recall": [r[1] for r in rows]})

@@ -110,3 +110,20 @@ def test_kcenter_coreset_matches_serial(ray_session):
     # coverage radius shrinks (weakly) as centers are added
     d = got["dist"].to_numpy()[1:]
     assert (np.diff(d) <= 1e-9).all()
+
+
+def test_ann_recall_monotone_and_exact_at_full_probe(ray_session):
+    from dup_ocropy_ray.pipelines.similarity import ann_recall
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    vecs = rng.standard_normal((n, dim))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": list(vecs)})).repartition(4)
+    out = ann_recall(ds, vecs[:3], k=10, num_centroids=8,
+                     probes=(1, 4, 8))
+    r = out.set_index("nprobe")["recall"]
+    assert r[8] == 1.0                       # full probe == brute force
+    assert r[1] <= r[4] <= r[8]              # monotone in nprobe
+    assert r[1] > 0.0                        # probes the query's own cell

@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q.q_c4_clean,
         "dsir_weights": q.q_dsir_weights,
         "mix_corpus": q.q_mix_corpus,
+        "event_outliers": q.q_event_outliers,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": q.SQL_C4_CLEAN,
         "dsir_weights": q.SQL_DSIR_WEIGHTS,
         "mix_corpus": q.SQL_MIX_CORPUS,
+        "event_outliers": q.SQL_EVENT_OUTLIERS,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "fingerprints": q.SQL_FINGERPRINTS,

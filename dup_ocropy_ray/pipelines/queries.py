@@ -3432,3 +3432,66 @@ def q_ann_recall(sf_dir: str) -> pd.DataFrame:
     Q = np.stack([np.asarray(qdf.loc[i, "embedding"], dtype=np.float64)
                   for i in range(4)])
     return ann_recall(ds, Q, k=10, num_centroids=8, probes=(1, 2, 4, 8))
+
+
+def q_event_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score anomaly flags (the metrics-cleaning
+    primitive): two metadata-scale passes — per-type moments via
+    pre-aggregated partials, then a stateless flag map with the tiny
+    per-type stats broadcast. Only outlier rows return (plus z-score),
+    so the driver never sees the full event stream."""
+    from .relational import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": b["event_type"], "s": v,
+                          "s2": v * v})
+        return g
+
+    m = grouped_agg(ds.map_batches(mom, batch_format="pandas",
+                                   batch_size=65536),
+                    ["event_type"], sums=["s", "s2"])
+    n = m["n"].to_numpy(np.float64)
+    mean = m["sum_s"].to_numpy(np.float64) / n
+    var = m["sum_s2"].to_numpy(np.float64) / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    stats = {t: (mu, sd) for t, mu, sd in zip(m["event_type"], mean, std)}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b["event_type"].map({t: s[0] for t, s in stats.items()})
+        sd = b["event_type"].map({t: s[1] for t, s in stats.items()})
+        v = b["value"].to_numpy(np.float64)
+        z = np.where(sd.to_numpy() > 0,
+                     (v - mu.to_numpy()) / np.where(sd.to_numpy() > 0,
+                                                    sd.to_numpy(), 1.0),
+                     0.0)
+        z = np.round(z, 6)
+        keep = np.abs(z) > 3.0
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy("int64")[keep],
+            "event_type": b["event_type"].to_numpy(object)[keep],
+            "zscore": z[keep],
+        })
+
+    out = ds.map_batches(flag, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_OUTLIERS = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+  FROM events
+), z AS (
+  SELECT event_id, event_type,
+         round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0 END, 6)
+           AS zscore
+  FROM s
+)
+SELECT event_id, event_type, zscore FROM z
+WHERE abs(zscore) > 3.0 ORDER BY event_id
+"""

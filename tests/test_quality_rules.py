@@ -180,3 +180,27 @@ def test_mix_corpus_rebalances_skewed_sources(ray_session):
     assert byid.loc["rare", "n_kept"] == 20
     assert byid.loc["big", "pct"] == 26        # 7500*100 // 28000
     assert 0 < byid.loc["big", "n_kept"] < 280
+
+
+def test_event_outliers_flags_planted_spike(ray_session):
+    """event_outliers: a planted 100-sigma spike is flagged; the tight
+    cluster around the mean is not."""
+    import tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.queries import q_event_outliers
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.normal(10, 1, 200), [10_000.0]])
+    df = pd.DataFrame({
+        "event_id": np.arange(201, dtype="int64"),
+        "event_type": ["click"] * 201,
+        "value": vals,
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa_.Table.from_pandas(df), f"{d}/events.parquet")
+        out = q_event_outliers(d)
+    assert 200 in set(out["event_id"])
+    assert len(out) < 10

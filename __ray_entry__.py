@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project_text": q.q_project_text,
         "html_extract": q.q_html_extract,
         "web_span_counts": q.q_web_span_counts,
+        "justext_stats": q.q_justext_stats,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "project_text": q.SQL_PROJECT_TEXT,
         "html_extract": q.SQL_HTML_EXTRACT,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
+        "justext_stats": q.SQL_JUSTEXT_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

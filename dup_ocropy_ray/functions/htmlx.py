@@ -290,3 +290,137 @@ def extract_tables(html: str) -> list[list[list[str]]]:
         if rows:
             out.append(rows)
     return out
+
+
+# ----------------------------------------------- jusText block classifier
+
+# Inline elements whose text merges into the enclosing block; every
+# other element boundary starts a new block (jusText's paragraph
+# segmentation rule).
+_INLINE_TAGS = frozenset(
+    "a b i u em strong span small sub sup code abbr cite q s tt font "
+    "mark time label".split()
+)
+
+
+def segment_blocks(html: str) -> list[dict]:
+    """jusText-style paragraph segmentation: walk the DOM, cutting a new
+    block at every non-inline element boundary; inline tags (a, b,
+    span, …) merge into the enclosing block. Kill-list subtrees
+    (script/style/…) are dropped entirely. Each block carries its text
+    and link density."""
+    root = parse_html(html)
+    blocks: list[dict] = []
+    cur_text: list[str] = []
+    cur_link: list[str] = []
+
+    def flush():
+        text = _clean_text(cur_text)
+        if text:
+            ltext = _clean_text(cur_link)
+            blocks.append({
+                "text": text,
+                "link_density": min(1.0, len(ltext) / max(1, len(text))),
+            })
+        cur_text.clear()
+        cur_link.clear()
+
+    def walk(node: Node, in_link: bool) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                cur_text.append(c)
+                if in_link:
+                    cur_link.append(c)
+            elif c.tag in _KILL_TAGS:
+                continue
+            elif c.tag in _INLINE_TAGS:
+                walk(c, in_link or c.tag == "a")
+            else:
+                flush()
+                walk(c, in_link)
+                flush()
+
+    walk(root, False)
+    flush()
+    return blocks
+
+
+def classify_context_free(blocks: list[dict], length_low: int = 40,
+                          length_high: int = 150,
+                          max_link_density: float = 0.2) -> list[str]:
+    """Context-free jusText classes: bad if link density exceeds
+    ``max_link_density``; short if under ``length_low`` chars; neargood
+    under ``length_high``; good otherwise."""
+    out = []
+    for b in blocks:
+        if b["link_density"] > max_link_density:
+            out.append("bad")
+        elif len(b["text"]) < length_low:
+            out.append("short")
+        elif len(b["text"]) < length_high:
+            out.append("neargood")
+        else:
+            out.append("good")
+    return out
+
+
+def justext_classify(blocks: list[dict], length_low: int = 40,
+                     length_high: int = 150,
+                     max_link_density: float = 0.2) -> list[str]:
+    """jusText classification (Pomikálek 2011) in language-independent
+    mode (empty stoplist — the stopword-density tests are skipped, as
+    the published algorithm specifies for stopless languages).
+
+    Context-free pass via :func:`classify_context_free`.
+    Context-sensitive (simplified, documented): each doubtful block
+    looks at its nearest non-doubtful neighbours — good on both sides
+    -> good, bad on both sides -> bad; on a good/bad boundary a
+    neargood joins the good side and a short joins the bad side.
+    Returns the final class per block."""
+    ctx = classify_context_free(blocks, length_low, length_high,
+                                max_link_density)
+    n = len(ctx)
+    # nearest non-doubtful class on each side ('bad' beyond the edges,
+    # matching jusText's implicit page-boundary rule)
+    prev_edge = ["bad"] * n
+    last = "bad"
+    for i in range(n):
+        prev_edge[i] = last
+        if ctx[i] in ("good", "bad"):
+            last = ctx[i]
+    next_edge = ["bad"] * n
+    last = "bad"
+    for i in range(n - 1, -1, -1):
+        next_edge[i] = last
+        if ctx[i] in ("good", "bad"):
+            last = ctx[i]
+
+    final = []
+    for i, c in enumerate(ctx):
+        if c in ("good", "bad"):
+            final.append(c)
+        elif prev_edge[i] == "good" and next_edge[i] == "good":
+            final.append("good")
+        elif prev_edge[i] == "bad" and next_edge[i] == "bad":
+            final.append("bad")
+        else:  # good/bad boundary: neargood leans good, short leans bad
+            final.append("good" if c == "neargood" else "bad")
+    return final
+
+
+def justext_stats(html: str) -> dict:
+    """Per-page jusText summary: context-free class counts, final
+    good-block count and the good-block text mass."""
+    blocks = segment_blocks(html)
+    final = justext_classify(blocks)
+    cf = classify_context_free(blocks)
+    return {
+        "n_blocks": len(blocks),
+        "n_bad": cf.count("bad"),
+        "n_short": cf.count("short"),
+        "n_neargood": cf.count("neargood"),
+        "n_good": cf.count("good"),
+        "n_good_final": final.count("good"),
+        "good_chars": sum(len(b["text"]) for b, c in zip(blocks, final)
+                          if c == "good"),
+    }

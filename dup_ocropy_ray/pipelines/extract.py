@@ -109,6 +109,30 @@ def span_counts(ds: rd.Dataset, batch_size: int = 256) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_JT_COLS = ("n_blocks", "n_bad", "n_short", "n_neargood", "n_good",
+            "n_good_final", "good_chars")
+
+
+def justext_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, html) -> per-page jusText block-classification summary
+    (htmlx.segment_blocks / justext_classify): context-free class
+    counts, final good-block count, good-block char mass."""
+    stats = [htmlx.justext_stats(h) for h in b["html"]]
+    cols = {"doc_id": b["doc_id"].astype("int64")}
+    for k in _JT_COLS:
+        cols[k] = pd.Series([s[k] for s in stats], dtype="int64")
+    return pd.DataFrame(cols)
+
+
+def justext_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    """documents(doc_id, text) -> per-doc jusText stats over the
+    deterministic wrapped pages. Per-doc map only — no shuffle; the DOM
+    walk is inherently per-document Python, so the stage scales by
+    batch count like the extractor."""
+    return wrap_docs(ds, batch_size).map_batches(
+        justext_stage, batch_format="pandas", batch_size=batch_size)
+
+
 # ------------------------------------------------------------- PDF leg
 
 

@@ -1711,6 +1711,101 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_justext_stats(sf_dir: str) -> pd.DataFrame:
+    """jusText boilerplate classification (Pomikálek 2011,
+    language-independent mode) over the deterministic wrapped pages:
+    per-doc block counts by context-free class plus the final
+    (context-sensitive) good-block count and char mass.
+
+    Oracle-expressible because every chrome block resolves
+    deterministically: nav/footer fall in the extractor's kill list,
+    ad/sidebar link blocks are bad at any LCG text length (link density
+    1.0 / >=0.76), and every other chrome block (title, h1, table
+    cells, comments) is <40 chars, i.e. short. Only the main paragraph
+    chunks — pure functions of (doc_id, text) — vary, and the SQL twin
+    re-derives their char lengths by word-array chunking."""
+    from .extract import justext_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = justext_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_JUSTEXT_STATS = r"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 4 AS tpl,
+         10 + 3 * (doc_id % 4) AS k,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, k,
+         unnest(words) AS w,
+         unnest(range(1, len(words) + 1)) AS ord
+  FROM base
+), chunks AS (
+  -- main paragraph chunks: k words joined by single spaces
+  SELECT doc_id, (ord - 1) // k AS g,
+         sum(length(w)) + count(*) - 1 AS clen
+  FROM tok GROUP BY doc_id, k, (ord - 1) // k
+), cls AS (
+  SELECT doc_id, g, clen,
+         CASE WHEN clen >= 150 THEN 'good'
+              WHEN clen >= 40 THEN 'neargood'
+              ELSE 'short' END AS cf
+  FROM chunks
+), ctx AS (
+  -- the chunk run is flanked by effective-bad anchors in every
+  -- template, so a chunk's nearest non-doubtful neighbour is the
+  -- nearest GOOD chunk on that side, else bad
+  SELECT doc_id, clen, cf,
+         coalesce(max(CASE WHEN cf = 'good' THEN 1 ELSE 0 END) OVER
+           (PARTITION BY doc_id ORDER BY g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS good_before,
+         coalesce(max(CASE WHEN cf = 'good' THEN 1 ELSE 0 END) OVER
+           (PARTITION BY doc_id ORDER BY g
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS good_after
+  FROM cls
+), fin AS (
+  SELECT doc_id, clen, cf,
+         CASE WHEN cf = 'good' THEN 1
+              WHEN cf = 'neargood'
+                   AND (good_before = 1 OR good_after = 1) THEN 1
+              WHEN cf = 'short'
+                   AND good_before = 1 AND good_after = 1 THEN 1
+              ELSE 0 END AS fgood
+  FROM ctx
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         sum(CASE WHEN cf = 'short' THEN 1 ELSE 0 END) AS c_short,
+         sum(CASE WHEN cf = 'neargood' THEN 1 ELSE 0 END) AS c_neargood,
+         sum(CASE WHEN cf = 'good' THEN 1 ELSE 0 END) AS c_good,
+         sum(fgood) AS c_final,
+         sum(CASE WHEN fgood = 1 THEN clen ELSE 0 END) AS c_chars
+  FROM fin GROUP BY doc_id
+)
+SELECT b.doc_id,
+       -- chrome: bads = ads (+2 extra for tpl 2) + sidebar link block;
+       -- shorts = title + sidebar h3 + 8 stats cells + 2*(2+tpl)
+       -- comment blocks + h1 = 15 + 2*tpl
+       (CASE b.tpl WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3 END
+        + 15 + 2 * b.tpl + coalesce(a.n_chunks, 0))::BIGINT AS n_blocks,
+       (CASE b.tpl WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3
+        END)::BIGINT AS n_bad,
+       (15 + 2 * b.tpl + coalesce(a.c_short, 0))::BIGINT AS n_short,
+       coalesce(a.c_neargood, 0)::BIGINT AS n_neargood,
+       coalesce(a.c_good, 0)::BIGINT AS n_good,
+       coalesce(a.c_final, 0)::BIGINT AS n_good_final,
+       coalesce(a.c_chars, 0)::BIGINT AS good_chars
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def q_pdf_extract(sf_dir: str) -> pd.DataFrame:
     """PDF layout-parse round-trip (north-rule PDF leg): each document
     is rendered into a real (Flate-compressed, multi-page, odd doc_ids

@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q.q_html_extract,
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
+        "nb_langid": q.q_nb_langid,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": q.SQL_HTML_EXTRACT,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,
+        "nb_langid": q.SQL_NB_LANGID,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

@@ -2911,6 +2911,72 @@ GROUP BY doc_id
 """
 
 
+def q_nb_langid(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language-ID (fastText-classifier shape):
+    add-one-smoothed per-class unigram models trained distributed on
+    the doc_id%5!=0 split predict the held-out docs' lang. Scores are
+    INTEGER sums of 1e-6-quantized log-likelihoods, so the argmax is
+    engine-exact and the oracle compares predictions value-for-value
+    (textstats.nb_classifier; ties to the lexicographically smallest
+    class)."""
+    from .textstats import nb_classifier
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return nb_classifier(ds, label_col="lang", train_mod=5)
+
+
+SQL_NB_LANGID = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'),
+           x -> x <> '')) AS word
+  FROM documents
+), train_docs AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0
+), test_docs AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+), train_tok AS (
+  SELECT t.doc_id, d.lang, t.word FROM tok t JOIN train_docs d USING (doc_id)
+), counts AS (
+  SELECT word, lang, count(*)::BIGINT AS c FROM train_tok GROUP BY word, lang
+), cstats AS (
+  SELECT c.lang, c.nd, coalesce(n.nt, 0) AS nt
+  FROM (SELECT lang, count(*)::BIGINT AS nd FROM train_docs GROUP BY lang) c
+  LEFT JOIN (SELECT lang, count(*)::BIGINT AS nt FROM train_tok
+             GROUP BY lang) n USING (lang)
+), v AS (
+  SELECT count(DISTINCT word)::BIGINT AS v FROM train_tok
+), nd_tot AS (SELECT sum(nd)::BIGINT AS tot FROM cstats),
+test_tok AS (
+  SELECT t.doc_id, t.word FROM tok t JOIN test_docs USING (doc_id)
+), contrib AS (
+  -- one row per held-out token occurrence x candidate class:
+  -- integer-quantized add-one log-likelihood
+  SELECT tt.doc_id, cs.lang,
+         floor(1000000 * ln((coalesce(c.c, 0) + 1)::DOUBLE
+               / (cs.nt + (SELECT v FROM v))))::BIGINT AS l
+  FROM test_tok tt
+  CROSS JOIN cstats cs
+  LEFT JOIN counts c ON c.word = tt.word AND c.lang = cs.lang
+), scores AS (
+  SELECT d.doc_id, d.lang, cs.lang AS cand,
+         floor(1000000 * ln(cs.nd::DOUBLE
+               / (SELECT tot FROM nd_tot)))::BIGINT
+           + coalesce(s.sl, 0) AS score
+  FROM test_docs d
+  CROSS JOIN cstats cs
+  LEFT JOIN (SELECT doc_id, lang, sum(l)::BIGINT AS sl
+             FROM contrib GROUP BY doc_id, lang) s
+    ON s.doc_id = d.doc_id AND s.lang = cs.lang
+)
+SELECT doc_id, lang, cand AS pred_lang
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand ASC) = 1
+ORDER BY doc_id
+"""
+
+
 def q_tier_extract(sf_dir: str) -> pd.DataFrame:
     """Quality-tier corpus extraction (FineWeb-style): per-source
     percent-rank bins docs into 5 quality tiers; each tier keeps a

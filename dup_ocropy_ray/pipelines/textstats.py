@@ -788,3 +788,183 @@ def bpe_train(ds: rd.Dataset, num_merges: int = 30,
         "right": pd.Series([m[2] for m in merges], dtype=str),
         "count": pd.Series([m[3] for m in merges], dtype="int64"),
     })
+
+
+def nb_classifier(ds: rd.Dataset, label_col: str = "lang",
+                  train_mod: int = 5) -> pd.DataFrame:
+    """Multinomial Naive Bayes text classifier (the fastText-style
+    quality/language-ID filter shape): train add-one-smoothed per-class
+    unigram models on the ``doc_id % train_mod != 0`` split, predict the
+    label of every held-out doc.
+
+    Engine-exact scoring: per-(word, class) log-likelihoods are
+    quantized to integers — L(w,c) = floor(1e6 * ln((c_wc+1)/(N_c+V)))
+    — so class scores are INTEGER sums (same trick as bm25_search /
+    distinctive_terms; float log sums differ in the last ulp across
+    engines and flip argmaxes). Ties break to the lexicographically
+    smallest class.
+
+    Distributed shape (no vocab-scale driver state, mirroring
+    q_unigram_logprob): per-batch partial (word x class) count pivots
+    ride ONE word-hash shuffle into the sharded count table; class
+    doc/token totals and V are metadata-scale reduces over it; held-out
+    per-(doc, word) multiplicities meet the table in one large x large
+    bucket_join; per-doc integer score deltas ride one doc-keyed bucket
+    reduce where the argmax happens. The driver holds k scalars per
+    class and the final doc-scale frame."""
+    import math
+
+    import pyarrow as pa
+
+    from .relational import bucket_join
+
+    # -- pass 0 (metadata-scale): class list + doc-count priors
+    def lang_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tr = b[b["doc_id"].to_numpy(np.int64) % train_mod != 0]
+        vc = tr[label_col].value_counts()
+        return pd.DataFrame({"cls": vc.index.to_numpy(object),
+                             "nd": vc.to_numpy(np.int64)})
+
+    cls_df = (ds.map_batches(lang_partial, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+              .groupby("cls", as_index=False)["nd"].sum())
+    classes = sorted(cls_df["cls"].tolist())
+    k = len(classes)
+    cidx = {c: j for j, c in enumerate(classes)}
+    nd = np.array([int(cls_df.set_index("cls")["nd"][c]) for c in classes],
+                  dtype=np.int64)
+    nd_tot = int(nd.sum())
+
+    ccols = [f"c{j}" for j in range(k)]
+
+    # -- pass 1: word-hash-sharded (word x class) count table
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tr = (b[b["doc_id"].to_numpy(np.int64) % train_mod != 0]
+              .reset_index(drop=True))
+        toks = tr["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        labs = tr[label_col].to_numpy(object)[flat.index.to_numpy()]
+        g = (pd.DataFrame({"word": flat.to_numpy(object), "cls": labs})
+             .groupby(["word", "cls"], sort=False).size().unstack(
+                 fill_value=0))
+        out = pd.DataFrame({"word": g.index.to_numpy(object)})
+        for j, c in enumerate(classes):
+            out[ccols[j]] = (g[c].to_numpy(np.int64)
+                             if c in g.columns else np.int64(0))
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(64)).astype(np.int64)
+        return out
+
+    def wc_final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("word", sort=False, as_index=False)[ccols].sum()
+        for c in ccols:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    counts = (ds.map_batches(wc_partial, batch_format="pandas",
+                             batch_size=65536)
+              .groupby("_part").map_groups(wc_final, batch_format="pandas")
+              .materialize())
+
+    # -- metadata-scale reduces over the count table: N_c and V
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"v": [len(b)]}
+        for c in ccols:
+            row[c] = [int(b[c].sum())]
+        return pd.DataFrame(row)
+
+    tots = counts.map_batches(tot_partial,
+                              batch_format="pandas").to_pandas()
+    vocab_n = int(tots["v"].sum())
+    n_tok = np.array([int(tots[c].sum()) for c in ccols], dtype=np.int64)
+
+    # integer-quantized model scalars
+    denom = (n_tok + vocab_n).astype(np.float64)
+    l0 = np.floor(1e6 * np.log(1.0 / denom)).astype(np.int64)
+    prior = np.array([math.floor(1e6 * math.log(n / nd_tot))
+                      for n in nd], dtype=np.int64)
+
+    # -- pass 2: held-out per-(doc, word) multiplicities -> join -> reduce
+    def doc_words(b: pd.DataFrame) -> pd.DataFrame:
+        te = (b[b["doc_id"].to_numpy(np.int64) % train_mod == 0]
+              .reset_index(drop=True))
+        toks = te["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        ids = te["doc_id"].to_numpy(np.int64)[flat.index.to_numpy()]
+        return (pd.DataFrame({"doc_id": ids,
+                              "word": flat.to_numpy(object)})
+                .groupby(["doc_id", "word"], sort=False, as_index=False)
+                .size().rename(columns={"size": "m"}))
+
+    dw = ds.map_batches(doc_words, batch_format="pandas", batch_size=8192)
+    joined = bucket_join(
+        dw, counts, left_on="word", right_on="word",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("word", pa.string()), ("m", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string())]
+                               + [(c, pa.int64()) for c in ccols]))
+
+    dcols = [f"d{j}" for j in range(k)]
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["m"].to_numpy(np.int64)
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "n_tok": m, label_col: ""})
+        for j in range(k):
+            lw = np.floor(1e6 * np.log(
+                (b[ccols[j]].to_numpy(np.int64) + 1) / denom[j])
+            ).astype(np.int64)
+            out[dcols[j]] = m * (lw - l0[j])
+        out = (out.groupby("doc_id", sort=False, as_index=False)
+               .agg({"n_tok": "sum", label_col: "max",
+                     **{d: "sum" for d in dcols}}))
+        return out
+
+    # base rows keep empty/all-unseen docs in the result and carry the
+    # true label + total token count (unmatched tokens score m * L0)
+    def base_rows(b: pd.DataFrame) -> pd.DataFrame:
+        te = b[b["doc_id"].to_numpy(np.int64) % train_mod == 0]
+        out = pd.DataFrame({
+            "doc_id": te["doc_id"].astype("int64"),
+            "n_tok": te["text"].fillna("").str.split().str.len()
+                       .astype("int64"),
+            label_col: te[label_col].astype(object),
+        })
+        for d in dcols:
+            out[d] = np.int64(0)
+        return out
+
+    def addpart(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b["doc_id"].to_numpy(np.uint64)
+                      % np.uint64(64)).astype(np.int64)
+        return b
+
+    union = (joined.map_batches(contrib, batch_format="pandas")
+             .union(ds.map_batches(base_rows, batch_format="pandas",
+                                   batch_size=8192))
+             .map_batches(addpart, batch_format="pandas"))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("doc_id", sort=False, as_index=False)
+               .agg({"n_tok": "sum", label_col: "max",
+                     **{d: "sum" for d in dcols}}))
+        # n_tok double-counts matched words (once in contrib, once in
+        # base): base rows carry the full count, contrib rows only
+        # matched multiplicities -> recover the full count from base
+        base_n = (g[g[label_col] != ""]
+                  .groupby("doc_id", sort=False)["n_tok"].sum())
+        agg["n_tok"] = base_n.reindex(agg["doc_id"]).to_numpy(np.int64)
+        scores = (prior[None, :]
+                  + agg["n_tok"].to_numpy(np.int64)[:, None] * l0[None, :]
+                  + agg[dcols].to_numpy(np.int64))
+        pred = np.argmax(scores, axis=1)  # first max = lexicographic tie
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64"),
+            label_col: agg[label_col].astype(object),
+            "pred_" + label_col: np.array(classes, object)[pred],
+        })
+
+    out = (union.groupby("_part").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,80 @@
+"""Distributed multinomial Naive Bayes classifier
+(pipelines/textstats.nb_classifier): integer-quantized log scoring,
+train/held-out split, DuckDB twin parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from dup_ocropy_ray.pipelines.textstats import nb_classifier
+
+
+def _ds(rows):
+    df = pd.DataFrame(rows)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return rd.from_pandas(df).repartition(3)
+
+
+def _oracle(sql, rows):
+    con = duckdb.connect()
+    con.register("docs_src", pd.DataFrame(rows))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    return con.sql(sql).df()
+
+
+def test_separable_classes_predicted_exactly(ray_session):
+    # class-specific vocabularies: held-out docs must classify perfectly
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        word = "apple banana cherry" if lang == "aa" else "xray yak zebra"
+        rows.append({"doc_id": i, "lang": lang, "text": word + " common"})
+    out = nb_classifier(_ds(rows), label_col="lang", train_mod=5)
+    assert len(out) == 8  # doc_id % 5 == 0
+    assert (out["pred_lang"] == out["lang"]).all()
+
+
+def test_empty_doc_predicts_prior_argmax_with_lex_ties(ray_session):
+    # held-out doc 0 has no tokens; priors are equal (2 train docs per
+    # class), so the tie breaks to the lexicographically smallest class
+    rows = [
+        {"doc_id": 0, "lang": "zz", "text": ""},
+        {"doc_id": 1, "lang": "mm", "text": "alpha beta"},
+        {"doc_id": 2, "lang": "aa", "text": "gamma delta"},
+        {"doc_id": 3, "lang": "mm", "text": "alpha beta"},
+        {"doc_id": 4, "lang": "aa", "text": "gamma delta"},
+    ]
+    out = nb_classifier(_ds(rows), label_col="lang", train_mod=5)
+    assert out.loc[0, "pred_lang"] == "aa"
+
+
+def test_matches_duckdb_twin_on_messy_corpus(ray_session):
+    from dup_ocropy_ray.pipelines.queries import SQL_NB_LANGID
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = []
+    for i in range(60):
+        lang = ["aa", "bb", "cc"][i % 3]
+        # overlapping vocab with a per-class skew
+        probs = np.ones(30)
+        probs[(i % 3) * 10:(i % 3) * 10 + 10] = 4.0
+        words = rng.choice(vocab, size=rng.randint(0, 25),
+                           p=probs / probs.sum())
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+    rows[0]["text"] = ""                      # empty held-out doc
+    rows[5]["text"] = None                    # NULL held-out doc
+    rows[10]["text"] = "unseen tokens only"   # all-unseen held-out doc
+    rows[15]["lang"] = "dd"                   # class present only held-out
+    df = pd.DataFrame(rows)
+
+    got = nb_classifier(rd.from_pandas(df).repartition(4),
+                        label_col="lang", train_mod=5)
+    want = _oracle(SQL_NB_LANGID, rows)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    # the test-only class is never predicted (model trained without it)
+    assert "dd" not in set(got["pred_lang"])

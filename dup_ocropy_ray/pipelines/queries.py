@@ -2524,6 +2524,23 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("vec_id").reset_index(drop=True))
 
 
+def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA over the embeddings table (one moment-partial
+    streaming pass, d x d driver eigendecomposition): top-8 component
+    spectrum. Rows-only oracle (eigendecomposition is not
+    SQL-expressible); numerical parity against full-matrix numpy PCA
+    and projection-variance==eigenvalue invariants are pinned by
+    tests/test_pca.py."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    m = similarity.pca_fit(ds, n_components=8)
+    ev = np.asarray(m["explained_var"])
+    return pd.DataFrame({
+        "component": np.arange(len(ev), dtype="int64"),
+        "explained_var": np.round(ev, 6),
+        "var_ratio": np.round(ev / m["total_var"], 6),
+    })
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Exact-n deterministic sample per source: rank docs by a shared
     Knuth multiplicative hash of doc_id and keep the 10 smallest per

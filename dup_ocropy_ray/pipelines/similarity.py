@@ -626,3 +626,72 @@ def ann_recall(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
     return pd.DataFrame({"nprobe": pd.Series([r[0] for r in rows],
                                              dtype="int64"),
                          "recall": [r[1] for r in rows]})
+
+
+def pca_fit(ds: rd.Dataset, n_components: int = 8,
+            vec_col: str = "embedding") -> dict:
+    """Distributed PCA over an embedding column: ONE streaming pass
+    accumulates per-batch moment partials (count, coordinate sum, and
+    the d x d Gram matrix X^T X); the driver assembles the sample
+    covariance and eigendecomposes it. Driver state is d^2 + d floats —
+    independent of corpus size — so this is the scale-correct shape for
+    10^12 vectors (same partial-sum pattern as kmeans_fit).
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|coordinate| entry is positive (eigenvectors are otherwise
+    sign-ambiguous across LAPACK builds).
+
+    Returns {mean (d,), components (m, d) row-major by descending
+    eigenvalue, explained_var (m,), total_var (scalar), n (count)}."""
+    d = len(ds.take(1)[0][vec_col])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(b[vec_col])
+        return pd.DataFrame({
+            "n": [len(X)],
+            "xsum": [X.sum(axis=0)],
+            "xtx": [(X.T @ X).ravel()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    xsum = np.sum(np.stack(parts["xsum"].to_numpy()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0).reshape(d, d)
+    mean = xsum / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T               # (m, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_var": np.maximum(evals[order], 0.0),
+        "total_var": float(np.trace(cov)),
+        "n": n,
+    }
+
+
+def pca_project(ds: rd.Dataset, model: dict,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> rd.Dataset:
+    """Attach the centered projection onto the fitted components as a
+    list<double> column. The (m x d) component matrix is a ``ray.put``
+    broadcast read once per task — never re-shipped per batch."""
+    ref = ray.put((np.asarray(model["mean"]),
+                   np.asarray(model["components"])))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        mean, comps = ray.get(ref)
+        X = _stack(b[vec_col]) - mean
+        b = b.copy()
+        b[out_col] = list(X @ comps.T)
+        return b
+
+    return ds.map_batches(project, batch_format="pandas",
+                          batch_size=65536)

@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
+        "url_features": q.q_url_features,
+        "domain_stats": q.q_domain_stats,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -416,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,
         "nb_langid": q.SQL_NB_LANGID,
+        "url_features": q.SQL_URL_FEATURES,
+        "domain_stats": q.SQL_DOMAIN_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

@@ -560,3 +560,55 @@ def mix_corpus(docs: rd.Dataset, budget_pct: int = 50) -> pd.DataFrame:
                        for s in cs.index],
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+def url_table(docs: rd.Dataset, batch_size: int = 8192) -> rd.Dataset:
+    """Per-doc URL curation record (C4/RefinedWeb-style URL filtering):
+    synthesize the deterministic URL (sources/urlgen.py — a real crawl
+    supplies its own url column instead), then parse/normalize it with
+    the from-scratch kernels in functions/urlx.py. Stateless per-doc
+    map, no shuffle; string work is metadata-scale (URLs, not bodies),
+    so the per-row Python is bounded by URL length, not doc length."""
+    from ..functions import urlx
+    from ..sources.urlgen import doc_url
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        urls = [doc_url(int(i), s)
+                for i, s in zip(b["doc_id"], b["source"])]
+        feats = [urlx.url_features(u) for u in urls]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "url": pd.Series(urls, dtype=str),
+            "scheme": pd.Series([f["scheme"] for f in feats], dtype=str),
+            "host": pd.Series([f["host"] for f in feats], dtype=str),
+            "domain": pd.Series([f["domain"] for f in feats], dtype=str),
+            "norm_url": pd.Series([f["norm_url"] for f in feats],
+                                  dtype=str),
+            "path_depth": pd.Series([f["path_depth"] for f in feats],
+                                    dtype="int64"),
+            "n_params": pd.Series([f["n_params"] for f in feats],
+                                  dtype="int64"),
+            "blocked": pd.Series([f["blocked"] for f in feats],
+                                 dtype=bool),
+        })
+
+    return docs.map_batches(stage, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def domain_stats(docs: rd.Dataset) -> pd.DataFrame:
+    """Registered-domain rollup of the URL table (the blocklist-audit
+    view): docs per domain, blocked count, max path depth. One
+    domain-keyed grouped aggregation; partial aggregation happens
+    inside grouped_agg's batch combiner."""
+    from .relational import grouped_agg
+
+    tbl = url_table(docs)
+    out = grouped_agg(tbl, ["domain"], sums=["blocked"],
+                      maxs=["path_depth"])
+    return pd.DataFrame({
+        "domain": out["domain"],
+        "n_docs": out["n"].astype("int64"),
+        "n_blocked": out["sum_blocked"].astype("int64"),
+        "max_depth": out["max_path_depth"].astype("int64"),
+    }).sort_values("domain").reset_index(drop=True)

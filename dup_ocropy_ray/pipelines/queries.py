@@ -2524,6 +2524,106 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("vec_id").reset_index(drop=True))
 
 
+def q_url_features(sf_dir: str) -> pd.DataFrame:
+    """URL parse/normalize/blocklist kernels (C4-style URL filtering)
+    over deterministic per-doc URLs (sources/urlgen.py — six templates
+    covering uppercase scheme/host, default + non-default ports, dot
+    segments, utm params, fragments, multi-label subdomains and the
+    co.uk suffix). The oracle reconstructs every expected feature
+    directly from (doc_id, source), so the hash compare proves the
+    from-scratch parser (functions/urlx.py) handles all six hazard
+    classes exactly."""
+    from .curate import url_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = url_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_URL_FEATURES = """
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t,
+         doc_id::VARCHAR AS i,
+         (doc_id % 4)::INT AS reps,
+         CAST(substr(source, 4) AS INT) % 2 = 1 AS odd_src
+  FROM documents
+)
+SELECT doc_id,
+  CASE t
+    WHEN 0 THEN 'https://www.' || source || '.com/articles/' || i
+    WHEN 1 THEN 'HTTP://' || source || '.CO.UK:80/a/./b/../news/' || i
+                || '?utm_source=feed&id=' || i
+    WHEN 2 THEN 'https://blog.' || source || '.org:443/post/' || i || '/#sec'
+    WHEN 3 THEN 'http://ads.' || source || '.net/track/' || i
+                || '?utm_campaign=x'
+    WHEN 4 THEN 'https://' || source || '.com:8443/'
+                || repeat('x/', reps) || 'page'
+    ELSE 'https://A.B.' || source || '.COM/a%20b/?id=1&utm_medium=m&ref=2'
+  END AS url,
+  CASE WHEN t IN (1, 3) THEN 'http' ELSE 'https' END AS scheme,
+  CASE t
+    WHEN 0 THEN 'www.' || source || '.com'
+    WHEN 1 THEN source || '.co.uk'
+    WHEN 2 THEN 'blog.' || source || '.org'
+    WHEN 3 THEN 'ads.' || source || '.net'
+    WHEN 4 THEN source || '.com'
+    ELSE 'a.b.' || source || '.com'
+  END AS host,
+  CASE t
+    WHEN 1 THEN source || '.co.uk'
+    WHEN 2 THEN source || '.org'
+    WHEN 3 THEN source || '.net'
+    ELSE source || '.com'
+  END AS domain,
+  CASE t
+    WHEN 0 THEN 'https://www.' || source || '.com/articles/' || i
+    WHEN 1 THEN 'http://' || source || '.co.uk/a/news/' || i || '?id=' || i
+    WHEN 2 THEN 'https://blog.' || source || '.org/post/' || i || '/'
+    WHEN 3 THEN 'http://ads.' || source || '.net/track/' || i
+    WHEN 4 THEN 'https://' || source || '.com:8443/'
+                || repeat('x/', reps) || 'page'
+    ELSE 'https://a.b.' || source || '.com/a%20b/?id=1&ref=2'
+  END AS norm_url,
+  (CASE t WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2
+          WHEN 4 THEN reps + 1 ELSE 1 END)::BIGINT AS path_depth,
+  (CASE t WHEN 1 THEN 1 WHEN 5 THEN 2 ELSE 0 END)::BIGINT AS n_params,
+  (t = 3 AND odd_src) AS blocked
+FROM f ORDER BY doc_id
+"""
+
+
+def q_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Registered-domain rollup of the URL table (blocklist audit):
+    docs / blocked docs / max path depth per eTLD+1. One grouped
+    aggregation with in-batch partial combine."""
+    from .curate import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return domain_stats(ds)
+
+
+SQL_DOMAIN_STATS = """
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t, (doc_id % 4)::INT AS reps,
+         CAST(substr(source, 4) AS INT) % 2 = 1 AS odd_src
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE t WHEN 1 THEN source || '.co.uk' WHEN 2 THEN source || '.org'
+           WHEN 3 THEN source || '.net' ELSE source || '.com'
+    END AS domain,
+    CASE t WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2
+           WHEN 4 THEN reps + 1 ELSE 1 END AS path_depth,
+    (t = 3 AND odd_src) AS blocked
+  FROM f
+)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+       max(path_depth)::BIGINT AS max_depth
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
 def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed PCA over the embeddings table (one moment-partial
     streaming pass, d x d driver eigendecomposition): top-8 component

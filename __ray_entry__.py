@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dups": q.q_audio_dups,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
+        "bpe_tokenize": q.q_bpe_tokenize,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "knn_ivf": q.q_knn_ivf,

@@ -2624,6 +2624,20 @@ FROM u GROUP BY domain ORDER BY domain
 """
 
 
+def q_bpe_tokenize(sf_dir: str) -> pd.DataFrame:
+    """The apply half of the BPE story: train 20 merges distributed
+    (textstats.bpe_train), then tokenize the corpus with the broadcast
+    merge table (textstats.bpe_apply) — per-doc word/char/token counts.
+    Rows-only oracle (BPE is iterative); serial-encoder parity and
+    merge-count invariants are pinned by tests/test_bpe_train.py."""
+    from .textstats import bpe_apply, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=20)
+    out = bpe_apply(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed PCA over the embeddings table (one moment-partial
     streaming pass, d x d driver eigendecomposition): top-8 component

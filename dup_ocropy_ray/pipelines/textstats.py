@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 
 from ..functions import hashing
@@ -968,3 +969,61 @@ def nb_classifier(ds: rd.Dataset, label_col: str = "lang",
     out = (union.groupby("_part").map_groups(per_doc, batch_format="pandas")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Apply learned merges to one word (chars + </w> end marker),
+    always taking the LOWEST-rank applicable pair first — the standard
+    BPE inference rule, consistent with bpe_train's learning order."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_apply(ds: rd.Dataset, merges: pd.DataFrame) -> rd.Dataset:
+    """Tokenize the corpus with a trained merge table (the apply half of
+    the BPE story): per-doc token/word/char counts plus the char->token
+    compression the tokenizer achieves.
+
+    Scale shape: the merge table is metadata-scale (num_merges rows) —
+    ONE ray.put broadcast, read once per task; each batch encodes only
+    its DISTINCT words (per-batch cache), so cost scales with batch
+    vocabulary, not token count. Stateless map, no shuffle."""
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    ref = ray.put(ranks)
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(ref)
+        cache: dict = {}
+        n_tokens = np.zeros(len(b), dtype=np.int64)
+        n_words = np.zeros(len(b), dtype=np.int64)
+        n_chars = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"].fillna("")):
+            words = t.split()
+            n_words[i] = len(words)
+            n_chars[i] = sum(len(w) for w in words)
+            tot = 0
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = len(bpe_encode_word(w, rk))
+                    cache[w] = got
+                tot += got
+            n_tokens[i] = tot
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_words": n_words,
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+        })
+
+    return ds.map_batches(enc, batch_format="pandas", batch_size=8192)

@@ -127,3 +127,70 @@ def test_ann_recall_monotone_and_exact_at_full_probe(ray_session):
     assert r[8] == 1.0                       # full probe == brute force
     assert r[1] <= r[4] <= r[8]              # monotone in nprobe
     assert r[1] > 0.0                        # probes the query's own cell
+
+
+# ------------------------------------------------------ apply / encode
+
+
+def serial_encode(texts, merges):
+    """Rank-order merge replay (exactly how training applied them)."""
+    rules = list(zip(merges["left"], merges["right"]))
+    out = []
+    for t in texts:
+        n = 0
+        for w in (t or "").split():
+            s = list(w) + ["</w>"]
+            for left, right in rules:
+                i = 0
+                while i < len(s) - 1:
+                    if s[i] == left and s[i + 1] == right:
+                        s[i : i + 2] = [left + right]
+                    else:
+                        i += 1
+            n += len(s)
+        out.append(n)
+    return out
+
+
+def _docs_ds(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(3)
+
+
+def test_bpe_apply_matches_rank_order_replay(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import bpe_apply
+
+    rng = np.random.default_rng(23)
+    base = ["lower", "lowest", "newer", "newest", "low", "new",
+            "unrelated", "tokenizer", ""]
+    texts = [" ".join(rng.choice(base, size=rng.integers(0, 15)))
+             for _ in range(30)] + ["", None]
+    merges = serial_bpe([t for t in texts if t], 15)
+    got = (bpe_apply(_docs_ds(texts), merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = serial_encode(texts, merges)
+    assert got["n_tokens"].tolist() == want
+    # structural invariants
+    words = [len((t or "").split()) for t in texts]
+    chars = [sum(len(w) for w in (t or "").split()) for t in texts]
+    assert got["n_words"].tolist() == words
+    assert got["n_chars"].tolist() == chars
+    # tokens bounded: one per word (fully merged) up to chars+words
+    assert (got["n_tokens"] >= got["n_words"]).all()
+    assert (got["n_tokens"] <= got["n_chars"] + got["n_words"]).all()
+
+
+def test_bpe_apply_zero_merges_is_char_tokenizer(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import bpe_apply
+
+    texts = ["ab abc", "x"]
+    empty = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                          "left": pd.Series([], dtype=str),
+                          "right": pd.Series([], dtype=str),
+                          "count": pd.Series([], dtype="int64")})
+    got = (bpe_apply(_docs_ds(texts), empty).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # every word -> len(word) chars + </w>
+    assert got["n_tokens"].tolist() == [2 + 1 + 3 + 1, 1 + 1]

@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
+        "minhash_recall": q.q_minhash_recall,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "knn_ivf": q.q_knn_ivf,

@@ -1465,3 +1465,81 @@ def run_dedup_with_checkpoint(
         "fragments_run": ran,
         "counters": ckpt.aggregate_counters(out_data_root),
     }
+
+
+def minhash_recall(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 2,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1234,
+) -> pd.DataFrame:
+    """LSH recall evaluation (the dedup analog of similarity.ann_recall):
+    run the PRODUCTION minhash pipeline over the full corpus, then
+    measure what fraction of the exact shingle-Jaccard>=threshold pairs
+    it recovered on a deterministic doc sample (doc_id % sample_mod ==
+    0). Because the pipeline Jaccard-verifies its candidates with the
+    same shingle sets, precision is 1.0 by construction — the returned
+    n_extra (detected-but-not-true) must be 0 and recall isolates LSH
+    banding misses.
+
+    Scale note: the exact ground truth is all-pairs, so the SAMPLE is
+    the evaluation's scale contract — size it (via sample_mod) to eval
+    scale; the truth leg collects only the sampled texts. Pairs where
+    either doc has no shingles are excluded (LSH cannot see
+    shingle-less docs)."""
+    from ..functions import hashing as _h
+
+    def samp(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[id_col].to_numpy(np.int64) % sample_mod == 0
+        return b.loc[m, [id_col, text_col]]
+
+    sample = (ds.map_batches(samp, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+              .sort_values(id_col).reset_index(drop=True))
+    sets_ = _h.batch_shingle_sets(
+        sample[text_col].fillna("").tolist(), shingle_k)
+    ids = sample[id_col].to_numpy(np.int64)
+    true_pairs = set()
+    for i in range(len(ids)):
+        si = sets_[i]
+        for j in range(i + 1, len(ids)):
+            sj = sets_[j]
+            if si.size == 0 and sj.size == 0:
+                jac = 1.0  # hashing.jaccard's empty/empty rule
+            elif si.size == 0 or sj.size == 0:
+                continue
+            else:
+                inter = np.intersect1d(si, sj).size
+                jac = inter / float(si.size + sj.size - inter)
+            if jac >= threshold:
+                true_pairs.add((int(ids[i]), int(ids[j])))
+
+    pairs = minhash_dup_pairs_ds(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        num_bands=num_bands, shingle_k=shingle_k, threshold=threshold,
+        seed=seed)
+
+    def in_sample(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["doc_a"].to_numpy(np.int64) % sample_mod == 0)
+             & (b["doc_b"].to_numpy(np.int64) % sample_mod == 0))
+        return b.loc[m]
+
+    det = pairs.map_batches(in_sample, batch_format="pandas").to_pandas()
+    det_pairs = {(min(int(a), int(b)), max(int(a), int(b)))
+                 for a, b in zip(det["doc_a"], det["doc_b"])}
+    n_hit = len(det_pairs & true_pairs)
+    return pd.DataFrame({
+        "threshold": [round(threshold, 6)],
+        "n_sample_docs": [int(len(ids))],
+        "n_true_pairs": [len(true_pairs)],
+        "n_detected": [len(det_pairs)],
+        "n_hit": [n_hit],
+        "n_extra": [len(det_pairs - true_pairs)],
+        "recall": [round(n_hit / len(true_pairs), 6)
+                   if true_pairs else 1.0],
+    })

@@ -2624,6 +2624,17 @@ FROM u GROUP BY domain ORDER BY domain
 """
 
 
+def q_minhash_recall(sf_dir: str) -> pd.DataFrame:
+    """LSH recall of the production MinHash dedup pipeline against
+    exact shingle-Jaccard ground truth on a deterministic half-corpus
+    sample (dedup.minhash_recall). Rows-only oracle (LSH banding is not
+    SQL-expressible); the detected-pairs-are-always-true invariant
+    (n_extra == 0) and a full-band recall==1.0 configuration are pinned
+    by tests/test_windows.py."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_recall(ds, sample_mod=2, threshold=0.5)
+
+
 def q_bpe_tokenize(sf_dir: str) -> pd.DataFrame:
     """The apply half of the BPE story: train 20 merges distributed
     (textstats.bpe_train), then tokenize the corpus with the broadcast

@@ -471,3 +471,38 @@ def test_grouped_quantiles_serial_parity(ray_session):
         v = np.sort(df.loc[df["k"] == k_, "v"].to_numpy())
         idx = max(int(math.ceil(q * len(v))) - 1, 0)
         assert sub["value"].iloc[0] == v[idx], (k_, q)
+
+
+def test_minhash_recall_eval(ray_session):
+    from dup_ocropy_ray.pipelines.dedup import minhash_recall
+
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{j}" for j in range(200)]
+    texts = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(words))
+        # planted near-dup: mutate two words -> high shingle overlap
+        mut = list(words)
+        mut[5], mut[20] = "zzz", "yyy"
+        texts.append(" ".join(mut))
+    texts += ["", "   "]  # empty/empty pairs at jaccard 1.0 on both legs
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(4)
+
+    # sample_mod=1: evaluate on every doc; full-band config (one row per
+    # band) makes any J>=0.5 pair a guaranteed candidate -> recall 1.0
+    out = minhash_recall(docs, sample_mod=1, threshold=0.5,
+                         num_perm=64, num_bands=64)
+    assert out.loc[0, "n_true_pairs"] > 0
+    assert out.loc[0, "n_extra"] == 0       # precision invariant
+    assert out.loc[0, "recall"] == 1.0
+
+    # production banding (r=4) on the same corpus: still sound
+    # (detected subset of truth), recall reported in [0, 1]
+    out2 = minhash_recall(docs, sample_mod=1, threshold=0.5,
+                          num_perm=64, num_bands=16)
+    assert out2.loc[0, "n_extra"] == 0
+    assert 0.0 <= out2.loc[0, "recall"] <= 1.0

@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
+        "vocab_coverage": q.q_vocab_coverage,
+        "source_kl": q.q_source_kl,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
         "pdf_extract": q.q_pdf_extract,
@@ -420,6 +422,8 @@ def oracle_sql() -> dict[str, str]:
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,
         "nb_langid": q.SQL_NB_LANGID,
+        "vocab_coverage": q.SQL_VOCAB_COVERAGE,
+        "source_kl": q.SQL_SOURCE_KL,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

@@ -3053,6 +3053,84 @@ GROUP BY doc_id
 """
 
 
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source KL divergence from the corpus word distribution (the
+    data-mixture drift diagnostic), in engine-exact integer micro-nats
+    x token count: kl_micro = sum_w c_ws * floor(1e6 * ln(c_ws * N /
+    (c_w * N_s))). One word-hash shuffle; word marginals are row-local
+    in the pivoted count table (textstats.source_kl)."""
+    from .textstats import source_kl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_kl(ds, group_col="source")
+
+
+SQL_SOURCE_KL = r"""
+WITH w AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT word, source, count(*)::BIGINT AS c FROM w GROUP BY word, source
+), cw AS (
+  SELECT word, sum(c)::BIGINT AS cw FROM c GROUP BY word
+), ns AS (
+  SELECT source,
+         coalesce(sum(len(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+           x -> x <> ''))), 0)::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT sum(c)::BIGINT AS n FROM c),
+kl AS (
+  SELECT c.source,
+         sum(c.c * CAST(floor(1000000 * ln(
+               (c.c * (SELECT n FROM t))::DOUBLE
+               / (cw.cw * n2.n_tokens))) AS BIGINT))::BIGINT AS kl_micro
+  FROM c
+  JOIN cw USING (word)
+  JOIN ns n2 USING (source)
+  GROUP BY c.source
+)
+SELECT s.source, s.n_tokens, coalesce(k.kl_micro, 0)::BIGINT AS kl_micro
+FROM ns s LEFT JOIN kl k USING (source)
+ORDER BY s.source
+"""
+
+
+def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Exact top-100 vocabulary coverage curve: word rank, count, and
+    cumulative token-mass permille (integer-exact — cum * 1000 //
+    total). Ties at equal count break by word ascending, matching the
+    oracle's ORDER BY."""
+    from .textstats import vocab_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_coverage(ds, k=100)
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word
+), tot AS (SELECT count(*)::BIGINT AS t FROM w),
+r AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word) - 1 AS rank,
+         sum(n) OVER (ORDER BY n DESC, word
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT rank::BIGINT AS rank, word, n,
+       (cum * 1000 // greatest((SELECT t FROM tot), 1))::BIGINT
+         AS cum_permille
+FROM r WHERE rank < 100 ORDER BY rank
+"""
+
+
 def q_nb_langid(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language-ID (fastText-classifier shape):
     add-one-smoothed per-class unigram models trained distributed on

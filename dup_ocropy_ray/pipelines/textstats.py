@@ -1027,3 +1027,106 @@ def bpe_apply(ds: rd.Dataset, merges: pd.DataFrame) -> rd.Dataset:
         })
 
     return ds.map_batches(enc, batch_format="pandas", batch_size=8192)
+
+
+def vocab_coverage(ds: rd.Dataset, k: int = 100) -> pd.DataFrame:
+    """Vocabulary coverage curve (the tokenizer/vocab-sizing
+    diagnostic): the exact top-k words by corpus frequency and the
+    cumulative token-mass permille they cover. Top-k comes from
+    heavy_hitters' two-pass sketch-then-recount (no vocab-scale
+    shuffle); the token total is one metadata-scale reduce. Coverage is
+    integer permille (cum * 1000 // total), so the frame is
+    engine-exact."""
+    top = heavy_hitters(ds, k=k)
+
+    def tok_total(b: pd.DataFrame) -> pd.DataFrame:
+        n = int(b["text"].fillna("").str.split().str.len().sum())
+        return pd.DataFrame({"n": [n]})
+
+    total = int(ds.map_batches(tok_total, batch_format="pandas",
+                               batch_size=65536).to_pandas()["n"].sum())
+    cum = top["n"].cumsum().to_numpy(np.int64)
+    return pd.DataFrame({
+        "rank": np.arange(len(top), dtype="int64"),
+        "word": top["word"],
+        "n": top["n"].astype("int64"),
+        "cum_permille": (cum * 1000 // max(total, 1)).astype("int64"),
+    })
+
+
+def source_kl(ds: rd.Dataset, group_col: str = "source",
+              parts: int = 64) -> pd.DataFrame:
+    """Per-source KL divergence of the source's word distribution from
+    the corpus-wide distribution — the data-mixture drift diagnostic
+    (which sources are lexically atypical).
+
+    Engine-exact integer form: KL_s * N_s * 1e6 is reported as
+    ``kl_micro`` = sum_w c_ws * floor(1e6 * ln(c_ws * N / (c_w * N_s)))
+    (all counts integers; the lone float op is ln of one exact rational
+    per (word, source), identical on both engines). Consumers divide by
+    1e6 * n_tokens for nats.
+
+    Distributed shape: ONE word-hash shuffle builds the word x source
+    count table; the word marginal c_w is each pivot row's own sum, so
+    scoring is row-local with just the (N, N_s) scalars broadcast —
+    the driver never sees a vocabulary-scale table."""
+    import math
+
+    # group list + token marginals: metadata-scale partials
+    def marg(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.split().str.len()
+        g = (pd.DataFrame({group_col: b[group_col], "n": n})
+             .groupby(group_col, sort=False, as_index=False)["n"].sum())
+        return g
+
+    m = (ds.map_batches(marg, batch_format="pandas", batch_size=65536)
+         .to_pandas().groupby(group_col, as_index=False)["n"].sum())
+    groups = sorted(m[group_col].tolist())
+    n_s = np.array([int(m.set_index(group_col)["n"][g]) for g in groups],
+                   dtype=np.int64)
+    n_tot = int(n_s.sum())
+    gcols = [f"c{j}" for j in range(len(groups))]
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        labs = b[group_col].to_numpy(object)[flat.index.to_numpy()]
+        g = (pd.DataFrame({"word": flat.to_numpy(object), "g": labs})
+             .groupby(["word", "g"], sort=False).size().unstack(
+                 fill_value=0))
+        out = pd.DataFrame({"word": g.index.to_numpy(object)})
+        for j, gname in enumerate(groups):
+            out[gcols[j]] = (g[gname].to_numpy(np.int64)
+                             if gname in g.columns else np.int64(0))
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(parts)).astype(np.int64)
+        return out
+
+    def score_shard(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("word", sort=False, as_index=False)[gcols].sum()
+        C = agg[gcols].to_numpy(np.int64)           # (v, k)
+        cw = C.sum(axis=1)                          # word marginal
+        out = np.zeros(len(gcols), dtype=np.int64)
+        for j in range(len(gcols)):
+            c = C[:, j]
+            nz = c > 0
+            ratio = (c[nz].astype(np.float64) * n_tot) \
+                / (cw[nz].astype(np.float64) * n_s[j])
+            out[j] += int(np.sum(c[nz] * np.floor(
+                1e6 * np.log(ratio)).astype(np.int64)))
+        return pd.DataFrame({"g": np.arange(len(gcols), dtype=np.int64),
+                             "kl": out})
+
+    parts_df = (ds.map_batches(wc_partial, batch_format="pandas",
+                               batch_size=65536)
+                .groupby("_part").map_groups(score_shard,
+                                             batch_format="pandas")
+                .to_pandas())
+    tot = parts_df.groupby("g")["kl"].sum()
+    return pd.DataFrame({
+        group_col: pd.Series(groups, dtype=str),
+        "n_tokens": n_s,
+        "kl_micro": np.array([int(tot.get(j, 0))
+                              for j in range(len(groups))],
+                             dtype=np.int64),
+    })

@@ -78,3 +78,51 @@ def test_matches_duckdb_twin_on_messy_corpus(ray_session):
         check_dtype=False)
     # the test-only class is never predicted (model trained without it)
     assert "dd" not in set(got["pred_lang"])
+
+
+# ----------------------------------------------- per-source KL drift
+
+
+def test_source_kl_ranks_planted_drift(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import source_kl
+
+    rows = []
+    i = 0
+    # srcA/srcB share one distribution; srcC is lexically alien
+    for _ in range(30):
+        for s, words in (("srcA", "alpha beta gamma delta"),
+                         ("srcB", "alpha beta gamma delta"),
+                         ("srcC", "qqq www eee rrr")):
+            rows.append({"doc_id": i, "source": s, "text": words})
+            i += 1
+    out = source_kl(_ds(rows), group_col="source")
+    kl = out.set_index("source")["kl_micro"]
+    assert kl["srcC"] > kl["srcA"] and kl["srcC"] > kl["srcB"]
+    # per-source KL normalized: alien source is far from the mixture
+    assert kl["srcC"] / (1e6 * 120) > 0.5  # > 0.5 nats
+
+
+def test_source_kl_matches_duckdb_twin_messy(ray_session):
+    from dup_ocropy_ray.pipelines.queries import SQL_SOURCE_KL
+    from dup_ocropy_ray.pipelines.textstats import source_kl
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(50):
+        s = f"src{i % 4}"
+        words = rng.choice(vocab, size=rng.randint(0, 30))
+        rows.append({"doc_id": i, "source": s, "text": " ".join(words)})
+    rows[3]["text"] = None
+    rows[7]["text"] = ""
+    # a source whose every doc is empty (zero tokens, kl 0)
+    rows.append({"doc_id": 50, "source": "srcE", "text": "  "})
+    df = pd.DataFrame(rows)
+
+    got = source_kl(rd.from_pandas(df).repartition(4),
+                    group_col="source")
+    want = _oracle(SQL_SOURCE_KL, rows)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    assert int(want.set_index("source")["kl_micro"]["srcE"]) == 0

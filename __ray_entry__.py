@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": q.q_nb_langid,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
+        "web_curate": q.q_web_curate,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
         "pdf_extract": q.q_pdf_extract,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": q.SQL_NB_LANGID,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
+        "web_curate": q.SQL_WEB_CURATE,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

@@ -612,3 +612,96 @@ def domain_stats(docs: rd.Dataset) -> pd.DataFrame:
         "n_blocked": out["sum_blocked"].astype("int64"),
         "max_depth": out["max_path_depth"].astype("int64"),
     }).sort_values("domain").reset_index(drop=True)
+
+
+def web_curate(docs: rd.Dataset) -> pd.DataFrame:
+    """Composed round-3 curation flagship — the classic web-pipeline
+    chain, each link an operator this engine ships separately:
+
+      1. render + jusText gate: keep docs whose wrapped page has >= 2
+         substantial main-content blocks (context-free neargood+good,
+         i.e. paragraph chunks >= 40 chars — extract.justext_stage);
+      2. URL blocklist: drop docs whose registered domain is on the
+         UT1-style list (curate.url_table);
+      3. exact dedup on the whitespace-normalized text, min-doc_id
+         keeper (dedup.exact_dedup's hash-bucket shuffle);
+      4. per-source rollup: total docs, survivors, surviving chars.
+
+    Scale shape: two stateless map legs joined on doc_id metadata (a
+    doc-keyed bucket_join of flag-sized rows), one content-hash dedup
+    shuffle over only the gate survivors, one bounded grouped agg.
+    Entirely oracle-expressible — every stage has a SQL twin."""
+    import pyarrow as pa
+
+    from ..functions import urlx
+    from ..sources.urlgen import doc_url
+    from ..sources.webgen import wrap_html
+    from .dedup import exact_dedup
+    from .extract import justext_stage
+    from .relational import bucket_join, grouped_agg
+
+    # leg A: render + jusText gate flags + normalized text (per-doc map)
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        html = [wrap_html(int(i), t if isinstance(t, str) else "")
+                for i, t in zip(b["doc_id"], b["text"])]
+        jt = justext_stage(pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"), "html": html}))
+        norm = (b["text"].fillna("").str.split().str.join(" "))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "norm_text": norm.astype(object),
+            "n_subst": (jt["n_neargood"] + jt["n_good"]).to_numpy(np.int64),
+        })
+
+    gated = docs.drop_columns(["source"]).map_batches(
+        gate, batch_format="pandas", batch_size=256)
+
+    # leg B: blocklist flags (metadata-scale strings)
+    def blocked(b: pd.DataFrame) -> pd.DataFrame:
+        dom = [urlx.registered_domain(
+            urlx.parse_url(doc_url(int(i), s))["host"])
+            for i, s in zip(b["doc_id"], b["source"])]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"].astype(object),
+            "blocked": pd.Series(
+                [d in urlx.BLOCKED_DOMAINS for d in dom], dtype=bool),
+        })
+
+    flags = docs.map_batches(blocked, batch_format="pandas",
+                             batch_size=65536)
+
+    joined = bucket_join(
+        gated, flags, left_on="doc_id", right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("norm_text", pa.string()),
+                               ("n_subst", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string()),
+                                ("blocked", pa.bool_())]))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (~b["blocked"].to_numpy(bool)) \
+            & (b["n_subst"].to_numpy(np.int64) >= 2)
+        out = b.loc[m, ["doc_id", "source", "norm_text"]].copy()
+        return out
+
+    kept = exact_dedup(joined.map_batches(keep, batch_format="pandas"),
+                       text_col="norm_text", id_col="doc_id")
+
+    def chars(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_chars"] = b["norm_text"].str.len().astype("int64")
+        return b[["source", "n_chars"]]
+
+    surv = grouped_agg(kept.map_batches(chars, batch_format="pandas"),
+                       ["source"], sums=["n_chars"])
+    tot = grouped_agg(docs, ["source"])
+    out = tot.merge(surv, on="source", how="left",
+                    suffixes=("_tot", "_kept"))
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": out["n_tot"].astype("int64"),
+        "n_kept": out["n_kept"].fillna(0).astype("int64"),
+        "kept_chars": out["sum_n_chars"].fillna(0).astype("int64"),
+    }).sort_values("source").reset_index(drop=True)

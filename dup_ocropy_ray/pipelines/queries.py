@@ -3053,6 +3053,65 @@ GROUP BY doc_id
 """
 
 
+def q_web_curate(sf_dir: str) -> pd.DataFrame:
+    """Composed round-3 web-curation flagship (curate.web_curate):
+    jusText substantial-block gate -> URL-blocklist drop -> exact dedup
+    on normalized text -> per-source survivor rollup. Every link reuses
+    a separately-shipped operator, and every link has a SQL twin, so
+    the whole composition is oracle-exact."""
+    from .curate import web_curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return web_curate(ds)
+
+
+SQL_WEB_CURATE = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t,
+         10 + 3 * (doc_id % 4) AS k,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, k, unnest(words) AS w,
+         unnest(range(1, len(words) + 1)) AS ord
+  FROM base
+), chunks AS (
+  SELECT doc_id, (ord - 1) // k AS g,
+         sum(length(w)) + count(*) - 1 AS clen
+  FROM tok GROUP BY doc_id, k, (ord - 1) // k
+), subst AS (
+  -- context-free neargood+good main blocks = chunks >= 40 chars
+  SELECT doc_id,
+         sum(CASE WHEN clen >= 40 THEN 1 ELSE 0 END) AS n_subst
+  FROM chunks GROUP BY doc_id
+), kept AS (
+  SELECT b.doc_id, b.source, b.t
+  FROM base b JOIN subst s USING (doc_id)
+  WHERE NOT (b.doc_id % 6 = 3
+             AND CAST(substr(b.source, 4) AS INT) % 2 = 1)
+    AND s.n_subst >= 2
+), dedup AS (
+  SELECT source, t,
+         row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM kept
+), tot AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), sv AS (
+  SELECT source, count(*)::BIGINT AS n_kept,
+         sum(length(t))::BIGINT AS kept_chars
+  FROM dedup WHERE rn = 1 GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       coalesce(sv.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(sv.kept_chars, 0)::BIGINT AS kept_chars
+FROM tot t LEFT JOIN sv USING (source)
+ORDER BY t.source
+"""
+
+
 def q_source_kl(sf_dir: str) -> pd.DataFrame:
     """Per-source KL divergence from the corpus word distribution (the
     data-mixture drift diagnostic), in engine-exact integer micro-nats

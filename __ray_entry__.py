@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q.q_pmi_bigrams,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
+        "paragraph_dedup": q.q_paragraph_dedup,
         "revenue_rollup": q.q_revenue_rollup,
         "unigram_logprob": q.q_unigram_logprob,
         "bigram_logprob": q.q_bigram_logprob,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
+        "paragraph_dedup": q.SQL_PARAGRAPH_DEDUP,
         "revenue_rollup": q.SQL_REVENUE_ROLLUP,
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": q.SQL_BIGRAM_LOGPROB,

@@ -84,10 +84,14 @@ def rotate(
     th = np.deg2rad(angle_deg)
     c, s = np.cos(th), np.sin(th)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h) - cy, np.arange(w) - cx, indexing="ij")
-    # inverse map: output coord -> input coord
-    sy = c * yy - s * xx + cy
-    sx = s * yy + c * xx + cx
+    yv = np.arange(h) - cy
+    xv = np.arange(w) - cx
+    # inverse map: output coord -> input coord. Outer-broadcast of the
+    # precomputed 1-D products — bit-equal to the full-grid
+    # c*yy - s*xx + cy (same per-element IEEE op order), without
+    # materializing the two h*w meshgrid multiplies.
+    sy = (c * yv)[:, None] - (s * xv)[None, :] + cy
+    sx = (s * yv)[:, None] + (c * xv)[None, :] + cx
     inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
     out = np.full((h, w), cval, dtype=FLOAT)
     if order == 0:
@@ -112,7 +116,8 @@ def rotate_rowmeans(
     a = _f(a)
     h, w = a.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h) - cy, np.arange(w) - cx, indexing="ij")
+    yv = np.arange(h) - cy
+    xv = np.arange(w) - cx
     out = []
     for angle_deg in angles:
         if abs(angle_deg) < 1e-12:
@@ -120,8 +125,8 @@ def rotate_rowmeans(
             continue
         th = np.deg2rad(angle_deg)
         c, s = np.cos(th), np.sin(th)
-        sy = c * yy - s * xx + cy
-        sx = s * yy + c * xx + cx
+        sy = (c * yv)[:, None] - (s * xv)[None, :] + cy
+        sx = (s * yv)[:, None] + (c * xv)[None, :] + cx
         inside = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
         yi = np.clip(np.rint(sy).astype(np.int64), 0, h - 1)
         xi = np.clip(np.rint(sx).astype(np.int64), 0, w - 1)

@@ -1543,3 +1543,96 @@ def minhash_recall(
         "recall": [round(n_hit / len(true_pairs), 6)
                    if true_pairs else 1.0],
     })
+
+
+# ------------------------------------------- corpus-wide paragraph dedup
+
+
+def paragraph_dedup(
+    ds: rd.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """CCNet-style corpus-wide paragraph-level exact dedup (Wenzek et
+    al. 2020: hash every paragraph of every document, keep one copy of
+    each across the WHOLE corpus, drop the rest in place). The corpus
+    text has no paragraph breaks, so a "paragraph" is a run of ``k``
+    whitespace tokens (the same chunk convention as the jusText twin).
+
+    Keeper rule: the occurrence with the lexicographically smallest
+    (doc_id, paragraph ordinal) survives — duplicate paragraphs within
+    one document keep only the earliest. Documents whose every
+    paragraph was seen earlier disappear entirely (CCNet's behavior);
+    documents with no tokens produce no paragraphs and likewise drop.
+
+    Scale shape (100 TB): one stateless explode map, then two coarse
+    hash shuffles of paragraph-scale rows — paragraphs co-locate by
+    content hash (global first-by-key inside each partition, vectorized
+    groupby-head), survivors re-shuffle by doc hash and reassemble with
+    one C-level sort + groupby-join per partition. Nothing lands on the
+    driver; partition count is _DEDUP_PARTITIONS (raise with cluster
+    slot count).
+
+    Returns (id_col, clean_text, n_kept, n_para) — n_para is the
+    document's pre-dedup paragraph count.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_numpy(dtype=object)
+        out_id, out_ord, out_para, out_npara = [], [], [], []
+        for i, t in enumerate(texts):
+            words = (t if isinstance(t, str) else "").split()
+            if not words:
+                continue
+            npara = -(-len(words) // k)
+            paras = [" ".join(words[j * k:(j + 1) * k])
+                     for j in range(npara)]
+            out_id.append(np.full(npara, ids[i]))
+            out_ord.append(np.arange(npara, dtype=np.int64))
+            out_para.extend(paras)
+            out_npara.append(np.full(npara, npara, dtype=np.int64))
+        if not out_para:
+            return pd.DataFrame({id_col: np.array([], dtype=ids.dtype),
+                                 "ord": np.array([], dtype=np.int64),
+                                 "para": np.array([], dtype=object),
+                                 "n_para": np.array([], dtype=np.int64),
+                                 "_part": np.array([], dtype=np.int64)})
+        para = np.asarray(out_para, dtype=object)
+        h = hashing.hash_strings(para)
+        return pd.DataFrame({
+            id_col: np.concatenate(out_id),
+            "ord": np.concatenate(out_ord),
+            "para": para,
+            "n_para": np.concatenate(out_npara),
+            "_part": (h % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64),
+        })
+
+    def first_per_para(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a paragraph share this partition; the
+        # global first is the partition-local first
+        keep = (g.sort_values([id_col, "ord"])
+                 .groupby("para", as_index=False, sort=False).head(1))
+        keep = keep.copy()
+        dh = hashing.hash_strings(
+            keep[id_col].astype(str).to_numpy(dtype=object))
+        keep["_dpart"] = (dh % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return keep.drop(columns=["_part"])
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "ord"])
+        agg = g.groupby(id_col, sort=False).agg(
+            clean_text=("para", " ".join),
+            n_kept=("para", "size"),
+            n_para=("n_para", "first"),
+        ).reset_index()
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        return agg
+
+    exploded = ds.map_batches(explode, batch_format="pandas",
+                              batch_size=8192)
+    kept = exploded.groupby("_part").map_groups(
+        first_per_para, batch_format="pandas")
+    return kept.groupby("_dpart").map_groups(
+        reassemble, batch_format="pandas")

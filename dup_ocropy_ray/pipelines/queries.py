@@ -3935,3 +3935,50 @@ WITH s AS (
 SELECT event_id, event_type, zscore FROM z
 WHERE abs(zscore) > 3.0 ORDER BY event_id
 """
+
+
+def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (dedup.paragraph_dedup):
+    3-word paragraphs hashed and deduped across the whole corpus (the
+    small vocabulary makes real cross-doc collisions at this k), docs
+    reassembled from their surviving paragraphs."""
+    from .dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = paragraph_dedup(ds, k=3).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "clean_text": out.clean_text.astype(object),
+        "n_kept": out.n_kept.astype("int64"),
+        "n_para": out.n_para.astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS w,
+         unnest(range(1, len(words) + 1)) AS ord
+  FROM base
+), para AS (
+  SELECT doc_id, (ord - 1) // 3 AS g,
+         string_agg(w, ' ' ORDER BY ord) AS p
+  FROM tok GROUP BY doc_id, (ord - 1) // 3
+), ranked AS (
+  SELECT doc_id, g, p,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, g) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_para
+  FROM para
+)
+SELECT doc_id,
+       string_agg(p, ' ' ORDER BY g) AS clean_text,
+       count(*)::BIGINT AS n_kept,
+       any_value(n_para)::BIGINT AS n_para
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -506,3 +506,50 @@ def test_minhash_recall_eval(ray_session):
                           num_perm=64, num_bands=16)
     assert out2.loc[0, "n_extra"] == 0
     assert 0.0 <= out2.loc[0, "recall"] <= 1.0
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """CCNet paragraph dedup: cross-doc dup paragraph keeps only the
+    earliest (doc_id, ord) copy, a within-doc repeat keeps its first
+    occurrence, an all-dup doc vanishes, an empty doc produces no row."""
+    import duckdb
+
+    from dup_ocropy_ray.pipelines.dedup import paragraph_dedup
+    from dup_ocropy_ray.pipelines.queries import SQL_PARAGRAPH_DEDUP
+
+    P = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+         "kappa lambda mu"]
+    rows = [
+        {"doc_id": 0, "text": f"{P[0]} {P[1]} {P[2]}"},
+        # doc 1 repeats P[1] (cross-doc dup) and has a unique tail
+        {"doc_id": 1, "text": f"{P[1]} {P[3]} unique one tail"},
+        # doc 2 is built entirely of already-seen paragraphs -> vanishes
+        {"doc_id": 2, "text": f"{P[0]} {P[2]}"},
+        # doc 3 repeats its own first paragraph within itself
+        {"doc_id": 3, "text": "solo dup para solo dup para rest of it"},
+        {"doc_id": 4, "text": ""},          # empty -> no row
+        {"doc_id": 5, "text": None},        # NULL -> no row
+    ]
+    df = pd.DataFrame(rows)
+    got = paragraph_dedup(rd.from_pandas(df).repartition(3), k=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert got.doc_id.tolist() == [0, 1, 3]
+    assert got.loc[got.doc_id == 1, "clean_text"].iloc[0] == \
+        f"{P[3]} unique one tail"
+    assert got.loc[got.doc_id == 3, "clean_text"].iloc[0] == \
+        "solo dup para rest of it"
+    assert got.loc[got.doc_id == 0, "n_kept"].iloc[0] == 3
+
+    con = duckdb.connect()
+    con.register("docs_src", df)
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = con.sql(SQL_PARAGRAPH_DEDUP).df()
+    out = pd.DataFrame({
+        "doc_id": got.doc_id.astype("int64"),
+        "clean_text": got.clean_text,
+        "n_kept": got.n_kept.astype("int64"),
+        "n_para": got.n_para.astype("int64"),
+    })
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True),
+                                  check_dtype=False)

@@ -392,9 +392,75 @@ def label(binary: np.ndarray) -> tuple[np.ndarray, int]:
     """4-connected component labeling (reference: morph.label →
     scipy measurements.label default structure, ocrolib/morph.py:14-30).
 
-    Run-length two-pass with union-find over row runs. Returns
-    (int32 label image with background 0, number of labels).
+    Fully vectorized over row runs: runs come from one diff, run-to-run
+    adjacency between consecutive rows from two global searchsorted
+    calls on row-composite keys, and the union is min-index propagation
+    with pointer jumping over the run graph (O(E log d), no Python loop
+    over runs). Output is bit-identical to the sequential union-find
+    (``_label_runs_py``, kept for the property test): both root every
+    component at its first row-major run and dense-renumber roots in
+    ascending order. Returns (int32 label image, number of labels).
     """
+    b = np.asarray(binary) != 0
+    h, w = b.shape
+    if not b.any():
+        return np.zeros((h, w), dtype=np.int32), 0
+    # run extraction: one diff over the zero-padded image (row-major order)
+    bp = np.zeros((h, w + 2), dtype=np.int8)
+    bp[:, 1:-1] = b
+    d = np.diff(bp, axis=1)
+    sy, sx = np.nonzero(d == 1)   # run starts
+    _, ex = np.nonzero(d == -1)   # run ends (exclusive), pairs 1:1 with starts
+    R = len(sx)
+    # adjacency run r (row y) <-> prev-row run q: overlap iff
+    # sx[q] < ex[r] and ex[q] > sx[r]. Composite keys make the per-row
+    # subarrays globally sorted, so both range endpoints come from one
+    # searchsorted each (rows never alias: the row stride exceeds w+1).
+    stride = np.int64(w + 2)
+    g_start = sy.astype(np.int64) * stride + sx
+    g_end = sy.astype(np.int64) * stride + ex
+    prev = (sy.astype(np.int64) - 1) * stride
+    a_r = np.searchsorted(g_end, prev + sx, side="right")
+    b_r = np.searchsorted(g_start, prev + ex, side="left")
+    n_r = (b_r - a_r).clip(min=0)
+    er = np.repeat(np.arange(R, dtype=np.int64), n_r)
+    tot = int(n_r.sum())
+    if tot:
+        off = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(n_r) - n_r, n_r
+        )
+        eq = np.repeat(a_r, n_r) + off
+    else:
+        eq = er
+    # min-index propagation with pointer jumping
+    parent = np.arange(R, dtype=np.int64)
+    while True:
+        m = np.minimum(parent[er], parent[eq])
+        before = parent
+        parent = parent.copy()
+        np.minimum.at(parent, er, m)
+        np.minimum.at(parent, eq, m)
+        parent = np.minimum(parent, parent[parent])
+        parent = np.minimum(parent, parent[parent])
+        if np.array_equal(parent, before):
+            break
+    uniq = np.unique(parent)
+    dense = np.zeros(R, dtype=np.int32)
+    dense[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    v = dense[parent]
+    # paint runs into the image with one scatter + cumsum (runs are
+    # disjoint, so start:+v / end:-v prefix-sums to v inside each run)
+    flat = np.zeros(h * (w + 1) + 1, dtype=np.int32)
+    rowbase = sy.astype(np.int64) * (w + 1)
+    np.add.at(flat, rowbase + sx, v)
+    np.add.at(flat, rowbase + ex, -v)
+    labels = np.cumsum(flat[:-1], dtype=np.int32).reshape(h, w + 1)[:, :w]
+    return labels, int(len(uniq))
+
+
+def _label_runs_py(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """Sequential run-based union-find labeling — the pre-vectorization
+    implementation, kept as the bit-exactness reference for ``label``."""
     b = np.asarray(binary) != 0
     h, w = b.shape
     labels = np.zeros((h, w), dtype=np.int32)

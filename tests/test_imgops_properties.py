@@ -90,6 +90,29 @@ def test_label_matches_floodfill(b):
         assert len(set(mapping.values())) == len(mapping)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(np.bool_, st.tuples(st.integers(1, 40), st.integers(1, 40))),
+)
+def test_label_bit_exact_vs_sequential_unionfind(b):
+    """The vectorized searchsorted+pointer-jumping labeling must return
+    the IDENTICAL label image (not just the same partition) as the
+    sequential run-based union-find it replaced."""
+    got, n_got = imgops.label(b)
+    want, n_want = imgops._label_runs_py(b)
+    assert n_got == n_want
+    assert np.array_equal(got, want)
+
+
+def test_label_bit_exact_dense_random():
+    rng = np.random.default_rng(7)
+    for density in (0.1, 0.45, 0.6, 0.9):
+        b = rng.random((120, 83)) < density
+        got, n_got = imgops.label(b)
+        want, n_want = imgops._label_runs_py(b)
+        assert n_got == n_want and np.array_equal(got, want)
+
+
 @settings(max_examples=30, deadline=None)
 @given(_imgs, st.floats(0.5, 30.0))
 def test_box_gaussian_preserves_mass_and_range(a, sigma):

@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
+        "decontaminate_fuzzy": q.q_decontaminate_fuzzy,
         "pii_scrub": q.q_pii_scrub,
         "sample_by_source": q.q_sample_by_source,
         "repetition_stats": q.q_repetition_stats,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,
+        "decontaminate_fuzzy": q.SQL_DECONTAMINATE_FUZZY,
         "pii_scrub": q.SQL_PII_SCRUB,
         "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
         "repetition_stats": q.SQL_REPETITION_STATS,

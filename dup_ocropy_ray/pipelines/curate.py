@@ -23,6 +23,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..functions import hashing
+
 WINDOW_TOKENS = 256
 
 # PII patterns: email, north-american-style phone, IPv4 (compiled once;
@@ -257,6 +259,65 @@ def decontaminate(docs: rd.Dataset, every: int = 97, skip: int = 3,
 
     out = docs.map_batches(scan, batch_format="pandas",
                            batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _eval_window_hash_set(docs: rd.Dataset, every: int,
+                          window: int) -> np.ndarray:
+    """Sorted distinct uint64 W-window hashes of the eval-set docs
+    (doc_id % every == 0 — the deterministic stand-in benchmark; in
+    production the real benchmark files). The eval side is SMALL by
+    construction (eval suites are 10^4-10^5 snippets even against a
+    web-scale corpus), so collecting its distinct hashes to the driver
+    and re-broadcasting one sorted array is the scale-correct shape —
+    same rationale as decontaminate's snippet broadcast."""
+
+    def hs(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["doc_id"] % every == 0]
+        gh, _doc_idx, _pos = hashing.batch_window_hashes(
+            sel["text"].tolist(), window)
+        return pd.DataFrame({"h": np.unique(gh)})
+
+    parts = docs.map_batches(hs, batch_format="pandas").to_pandas()
+    return np.unique(parts["h"].to_numpy().astype(np.uint64))
+
+
+def decontaminate_overlap(docs: rd.Dataset, every: int = 29,
+                          window: int = 5) -> pd.DataFrame:
+    """Fuzzy benchmark decontamination (the PaLM / GPT-3 appendix-C
+    recipe shape): score each corpus document by how many of its W-word
+    windows appear ANYWHERE in the eval set, instead of exact snippet
+    containment — catches near-verbatim contamination that small edits
+    or interleaving hide from `decontaminate`.
+
+    One streaming corpus pass probes the broadcast sorted eval-hash
+    array (searchsorted, vectorized; hash-only — no gram strings).
+    Returns (doc_id, n_windows, n_hit, overlap_permille) for non-eval
+    docs with >= 1 hit; permille is floor-integer so the DuckDB twin is
+    value-exact."""
+    ref = ray.put(_eval_window_hash_set(docs, every, window))
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        hashes = ray.get(ref)
+        sel = b[b["doc_id"] % every != 0]
+        gh, doc_idx, _pos = hashing.batch_window_hashes(
+            sel["text"].tolist(), window)
+        n = len(sel)
+        n_win = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        idx = np.searchsorted(hashes, gh)
+        hit = (idx < len(hashes)) & (
+            hashes[np.minimum(idx, max(len(hashes) - 1, 0))] == gh)
+        n_hit = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+        keep = n_hit > 0
+        return pd.DataFrame({
+            "doc_id": sel["doc_id"].to_numpy()[keep].astype("int64"),
+            "n_windows": n_win[keep],
+            "n_hit": n_hit[keep],
+            "overlap_permille": n_hit[keep] * 1000 // n_win[keep],
+        })
+
+    out = docs.map_batches(scan, batch_format="pandas",
+                           batch_size=4096).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

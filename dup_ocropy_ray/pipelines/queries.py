@@ -1934,6 +1934,43 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+def q_decontaminate_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy decontamination (PaLM appendix shape): per-doc count of
+    5-word windows shared with the eval set (every 29th doc), hash-only
+    probe of one broadcast sorted array. Integer permille keeps the
+    DuckDB twin value-exact."""
+    from .curate import decontaminate_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate_overlap(ds, every=29, window=5)
+
+
+SQL_DECONTAMINATE_FUZZY = r"""
+WITH words AS (
+  -- list_filter drops the [''] duckdb yields for empty text, matching
+  -- Python str.split() (zero tokens; empty docs drop on both sides)
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 29 <> 0
+)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_windows,
+       (count(*) FILTER (WHERE e.gram IS NOT NULL))::BIGINT AS n_hit,
+       ((count(*) FILTER (WHERE e.gram IS NOT NULL)) * 1000
+          // count(*))::BIGINT AS overlap_permille
+FROM corpus c LEFT JOIN ev e USING (gram)
+GROUP BY c.doc_id
+HAVING count(*) FILTER (WHERE e.gram IS NOT NULL) > 0
+ORDER BY c.doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII scrub round-trip: deterministic emails/phones/IPv4s are
     planted between words (1 + doc_id%3 per doc), then the vectorized

@@ -50,6 +50,35 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     assert (out["n_hits"] == 1).all()
 
 
+def test_decontaminate_overlap_counts_planted_windows(ray_session):
+    from dup_ocropy_ray.pipelines.curate import decontaminate_overlap
+
+    words = [f"tok{j}" for j in range(20)]
+    eval_doc = " ".join(words)          # doc 0 is the eval set (0 % 3 == 0)
+    texts = [
+        eval_doc,
+        # doc 1: contains words[2:7] -> windows [2..2] hit once, plus
+        # unique filler; 1 hit out of (5 filler + 5 shared + 5 filler
+        # - 4) = 11 windows
+        "u1 u2 u3 u4 u5 " + " ".join(words[2:7]) + " v1 v2 v3 v4 v5",
+        # doc 2: fully contained 10-word span -> 6 hit windows
+        " ".join(words[5:15]),
+        # doc 3 is eval (3 % 3 == 0): excluded from output even though
+        # it trivially self-hits
+        eval_doc,
+        # doc 4: no overlap
+        "a b c d e f g h i j",
+    ]
+    out = decontaminate_overlap(_docs(texts), every=3, window=5)
+    assert out["doc_id"].tolist() == [1, 2]
+    d1 = out[out.doc_id == 1].iloc[0]
+    assert (d1["n_windows"], d1["n_hit"]) == (11, 1)
+    assert d1["overlap_permille"] == 1000 // 11
+    d2 = out[out.doc_id == 2].iloc[0]
+    assert (d2["n_windows"], d2["n_hit"]) == (6, 6)
+    assert d2["overlap_permille"] == 1000
+
+
 def test_pii_scrub_roundtrip_and_raw_patterns(ray_session):
     texts = ["alpha beta gamma delta", "", "one two"]
     out = pii_scrub(_docs(texts))

@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": q.q_sample_by_source,
         "repetition_stats": q.q_repetition_stats,
         "curate_corpus": q.q_curate_corpus,
+        "neardedup_corpus": q.q_neardedup_corpus,
         "html_tables": q.q_html_tables,
         "audio_features": q.q_audio_features,
         "video_frames": q.q_video_frames,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_source": q.SQL_SAMPLE_BY_SOURCE,
         "repetition_stats": q.SQL_REPETITION_STATS,
         "curate_corpus": q.SQL_CURATE_CORPUS,
+        "neardedup_corpus": q.SQL_NEARDEDUP_CORPUS,
         "html_tables": q.SQL_HTML_TABLES,
         "audio_features": q.SQL_AUDIO_FEATURES,
         "video_frames": q.SQL_VIDEO_FRAMES,

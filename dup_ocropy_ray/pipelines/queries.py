@@ -838,6 +838,101 @@ ORDER BY d.doc_id
 """
 
 
+def q_neardedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composed near-dedup corpus flagship (the SlimPajama/RefinedWeb
+    chain shape), oracle-checked END-TO-END: exact token-Jaccard pairs
+    within (lang, source) partitions -> connected components -> keep the
+    longest doc per cluster (ties -> min doc_id) -> per-source surviving
+    doc/word counts. Every stage is one of this repo's streaming
+    operators (the scale path swaps the pair generator for MinHash-LSH
+    with identical downstream plumbing); the winner set stays
+    metadata-width through keep_best's two shuffles and one bucket_join
+    attaches source/word counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
+    labels = dedup.connected_components(pairs)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "score": b["text"].str.len().astype("float64"),
+        })
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+    winners = dedup.keep_best(scored, labels)
+
+    def meta(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"],
+            "n_words": b["text"].fillna("").str.split().str.len()
+                        .astype("int64"),
+        })
+
+    docs_meta = _read(sf_dir, "documents",
+                      ["doc_id", "text", "source"]).map_batches(
+        meta, batch_format="pandas")
+    joined = relational.bucket_join(
+        winners, docs_meta, "doc_id", "doc_id", suffix="_m",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64())]))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_words=("n_words", "sum"))
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), n_words=("n_words", "sum")))
+    out["n_docs"] = out.n_docs.astype("int64")
+    out["n_words"] = out.n_words.astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_NEARDEDUP_CORPUS = """
+WITH RECURSIVE t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(v, l) AS (
+  SELECT a AS v, a AS l FROM e
+  UNION
+  SELECT e.b AS v, reach.l FROM reach JOIN e ON e.a = reach.v
+), lab AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+), keepers AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+  QUALIFY row_number() OVER (
+    PARTITION BY coalesce(lab.cluster_id, d.doc_id)
+    ORDER BY length(d.text) DESC, d.doc_id
+  ) = 1
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '')))::BIGINT AS n_words
+FROM keepers GROUP BY source ORDER BY source
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only oracle —
     LSH candidate generation is not SQL-expressible)."""

@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "curate_corpus": q.q_curate_corpus,
         "neardedup_corpus": q.q_neardedup_corpus,
+        "dup_pair_editdist": q.q_dup_pair_editdist,
         "html_tables": q.q_html_tables,
         "audio_features": q.q_audio_features,
         "video_frames": q.q_video_frames,
@@ -440,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": q.SQL_REPETITION_STATS,
         "curate_corpus": q.SQL_CURATE_CORPUS,
         "neardedup_corpus": q.SQL_NEARDEDUP_CORPUS,
+        "dup_pair_editdist": q.SQL_DUP_PAIR_EDITDIST,
         "html_tables": q.SQL_HTML_TABLES,
         "audio_features": q.SQL_AUDIO_FEATURES,
         "video_frames": q.SQL_VIDEO_FRAMES,

@@ -933,6 +933,68 @@ FROM keepers GROUP BY source ORDER BY source
 """
 
 
+def q_dup_pair_editdist(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pair VERIFICATION by character edit distance — the
+    post-LSH confirm stage shape: the pair stream (metadata-width)
+    fetches both member texts through two large x large bucket_joins
+    (never a driver-side text lookup), then a vectorized Levenshtein
+    per pair. Texts capped at 80 chars on both sides (edit distance is
+    O(nm); the cap is applied identically in the DuckDB twin)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.4)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("jaccard", pa.float64())])
+    with_a = relational.bucket_join(
+        pairs, docs, "doc_a", "doc_id", suffix="_a",
+        left_schema=pair_schema)
+    with_ab = relational.bucket_join(
+        with_a, docs.map_batches(
+            lambda b: b.rename(columns={"text": "text_b"}),
+            batch_format="pandas"),
+        "doc_b", "doc_id", suffix="_b",
+        left_schema=pair_schema.append(pa.field("text", pa.string())))
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        d = [levenshtein((x or "")[:80], (y or "")[:80])
+             for x, y in zip(b["text"], b["text_b"])]
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].astype("int64"),
+            "doc_b": b["doc_b"].astype("int64"),
+            "editdist": pd.array(d, dtype="int64"),
+        })
+
+    out = with_ab.map_batches(dist, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_DUP_PAIR_EDITDIST = """
+WITH t AS (
+  -- coalesce: the engine treats NULL text as an empty token set
+  -- (all-empty docs pair at jaccard 1.0); bare NULL would propagate
+  -- through the split and silently drop those pairs here
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.4
+)
+SELECT p.doc_a, p.doc_b,
+       levenshtein(substr(coalesce(da.text, ''), 1, 80),
+                   substr(coalesce(db.text, ''), 1, 80))::BIGINT AS editdist
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only oracle —
     LSH candidate generation is not SQL-expressible)."""

@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": q.q_nb_langid,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
+        "ngram_diversity": q.q_ngram_diversity,
         "web_curate": q.q_web_curate,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": q.SQL_NB_LANGID,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
+        "ngram_diversity": q.SQL_NGRAM_DIVERSITY,
         "web_curate": q.SQL_WEB_CURATE,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,

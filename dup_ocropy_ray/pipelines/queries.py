@@ -3351,6 +3351,35 @@ ORDER BY s.source
 """
 
 
+def q_ngram_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source 3-gram diversity (distinct/total grams, integer
+    permille) — the self-repetition report metric. One gram-hash
+    shuffle for distincts, metadata-scale totals pass."""
+    from .textstats import ngram_diversity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ngram_diversity(ds, window=3, group_col="source")
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH words AS (
+  SELECT source, list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                   '\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT source, array_to_string(w[i:i+2], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+)
+SELECT source,
+       count(*)::BIGINT AS n_grams,
+       count(DISTINCT gram)::BIGINT AS n_distinct,
+       (count(DISTINCT gram) * 1000 // count(*))::BIGINT
+         AS diversity_permille
+FROM grams GROUP BY source ORDER BY source
+"""
+
+
 def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
     """Exact top-100 vocabulary coverage curve: word rank, count, and
     cumulative token-mass permille (integer-exact — cum * 1000 //

@@ -1130,3 +1130,59 @@ def source_kl(ds: rd.Dataset, group_col: str = "source",
                               for j in range(len(groups))],
                              dtype=np.int64),
     })
+
+
+def ngram_diversity(ds: rd.Dataset, window: int = 3,
+                    group_col: str = "source",
+                    parts: int = 64) -> pd.DataFrame:
+    """Per-source W-gram diversity (distinct grams / total grams) —
+    the dataset-report self-repetition metric: a source whose permille
+    collapses is template/boilerplate-heavy.
+
+    Totals are a stateless metadata-scale partial pass. Distinct counts
+    ride ONE gram-hash shuffle (hash-only, batch_window_hashes — no
+    gram strings move): each (gram, source) pair lands in exactly one
+    hash partition, so per-partition nunique partials sum exactly. The
+    driver sees k rows per partition, never a vocabulary."""
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        n = (b["text"].fillna("").str.split().str.len()
+             - (window - 1)).clip(lower=0)
+        return (pd.DataFrame({group_col: b[group_col], "n": n})
+                .groupby(group_col, sort=False, as_index=False)["n"].sum())
+
+    tot = (ds.map_batches(totals, batch_format="pandas", batch_size=65536)
+           .to_pandas().groupby(group_col, as_index=False)["n"].sum())
+
+    def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        gh, doc_idx, _pos = hashing.batch_window_hashes(
+            b["text"].tolist(), window)
+        g = pd.DataFrame({
+            "h": gh,
+            "g": b[group_col].to_numpy(object)[doc_idx],
+        }).drop_duplicates()
+        g["_part"] = (g["h"].to_numpy().astype(np.uint64)
+                      % np.uint64(parts)).astype(np.int64)
+        return g
+
+    def distinct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "g"]).groupby(
+            "g", sort=False).size().reset_index(name="n_distinct")
+        return d
+
+    parts_df = (ds.map_batches(gram_rows, batch_format="pandas",
+                               batch_size=8192)
+                .groupby("_part").map_groups(distinct_shard,
+                                             batch_format="pandas")
+                .to_pandas())
+    dist = parts_df.groupby("g", as_index=False)["n_distinct"].sum()
+    out = tot.merge(dist, left_on=group_col, right_on="g", how="left")
+    n_grams = out["n"].to_numpy(np.int64)
+    n_distinct = out["n_distinct"].fillna(0).to_numpy(np.int64)
+    keep = n_grams > 0
+    return (pd.DataFrame({
+        group_col: out[group_col].astype(str)[keep],
+        "n_grams": n_grams[keep],
+        "n_distinct": n_distinct[keep],
+        "diversity_permille": n_distinct[keep] * 1000 // n_grams[keep],
+    }).sort_values(group_col).reset_index(drop=True))

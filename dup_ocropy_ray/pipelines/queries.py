@@ -3351,6 +3351,59 @@ ORDER BY s.source
 """
 
 
+def q_mad_by_source(sf_dir: str) -> pd.DataFrame:
+    """Robust per-source length stats: median doc length and MAD
+    (median absolute deviation) — outlier-insensitive quality-report
+    numbers. Two grouped-quantile passes (one key-hash shuffle each,
+    quantile_disc selection rule); the tiny per-source median table is
+    broadcast between them."""
+    import ray as _ray
+
+    def lens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "v": b["text"].fillna("").str.len().astype("float64"),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    lv = ds.map_batches(lens, batch_format="pandas")
+    med = relational.grouped_quantiles(lv, "source", "v", qs=(0.5,))
+    med_ref = _ray.put(dict(zip(med["source"], med["value"])))
+
+    def devs(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(med_ref)
+        v = b["text"].fillna("").str.len().astype("float64")
+        return pd.DataFrame({
+            "source": b["source"],
+            "d": (v - b["source"].map(m)).abs(),
+        })
+
+    dv = ds.map_batches(devs, batch_format="pandas")
+    mad = relational.grouped_quantiles(dv, "source", "d", qs=(0.5,))
+    out = pd.DataFrame({
+        "source": med["source"].astype(str),
+        "median_len": med["value"].to_numpy(np.float64).astype("int64"),
+        "mad_len": mad.set_index("source")["value"]
+                      .reindex(med["source"]).to_numpy(np.float64)
+                      .astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_MAD_BY_SOURCE = """
+WITH l AS (
+  SELECT source, length(coalesce(text, '')) AS v FROM documents
+), m AS (
+  SELECT source, quantile_disc(v, 0.5) AS med FROM l GROUP BY source
+)
+SELECT l.source,
+       any_value(m.med)::BIGINT AS median_len,
+       quantile_disc(abs(l.v - m.med), 0.5)::BIGINT AS mad_len
+FROM l JOIN m ON l.source = m.source
+GROUP BY l.source ORDER BY l.source
+"""
+
+
 def q_ngram_diversity(sf_dir: str) -> pd.DataFrame:
     """Per-source 3-gram diversity (distinct/total grams, integer
     permille) — the self-repetition report metric. One gram-hash

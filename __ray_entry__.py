@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
         "mad_by_source": q.q_mad_by_source,
+        "bm25_multi": q.q_bm25_multi,
         "web_curate": q.q_web_curate,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,
         "mad_by_source": q.SQL_MAD_BY_SOURCE,
+        "bm25_multi": q.SQL_BM25_MULTI,
         "web_curate": q.SQL_WEB_CURATE,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,

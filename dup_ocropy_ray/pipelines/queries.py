@@ -2473,6 +2473,57 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+_BM25_QUERIES = [["spark", "window"], ["merge", "window"],
+                 ["spark", "merge"]]
+
+
+def q_bm25_multi(sf_dir: str) -> pd.DataFrame:
+    """Batched multi-query BM25: one corpus scan serves all three
+    queries (textstats.bm25_multi); integer-rational scoring keeps the
+    oracle engine-exact per query."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.bm25_multi(ds, _BM25_QUERIES, k=10)
+
+
+def _bm25_multi_sql() -> str:
+    blocks = []
+    union = sorted({t for q in _BM25_QUERIES for t in q})
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(l, x -> x = '{t}')) AS tf_{t}" for t in union)
+    df_cols = ",\n         ".join(
+        f"sum((tf_{t} > 0)::INT) AS df_{t}" for t in union)
+    for qid, terms in enumerate(_BM25_QUERIES):
+        score = "\n       + ".join(
+            f"tf_{t} * ((n - df_{t} + 1) * 1000000 // (df_{t} + 1)) "
+            f"// (tf_{t} + 1)" for t in terms)
+        blocks.append(f"""(
+  SELECT {qid}::BIGINT AS query_id, doc_id, score::BIGINT AS score
+  FROM (SELECT doc_id, {score} AS score FROM tf, g) s
+  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+)""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM c
+), g AS (
+  SELECT count(*) AS n,
+         {df_cols}
+  FROM tf
+)
+SELECT * FROM ({body})
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
+SQL_BM25_MULTI = _bm25_multi_sql()
+
+
 def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """Overlapping character chunking (200-char windows, 50 overlap) —
     the embedding/RAG prep step; oracle recomputes every chunk by

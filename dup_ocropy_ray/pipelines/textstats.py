@@ -268,6 +268,69 @@ def bm25_search(ds: rd.Dataset, terms: list[str], k: int = 10) -> pd.DataFrame:
     return top.reset_index(drop=True)
 
 
+def bm25_multi(ds: rd.Dataset, queries: list[list[str]],
+               k: int = 10) -> pd.DataFrame:
+    """Batched multi-query BM25 retrieval: ONE corpus scan serves every
+    query (the search-serving shape at scale — per-query scans would
+    multiply corpus reads). Same integer-rational scoring as
+    bm25_search. Pass 1 computes df for the UNION of all query terms;
+    pass 2 computes each union term's tf once per batch, combines into
+    per-query scores, and prunes to a local top-k per query — the
+    driver merges Q x k-row partials. Returns (query_id, doc_id, score)
+    with k rows per query."""
+    import ray
+
+    union = sorted({t for q in queries for t in q})
+    nt = len(union)
+    tpos = {t: j for j, t in enumerate(union)}
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        df_ = np.zeros(nt, dtype="int64")
+        for t in b["text"]:
+            words = set((t or "").split())
+            for j, term in enumerate(union):
+                df_[j] += term in words
+        return pd.DataFrame({"n": [len(b)], **{
+            f"df{j}": [df_[j]] for j in range(nt)}})
+
+    parts = ds.map_batches(stats, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    n_docs = int(parts["n"].sum())
+    df_tot = np.array([int(parts[f"df{j}"].sum()) for j in range(nt)],
+                      dtype="int64")
+    idf = (n_docs - df_tot + 1) * 1_000_000 // (df_tot + 1)
+    idf_ref = ray.put(idf)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(idf_ref)
+        texts = [(t or "").split() for t in b["text"]]
+        tf = np.zeros((nt, len(b)), dtype="int64")
+        for j, term in enumerate(union):
+            tf[j] = [t.count(term) for t in texts]
+        outs = []
+        ids = b["doc_id"].astype("int64")
+        for qid, terms in enumerate(queries):
+            sc = np.zeros(len(b), dtype="int64")
+            for term in terms:
+                j = tpos[term]
+                sc += tf[j] * w[j] // (tf[j] + 1)
+            o = pd.DataFrame({"query_id": np.int64(qid), "doc_id": ids,
+                              "score": sc})
+            o = o[o["score"] > 0]
+            outs.append(o.nlargest(k, ["score"], keep="all"))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="int64")})
+
+    top = (ds.map_batches(score, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    out = (top.sort_values(["query_id", "score", "doc_id"],
+                           ascending=[True, False, True])
+           .groupby("query_id", as_index=False).head(k))
+    return out.reset_index(drop=True)
+
+
 def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
                   ) -> pd.DataFrame:
     """Exact top-k most frequent words via the two-pass sketch-then-

@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.q_range_join,
         "value_quantiles": q.q_value_quantiles,
         "join_revenue_priority": q.q_join_revenue_priority,
+        "customer_order_counts": q.q_customer_order_counts,
+        "discounted_orders_by_priority": q.q_discounted_orders_by_priority,
+        "no_bigorder_custs": q.q_no_bigorder_custs,
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "html_extract": q.q_html_extract,
@@ -424,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join": q.SQL_RANGE_JOIN,
         "value_quantiles": q.SQL_VALUE_QUANTILES,
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,
+        "customer_order_counts": q.SQL_CUSTOMER_ORDER_COUNTS,
+        "discounted_orders_by_priority": q.SQL_DISCOUNTED_ORDERS_BY_PRIORITY,
+        "no_bigorder_custs": q.SQL_NO_BIGORDER_CUSTS,
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         "html_extract": q.SQL_HTML_EXTRACT,

@@ -1795,6 +1795,117 @@ ORDER BY o_orderpriority
 """
 
 
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT join on the fixed-bucket shuffle (bucket_join how='left'):
+    every customer survives, order-less customers carry nulls in the
+    order columns. Per-customer counts come from summing a 0/1 match
+    flag computed batch-wise AFTER the join, so a customer with zero
+    orders correctly reports n_orders=0 (an inner join would drop it;
+    counting rows would report 1)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = relational.bucket_join(cust, orders, "c_custkey", "o_custkey",
+                                    how="left")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        matched = b["o_custkey"].notna()
+        cents = np.floor(b["o_totalprice"].to_numpy(dtype="float64") * 100.0)
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "matched": matched.astype("int64"),
+            "cents": np.where(matched, cents, 0.0).astype("int64"),
+        })
+
+    flat = joined.map_batches(flag, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(flat, ["c_custkey"], sums=["matched", "cents"])
+    return pd.DataFrame({
+        "c_custkey": g.c_custkey.astype("int64"),
+        "n_orders": g.sum_matched.astype("int64"),
+        "total_cents": g.sum_cents.astype("int64"),
+    }).sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       coalesce(sum(floor(o_totalprice * 100)::BIGINT), 0)::BIGINT
+         AS total_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q_discounted_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """SEMI join on the fixed-bucket shuffle (bucket_join how='semi'):
+    orders having at least one line item discounted >= 5%, counted per
+    priority. The right side keeps its natural duplicates (several
+    qualifying lines per order) — semi semantics guarantee each order
+    still counts once, unlike an inner join + count."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.greater_equal(t.column("l_discount"), 0.05)
+        ).select(["l_orderkey"])
+
+    keys = li.map_batches(disc, batch_format="pyarrow", batch_size=262144)
+    hit = relational.bucket_join(orders, keys, "o_orderkey", "l_orderkey",
+                                 how="semi")
+    g = grouped_agg(hit, ["o_orderpriority"])
+    return pd.DataFrame({
+        "o_orderpriority": g.o_orderpriority,
+        "n_orders": g.n.astype("int64"),
+    }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_DISCOUNTED_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_no_bigorder_custs(sf_dir: str) -> pd.DataFrame:
+    """ANTI join on the fixed-bucket shuffle (bucket_join how='anti'):
+    customers with NO order totalling >= $350k, counted per market
+    segment. Complements q_customers_no_orders (which exercises the
+    native left_anti hash join) on the no-actor-pool shuffle path —
+    and unlike that query's pre-deduped key side, anti mode tolerates
+    duplicate right keys directly."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.greater_equal(t.column("o_totalprice"), 350000.0)
+        ).select(["o_custkey"])
+
+    keys = orders.map_batches(big, batch_format="pyarrow", batch_size=262144)
+    miss = relational.bucket_join(cust, keys, "c_custkey", "o_custkey",
+                                  how="anti")
+    g = grouped_agg(miss, ["c_mktsegment"])
+    return pd.DataFrame({
+        "c_mktsegment": g.c_mktsegment,
+        "n_custs": g.n.astype("int64"),
+    }).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_NO_BIGORDER_CUSTS = """
+SELECT c_mktsegment, count(*) AS n_custs
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice >= 350000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ------------------------------------------------------ content extraction
 
 

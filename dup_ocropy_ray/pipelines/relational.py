@@ -175,8 +175,9 @@ def bucket_join(
     suffix: str = "_r",
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Large x large inner join on the repo's fixed-bucket shuffle
+    """Large x large join on the repo's fixed-bucket shuffle
     pattern: both sides are tagged into ONE union keyed by
     hash(key) % num_partitions, and each partition runs a single
     C-level pandas merge. Functionally the same exchange as a native
@@ -190,6 +191,15 @@ def bucket_join(
     ``suffix``. Sides are split INSIDE each partition as Arrow (null
     int columns never pass through pandas, so dtypes survive).
 
+    ``how`` extends the same exchange to the other relational shapes —
+    ``"inner"`` (default), ``"left"`` (unmatched left rows survive with
+    nulls in the right columns), ``"semi"``/``"anti"`` (left columns
+    only, filtered by match-existence; right-side key duplicates cannot
+    multiply rows). All four run on the identical ONE-shuffle plan:
+    because both sides hash on the join key, every row that could match
+    a given left row lands in the same partition, so per-partition
+    left/semi/anti is globally exact.
+
     Pass ``left_schema``/``right_schema`` when a side ends in a lazy
     shuffle (groupby.map_groups / another bucket_join): ``.schema()``
     on such a plan EXECUTES it, and the union then executes it again —
@@ -199,6 +209,8 @@ def bucket_join(
 
     from ..tuning import suggested_partitions
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"bucket_join: unsupported how={how!r}")
     if num_partitions is None:
         num_partitions = suggested_partitions()
     def _pa_type(t) -> pa.DataType:
@@ -265,9 +277,22 @@ def bucket_join(
         side = g.column("_side")
         lf = (g.filter(pc.equal(side, 0))
                .select(lcols).to_pandas())
+        if how in ("semi", "anti"):
+            # membership, not merge: right key duplicates must not
+            # multiply left rows, and no right columns are emitted.
+            # Arrow out with an explicit schema: an all-empty pandas
+            # result would otherwise lose the schema entirely (Ray
+            # drops empty schemaless blocks -> 0-column to_pandas).
+            rkeys = (g.filter(pc.equal(side, 1)).column(rkey))
+            hit = lf[left_on].isin(rkeys.to_pandas().unique())
+            out = lf[hit if how == "semi" else ~hit]
+            lschema = pa.schema([(n, ltypes[n]) for n in lcols])
+            return pa.Table.from_pandas(out, schema=lschema,
+                                        preserve_index=False)
         rf = (g.filter(pc.equal(side, 1))
                .select(rout).to_pandas())
-        return lf.merge(rf, left_on=left_on, right_on=rkey)
+        return lf.merge(rf, left_on=left_on, right_on=rkey,
+                        how="left" if how == "left" else "inner")
 
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pyarrow")

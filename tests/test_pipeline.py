@@ -438,6 +438,73 @@ def test_bucket_join_property_random_frames(ray_session):
     assert len(got) == 0
 
 
+def test_bucket_join_modes_property_random_frames(ray_session):
+    """left/semi/anti bucket_join == the pandas reference semantics on
+    randomized inputs with duplicate keys on both sides and keys
+    missing from either side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import bucket_join
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        nl, nr = int(rng.integers(5, 200)), int(rng.integers(5, 200))
+        keyspace = [f"k{i}" for i in range(int(rng.integers(6, 30)))]
+        left = pd.DataFrame({
+            "k": rng.choice(keyspace, nl),
+            "v": rng.integers(0, 1000, nl),
+        })
+        # right draws from half the keyspace so both semi and anti have
+        # survivors with high probability
+        right = pd.DataFrame({
+            "rk": rng.choice(keyspace[: len(keyspace) // 2], nr),
+            "w": rng.integers(0, 1000, nr),
+        })
+
+        def run(how):
+            return bucket_join(
+                rd.from_pandas(left).repartition(3),
+                rd.from_pandas(right).repartition(2),
+                "k", "rk", num_partitions=8, how=how).to_pandas()
+
+        # left: pandas left merge (null right cols on misses)
+        got = run("left")
+        want = left.merge(right, left_on="k", right_on="rk", how="left")
+        cols = ["k", "v", "rk", "w"]
+        got = (got[cols].sort_values(cols).reset_index(drop=True))
+        want = (want[cols].sort_values(cols).reset_index(drop=True))
+        assert got.astype("object").where(got.notna(), None).equals(
+            want.astype("object").where(want.notna(), None)), f"left {trial}"
+
+        # semi / anti: membership filters, dup right keys don't fan out
+        hits = set(right["rk"])
+        got_semi = run("semi").sort_values(["k", "v"]).reset_index(drop=True)
+        want_semi = (left[left["k"].isin(hits)]
+                     .sort_values(["k", "v"]).reset_index(drop=True))
+        assert got_semi.equals(want_semi), f"semi {trial}"
+        got_anti = run("anti").sort_values(["k", "v"]).reset_index(drop=True)
+        want_anti = (left[~left["k"].isin(hits)]
+                     .sort_values(["k", "v"]).reset_index(drop=True))
+        assert got_anti.equals(want_anti), f"anti {trial}"
+        assert len(got_semi) + len(got_anti) == nl
+
+    # zero-survivor edge: the DATASET keeps the left schema (to_pandas
+    # on an all-empty dataset drops columns — a Ray quirk, not ours)
+    full = pd.DataFrame({"rk": left["k"], "w": left["v"]})
+    got = bucket_join(rd.from_pandas(left).repartition(2),
+                      rd.from_pandas(full).repartition(2),
+                      "k", "rk", num_partitions=4, how="anti")
+    assert got.count() == 0
+    assert got.schema().names == ["k", "v"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", how="outer")
+
+
 def test_run_job_cli_smoke_and_resume(corpus, tmp_path):
     """scripts/run_job.py is the `ray job submit` target: drive it as a
     real subprocess (own Ray session, CLI arg wiring, checkpoint

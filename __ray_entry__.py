@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q.q_audio_features,
         "video_frames": q.q_video_frames,
         "bm25_search": q.q_bm25_search,
+        "index_search": q.q_index_search,
         "chunk_documents": q.q_chunk_documents,
         "dup_ngrams": q.q_dup_ngrams,
         "doc_dup_spans": q.q_doc_dup_spans,
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": q.SQL_AUDIO_FEATURES,
         "video_frames": q.SQL_VIDEO_FRAMES,
         "bm25_search": q.SQL_BM25_SEARCH,
+        "index_search": q.SQL_INDEX_SEARCH,
         "chunk_documents": q.SQL_CHUNK_DOCUMENTS,
         "dup_ngrams": q.SQL_DUP_NGRAMS,
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,

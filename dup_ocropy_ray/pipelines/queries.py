@@ -2584,6 +2584,28 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_index_search(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index retrieval: build the hive-partitioned posting
+    index on storage (textstats.build_text_index), then answer the same
+    BM25 query as q_bm25_search by reading ONLY the query terms' bucket
+    directories (search_text_index) — scoring is identical
+    integer-rational BM25, so the corpus-scan oracle verifies the whole
+    index round-trip value-for-value."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="textidx_", dir="/tmp")
+    try:
+        textstats.build_text_index(ds, idx, num_buckets=32)
+        return textstats.search_text_index(idx, _BM25_TERMS, k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+SQL_INDEX_SEARCH = SQL_BM25_SEARCH
+
+
 _BM25_QUERIES = [["spark", "window"], ["merge", "window"],
                  ["spark", "merge"]]
 

@@ -331,6 +331,149 @@ def bm25_multi(ds: rd.Dataset, queries: list[list[str]],
     return out.reset_index(drop=True)
 
 
+def build_text_index(ds: rd.Dataset, out_dir: str,
+                     num_buckets: int = 32) -> int:
+    """Persist an inverted index: one (term, doc_id, tf) posting row per
+    distinct (doc, word), hive-partitioned on storage by
+    ``bucket = hash(term) % num_buckets`` (``bucket=B/part-*.parquet``).
+    The text analogue of similarity.build_ivf_index: a later search
+    READS only its query terms' bucket directories — pruning at the
+    read. The corpus doc count rides alongside in ``_stats.json``.
+    Returns n_docs.
+
+    Posting generation is one C-level pandas groupby per batch; the
+    write is an append-shaped ``write_parquet(partition_cols=...)`` —
+    no shuffle anywhere (reference parity: this persists exactly the
+    df/tf statistics bm25_search recomputes per scan). Bucket
+    assignment uses the repo-wide stable string hash (hash_strings), so
+    the layout is valid across processes on the same pandas major."""
+    import json
+    import os
+
+    from ..functions.hashing import hash_strings
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        texts = [(t or "").split() for t in b["text"]]
+        lens = np.array([len(t) for t in texts], dtype="int64")
+        ids = np.repeat(b["doc_id"].to_numpy(dtype="int64"), lens)
+        words = np.concatenate([np.asarray(t, dtype=object)
+                                for t in texts]) if lens.sum() else \
+            np.array([], dtype=object)
+        tf = (pd.DataFrame({"term": words, "doc_id": ids})
+              .groupby(["term", "doc_id"], as_index=False, sort=False)
+              .size().rename(columns={"size": "tf"}))
+        if len(tf):
+            tf["bucket"] = (hash_strings(tf["term"].to_numpy())
+                            % np.uint64(num_buckets)).astype("int64")
+        else:
+            tf["bucket"] = pd.Series(dtype="int64")
+        return tf
+
+    (ds.map_batches(postings, batch_format="pandas", batch_size=8192)
+       .write_parquet(out_dir, partition_cols=["bucket"]))
+    n_docs = int(ds.count())
+    with open(os.path.join(out_dir, "_stats.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, f)
+    return n_docs
+
+
+def search_text_index(index_dir: str, terms: list[str],
+                      k: int = 10, num_partitions: int = 8
+                      ) -> pd.DataFrame:
+    """BM25-shaped search over a ``build_text_index`` layout, identical
+    integer-rational scoring to bm25_search — but instead of scanning
+    the corpus it reads ONLY the query terms' posting buckets
+    (terms/num_buckets of the index; other buckets never leave
+    storage). df per term is exact from the filtered postings (each row
+    is a distinct (doc, term)); per-doc scores need a doc-keyed combine
+    because a doc's terms live in different buckets — one fixed-bucket
+    shuffle of (doc, partial) rows filtered to matching docs only, then
+    per-partition sum + local top-k, driver merges k-row partials."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    num_buckets = int(stats["num_buckets"])
+    terms = sorted(set(terms))
+    buckets = sorted({int(h % np.uint64(num_buckets))
+                      for h in hash_strings(np.asarray(terms, object))})
+    files = [f for c in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={c}", "*.parquet")))]
+    if not files:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    import pyarrow as pa
+
+    tset = ray.put([str(t) for t in terms])
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t.column("term"),
+                        value_set=pa.array(ray.get(tset), pa.string()))
+        return t.filter(keep).select(["term", "doc_id", "tf"])
+
+    posts = rd.read_parquet(
+        files, columns=["term", "doc_id", "tf"]
+    ).map_batches(prune, batch_format="pyarrow",
+                  batch_size=65536).materialize()
+
+    # pass 1: exact df per term (posting rows are distinct (doc, term))
+    def df_part(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("term", as_index=False, sort=False)
+                 .size().rename(columns={"size": "df"}))
+
+    dfs = posts.map_batches(df_part, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    if "term" not in dfs.columns:     # all-empty result drops columns
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    dfs = dfs.groupby("term", as_index=False)["df"].sum()
+    dfmap = dict(zip(dfs["term"], dfs["df"]))
+    idf = {t: (n_docs - int(dfmap.get(t, 0)) + 1) * 1_000_000
+              // (int(dfmap.get(t, 0)) + 1) for t in terms}
+    idf_ref = ray.put(idf)
+
+    # pass 2: per-posting partial scores -> doc-keyed bucket shuffle
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(idf_ref)
+        tf = b["tf"].to_numpy(dtype="int64")
+        sc = tf * b["term"].map(w).to_numpy(dtype="int64") // (tf + 1)
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "part": sc})
+        out = (out.groupby("doc_id", as_index=False, sort=False)["part"]
+               .sum())
+        out["_p"] = (out["doc_id"].to_numpy(dtype="uint64")
+                     % np.uint64(num_partitions)).astype("int64")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)["part"].sum()
+        s = s[s["part"] > 0].rename(columns={"part": "score"})
+        return (s.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+                [["doc_id", "score"]])
+
+    top = (posts.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+           .groupby("_p").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    if "score" not in top.columns:    # every partition pruned to empty
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    top = (top.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(k))
+    return top.reset_index(drop=True)
+
+
 def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
                   ) -> pd.DataFrame:
     """Exact top-k most frequent words via the two-pass sketch-then-

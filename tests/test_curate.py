@@ -178,6 +178,45 @@ def test_bm25_search_ranking(ray_session):
     assert s[4] < 2 * s[1]
 
 
+def test_text_index_roundtrip_matches_scan(ray_session, tmp_path):
+    """search_text_index over the persisted posting buckets must equal
+    the corpus-scan bm25_search exactly (same integer-rational scores),
+    including terms absent from the corpus and k > hits."""
+    from dup_ocropy_ray.pipelines.textstats import (
+        bm25_search, build_text_index, search_text_index)
+
+    rng = np.random.default_rng(7)
+    vocab = ["spark", "window", "merge", "alpha", "beta", "gamma",
+             "delta", "xyz"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+             for _ in range(80)] + ["", "   "]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })).repartition(4)
+    idx = str(tmp_path / "idx")
+    n = build_text_index(docs, idx, num_buckets=8)
+    assert n == len(texts)
+    # hive layout on storage: bucket directories, stats sidecar
+    import os
+    assert os.path.exists(os.path.join(idx, "_stats.json"))
+    assert any(d.startswith("bucket=") for d in os.listdir(idx))
+
+    for terms, k in ([["spark", "window"], 5], [["merge"], 50],
+                     [["spark", "nosuchterm"], 10]):
+        got = search_text_index(idx, terms, k=k)
+        want = bm25_search(docs, terms, k=k)
+        got = got.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        want = want.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).reset_index(drop=True)
+        assert got.astype("int64").equals(want.astype("int64")), terms
+
+    # all-absent terms -> empty result with the contract columns
+    out = search_text_index(idx, ["zzz_absent"], k=3)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]
+
+
 def test_chunk_documents_overlap_and_edges(ray_session):
     from dup_ocropy_ray.pipelines.curate import chunk_documents
 

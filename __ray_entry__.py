@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
+        "lr_quality": q.q_lr_quality,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,

@@ -3650,6 +3650,20 @@ FROM r WHERE rank < 100 ORDER BY rank
 """
 
 
+def q_lr_quality(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic-regression quality classifier (fastText-
+    linear-classifier shape): standardized full-batch GD over a
+    materialized narrow feature table (per-step: broadcast weights,
+    one (grad, n) partial row per block, stable-order driver reduce),
+    evaluated on the held-out doc_id%5==0 split. Rows-only (iterative
+    training has no SQL twin); accuracy/determinism/serial-parity are
+    pinned in tests/test_nb_classifier.py."""
+    from .textstats import lr_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return lr_quality(ds)
+
+
 def q_nb_langid(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language-ID (fastText-classifier shape):
     add-one-smoothed per-class unigram models trained distributed on

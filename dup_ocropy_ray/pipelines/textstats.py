@@ -1392,3 +1392,165 @@ def ngram_diversity(ds: rd.Dataset, window: int = 3,
         "n_distinct": n_distinct[keep],
         "diversity_permille": n_distinct[keep] * 1000 // n_grams[keep],
     }).sort_values(group_col).reset_index(drop=True))
+
+
+# ------------------------------------------- logistic-regression classifier
+
+
+LR_FEATS = [f"hits_{lg}" for lg in sorted(LANG_STOPWORDS)] + ["n_words"]
+
+
+def lr_features(ds: rd.Dataset, thresh: int = 300) -> rd.Dataset:
+    """Featurize documents for the quality logistic classifier (the
+    fastText-linear-classifier shape used for corpus filtering):
+    per-language stopword-hit RATES (hits per 100 words — rates, not
+    raw counts, so long docs don't dominate) plus log1p(n_words). The
+    label is the substantial-document class (n_chars >= thresh) — the
+    one genuinely learnable target in the synthetic corpus (its lang
+    column is an unconditioned random label; a real deployment passes
+    its own labels through the same feature kernel). One explode + isin
+    per language per batch, no per-row Python (same kernel as
+    langid_table)."""
+    langs = sorted(LANG_STOPWORDS)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        flat = batch["text"].fillna("").str.split().explode().dropna()
+        pos = flat.index.to_numpy()
+        n = len(batch)
+        nw = np.bincount(pos, minlength=n).astype("float64")
+        out = {"doc_id": batch["doc_id"].astype("int64")}
+        denom = np.maximum(nw, 1.0)
+        for lg in langs:
+            hit = flat.isin(LANG_STOPWORDS[lg]).to_numpy()
+            s = np.bincount(pos[hit], minlength=n).astype("float64")
+            out[f"hits_{lg}"] = 100.0 * s / denom
+        out["n_words"] = np.log1p(nw)
+        out["label"] = (batch["n_chars"] >= thresh).astype("int64")
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+def lr_train(feat: rd.Dataset, feat_cols: list[str] | None = None,
+             label_col: str = "label", steps: int = 500,
+             lr: float = 1.0, l2: float = 1e-4) -> np.ndarray:
+    """Distributed full-batch logistic regression via gradient descent,
+    with distributed feature standardization (one moments pass: per-
+    block sum/sumsq/count partials -> driver mu/sd) so GD converges in
+    hundreds of steps regardless of raw feature scales; the returned
+    weights are folded back to RAW feature space (w_raw = w_std/sd,
+    bias adjusted), so lr_score applies them without knowing mu/sd.
+
+    Scale shape: the corpus is featurized ONCE upstream (lr_features)
+    into a narrow feature table that is materialized and re-scanned per
+    step; each step broadcasts the weight vector (ray.put, dim+1
+    floats), every block returns ONE (grad, count) partial row, and the
+    driver reduces partials in a STABLE order (sorted by each block's
+    min doc_id) before the update — so repeated runs on the same block
+    structure produce bit-identical weights (full-batch GD has no
+    sample-order dependence; the sort removes reduce-order float
+    drift). Driver state is O(dim) — never corpus-scale.
+
+    At 10^12 rows one would subsample per step (minibatch) or switch to
+    L-BFGS on the same partial-reduce skeleton; full-batch keeps the
+    parity test exact here and the exchange pattern is identical."""
+    if feat_cols is None:
+        feat_cols = list(LR_FEATS)
+    nf = len(feat_cols)
+    dim = nf + 1  # + bias
+    feat = feat.materialize()
+
+    def mom_part(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.column_stack([b[c].to_numpy(dtype="float64")
+                             for c in feat_cols])
+        row = {f"s{j}": [X[:, j].sum()] for j in range(nf)}
+        row.update({f"q{j}": [(X[:, j] ** 2).sum()] for j in range(nf)})
+        row["n"] = [np.int64(len(b))]
+        row["k"] = [np.int64(b["doc_id"].min())]
+        return pd.DataFrame(row)
+
+    mom = feat.map_batches(mom_part, batch_format="pandas",
+                           batch_size=65536).to_pandas().sort_values("k")
+    n_tot = float(mom["n"].sum())
+    mu = np.array([mom[f"s{j}"].sum() for j in range(nf)]) / n_tot
+    var = np.array([mom[f"q{j}"].sum() for j in range(nf)]) / n_tot - mu**2
+    sd = np.sqrt(np.maximum(var, 0.0))
+    sd[sd == 0] = 1.0
+
+    w = np.zeros(dim, dtype="float64")
+
+    def grad_part(b: pd.DataFrame, wref) -> pd.DataFrame:
+        wv, mu_, sd_ = ray.get(wref)
+        X0 = np.column_stack([b[c].to_numpy(dtype="float64")
+                              for c in feat_cols])
+        X = np.column_stack([(X0 - mu_) / sd_, np.ones(len(b))])
+        y = b[label_col].to_numpy(dtype="float64")
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        g = X.T @ (p - y)
+        row = {f"g{j}": [g[j]] for j in range(dim)}
+        row["n"] = [np.int64(len(b))]
+        row["k"] = [np.int64(b["doc_id"].min())]
+        return pd.DataFrame(row)
+
+    for _ in range(steps):
+        wref = ray.put((w, mu, sd))
+        parts = feat.map_batches(
+            lambda b, _w=wref: grad_part(b, _w),
+            batch_format="pandas", batch_size=65536).to_pandas()
+        parts = parts.sort_values("k")
+        g = np.array([parts[f"g{j}"].sum() for j in range(dim)])
+        w = w - lr * (g / n_tot + l2 * w)
+
+    # fold standardization into raw-space weights
+    raw = np.empty(dim, dtype="float64")
+    raw[:nf] = w[:nf] / sd
+    raw[nf] = w[nf] - float((w[:nf] * mu / sd).sum())
+    return raw
+
+
+def lr_score(feat: rd.Dataset, w: np.ndarray,
+             feat_cols: list[str] | None = None) -> rd.Dataset:
+    """Score a feature table with trained LR weights: adds ``prob`` and
+    ``pred`` columns (broadcast weights, per-batch matmul)."""
+    if feat_cols is None:
+        feat_cols = list(LR_FEATS)
+    wref = ray.put(np.asarray(w, dtype="float64"))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        wv = ray.get(wref)
+        X = np.column_stack([b[c].to_numpy(dtype="float64")
+                             for c in feat_cols]
+                            + [np.ones(len(b))])
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        b = b.copy()
+        b["prob"] = p
+        b["pred"] = (p >= 0.5).astype("int64")
+        return b
+
+    return feat.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+def lr_quality(ds: rd.Dataset, train_mod: int = 5, steps: int = 200
+               ) -> pd.DataFrame:
+    """Train the linear classifier on the doc_id%train_mod != 0 split,
+    evaluate on the held-out rest; returns the per-(label, pred)
+    confusion counts plus held-out accuracy per cell — the corpus-
+    filtering quality gate as a pipeline. Rows-only query (iterative
+    training has no SQL twin); pinned by accuracy + determinism +
+    serial-parity tests."""
+    feat = lr_features(ds)
+
+    def split(b: pd.DataFrame, keep_train: bool) -> pd.DataFrame:
+        m = (b["doc_id"] % train_mod != 0)
+        return b[m if keep_train else ~m]
+
+    train = feat.map_batches(lambda b: split(b, True),
+                             batch_format="pandas")
+    test = feat.map_batches(lambda b: split(b, False),
+                            batch_format="pandas")
+    w = lr_train(train, steps=steps)
+    scored = lr_score(test, w).to_pandas()
+    out = (scored.groupby(["label", "pred"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "pred"]).reset_index(drop=True)

@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
+        "rate_limit": q.q_rate_limit,
+        "winsorize_stats": q.q_winsorize_stats,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -438,6 +440,8 @@ def oracle_sql() -> dict[str, str]:
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,
         "nb_langid": q.SQL_NB_LANGID,
+        "rate_limit": q.SQL_RATE_LIMIT,
+        "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

@@ -3650,6 +3650,103 @@ FROM r WHERE rank < 100 ORDER BY rank
 """
 
 
+def q_rate_limit(sf_dir: str) -> pd.DataFrame:
+    """Per-user hourly rate limit: keep only the FIRST event per
+    (user, hour), earliest-first — the ingestion-quota shape
+    (windows.rate_limit_events: one key-hash shuffle + vectorized
+    in-partition rank mask)."""
+    from .windows import rate_limit_events
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    kept = rate_limit_events(ev, limit=1).to_pandas()
+    return (pd.DataFrame({
+        "event_id": kept["event_id"].astype("int64"),
+        "user_id": kept["user_id"].astype("int64"),
+        "ts": pd.to_datetime(kept["ts"]),
+    }).sort_values("event_id").reset_index(drop=True))
+
+
+SQL_RATE_LIMIT = """
+SELECT event_id, user_id, ts
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, date_trunc('hour', ts)
+    ORDER BY ts, event_id) <= 1
+ORDER BY event_id
+"""
+
+
+def q_winsorize_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type winsorized value stats: clip each event's value (in
+    exact integer cents) to its type's [p05, p95] discrete quantiles,
+    report the clipped sum — the robust-aggregation shape (outliers
+    bounded, never dropped). One keyed quantile shuffle
+    (relational.grouped_quantiles, quantile_disc rule) produces the
+    bounds; they broadcast into a per-batch clip + partial sum — the
+    raw values shuffle once, not twice."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.floor(pc.multiply(
+                t.column("value"), pa.scalar(100.0))), pa.int64()),
+        })
+
+    ce = ev.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+    qs = relational.grouped_quantiles(ce, "event_type", "cents",
+                                      qs=(0.05, 0.95))
+    wide = qs.pivot(index="event_type", columns="q", values="value")
+    lo = {k: np.int64(v) for k, v in wide[0.05].items()}
+    hi = {k: np.int64(v) for k, v in wide[0.95].items()}
+    import ray as _ray
+
+    bref = _ray.put((lo, hi))
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = _ray.get(bref)
+        v = b["cents"].to_numpy(np.int64)
+        l_ = b["event_type"].map(lo_).to_numpy(np.int64)
+        h_ = b["event_type"].map(hi_).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "w": np.minimum(np.maximum(v, l_), h_),
+        })
+
+    g = grouped_agg(ce.map_batches(clip, batch_format="pandas",
+                                   batch_size=65536),
+                    ["event_type"], sums=["w"])
+    out = pd.DataFrame({
+        "event_type": g.event_type,
+        "n": g.n.astype("int64"),
+        "wsum_cents": g.sum_w.astype("int64"),
+    })
+    out["lo_cents"] = out["event_type"].map(lo).astype("int64")
+    out["hi_cents"] = out["event_type"].map(hi).astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WINSORIZE_STATS = """
+WITH c AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS cents FROM events
+), b AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.05) AS lo,
+         quantile_disc(cents, 0.95) AS hi
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       count(*) AS n,
+       sum(least(greatest(c.cents, b.lo), b.hi))::BIGINT AS wsum_cents,
+       b.lo AS lo_cents, b.hi AS hi_cents
+FROM c JOIN b USING (event_type)
+GROUP BY c.event_type, b.lo, b.hi
+ORDER BY c.event_type
+"""
+
+
 def q_lr_quality(sf_dir: str) -> pd.DataFrame:
     """Distributed logistic-regression quality classifier (fastText-
     linear-classifier shape): standardized full-batch GD over a

@@ -549,3 +549,67 @@ def window_dedup_events(
     tagged = events.map_batches(tag, batch_format="pandas", batch_size=65536)
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pandas")
+
+
+def rate_limit_events(
+    events: rd.Dataset,
+    limit: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: str = "h",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key per-window cap: keep at most ``limit`` events per
+    (key, window-bucket), earliest first (order ts then id) — the
+    ingestion rate-limit / per-user quota shape of streaming curation
+    (SQL twin: QUALIFY row_number() OVER (PARTITION BY key,
+    date_trunc(window, ts) ORDER BY ts, id) <= limit).
+
+    Same scale skeleton as window_dedup_events: one key-hash shuffle,
+    then per partition a single lexsort by (key, bucket, ts, id) and a
+    vectorized running-count-within-group mask (cumcount via
+    segment-start subtraction — no Python loop). The window bucket is a
+    datetime truncation, so a key's events in one bucket always
+    co-locate (they share the key hash)."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b[key_col].to_numpy(dtype="uint64")
+             if np.issubdtype(b[key_col].dtype, np.integer)
+             else hashing.hash_strings(
+                 b[key_col].astype(str).to_numpy(dtype=object)))
+        out = b[[key_col, ts_col, id_col]].copy()
+        out["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["_part"])
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        bucket = ts.astype(f"datetime64[{window}]").astype(np.int64)
+        ts64 = ts.astype(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        # dense rank of (key, bucket)
+        _, kid = np.unique(
+            np.char.add(np.char.add(key.astype("U"), "\x1f"),
+                        bucket.astype("U")), return_inverse=True)
+        order = np.lexsort((ids, ts64, kid))
+        ks = kid[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(len(ks), dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(new, idx, 0))
+        cum = idx - starts  # 0-based rank within (key, bucket)
+        keep = np.zeros(len(ks), dtype=bool)
+        keep[order] = cum < limit
+        return pd.DataFrame({
+            key_col: key[keep],
+            ts_col: ts[keep],
+            id_col: ids[keep],
+        })
+
+    tagged = events.map_batches(tag, batch_format="pandas",
+                                batch_size=65536)
+    return tagged.groupby("_part").map_groups(
+        per_part, batch_format="pandas")

@@ -553,3 +553,39 @@ def test_paragraph_dedup_planted(ray_session):
     })
     pd.testing.assert_frame_equal(out, want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_rate_limit_events_binding_caps(ray_session):
+    """Synthetic bursts where the cap binds: limit=2 over per-hour
+    buckets, ties on ts broken by event_id, bursts crossing the hour
+    boundary reset the count, multiple users interleaved."""
+    from dup_ocropy_ray.pipelines.windows import rate_limit_events
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = []
+    eid = 0
+    # user 1: 5 events in hour A (keep first 2), 3 in hour B (keep 2)
+    for m in [1, 2, 3, 4, 5]:
+        rows.append((eid, base + pd.Timedelta(minutes=m), 1)); eid += 1
+    for m in [61, 62, 63]:
+        rows.append((eid, base + pd.Timedelta(minutes=m), 1)); eid += 1
+    # user 2: two events at the SAME ts (tie -> lower event_id wins)
+    t = base + pd.Timedelta(minutes=30)
+    rows.append((eid, t, 2)); eid += 1
+    rows.append((eid, t, 2)); eid += 1
+    rows.append((eid, t, 2)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    # shuffle input order: result must not depend on arrival order
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+
+    got = (rate_limit_events(rd.from_pandas(df).repartition(3), limit=2,
+                             num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = (df.assign(h=df["ts"].dt.floor("h"))
+            .sort_values(["user_id", "h", "ts", "event_id"]))
+    want["rank"] = want.groupby(["user_id", "h"]).cumcount()
+    want = (want[want["rank"] < 2][["event_id", "ts", "user_id"]]
+            .sort_values("event_id").reset_index(drop=True))
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    # the cap really bound: 11 events in, 2 per (user, hour) survive
+    assert len(got) == 6

@@ -3747,6 +3747,29 @@ ORDER BY c.event_type
 """
 
 
+_PROFILE_COLS = ["l_linestatus", "l_orderkey", "l_partkey",
+                 "l_returnflag", "l_suppkey"]
+
+
+def q_profile_table(sf_dir: str) -> pd.DataFrame:
+    """Column-level data profiling of lineitem (ingest quality gate):
+    per column — rows, nulls, EXACT distinct count (one value-hash
+    shuffle of per-batch-distinct values), lexicographic min/max of
+    the string form (relational.profile_table). String/int columns
+    only so the VARCHAR casts are engine-exact."""
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+    out = relational.profile_table(ds, _PROFILE_COLS)
+    return out.rename(columns={"column": "col_name"})
+
+
+SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n,
+       sum(({c} IS NULL)::INT)::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c}::VARCHAR) AS min_s, max({c}::VARCHAR) AS max_s
+FROM lineitem""" for c in _PROFILE_COLS) + "\nORDER BY col_name"
+
+
 def q_lr_quality(sf_dir: str) -> pd.DataFrame:
     """Distributed logistic-regression quality classifier (fastText-
     linear-classifier shape): standardized full-batch GD over a

@@ -336,3 +336,78 @@ def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
              .groupby("_part").map_groups(per_part, batch_format="pandas")
              .to_pandas())
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+def profile_table(ds: rd.Dataset, columns: Sequence[str],
+                  num_partitions: int = 32) -> pd.DataFrame:
+    """Column-level data profiling (the ingest data-quality gate):
+    per column — row count, null count, EXACT distinct count, and
+    lexicographic min/max of the string form (string form unifies
+    numeric/date/text columns into one output schema; the SQL twin
+    casts the same way).
+
+    Scale shape: counts and min/max come from per-batch partials (one
+    row per batch, driver-tiny reduce). Exact distincts need a global
+    dedup — per batch each column emits its LOCAL distinct string
+    values tagged (col, value), then ONE value-hash shuffle co-locates
+    duplicates across batches and each partition counts its distinct
+    survivors; the driver sums columns x partitions cell counts. The
+    exchanged rows are per-batch-distinct only — a low-cardinality
+    column ships a handful of values per batch regardless of row
+    count. (At text-scale cardinalities swap in the HLL sketch from
+    sketches.py; exactness here keeps the oracle value-for-value.)"""
+    from ..functions import hashing
+
+    cols = list(columns)
+
+    def stats_part(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"column": [], "n": [], "n_null": [],
+                "min_s": [], "max_s": []}
+        for c in cols:
+            s = b[c]
+            nn = int(s.isna().sum())
+            sv = s.dropna().astype(str)
+            rows["column"].append(c)
+            rows["n"].append(np.int64(len(s)))
+            rows["n_null"].append(np.int64(nn))
+            rows["min_s"].append(sv.min() if len(sv) else None)
+            rows["max_s"].append(sv.max() if len(sv) else None)
+        return pd.DataFrame(rows)
+
+    base = (ds.map_batches(stats_part, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+            .groupby("column", as_index=False)
+            .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+                 min_s=("min_s", "min"), max_s=("max_s", "max")))
+
+    def distinct_part(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for j, c in enumerate(cols):
+            u = b[c].dropna().astype(str).unique()
+            outs.append(pd.DataFrame({
+                "cid": np.full(len(u), j, dtype=np.int64), "v": u}))
+        out = pd.concat(outs, ignore_index=True)
+        h = hashing.hash_strings(out["v"].to_numpy(dtype=object))
+        out["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["cid", "v"]).groupby(
+            "cid", sort=False).size().reset_index(name="nd")
+        return d
+
+    nd = (ds.map_batches(distinct_part, batch_format="pandas",
+                         batch_size=65536)
+          .groupby("_part").map_groups(count_shard, batch_format="pandas")
+          .to_pandas()
+          .groupby("cid", as_index=False)["nd"].sum())
+    nd["column"] = nd["cid"].map(dict(enumerate(cols)))
+    out = base.merge(nd[["column", "nd"]], on="column", how="left")
+    return (pd.DataFrame({
+        "column": out["column"],
+        "n": out["n"].astype("int64"),
+        "n_null": out["n_null"].astype("int64"),
+        "n_distinct": out["nd"].fillna(0).astype("int64"),
+        "min_s": out["min_s"],
+        "max_s": out["max_s"],
+    }).sort_values("column").reset_index(drop=True))

@@ -535,3 +535,28 @@ def test_run_job_cli_smoke_and_resume(corpus, tmp_path):
     rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rec2["fragments_run"] == []
     assert rec2["counters"] == rec1["counters"]
+
+
+def test_profile_table_nulls_and_distincts(ray_session):
+    """profile_table on a frame with nulls, duplicate values across
+    blocks, and an all-null column — exact distincts must dedup across
+    blocks; nulls counted, excluded from distinct/min/max."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import profile_table
+
+    df = pd.DataFrame({
+        "a": ["x", "y", "x", None, "z", "y", None, "x"],
+        "b": [1, 2, 3, 4, 1, 2, 3, 4],
+        "c": [None] * 8,
+    })
+    got = profile_table(rd.from_pandas(df).repartition(4),
+                        ["a", "b", "c"], num_partitions=4)
+    got = got.set_index("column")
+    assert got.loc["a", "n"] == 8 and got.loc["a", "n_null"] == 2
+    assert got.loc["a", "n_distinct"] == 3
+    assert got.loc["a", "min_s"] == "x" and got.loc["a", "max_s"] == "z"
+    assert got.loc["b", "n_distinct"] == 4
+    assert got.loc["b", "min_s"] == "1" and got.loc["b", "max_s"] == "4"
+    assert got.loc["c", "n_null"] == 8 and got.loc["c", "n_distinct"] == 0

@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
         "profile_table": q.q_profile_table,
+        "funnel": q.q_funnel,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_limit": q.SQL_RATE_LIMIT,
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "profile_table": q.SQL_PROFILE_TABLE,
+        "funnel": q.SQL_FUNNEL,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

@@ -3676,6 +3676,44 @@ ORDER BY event_id
 """
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered view -> click -> purchase funnel with a 24h per-step
+    window (earliest-completion semantics): users reaching each step
+    (windows.funnel_steps — one user-hash shuffle, all-users-at-once
+    vectorized chain per partition)."""
+    from .windows import funnel_steps
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        window=pd.Timedelta(hours=24))
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) t FROM events e
+  JOIN v ON e.user_id = v.user_id
+        AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) t FROM events e
+  JOIN c ON e.user_id = c.user_id
+        AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS step_no, 'view' AS step,
+         (SELECT count(*) FROM v)::BIGINT AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM p)
+) ORDER BY step_no
+"""
+
+
 def q_winsorize_stats(sf_dir: str) -> pd.DataFrame:
     """Per-type winsorized value stats: clip each event's value (in
     exact integer cents) to its type's [p05, p95] discrete quantiles,

@@ -291,8 +291,13 @@ def bucket_join(
                                         preserve_index=False)
         rf = (g.filter(pc.equal(side, 1))
                .select(rout).to_pandas())
-        return lf.merge(rf, left_on=left_on, right_on=rkey,
-                        how="left" if how == "left" else "inner")
+        merged = lf.merge(rf, left_on=left_on, right_on=rkey,
+                          how="left" if how == "left" else "inner")
+        # Arrow out WITHOUT pandas schema metadata: the metadata dict is
+        # unhashable and makes Ray's shuffle schema-dedup log a warning
+        # per block ("Failed to hash the schemas")
+        return pa.Table.from_pandas(
+            merged, preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pyarrow")

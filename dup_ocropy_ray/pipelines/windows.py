@@ -613,3 +613,78 @@ def rate_limit_events(
                                 batch_size=65536)
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pandas")
+
+
+def funnel_steps(
+    events: rd.Dataset,
+    steps: list[str],
+    window: pd.Timedelta = pd.Timedelta(hours=24),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Ordered funnel analysis: how many users reach each step, where
+    step k+1 must occur strictly AFTER the user's step-k time and
+    within ``window`` of it (earliest-completion semantics: step 1
+    anchors at the user's first step-1 event; each later step at the
+    first qualifying event). Returns (step_no, step, n_users).
+
+    Scale shape: ONE key-hash shuffle co-locates each user's events;
+    inside a partition the whole chain is a sequence of C-level
+    groupby-min / map / filter passes across ALL its users at once (no
+    per-user Python). The driver sees partitions x steps count rows."""
+    win_us = np.int64(window.total_seconds() * 1e6)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, ts_col, type_col]]
+        out = out[out[type_col].isin(steps)].copy()
+        h = (out[key_col].to_numpy(dtype="uint64")
+             if np.issubdtype(out[key_col].dtype, np.integer)
+             else hashing.hash_strings(
+                 out[key_col].astype(str).to_numpy(dtype=object)))
+        out["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"step_no": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        ts64 = g[ts_col].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"u": g[key_col].to_numpy(),
+                          "t": ts64, "e": g[type_col].to_numpy()})
+        # step 1: first occurrence per user
+        cur = (g[g["e"] == steps[0]].groupby("u")["t"].min())
+        counts = [len(cur)]
+        for step in steps[1:]:
+            ev = g[g["e"] == step]
+            anchor = ev["u"].map(cur)
+            ok = anchor.notna()
+            t = ev["t"][ok]
+            a = anchor[ok].astype(np.int64)
+            qual = (t > a) & (t <= a + win_us)
+            cur = (pd.DataFrame({"u": ev["u"][ok][qual],
+                                 "t": t[qual]})
+                   .groupby("u")["t"].min())
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step_no": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "n_users": np.asarray(counts, dtype=np.int64),
+        })
+
+    parts = (events.map_batches(tag, batch_format="pandas",
+                                batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    if "step_no" not in parts.columns:
+        parts = pd.DataFrame({"step_no": pd.Series(dtype="int64"),
+                              "n_users": pd.Series(dtype="int64")})
+    agg = (parts.groupby("step_no", as_index=False)["n_users"].sum()
+           .sort_values("step_no").reset_index(drop=True))
+    full = pd.DataFrame({"step_no": np.arange(1, len(steps) + 1,
+                                              dtype=np.int64),
+                         "step": steps})
+    out = full.merge(agg, on="step_no", how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    return out

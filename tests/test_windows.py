@@ -589,3 +589,37 @@ def test_rate_limit_events_binding_caps(ray_session):
     assert got["event_id"].tolist() == want["event_id"].tolist()
     # the cap really bound: 11 events in, 2 per (user, hour) survive
     assert len(got) == 6
+
+
+def test_funnel_steps_window_and_order(ray_session):
+    """Hand-built funnel: step order matters (click before the first
+    view doesn't count), the per-step window binds, and earliest
+    completion anchors each step."""
+    from dup_ocropy_ray.pipelines.windows import funnel_steps
+
+    base = pd.Timestamp("2024-04-01")
+    H = pd.Timedelta(hours=1)
+    rows = []  # (user, ts, type)
+    # u1 completes: view @0, click @2h (in 24h), purchase @3h
+    rows += [(1, base, "view"), (1, base + 2 * H, "click"),
+             (1, base + 3 * H, "purchase")]
+    # u2: click BEFORE its first view -> click leg never qualifies
+    rows += [(2, base, "click"), (2, base + 1 * H, "view"),
+             (2, base + 2 * H, "purchase")]
+    # u3: click outside the 24h window of the first view
+    rows += [(3, base, "view"), (3, base + 30 * H, "click")]
+    # u4: completes with the SECOND click (first is pre-view);
+    #     purchase is within 24h of the QUALIFYING click
+    rows += [(4, base - H, "click"), (4, base, "view"),
+             (4, base + 5 * H, "click"), (4, base + 6 * H, "purchase")]
+    # u5: view only
+    rows += [(5, base, "view")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+    out = funnel_steps(rd.from_pandas(df).repartition(3),
+                       ["view", "click", "purchase"],
+                       window=pd.Timedelta(hours=24), num_partitions=4)
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {"view": 5, "click": 2, "purchase": 2}
+    assert out["step_no"].tolist() == [1, 2, 3]

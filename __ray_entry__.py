@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.q_range_join,
         "value_quantiles": q.q_value_quantiles,
         "join_revenue_priority": q.q_join_revenue_priority,
+        "salted_join_revenue": q.q_salted_join_revenue,
         "customer_order_counts": q.q_customer_order_counts,
         "discounted_orders_by_priority": q.q_discounted_orders_by_priority,
         "no_bigorder_custs": q.q_no_bigorder_custs,
@@ -309,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_stats": q.q_winsorize_stats,
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
+        "retention": q.q_retention,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": q.SQL_RANGE_JOIN,
         "value_quantiles": q.SQL_VALUE_QUANTILES,
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,
+        "salted_join_revenue": q.SQL_SALTED_JOIN_REVENUE,
         "customer_order_counts": q.SQL_CUSTOMER_ORDER_COUNTS,
         "discounted_orders_by_priority": q.SQL_DISCOUNTED_ORDERS_BY_PRIORITY,
         "no_bigorder_custs": q.SQL_NO_BIGORDER_CUSTS,
@@ -446,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
+        "retention": q.SQL_RETENTION,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

@@ -1795,6 +1795,49 @@ ORDER BY o_orderpriority
 """
 
 
+def q_salted_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """The join_revenue_priority exchange with HOT-KEY SALTING forced
+    on (first 100 orderkeys declared hot, salt=4): left partials split
+    across salts, right rows replicated — the skew lever for a key
+    holding a corpus-scale share. Same oracle as the unsalted join, so
+    the salted path is verified value-for-value end-to-end. (TPC-H
+    orderkeys aren't actually skewed; production callers pass
+    relational.detect_hot_keys output instead of a forced list —
+    planted-skew behavior is pinned in tests/test_pipeline.py.)"""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        part = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                          "rev_cents": rev})
+                .group_by("l_orderkey")
+                .aggregate([("rev_cents", "sum"), ("rev_cents", "count")]))
+        return part.rename_columns(["l_orderkey", "rev_cents", "li_rows"])
+
+    li = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = relational.bucket_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        hot_keys=list(range(100)), salt=4)
+    g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
+    return pd.DataFrame(
+        {
+            "o_orderpriority": g.o_orderpriority,
+            "revenue_cents": g.sum_rev_cents.astype("int64"),
+            "n_items": g.sum_li_rows.astype("int64"),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_SALTED_JOIN_REVENUE = SQL_JOIN_REVENUE_PRIORITY
+
+
 def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """LEFT join on the fixed-bucket shuffle (bucket_join how='left'):
     every customer survives, order-less customers carry nulls in the
@@ -3711,6 +3754,32 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, 'purchase', (SELECT count(*) FROM p)
 ) ORDER BY step_no
+"""
+
+
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention curve: users active exactly k days after their
+    own first active day, k = 0..6 (windows.retention_days — (user,
+    day) pairs pre-deduped per batch before the one user-hash
+    shuffle)."""
+    from .windows import retention_days
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_days(ev, max_offset=6)
+
+
+SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id,
+         date_diff('day', f.d0, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT day_offset::BIGINT AS day_offset, count(*) AS n_users
+FROM a WHERE day_offset <= 6
+GROUP BY day_offset ORDER BY day_offset
 """
 
 

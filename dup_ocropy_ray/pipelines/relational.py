@@ -176,6 +176,8 @@ def bucket_join(
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
+    salt: int = 8,
 ) -> rd.Dataset:
     """Large x large join on the repo's fixed-bucket shuffle
     pattern: both sides are tagged into ONE union keyed by
@@ -190,6 +192,16 @@ def bucket_join(
     Right columns colliding with left names (other than the keys) get
     ``suffix``. Sides are split INSIDE each partition as Arrow (null
     int columns never pass through pandas, so dtypes survive).
+
+    ``hot_keys`` turns on HOT-KEY SALTING (the skew lever: one key with
+    10% of the corpus would otherwise serialize 10% of the join on one
+    partition). Each hot key gets ``salt`` dedicated partitions; LEFT
+    rows on a hot key spread round-robin across its salts, RIGHT rows
+    on it are REPLICATED to every salt — each left row still meets each
+    matching right row exactly once, so inner/left/semi/anti results
+    are unchanged. Use ``detect_hot_keys`` for the candidate list (it
+    is hot-key-count sized — broadcastable by definition). Cold keys
+    take the normal hash route.
 
     ``how`` extends the same exchange to the other relational shapes —
     ``"inner"`` (default), ``"left"`` (unmatched left rows survive with
@@ -242,11 +254,15 @@ def bucket_join(
               + [(n, rtypes[n]) for n in (ren[c] for c in rcols)])
     target = pa.schema(fields)
 
+    hot_list = list(hot_keys) if hot_keys is not None else []
+    hot_pos = {k: i for i, k in enumerate(hot_list)}
+
     def _tag(side: int, key_col: str, rename: dict | None):
         def f(t: pa.Table) -> pa.Table:
             key = t.column(key_col)
+            kpd = key.to_pandas()
             h = pd.util.hash_pandas_object(
-                key.to_pandas(), index=False).to_numpy(dtype="uint64")
+                kpd, index=False).to_numpy(dtype="uint64")
             part = (h % np.uint64(num_partitions)).astype(np.int64)
             cols = {}
             present = {(rename or {}).get(c, c): t.column(c)
@@ -260,8 +276,33 @@ def bucket_join(
                     cols[name] = present[name].cast(typ)
                 else:
                     cols[name] = pa.nulls(len(t), typ)
-            return pa.Table.from_arrays(
+            out = pa.Table.from_arrays(
                 [cols[n] for n in target.names], schema=target)
+            if not hot_list:
+                return out
+            kp = kpd.map(hot_pos).to_numpy(dtype="float64")
+            hot = ~np.isnan(kp)
+            if not hot.any():
+                return out
+            base = np.int64(num_partitions)
+            hidx = kp[hot].astype(np.int64)
+            cold_t = out.filter(pa.array(~hot))
+            hot_t = out.filter(pa.array(hot))
+            if side == 0:
+                # split: round-robin the hot left rows across the salts
+                sid = (np.arange(len(hidx), dtype=np.int64)
+                       % np.int64(salt))
+                new_part = base + hidx * np.int64(salt) + sid
+                hot_t = hot_t.set_column(
+                    0, "_part", pa.array(new_part, pa.int64()))
+                return pa.concat_tables([cold_t, hot_t])
+            # replicate: one copy of each hot right row per salt
+            pieces = [cold_t]
+            for s in range(salt):
+                new_part = base + hidx * np.int64(salt) + np.int64(s)
+                pieces.append(hot_t.set_column(
+                    0, "_part", pa.array(new_part, pa.int64())))
+            return pa.concat_tables(pieces)
 
         return f
 
@@ -341,6 +382,30 @@ def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
              .groupby("_part").map_groups(per_part, batch_format="pandas")
              .to_pandas())
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+def detect_hot_keys(ds: rd.Dataset, col: str, frac: float = 0.01,
+                    topm: int = 64) -> list:
+    """Candidate hot keys for salted joins: keys holding more than
+    ``frac`` of the rows. Per-batch local top-``topm`` value counts ->
+    driver recombine (the heavy_hitters candidate bound: any key with
+    global share > 1/topm appears in some batch's top-m, and frac is
+    far above that for practical topm). Returns a plain list — hot-key
+    lists are small by definition (at most 1/frac entries)."""
+
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts().head(topm)
+        return pd.DataFrame({"k": vc.index, "c": vc.to_numpy(np.int64),
+                             "n": np.int64(len(b))})
+
+    parts = ds.map_batches(local_counts, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return []
+    total = ds.count()
+    g = parts.groupby("k", as_index=False)["c"].sum()
+    hot = g[g["c"] > frac * total].sort_values("c", ascending=False)
+    return hot["k"].tolist()
 
 
 def profile_table(ds: rd.Dataset, columns: Sequence[str],

@@ -688,3 +688,58 @@ def funnel_steps(
     out = full.merge(agg, on="step_no", how="left")
     out["n_users"] = out["n_users"].fillna(0).astype("int64")
     return out
+
+
+def retention_days(
+    events: rd.Dataset,
+    max_offset: int = 6,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Cohort retention: for each day-offset 0..max_offset, how many
+    users had any event exactly that many days after their own first
+    active day (day-0 count == total users). Returns (day_offset,
+    n_users).
+
+    Scale shape: the tag pass truncates timestamps to DAYS per batch
+    (so the shuffle ships (user, day) pairs pre-deduped per batch, not
+    raw events), ONE user-hash shuffle co-locates each user's days, and
+    a partition computes all its users' offsets with two C-level
+    groupby passes; the driver sums partitions x offsets rows."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b[ts_col].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        out = pd.DataFrame({"u": b[key_col].to_numpy(), "d": day})
+        out = out.drop_duplicates()
+        h = (out["u"].to_numpy(dtype="uint64")
+             if np.issubdtype(out["u"].dtype, np.integer)
+             else hashing.hash_strings(
+                 out["u"].astype(str).to_numpy(dtype=object)))
+        out["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"day_offset": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        g = g.drop_duplicates(["u", "d"])
+        d0 = g.groupby("u")["d"].transform("min")
+        off = (g["d"] - d0).to_numpy(np.int64)
+        keep = off <= max_offset
+        cnt = np.bincount(off[keep], minlength=max_offset + 1)
+        return pd.DataFrame({
+            "day_offset": np.arange(max_offset + 1, dtype=np.int64),
+            "n_users": cnt.astype(np.int64),
+        })
+
+    parts = (events.map_batches(tag, batch_format="pandas",
+                                batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    if "day_offset" not in parts.columns:
+        return pd.DataFrame({"day_offset": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    return (parts.groupby("day_offset", as_index=False)["n_users"].sum()
+            .sort_values("day_offset").reset_index(drop=True))

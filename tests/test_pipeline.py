@@ -560,3 +560,47 @@ def test_profile_table_nulls_and_distincts(ray_session):
     assert got.loc["b", "n_distinct"] == 4
     assert got.loc["b", "min_s"] == "1" and got.loc["b", "max_s"] == "4"
     assert got.loc["c", "n_null"] == 8 and got.loc["c", "n_distinct"] == 0
+
+
+def test_salted_join_skew_correctness(ray_session):
+    """Hot-key salting: a planted key holding half the left side routes
+    through dedicated salt partitions (left split, right replicated) —
+    results must be IDENTICAL to the unsalted join for all four modes,
+    and detect_hot_keys must find the planted key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import (
+        bucket_join, detect_hot_keys)
+
+    rng = np.random.default_rng(31)
+    n = 600
+    keys = np.where(rng.random(n) < 0.5, "HOT",
+                    rng.choice([f"k{i}" for i in range(40)], n))
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({
+        "rk": ["HOT", "HOT", "k1", "k2", "k3", "zz"],
+        "w": np.arange(6, dtype="int64"),
+    })
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+
+    hot = detect_hot_keys(lds, "k", frac=0.05)
+    assert "HOT" in hot
+
+    for how in ["inner", "left", "semi", "anti"]:
+        plain = (bucket_join(lds, rds, "k", "rk", num_partitions=8,
+                             how=how).to_pandas())
+        salted = (bucket_join(lds, rds, "k", "rk", num_partitions=8,
+                              how=how, hot_keys=["HOT"], salt=4)
+                  .to_pandas())
+        cols = sorted(plain.columns)
+        plain = (plain[cols].sort_values(cols).reset_index(drop=True))
+        salted = (salted[cols].sort_values(cols).reset_index(drop=True))
+        assert salted.astype("object").where(salted.notna(), None).equals(
+            plain.astype("object").where(plain.notna(), None)), how
+    # the HOT key's inner fan-out is 2 rows per left row (2 right dups)
+    n_hot_left = int((left["k"] == "HOT").sum())
+    inner = bucket_join(lds, rds, "k", "rk", num_partitions=8,
+                        hot_keys=["HOT"], salt=4).to_pandas()
+    assert int((inner["k"] == "HOT").sum()) == 2 * n_hot_left

@@ -623,3 +623,26 @@ def test_funnel_steps_window_and_order(ray_session):
     got = dict(zip(out["step"], out["n_users"]))
     assert got == {"view": 5, "click": 2, "purchase": 2}
     assert out["step_no"].tolist() == [1, 2, 3]
+
+
+def test_retention_days_offsets(ray_session):
+    """Retention offsets anchor at each user's OWN first day; gaps and
+    beyond-horizon days drop out; same-day repeats count once."""
+    from dup_ocropy_ray.pipelines.windows import retention_days
+
+    rows = []
+    d = pd.Timestamp("2024-05-10")
+    D = pd.Timedelta(days=1)
+    # u1 active days 0,1,3 and day 9 (beyond max_offset)
+    for off in [0, 0, 1, 3, 9]:
+        rows.append((1, d + off * D + pd.Timedelta(hours=off)))
+    # u2 starts later; active its day 0 and 2
+    for off in [0, 2]:
+        rows.append((2, d + 5 * D + off * D))
+    # u3 single event
+    rows.append((3, d))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = retention_days(rd.from_pandas(df).repartition(3), max_offset=6,
+                         num_partitions=4)
+    got = dict(zip(out["day_offset"], out["n_users"]))
+    assert got == {0: 3, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}

@@ -54,6 +54,11 @@ QUERY_SUBSET = [
     "shuffle_shards",
     "bigram_logprob",
     "tier_extract",
+    "index_search",
+    "salted_join_revenue",
+    "rate_limit",
+    "retention",
+    "profile_table",
 ]
 
 

@@ -255,7 +255,16 @@ def bucket_join(
     target = pa.schema(fields)
 
     hot_list = list(hot_keys) if hot_keys is not None else []
-    hot_pos = {k: i for i, k in enumerate(hot_list)}
+    # sorted array + searchsorted: the per-batch hot lookup is one
+    # C-level binary search, not a per-element dict map
+    hot_arr = np.sort(np.asarray(hot_list)) if hot_list else None
+
+    def _hot_lookup(keys: np.ndarray):
+        """(hot_mask, dense_hot_index) for a key array."""
+        idx = np.searchsorted(hot_arr, keys)
+        idx = np.minimum(idx, len(hot_arr) - 1)
+        mask = hot_arr[idx] == keys
+        return mask, idx
 
     def _tag(side: int, key_col: str, rename: dict | None):
         def f(t: pa.Table) -> pa.Table:
@@ -280,12 +289,11 @@ def bucket_join(
                 [cols[n] for n in target.names], schema=target)
             if not hot_list:
                 return out
-            kp = kpd.map(hot_pos).to_numpy(dtype="float64")
-            hot = ~np.isnan(kp)
+            hot, idx_all = _hot_lookup(kpd.to_numpy())
             if not hot.any():
                 return out
             base = np.int64(num_partitions)
-            hidx = kp[hot].astype(np.int64)
+            hidx = idx_all[hot].astype(np.int64)
             cold_t = out.filter(pa.array(~hot))
             hot_t = out.filter(pa.array(hot))
             if side == 0:

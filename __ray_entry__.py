@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.q_dedup_simhash,
         "knn_ivf": q.q_knn_ivf,
         "knn_pq": q.q_knn_pq,
+        "knn_lsh": q.q_knn_lsh,
         "knn_ivf_disk": q.q_knn_ivf_disk,
         "kmeans": q.q_kmeans,
         "fingerprints": q.q_fingerprints,

@@ -1152,6 +1152,17 @@ def q_knn_pq(sf_dir: str) -> pd.DataFrame:
     return similarity.knn_pq(ds, np.asarray(q), k=10, m=8, n_codes=32)
 
 
+def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH ANN (rows-only: bucket collisions are
+    approximate by construction): candidates share a sign-pattern
+    bucket with the query in any of 32 four-bit banks, exact cosine on
+    the candidates only. Recall and brute-force-equivalence gates live
+    in tests/test_curate.py."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.knn_lsh(ds, np.asarray(q), k=10, nbits=4, ntables=32)
+
+
 # ---------------------------------------------------------------- textstats
 
 

@@ -728,3 +728,31 @@ def test_web_curate_composition(ray_session):
     kept_src = got.set_index("source")
     assert int(kept_src.loc["src1", "n_kept"]) < int(
         (df["source"] == "src1").sum())
+
+
+def test_knn_lsh_recall_and_exact_fallback(ray_session):
+    """Random-hyperplane LSH: nbits=0 must equal brute force exactly;
+    at (4, 16) recall@10 clears the gate on the real embeddings; an
+    over-sharp bank (56 bits) returns few-or-no candidates without
+    crashing and keeps the contract columns."""
+    from dup_ocropy_ray.pipelines.similarity import knn_brute, knn_lsh
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(qdf.set_index("vec_id").loc[0, "embedding"])
+
+    bru = knn_brute(ds, q, k=10)
+    exact = knn_lsh(ds, q, k=10, nbits=0)
+    assert exact.equals(bru)
+
+    lsh = knn_lsh(ds, q, k=10, nbits=4, ntables=16)
+    recall = len(set(lsh["vec_id"]) & set(bru["vec_id"])) / len(bru)
+    assert recall >= 0.5, recall
+    # every LSH result is a true cosine (no made-up scores)
+    merged = lsh.merge(bru, on="vec_id", suffixes=("", "_b"))
+    assert np.allclose(merged["cos_sim"], merged["cos_sim_b"])
+
+    sharp = knn_lsh(ds, q, k=10, nbits=56, ntables=1)
+    assert list(sharp.columns) == ["vec_id", "cos_sim"]
+    assert len(sharp) <= 10

@@ -136,43 +136,47 @@ def test_lr_quality_accuracy_and_determinism(ray_session):
 
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
-    out = lr_quality(ds, steps=200)
+    out = lr_quality(ds)
     acc = out[out.label == out.pred].n.sum() / out.n.sum()
     assert acc >= 0.85, f"held-out accuracy {acc}"
 
-    w1 = lr_train(lr_features(ds), steps=25)
-    w2 = lr_train(lr_features(ds), steps=25)
+    w1 = lr_train(lr_features(ds), steps=6)
+    w2 = lr_train(lr_features(ds), steps=6)
     assert (w1 == w2).all()
 
 
 def test_lr_train_matches_serial_reference(ray_session):
-    """On a single block, distributed lr_train must equal (to float
-    round-off of the fold-back) a serial numpy implementation of the
-    same standardize + full-batch GD — same steps, lr, l2."""
+    """On a single block, distributed Newton-IRLS lr_train must equal
+    (to float round-off of the fold-back) a serial numpy implementation
+    of the same standardize + IRLS — same steps, l2."""
     from dup_ocropy_ray.pipelines.textstats import (
         LR_FEATS, lr_features, lr_score, lr_train)
 
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
     feat = lr_features(ds).to_pandas().sort_values("doc_id")
-    steps, lr_, l2 = 60, 1.0, 1e-4
+    steps, l2 = 6, 1e-4
 
     X0 = np.column_stack([feat[c].to_numpy("float64") for c in LR_FEATS])
     y = feat["label"].to_numpy("float64")
     mu, sd = X0.mean(0), X0.std(0)
     sd[sd == 0] = 1.0
     X = np.column_stack([(X0 - mu) / sd, np.ones(len(y))])
+    n = len(y)
     w = np.zeros(X.shape[1])
     for _ in range(steps):
         p = 1.0 / (1.0 + np.exp(-(X @ w)))
-        w -= lr_ * ((X.T @ (p - y)) / len(y) + l2 * w)
+        r = p * (1.0 - p)
+        H = (X * r[:, None]).T @ X + l2 * n * np.eye(X.shape[1])
+        g = X.T @ (y - p) - l2 * n * w
+        w = w + np.linalg.solve(H, g)
     want = np.empty_like(w)
     nf = len(LR_FEATS)
     want[:nf] = w[:nf] / sd
     want[nf] = w[nf] - float((w[:nf] * mu / sd).sum())
 
     got = lr_train(rd.from_pandas(feat).repartition(1),
-                   steps=steps, lr=lr_, l2=l2)
+                   steps=steps, l2=l2)
     assert np.allclose(got, want, rtol=1e-9, atol=1e-12)
 
     # scoring applies raw-space weights per batch

@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
         "retention": q.q_retention,
+        "corr_matrix": q.q_corr_matrix,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
         "retention": q.SQL_RETENTION,
+        "corr_matrix": q.SQL_CORR_MATRIX,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

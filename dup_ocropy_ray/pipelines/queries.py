@@ -3768,6 +3768,26 @@ SELECT * FROM (
 """
 
 
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric columns in
+    one streaming moments pass (relational.corr_pairs) — the EDA
+    companion to profile_table; rounded to 6 decimals (the knn cos_sim
+    convention) for the engine-exact compare."""
+    ds = _read(sf_dir, "lineitem", _CORR_COLS)
+    return relational.corr_pairs(ds, _CORR_COLS)
+
+
+SQL_CORR_MATRIX = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 6) AS corr
+FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]) + "\nORDER BY col_a, col_b"
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention curve: users active exactly k days after their
     own first active day, k = 0..6 (windows.retention_days — (user,

@@ -489,3 +489,46 @@ def profile_table(ds: rd.Dataset, columns: Sequence[str],
         "min_s": out["min_s"],
         "max_s": out["max_s"],
     }).sort_values("column").reset_index(drop=True))
+
+
+def corr_pairs(ds: rd.Dataset, columns: Sequence[str]) -> pd.DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    streaming pass: every block emits a single partial row (n, per-col
+    sums, per-col sum-of-squares, per-pair cross sums — O(d²) floats),
+    the driver reduces partials in a stable order (sorted by block min
+    of the first column's sum — deterministic reruns) and applies the
+    closed form. The EDA companion to profile_table; same moments
+    skeleton as similarity.pca_fit. Returns (col_a, col_b, corr)
+    rounded to 6 decimals for engine-exact comparison (the knn
+    cos_sim convention)."""
+    cols = list(columns)
+    d = len(cols)
+    pairs = [(a, b) for a in range(d) for b in range(a + 1, d)]
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.column_stack([batch[c].to_numpy(dtype="float64")
+                             for c in cols])
+        row = {"n": [np.int64(len(X))]}
+        for j in range(d):
+            row[f"s{j}"] = [X[:, j].sum()]
+            row[f"q{j}"] = [(X[:, j] ** 2).sum()]
+        for i, (a, b) in enumerate(pairs):
+            row[f"x{i}"] = [(X[:, a] * X[:, b]).sum()]
+        return pd.DataFrame(row)
+
+    parts = (ds.map_batches(part, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .sort_values("s0"))
+    n = float(parts["n"].sum())
+    s = np.array([parts[f"s{j}"].sum() for j in range(d)])
+    q = np.array([parts[f"q{j}"].sum() for j in range(d)])
+    var = q - s * s / n
+    out_a, out_b, out_c = [], [], []
+    for i, (a, b) in enumerate(pairs):
+        cov = parts[f"x{i}"].sum() - s[a] * s[b] / n
+        denom = np.sqrt(var[a] * var[b])
+        out_a.append(cols[a])
+        out_b.append(cols[b])
+        out_c.append(round(cov / denom, 6) if denom > 0 else np.nan)
+    return (pd.DataFrame({"col_a": out_a, "col_b": out_b, "corr": out_c})
+            .sort_values(["col_a", "col_b"]).reset_index(drop=True))

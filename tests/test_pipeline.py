@@ -604,3 +604,26 @@ def test_salted_join_skew_correctness(ray_session):
     inner = bucket_join(lds, rds, "k", "rk", num_partitions=8,
                         hot_keys=["HOT"], salt=4).to_pandas()
     assert int((inner["k"] == "HOT").sum()) == 2 * n_hot_left
+
+
+def test_corr_pairs_known_values_and_layout_invariance(ray_session):
+    """corr_pairs on planted correlations: y=2x -> 1.0, z=-x -> -1.0,
+    and the result must not depend on the block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import corr_pairs
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal(500)
+    df = pd.DataFrame({
+        "x": x, "y": 2.0 * x + 1.0, "z": -x,
+        "w": rng.standard_normal(500),
+    })
+    a = corr_pairs(rd.from_pandas(df).repartition(1), ["x", "y", "z", "w"])
+    b = corr_pairs(rd.from_pandas(df).repartition(7), ["x", "y", "z", "w"])
+    byp = a.set_index(["col_a", "col_b"])["corr"]
+    assert byp[("x", "y")] == 1.0
+    assert byp[("x", "z")] == -1.0
+    assert abs(byp[("x", "w")]) < 0.2
+    pd.testing.assert_frame_equal(a, b)

@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q.q_funnel,
         "retention": q.q_retention,
         "corr_matrix": q.q_corr_matrix,
+        "exact_quantiles": q.q_exact_quantiles,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": q.SQL_FUNNEL,
         "retention": q.SQL_RETENTION,
         "corr_matrix": q.SQL_CORR_MATRIX,
+        "exact_quantiles": q.SQL_EXACT_QUANTILES,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

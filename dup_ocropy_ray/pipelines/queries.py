@@ -3771,6 +3771,28 @@ SELECT * FROM (
 _CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
+def q_exact_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p25/p50/p75 of the continuous o_totalprice column by
+    distributed quickselect (relational.exact_quantile: per-round
+    histogram partials narrow the range ~2048-fold, final in-range
+    collect + select). Selection returns an actual data element, so
+    the quantile_disc oracle compares BIT-exact — no rounding."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return relational.exact_quantile(ds, "o_totalprice",
+                                     qs=(0.25, 0.5, 0.75))
+
+
+SQL_EXACT_QUANTILES = """
+SELECT * FROM (
+  SELECT 0.25 AS q, quantile_disc(o_totalprice, 0.25) AS value FROM orders
+  UNION ALL
+  SELECT 0.50, quantile_disc(o_totalprice, 0.50) FROM orders
+  UNION ALL
+  SELECT 0.75, quantile_disc(o_totalprice, 0.75) FROM orders
+) ORDER BY q
+"""
+
+
 def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """Pairwise Pearson correlations over lineitem's numeric columns in
     one streaming moments pass (relational.corr_pairs) — the EDA

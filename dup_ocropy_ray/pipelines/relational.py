@@ -532,3 +532,77 @@ def corr_pairs(ds: rd.Dataset, columns: Sequence[str]) -> pd.DataFrame:
         out_c.append(round(cov / denom, 6) if denom > 0 else np.nan)
     return (pd.DataFrame({"col_a": out_a, "col_b": out_b, "corr": out_c})
             .sort_values(["col_a", "col_b"]).reset_index(drop=True))
+
+
+def exact_quantile(ds: rd.Dataset, col: str, qs: Sequence[float] = (0.5,),
+                   nbins: int = 2048, max_collect: int = 65536,
+                   max_rounds: int = 8) -> pd.DataFrame:
+    """EXACT quantiles of an unbounded CONTINUOUS column by distributed
+    quickselect: no sort, no sampling, no value-domain assumption (the
+    complement to q_value_quantiles' counting histograms, which need a
+    discretized domain). Selection returns an actual data element —
+    DuckDB's ``quantile_disc`` rule sorted[ceil(q*n)-1] — so the oracle
+    compare is bit-exact with no rounding.
+
+    Per quantile: each round scans the column once, every block emits a
+    ``nbins``-bucket count partial over the current [lo, hi] range
+    (driver state = nbins ints), the driver walks the cumulative counts
+    to the bucket containing the target rank and narrows the range;
+    when the in-range population is <= ``max_collect`` the survivors
+    are collected and selected exactly. Converges in 2-3 rounds on
+    float data (each round shrinks the candidate set ~nbins-fold)."""
+    import math
+
+    def mm_part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype="float64")
+        return pd.DataFrame({"n": [np.int64(len(v))],
+                             "lo": [v.min() if len(v) else np.inf],
+                             "hi": [v.max() if len(v) else -np.inf]})
+
+    mm = ds.map_batches(mm_part, batch_format="pandas",
+                        batch_size=262144).to_pandas()
+    n = int(mm["n"].sum())
+    lo0, hi0 = float(mm["lo"].min()), float(mm["hi"].max())
+    out_q, out_v = [], []
+    for q in qs:
+        k = max(int(math.ceil(q * n)), 1)  # 1-based target rank
+        lo, hi = lo0, hi0
+        rank = k
+        for _ in range(max_rounds):
+            if lo == hi:
+                break
+
+            def hist_part(b: pd.DataFrame, lo_=lo, hi_=hi) -> pd.DataFrame:
+                v = b[col].to_numpy(dtype="float64")
+                v = v[(v >= lo_) & (v <= hi_)]
+                width = (hi_ - lo_) / nbins
+                idx = np.minimum(((v - lo_) / width).astype(np.int64),
+                                 nbins - 1)
+                cnt = np.bincount(idx, minlength=nbins)
+                return pd.DataFrame({"b": np.arange(nbins, dtype=np.int64),
+                                     "c": cnt.astype(np.int64)})
+
+            h = (ds.map_batches(hist_part, batch_format="pandas",
+                                batch_size=262144).to_pandas()
+                 .groupby("b")["c"].sum().reindex(range(nbins),
+                                                  fill_value=0))
+            cum = h.cumsum()
+            b = int(np.searchsorted(cum.to_numpy(), rank))
+            in_bucket = int(h.iloc[b])
+            rank = rank - (int(cum.iloc[b - 1]) if b > 0 else 0)
+            width = (hi - lo) / nbins
+            lo, hi = lo + b * width, (lo + (b + 1) * width
+                                      if b < nbins - 1 else hi)
+            if in_bucket <= max_collect:
+                break
+
+        def collect_part(b: pd.DataFrame, lo_=lo, hi_=hi) -> pd.DataFrame:
+            v = b[col].to_numpy(dtype="float64")
+            return pd.DataFrame({"v": v[(v >= lo_) & (v <= hi_)]})
+
+        vals = np.sort(ds.map_batches(
+            collect_part, batch_format="pandas",
+            batch_size=262144).to_pandas()["v"].to_numpy())
+        out_q.append(q)
+        out_v.append(float(vals[rank - 1]) if len(vals) else np.nan)
+    return pd.DataFrame({"q": out_q, "value": out_v})

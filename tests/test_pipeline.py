@@ -627,3 +627,33 @@ def test_corr_pairs_known_values_and_layout_invariance(ray_session):
     assert byp[("x", "z")] == -1.0
     assert abs(byp[("x", "w")]) < 0.2
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_quantile_selection_edges(ray_session):
+    """Distributed quickselect vs numpy on adversarial data: heavy
+    duplicates (a single value holding the median), tiny n, and a
+    forced multi-round narrowing (max_collect=4)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import exact_quantile
+
+    rng = np.random.default_rng(41)
+
+    def ref(v, q):
+        return float(np.sort(v)[max(math.ceil(q * len(v)) - 1, 0)])
+
+    # duplicates: 60% of mass on one value
+    v1 = np.concatenate([np.full(600, 7.25), rng.standard_normal(400)])
+    # continuous, multi-round narrowing
+    v2 = rng.standard_normal(5000) * 1e6
+    # tiny
+    v3 = np.array([3.0, 1.0, 2.0])
+    for v in (v1, v2, v3):
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+        got = exact_quantile(ds, "x", qs=(0.1, 0.5, 0.9),
+                             nbins=64, max_collect=4)
+        for q, val in zip(got["q"], got["value"]):
+            assert val == ref(v, q), (q, val, ref(v, q))

@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q.q_retention,
         "corr_matrix": q.q_corr_matrix,
         "exact_quantiles": q.q_exact_quantiles,
+        "label_centroid_sims": q.q_label_centroid_sims,
         "vocab_coverage": q.q_vocab_coverage,
         "source_kl": q.q_source_kl,
         "ngram_diversity": q.q_ngram_diversity,
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": q.SQL_RETENTION,
         "corr_matrix": q.SQL_CORR_MATRIX,
         "exact_quantiles": q.SQL_EXACT_QUANTILES,
+        "label_centroid_sims": q.SQL_LABEL_CENTROID_SIMS,
         "vocab_coverage": q.SQL_VOCAB_COVERAGE,
         "source_kl": q.SQL_SOURCE_KL,
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,

@@ -3771,6 +3771,33 @@ SELECT * FROM (
 _CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
+def q_label_centroid_sims(sf_dir: str) -> pd.DataFrame:
+    """Class-separation diagnostic: pairwise cosine between per-label
+    embedding centroids (similarity.label_centroid_sims — one pass of
+    label x dim partial sums, labels² driver matrix)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return similarity.label_centroid_sims(ds)
+
+
+SQL_LABEL_CENTROID_SIMS = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), m AS (
+  SELECT label, dim, sum(x) / count(*) AS mx
+  FROM u GROUP BY label, dim
+), c AS (
+  SELECT label, list(mx ORDER BY dim) AS cvec FROM m GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_cosine_similarity(a.cvec::DOUBLE[], b.cvec::DOUBLE[]), 6)
+         AS cos_sim
+FROM c a JOIN c b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
 def q_exact_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact p25/p50/p75 of the continuous o_totalprice column by
     distributed quickselect (relational.exact_quantile: per-round

@@ -775,3 +775,39 @@ def knn_lsh(ds: rd.Dataset, query: np.ndarray, k: int = 10,
                             ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)
+
+
+def label_centroid_sims(ds: rd.Dataset, label_col: str = "label",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids (the class-separation / source-drift diagnostic): one
+    streaming pass of per-block (label, count, coordinate-sum)
+    partials — labels x dim floats per block, never row-scale — then a
+    labels x labels driver matrix. Returns (label_a, label_b, cos_sim)
+    for a < b, rounded to 6 decimals (knn convention)."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(b[vec_col])
+        lab = b[label_col].to_numpy()
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), X.shape[1]))
+        np.add.at(sums, inv, X)
+        cnt = np.bincount(inv)
+        out = pd.DataFrame({label_col: ulab, "n": cnt.astype("int64")})
+        for j in range(X.shape[1]):
+            out[f"s{j}"] = sums[:, j]
+        return out
+
+    parts = (ds.map_batches(part, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .groupby(label_col, as_index=False).sum())
+    dims = [c for c in parts.columns if c.startswith("s")]
+    C = parts[dims].to_numpy() / parts["n"].to_numpy()[:, None]
+    Cn = _normalize(C)
+    labels = parts[label_col].tolist()
+    sims = Cn @ Cn.T
+    rows = [(labels[a], labels[b], round(float(sims[a, b]), 6))
+            for a in range(len(labels)) for b in range(len(labels))
+            if labels[a] < labels[b]]
+    return (pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
+            .sort_values(["label_a", "label_b"]).reset_index(drop=True))

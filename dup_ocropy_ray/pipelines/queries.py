@@ -1751,7 +1751,8 @@ ORDER BY event_type
 """
 
 
-def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
+def q_join_revenue_priority(sf_dir: str, hot_keys=None,
+                            salt: int = 8) -> pd.DataFrame:
     """Large x large hash join (lineitem ⋈ orders on the order key) on
     the fixed-bucket shuffle — both sides shuffle on the key (no
     broadcast; contrast q_top_orders' broadcast join). Revenue cents
@@ -1784,7 +1785,8 @@ def q_join_revenue_priority(sf_dir: str) -> pd.DataFrame:
     # fixed-bucket shuffle join (see relational.bucket_join): same
     # exchange as the native hash join without its aggregator actor
     # pool, whose startup is bimodal (3s/30s+) late in long sessions
-    joined = relational.bucket_join(li, orders, "l_orderkey", "o_orderkey")
+    joined = relational.bucket_join(li, orders, "l_orderkey", "o_orderkey",
+                                    hot_keys=hot_keys, salt=salt)
     g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
     return pd.DataFrame(
         {
@@ -1815,35 +1817,8 @@ def q_salted_join_revenue(sf_dir: str) -> pd.DataFrame:
     orderkeys aren't actually skewed; production callers pass
     relational.detect_hot_keys output instead of a forced list —
     planted-skew behavior is pinned in tests/test_pipeline.py.)"""
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
-            pa.scalar(100.0))), pa.int64())
-        part = (pa.table({"l_orderkey": t.column("l_orderkey"),
-                          "rev_cents": rev})
-                .group_by("l_orderkey")
-                .aggregate([("rev_cents", "sum"), ("rev_cents", "count")]))
-        return part.rename_columns(["l_orderkey", "rev_cents", "li_rows"])
-
-    li = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = relational.bucket_join(
-        li, orders, "l_orderkey", "o_orderkey",
-        hot_keys=list(range(100)), salt=4)
-    g = grouped_agg(joined, ["o_orderpriority"], sums=["rev_cents", "li_rows"])
-    return pd.DataFrame(
-        {
-            "o_orderpriority": g.o_orderpriority,
-            "revenue_cents": g.sum_rev_cents.astype("int64"),
-            "n_items": g.sum_li_rows.astype("int64"),
-        }
-    ).sort_values("o_orderpriority").reset_index(drop=True)
+    return q_join_revenue_priority(sf_dir, hot_keys=list(range(100)),
+                                   salt=4)
 
 
 SQL_SALTED_JOIN_REVENUE = SQL_JOIN_REVENUE_PRIORITY
@@ -3856,10 +3831,15 @@ WITH f AS (
   SELECT DISTINCT e.user_id,
          date_diff('day', f.d0, date_trunc('day', e.ts)) AS day_offset
   FROM events e JOIN f USING (user_id)
+), g AS (
+  SELECT day_offset, count(*) AS n_users
+  FROM a WHERE day_offset <= 6 GROUP BY day_offset
 )
-SELECT day_offset::BIGINT AS day_offset, count(*) AS n_users
-FROM a WHERE day_offset <= 6
-GROUP BY day_offset ORDER BY day_offset
+-- zero-pad: the engine reports every offset 0..6 even when no user
+-- was retained that day
+SELECT r.range::BIGINT AS day_offset, coalesce(g.n_users, 0) AS n_users
+FROM range(0, 7) r LEFT JOIN g ON g.day_offset = r.range
+ORDER BY day_offset
 """
 
 

@@ -403,15 +403,21 @@ def detect_hot_keys(ds: rd.Dataset, col: str, frac: float = 0.01,
 
     def local_counts(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[col].value_counts().head(topm)
-        return pd.DataFrame({"k": vc.index, "c": vc.to_numpy(np.int64),
-                             "n": np.int64(len(b))})
+        # one null-key row per batch carries the batch total, so the
+        # corpus never needs a second counting pass (ds.count() would
+        # re-execute a derived pipeline)
+        return pd.DataFrame({
+            "k": np.append(vc.index.to_numpy(object), [None]),
+            "c": np.append(vc.to_numpy(np.int64), [np.int64(len(b))]),
+        })
 
     parts = ds.map_batches(local_counts, batch_format="pandas",
                            batch_size=65536).to_pandas()
     if len(parts) == 0:
         return []
-    total = ds.count()
-    g = parts.groupby("k", as_index=False)["c"].sum()
+    isnull = parts["k"].isna()
+    total = int(parts.loc[isnull, "c"].sum())
+    g = parts[~isnull].groupby("k", as_index=False)["c"].sum()
     hot = g[g["c"] > frac * total].sort_values("c", ascending=False)
     return hot["k"].tolist()
 
@@ -452,11 +458,21 @@ def profile_table(ds: rd.Dataset, columns: Sequence[str],
             rows["max_s"].append(sv.max() if len(sv) else None)
         return pd.DataFrame(rows)
 
+    def _skipna_min(s: pd.Series):
+        # pandas groupby.min raises on object columns mixing str and
+        # None (a column all-null in one batch, non-null in another)
+        s = s.dropna()
+        return s.min() if len(s) else None
+
+    def _skipna_max(s: pd.Series):
+        s = s.dropna()
+        return s.max() if len(s) else None
+
     base = (ds.map_batches(stats_part, batch_format="pandas",
                            batch_size=65536).to_pandas()
             .groupby("column", as_index=False)
             .agg(n=("n", "sum"), n_null=("n_null", "sum"),
-                 min_s=("min_s", "min"), max_s=("max_s", "max")))
+                 min_s=("min_s", _skipna_min), max_s=("max_s", _skipna_max)))
 
     def distinct_part(b: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -492,44 +508,69 @@ def profile_table(ds: rd.Dataset, columns: Sequence[str],
 
 
 def corr_pairs(ds: rd.Dataset, columns: Sequence[str]) -> pd.DataFrame:
-    """Pairwise Pearson correlations over numeric columns in ONE
-    streaming pass: every block emits a single partial row (n, per-col
-    sums, per-col sum-of-squares, per-pair cross sums — O(d²) floats),
-    the driver reduces partials in a stable order (sorted by block min
-    of the first column's sum — deterministic reruns) and applies the
-    closed form. The EDA companion to profile_table; same moments
-    skeleton as similarity.pca_fit. Returns (col_a, col_b, corr)
-    rounded to 6 decimals for engine-exact comparison (the knn
-    cos_sim convention)."""
+    """Pairwise Pearson correlations over numeric columns in TWO
+    streaming passes: pass 1 per-pair means over pairwise-complete rows
+    (NaN/NULL in either column drops the row for that pair only — SQL
+    corr() semantics), pass 2 per-pair CENTERED co-moment partials.
+    Centering before summing avoids the catastrophic cancellation of
+    the raw-moment formula (q - s²/n loses all significant digits on a
+    large-mean/low-variance column); each pass's partials are O(d²)
+    floats per block, reduced on the driver in a stable sorted order.
+    The EDA companion to profile_table. Returns (col_a, col_b, corr)
+    rounded to 6 decimals (the knn cos_sim convention)."""
     cols = list(columns)
     d = len(cols)
     pairs = [(a, b) for a in range(d) for b in range(a + 1, d)]
+    npair = len(pairs)
 
-    def part(batch: pd.DataFrame) -> pd.DataFrame:
+    def sums_part(batch: pd.DataFrame) -> pd.DataFrame:
         X = np.column_stack([batch[c].to_numpy(dtype="float64")
                              for c in cols])
-        row = {"n": [np.int64(len(X))]}
-        for j in range(d):
-            row[f"s{j}"] = [X[:, j].sum()]
-            row[f"q{j}"] = [(X[:, j] ** 2).sum()]
+        fin = np.isfinite(X)
+        row = {}
         for i, (a, b) in enumerate(pairs):
-            row[f"x{i}"] = [(X[:, a] * X[:, b]).sum()]
+            m = fin[:, a] & fin[:, b]
+            row[f"n{i}"] = [np.int64(m.sum())]
+            row[f"sa{i}"] = [X[m, a].sum()]
+            row[f"sb{i}"] = [X[m, b].sum()]
+        row["k"] = [float(X[0, 0]) if len(X) else 0.0]
         return pd.DataFrame(row)
 
-    parts = (ds.map_batches(part, batch_format="pandas",
-                            batch_size=65536).to_pandas()
-             .sort_values("s0"))
-    n = float(parts["n"].sum())
-    s = np.array([parts[f"s{j}"].sum() for j in range(d)])
-    q = np.array([parts[f"q{j}"].sum() for j in range(d)])
-    var = q - s * s / n
+    p1 = (ds.map_batches(sums_part, batch_format="pandas",
+                         batch_size=65536).to_pandas().sort_values("k"))
+    n = np.array([float(p1[f"n{i}"].sum()) for i in range(npair)])
+    mu_a = np.array([p1[f"sa{i}"].sum() for i in range(npair)])
+    mu_b = np.array([p1[f"sb{i}"].sum() for i in range(npair)])
+    nz = n > 0
+    mu_a[nz] = mu_a[nz] / n[nz]
+    mu_b[nz] = mu_b[nz] / n[nz]
+
+    def cm_part(batch: pd.DataFrame, mu_a_=mu_a, mu_b_=mu_b
+                ) -> pd.DataFrame:
+        X = np.column_stack([batch[c].to_numpy(dtype="float64")
+                             for c in cols])
+        fin = np.isfinite(X)
+        row = {}
+        for i, (a, b) in enumerate(pairs):
+            m = fin[:, a] & fin[:, b]
+            ca = X[m, a] - mu_a_[i]
+            cb = X[m, b] - mu_b_[i]
+            row[f"aa{i}"] = [(ca * ca).sum()]
+            row[f"bb{i}"] = [(cb * cb).sum()]
+            row[f"ab{i}"] = [(ca * cb).sum()]
+        row["k"] = [float(X[0, 0]) if len(X) else 0.0]
+        return pd.DataFrame(row)
+
+    p2 = (ds.map_batches(cm_part, batch_format="pandas",
+                         batch_size=65536).to_pandas().sort_values("k"))
     out_a, out_b, out_c = [], [], []
     for i, (a, b) in enumerate(pairs):
-        cov = parts[f"x{i}"].sum() - s[a] * s[b] / n
-        denom = np.sqrt(var[a] * var[b])
+        denom = np.sqrt(float(p2[f"aa{i}"].sum())
+                        * float(p2[f"bb{i}"].sum()))
         out_a.append(cols[a])
         out_b.append(cols[b])
-        out_c.append(round(cov / denom, 6) if denom > 0 else np.nan)
+        out_c.append(round(float(p2[f"ab{i}"].sum()) / denom, 6)
+                     if denom > 0 else np.nan)
     return (pd.DataFrame({"col_a": out_a, "col_b": out_b, "corr": out_c})
             .sort_values(["col_a", "col_b"]).reset_index(drop=True))
 
@@ -542,19 +583,27 @@ def exact_quantile(ds: rd.Dataset, col: str, qs: Sequence[float] = (0.5,),
     complement to q_value_quantiles' counting histograms, which need a
     discretized domain). Selection returns an actual data element —
     DuckDB's ``quantile_disc`` rule sorted[ceil(q*n)-1] — so the oracle
-    compare is bit-exact with no rounding.
+    compare is bit-exact with no rounding. NaNs are dropped (SQL NULL
+    semantics); an empty/all-NaN column yields NaN values.
 
     Per quantile: each round scans the column once, every block emits a
-    ``nbins``-bucket count partial over the current [lo, hi] range
-    (driver state = nbins ints), the driver walks the cumulative counts
-    to the bucket containing the target rank and narrows the range;
-    when the in-range population is <= ``max_collect`` the survivors
-    are collected and selected exactly. Converges in 2-3 rounds on
-    float data (each round shrinks the candidate set ~nbins-fold)."""
+    ``nbins``-bucket count partial over the current range (driver state
+    = nbins ints), the driver walks the cumulative counts to the bucket
+    containing the target rank and narrows the range; when the in-range
+    population is <= ``max_collect`` the survivors are collected and
+    selected exactly. Converges in 2-3 rounds on float data.
+
+    Bucket membership is PURE COMPARISON against a shared edge array
+    (np.searchsorted side='right'), and the next round's range filter
+    uses the same closed-open interval [edges[b], edges[b+1]) (closed-
+    closed only while the range still ends at the global max) — a
+    floor((v-lo)/width) histogram paired with a >=/<= filter disagrees
+    near bucket edges by one ulp and silently shifts the selection."""
     import math
 
     def mm_part(b: pd.DataFrame) -> pd.DataFrame:
         v = b[col].to_numpy(dtype="float64")
+        v = v[np.isfinite(v)]
         return pd.DataFrame({"n": [np.int64(len(v))],
                              "lo": [v.min() if len(v) else np.inf],
                              "hi": [v.max() if len(v) else -np.inf]})
@@ -562,22 +611,29 @@ def exact_quantile(ds: rd.Dataset, col: str, qs: Sequence[float] = (0.5,),
     mm = ds.map_batches(mm_part, batch_format="pandas",
                         batch_size=262144).to_pandas()
     n = int(mm["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": list(qs),
+                             "value": [np.nan] * len(qs)})
     lo0, hi0 = float(mm["lo"].min()), float(mm["hi"].max())
     out_q, out_v = [], []
     for q in qs:
         k = max(int(math.ceil(q * n)), 1)  # 1-based target rank
-        lo, hi = lo0, hi0
+        lo, hi, closed = lo0, hi0, True
         rank = k
         for _ in range(max_rounds):
             if lo == hi:
                 break
+            edges = np.linspace(lo, hi, nbins + 1)
+            edges[0], edges[-1] = lo, hi
 
-            def hist_part(b: pd.DataFrame, lo_=lo, hi_=hi) -> pd.DataFrame:
+            def hist_part(b: pd.DataFrame, lo_=lo, hi_=hi,
+                          closed_=closed, edges_=edges) -> pd.DataFrame:
                 v = b[col].to_numpy(dtype="float64")
-                v = v[(v >= lo_) & (v <= hi_)]
-                width = (hi_ - lo_) / nbins
-                idx = np.minimum(((v - lo_) / width).astype(np.int64),
-                                 nbins - 1)
+                v = v[np.isfinite(v)]
+                v = v[(v >= lo_) & ((v <= hi_) if closed_ else (v < hi_))]
+                idx = np.clip(
+                    np.searchsorted(edges_, v, side="right") - 1,
+                    0, nbins - 1)
                 cnt = np.bincount(idx, minlength=nbins)
                 return pd.DataFrame({"b": np.arange(nbins, dtype=np.int64),
                                      "c": cnt.astype(np.int64)})
@@ -590,15 +646,18 @@ def exact_quantile(ds: rd.Dataset, col: str, qs: Sequence[float] = (0.5,),
             b = int(np.searchsorted(cum.to_numpy(), rank))
             in_bucket = int(h.iloc[b])
             rank = rank - (int(cum.iloc[b - 1]) if b > 0 else 0)
-            width = (hi - lo) / nbins
-            lo, hi = lo + b * width, (lo + (b + 1) * width
-                                      if b < nbins - 1 else hi)
+            lo, hi = float(edges[b]), float(edges[b + 1])
+            closed = closed and (b == nbins - 1)
             if in_bucket <= max_collect:
                 break
 
-        def collect_part(b: pd.DataFrame, lo_=lo, hi_=hi) -> pd.DataFrame:
+        def collect_part(b: pd.DataFrame, lo_=lo, hi_=hi,
+                         closed_=closed) -> pd.DataFrame:
             v = b[col].to_numpy(dtype="float64")
-            return pd.DataFrame({"v": v[(v >= lo_) & (v <= hi_)]})
+            v = v[np.isfinite(v)]
+            return pd.DataFrame({
+                "v": v[(v >= lo_)
+                       & ((v <= hi_) if closed_ else (v < hi_))]})
 
         vals = np.sort(ds.map_batches(
             collect_part, batch_format="pandas",

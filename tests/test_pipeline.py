@@ -561,6 +561,15 @@ def test_profile_table_nulls_and_distincts(ray_session):
     assert got.loc["b", "min_s"] == "1" and got.loc["b", "max_s"] == "4"
     assert got.loc["c", "n_null"] == 8 and got.loc["c", "n_distinct"] == 0
 
+    # sparse column: entirely null in SOME batches, not others — the
+    # driver reduce must skip the None partials, not crash on them
+    sparse = pd.DataFrame({"a": [None] * 40 + ["v"] + [None] * 40})
+    got2 = profile_table(rd.from_pandas(sparse).repartition(8), ["a"],
+                         num_partitions=2).set_index("column")
+    assert got2.loc["a", "n_null"] == 80
+    assert got2.loc["a", "n_distinct"] == 1
+    assert got2.loc["a", "min_s"] == "v" and got2.loc["a", "max_s"] == "v"
+
 
 def test_salted_join_skew_correctness(ray_session):
     """Hot-key salting: a planted key holding half the left side routes
@@ -627,6 +636,23 @@ def test_corr_pairs_known_values_and_layout_invariance(ray_session):
     assert byp[("x", "z")] == -1.0
     assert abs(byp[("x", "w")]) < 0.2
     pd.testing.assert_frame_equal(a, b)
+
+    # catastrophic-cancellation regime: huge mean, tiny variance — the
+    # centered two-pass formula must stay exact where raw moments lose
+    # every significant digit
+    big = pd.DataFrame({"p": 1e8 + x, "r": 1e8 + 2 * x, "s": x})
+    c = corr_pairs(rd.from_pandas(big).repartition(5),
+                   ["p", "r", "s"]).set_index(["col_a", "col_b"])["corr"]
+    assert c[("p", "r")] == 1.0 and c[("p", "s")] == 1.0
+
+    # NaN rows are dropped pairwise (SQL corr semantics), not poisoning
+    nan_df = pd.DataFrame({"x": x, "y": 2.0 * x, "z": x.copy()})
+    nan_df.loc[5, "z"] = np.nan
+    c2 = corr_pairs(rd.from_pandas(nan_df).repartition(3),
+                    ["x", "y", "z"]).set_index(["col_a", "col_b"])["corr"]
+    assert c2[("x", "y")] == 1.0
+    ref = np.corrcoef(np.delete(x, 5), np.delete(x.copy(), 5))[0, 1]
+    assert abs(c2[("x", "z")] - round(ref, 6)) <= 1e-6
 
 
 def test_exact_quantile_selection_edges(ray_session):

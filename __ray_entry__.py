@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": q.q_dedup_ngram,
         "dedup_clusters": q.q_dedup_clusters,
         "dedup_keep": q.q_dedup_keep,
+        "cluster_size_hist": q.q_cluster_size_hist,
         "dedup_embedding": q.q_dedup_embedding,
         "knn": q.q_knn,
         "knn_multi": q.q_knn_multi,
@@ -306,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
+        "hard_examples": q.q_hard_examples,
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
         "profile_table": q.q_profile_table,
@@ -420,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "dedup_clusters": q.SQL_DEDUP_CLUSTERS,
         "dedup_keep": q.SQL_DEDUP_KEEP,
+        "cluster_size_hist": q.SQL_CLUSTER_SIZE_HIST,
         "dedup_embedding": q.SQL_DEDUP_EMBEDDING,
         "knn": q.SQL_KNN,
         "knn_multi": q.SQL_KNN_MULTI,

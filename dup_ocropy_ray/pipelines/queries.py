@@ -773,6 +773,37 @@ FROM reach GROUP BY v ORDER BY doc_id
 """
 
 
+def q_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Dup-cluster size distribution (the dedup health diagnostic: a
+    fat tail means a boilerplate template is eating the corpus):
+    connected components -> per-cluster size -> count of clusters per
+    size. Sizes come off the labels Dataset with one metadata-scale
+    grouped_agg; the histogram rows on the driver are
+    distinct-sizes-sized."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.5)
+    labels = dedup.connected_components(pairs)
+    sizes = grouped_agg(labels, ["cluster_id"])
+    hist = (sizes.groupby("n", as_index=False).size()
+            .rename(columns={"n": "cluster_size", "size": "n_clusters"}))
+    return (pd.DataFrame({
+        "cluster_size": hist["cluster_size"].astype("int64"),
+        "n_clusters": hist["n_clusters"].astype("int64"),
+    }).sort_values("cluster_size").reset_index(drop=True))
+
+
+SQL_CLUSTER_SIZE_HIST = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT v AS doc_id, min(l) AS cluster_id
+FROM reach GROUP BY v ORDER BY doc_id""",
+    """, labels AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size::BIGINT AS cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")
+
+
 def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
     """The keep/drop decision a dedup pipeline ends with: per near-dup
     cluster keep the longest document (ties -> min doc_id); docs in no
@@ -3677,6 +3708,48 @@ SELECT rank::BIGINT AS rank, word, n,
          AS cum_permille
 FROM r WHERE rank < 100 ORDER BY rank
 """
+
+
+def q_hard_examples(sf_dir: str) -> pd.DataFrame:
+    """Active-learning hard-example mining: train the LR quality
+    classifier on the doc_id%5!=0 split, then surface the 20 held-out
+    docs the model is MOST wrong about (largest |label - prob|; ties
+    by doc_id) — the error-analysis / annotation-queue shape. Rows-only
+    (iterative training); probabilities ride the same broadcast
+    lr_score stage, ranking via per-block top-k."""
+    from .textstats import lr_features, lr_score, lr_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    feat = lr_features(ds)
+
+    def split(b: pd.DataFrame, keep_train: bool) -> pd.DataFrame:
+        m = (b["doc_id"] % 5 != 0)
+        return b[m if keep_train else ~m]
+
+    train = feat.map_batches(lambda b: split(b, True),
+                             batch_format="pandas")
+    test = feat.map_batches(lambda b: split(b, False),
+                            batch_format="pandas")
+    w = lr_train(train)
+    scored = lr_score(test, w)
+
+    def err(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "label": b["label"].astype("int64"),
+            "prob": np.round(b["prob"].to_numpy(), 6),
+            "abs_err": np.abs(b["label"].to_numpy(dtype="float64")
+                              - b["prob"].to_numpy()),
+        })
+        return out.sort_values(["abs_err", "doc_id"],
+                               ascending=[False, True]).head(20)
+
+    parts = scored.map_batches(err, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+    top = (parts.sort_values(["abs_err", "doc_id"],
+                             ascending=[False, True]).head(20)
+           .drop(columns=["abs_err"]))
+    return top.reset_index(drop=True)
 
 
 def q_rate_limit(sf_dir: str) -> pd.DataFrame:

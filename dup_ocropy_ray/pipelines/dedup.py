@@ -1442,6 +1442,7 @@ def run_dedup_with_checkpoint(
     os.makedirs(out_data_root, exist_ok=True)
     ran = ckpt.pending_fragments(out_data_root, nfrag)
     for frag in ran:
+        frag_t0 = _time.time()
         rows = _frag_rows(frag, None)
         rows_in = rows.count()
 
@@ -1459,8 +1460,12 @@ def run_dedup_with_checkpoint(
         out = rows.map_batches(survivors, batch_format="pandas",
                                batch_size=65536)
         n = _commit_dir(out, ckpt.fragment_dir(out_data_root, frag))
+        wall = _time.time() - frag_t0
         ckpt.commit_fragment(out_data_root, frag, {
-            "rows_in": int(rows_in), "rows_kept": int(n)})
+            "rows_in": int(rows_in), "rows_kept": int(n)}, metrics={
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows_in / wall, 3) if wall > 0 else None,
+        })
     return {
         "fragments_run": ran,
         "counters": ckpt.aggregate_counters(out_data_root),

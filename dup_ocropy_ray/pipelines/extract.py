@@ -16,6 +16,8 @@ dropped and ``extract_stage`` consumes the raw HTML column directly.
 
 from __future__ import annotations
 
+import time as _time
+
 import pandas as pd
 
 import ray.data as rd
@@ -262,6 +264,7 @@ def run_extract_with_checkpoint(
                                                out_root=out_root)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
+        frag_t0 = _time.time()
         docs = frag_reader(frag)
         out = extract_interleaved(docs, batch_size=batch_size)
         frag_dir = ckpt.fragment_dir(out_root, frag)
@@ -283,10 +286,14 @@ def run_extract_with_checkpoint(
                         n_text += 1
                     elif s["kind"] == "media":
                         n_media += 1
+        wall = _time.time() - frag_t0
         ckpt.commit_fragment(out_root, frag, {
             "docs": n_docs,
             "text_spans": n_text,
             "media_spans": n_media,
+        }, metrics={
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 3) if wall > 0 else None,
         })
     return {
         "fragments_run": pending,

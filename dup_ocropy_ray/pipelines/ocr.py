@@ -21,6 +21,7 @@ explosion itself plus block repartitioning before the actor pool.
 from __future__ import annotations
 
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -460,6 +461,7 @@ def run_ocr_with_checkpoint(
                                                out_root=out_root)
     pending = ckpt.pending_fragments(out_root, num_fragments)
     for frag in pending:
+        frag_t0 = time.time()
         docs = frag_reader(frag)
         out = ocr_pipeline(docs, media_ref, model_path=model_path, **pipeline_kw)
         frag_dir = ckpt.fragment_dir(out_root, frag)
@@ -472,13 +474,25 @@ def run_ocr_with_checkpoint(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         result = out.materialize()
         result.write_parquet(tmp_dir)
+        # a fragment with zero docs writes no files at all — commit an
+        # empty directory so the manifest/rename contract still holds
+        os.makedirs(tmp_dir, exist_ok=True)
         if os.path.exists(frag_dir):
             shutil.rmtree(frag_dir)
         os.replace(tmp_dir, frag_dir)
-        tbl = pa.concat_tables(
-            [pq.read_table(os.path.join(frag_dir, f)) for f in os.listdir(frag_dir)
-             if f.endswith(".parquet")]
-        )
+        parts_files = [f for f in os.listdir(frag_dir)
+                       if f.endswith(".parquet")]
+        tbl = (pa.concat_tables([pq.read_table(os.path.join(frag_dir, f))
+                                 for f in parts_files])
+               if parts_files else None)
+        if tbl is None:
+            counters = {"docs": 0, "pages": 0, "lines_segmented": 0,
+                        "skipped_pages": 0, "chars_decoded": 0,
+                        "low_confidence_lines": 0}
+            wall = time.time() - frag_t0
+            ckpt.commit_fragment(out_root, frag, counters, metrics={
+                "wall_sec": round(wall, 3), "pages_per_sec": None})
+            continue
         counters = {
             "docs": tbl.num_rows,
             "pages": int(pa.compute.sum(tbl.column("n_pages")).as_py() or 0),
@@ -493,7 +507,12 @@ def run_ocr_with_checkpoint(
                 pa.compute.sum(tbl.column("low_confidence_lines")).as_py() or 0
             ),
         }
-        ckpt.commit_fragment(out_root, frag, counters)
+        wall = time.time() - frag_t0
+        ckpt.commit_fragment(out_root, frag, counters, metrics={
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(counters["pages"] / wall, 3)
+            if wall > 0 else None,
+        })
     return {
         "fragments_run": pending,
         "counters": ckpt.aggregate_counters(out_root),

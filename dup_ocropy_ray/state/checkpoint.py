@@ -48,8 +48,12 @@ def pending_fragments(root: str, num_fragments: int) -> list[int]:
     return [k for k in range(num_fragments) if k not in done]
 
 
-def commit_fragment(root: str, frag: int, counters: dict) -> None:
-    """Write the lineage/counter manifest atomically (tmp + rename)."""
+def commit_fragment(root: str, frag: int, counters: dict,
+                    metrics: dict | None = None) -> None:
+    """Write the lineage/counter manifest atomically (tmp + rename).
+    ``metrics`` carries per-fragment throughput (wall seconds,
+    rows/sec) alongside the lineage counters — the per-partition
+    metrics record the north rule requires."""
     d = manifest_dir(root)
     os.makedirs(d, exist_ok=True)
     rec = {
@@ -60,6 +64,7 @@ def commit_fragment(root: str, frag: int, counters: dict) -> None:
             "output": fragment_dir(root, frag),
         },
         "counters": counters,
+        "metrics": metrics or {},
     }
     tmp = os.path.join(d, f"{frag:05d}.json.tmp")
     with open(tmp, "w") as f:

@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
         "hard_examples": q.q_hard_examples,
+        "span_corruption": q.q_span_corruption,
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
         "profile_table": q.q_profile_table,

@@ -766,3 +766,116 @@ def web_curate(docs: rd.Dataset) -> pd.DataFrame:
         "n_kept": out["n_kept"].fillna(0).astype("int64"),
         "kept_chars": out["sum_n_chars"].fillna(0).astype("int64"),
     }).sort_values("source").reset_index(drop=True)
+
+
+def span_corruption(docs: rd.Dataset, chunk: int = 20, span: int = 3
+                    ) -> rd.Dataset:
+    """T5-style span corruption (Raffel 2020 §3.1.4 shape): per doc,
+    deterministic token spans are replaced by numbered sentinels in the
+    encoder input and emitted after the matching sentinel in the
+    decoder target. LOSSLESS: interleaving input and target around the
+    sentinels reconstructs the original token stream exactly (pinned by
+    the round-trip test).
+
+    Span placement is the vectorizable chunk scheme: the token stream
+    splits into fixed ``chunk``-token windows and each window masks one
+    ``span``-token run at offset hash(doc_id, window) % (chunk - span)
+    — non-overlapping by construction, mask rate span/chunk (15% at
+    3/20), no per-doc sequential sampling. The whole batch is flattened
+    once (token, doc-index, position) and masked with pure numpy; only
+    the final string assembly is a groupby join. Sentinels are
+    ``<extra_id_K>`` numbered per doc in order."""
+    from ..functions import hashing
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.map(len).to_numpy(np.int64)
+        n = len(b)
+        didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        words = (np.concatenate([np.asarray(t, dtype=object)
+                                 for t in toks if len(t)])
+                 if lens.sum() else np.array([], dtype=object))
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:]) if n > 1 else None
+        pos = np.arange(len(words), dtype=np.int64) - starts[didx]
+        win = pos // chunk
+        within = pos - win * chunk
+        # a window shorter than chunk at the doc tail masks nothing
+        # unless a full span fits from its hashed offset
+        doc_ids = b["doc_id"].to_numpy()
+        key = np.char.add(np.char.add(doc_ids[didx].astype("U"), "\x1f"),
+                          win.astype("U"))
+        h = hashing.hash_strings(key.astype(object))
+        off = (h % np.uint64(chunk - span)).astype(np.int64)
+        masked = (within >= off) & (within < off + span)
+        # last (partial) window: only mask if the span fits entirely
+        win_len = np.minimum(lens[didx] - win * chunk, chunk)
+        masked &= (off + span) <= win_len
+        sent_first = masked & (within == off)
+
+        # per-doc sentinel numbering without a doc loop: global cumsum
+        # minus each doc's starting offset
+        c = np.cumsum(sent_first)
+        doc_base = np.zeros(n, dtype=np.int64)
+        if len(c):
+            doc_base = c[starts] - sent_first[starts]
+        sid = c - (doc_base[didx] if len(c) else 0) - 1
+        sent_str = np.array([], dtype=object)
+        if sent_first.any():
+            sent_str = np.array(
+                [f"<extra_id_{k}>" for k in sid[sent_first]], dtype=object)
+
+        # encoder input: unmasked tokens, span starts swapped for their
+        # sentinel (pure index ops + one groupby join)
+        tok_in = words.copy()
+        tok_in[sent_first] = sent_str
+        keep = ~masked | sent_first
+        inp = (pd.Series(tok_in[keep])
+               .groupby(didx[keep]).agg(" ".join))
+
+        # decoder target: sentinel entries (sort key 2*pos) interleaved
+        # with masked words (2*pos + 1), one stable sort + join
+        t_doc = np.concatenate([didx[sent_first], didx[masked]])
+        t_key = np.concatenate([2 * pos[sent_first],
+                                2 * pos[masked] + 1])
+        t_tok = np.concatenate([sent_str, words[masked]])
+        order = np.lexsort((t_key, t_doc))
+        tgt = (pd.Series(t_tok[order])
+               .groupby(t_doc[order]).agg(" ".join))
+
+        all_docs = pd.RangeIndex(n)
+        n_spans = np.bincount(didx[sent_first], minlength=n) \
+            if len(didx) else np.zeros(n, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "input_text": inp.reindex(all_docs, fill_value="").to_numpy(),
+            "target_text": tgt.reindex(all_docs, fill_value="").to_numpy(),
+            "n_spans": n_spans.astype("int64"),
+        })
+
+    return docs.map_batches(f, batch_format="pandas", batch_size=8192)
+
+
+def span_corruption_restore(input_text: str, target_text: str) -> str:
+    """Inverse of span_corruption for one example: splice each
+    sentinel's target tokens back into the input (the round-trip
+    invariant's other half)."""
+    import re
+
+    spans = {}
+    cur = None
+    for tok in target_text.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            cur = int(m.group(1))
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    out = []
+    for tok in input_text.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            out.extend(spans.get(int(m.group(1)), []))
+        else:
+            out.append(tok)
+    return " ".join(out)

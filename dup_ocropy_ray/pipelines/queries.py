@@ -3710,6 +3710,18 @@ FROM r WHERE rank < 100 ORDER BY rank
 """
 
 
+def q_span_corruption(sf_dir: str) -> pd.DataFrame:
+    """T5-style span corruption over the documents table (rows-only:
+    the span-placement hash isn't SQL-reproducible; the LOSSLESS
+    restore round-trip and the block-layout invariance are pinned in
+    tests/test_curate.py)."""
+    from .curate import span_corruption
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = span_corruption(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hard_examples(sf_dir: str) -> pd.DataFrame:
     """Active-learning hard-example mining: train the LR quality
     classifier on the doc_id%5!=0 split, then surface the 20 held-out

@@ -756,3 +756,43 @@ def test_knn_lsh_recall_and_exact_fallback(ray_session):
     sharp = knn_lsh(ds, q, k=10, nbits=56, ntables=1)
     assert list(sharp.columns) == ["vec_id", "cos_sim"]
     assert len(sharp) <= 10
+
+
+def test_span_corruption_roundtrip_and_rate(ray_session):
+    """Lossless invariant: restoring targets into inputs reproduces the
+    original token stream for every doc (incl. empty, sub-chunk, and
+    exact-chunk-multiple lengths); mask rate tracks span/chunk; the
+    layout must not depend on block structure."""
+    from dup_ocropy_ray.pipelines.curate import (
+        span_corruption, span_corruption_restore)
+
+    rng = np.random.default_rng(19)
+    texts = ["", "a b", "w " * 19, "x " * 20, "y " * 41] + [
+        " ".join(f"t{j}" for j in range(int(rng.integers(5, 200))))
+        for _ in range(40)
+    ]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    }))
+    out1 = (span_corruption(docs.repartition(1)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    out5 = (span_corruption(docs.repartition(5)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out5)
+
+    masked_tot = orig_tot = 0
+    for _, r in out1.iterrows():
+        orig = " ".join(texts[int(r["doc_id"])].split())
+        assert span_corruption_restore(
+            r["input_text"], r["target_text"]) == orig, r["doc_id"]
+        n_t = len(orig.split())
+        n_masked = len(r["target_text"].split()) - r["n_spans"]
+        masked_tot += n_masked
+        orig_tot += n_t
+        # sentinels numbered 0..n_spans-1 in order
+        import re
+        sids = [int(m) for m in re.findall(r"<extra_id_(\d+)>",
+                                           r["input_text"])]
+        assert sids == list(range(r["n_spans"]))
+    assert 0.10 <= masked_tot / orig_tot <= 0.16   # ~3/20 by design

@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_stats": q.q_winsorize_stats,
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
+        "rolling_distinct": q.q_rolling_distinct,
         "retention": q.q_retention,
         "corr_matrix": q.q_corr_matrix,
         "exact_quantiles": q.q_exact_quantiles,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
+        "rolling_distinct": q.SQL_ROLLING_DISTINCT,
         "retention": q.SQL_RETENTION,
         "corr_matrix": q.SQL_CORR_MATRIX,
         "exact_quantiles": q.SQL_EXACT_QUANTILES,

@@ -3790,6 +3790,30 @@ ORDER BY event_id
 """
 
 
+def q_rolling_distinct(sf_dir: str) -> pd.DataFrame:
+    """Sliding 3-hour distinct active users per hour bucket
+    (windows.rolling_distinct: per-batch (hour, user) pre-dedup,
+    replicate each pair to the windows it serves, one window-hash
+    shuffle + in-partition dedup — distincts don't sum, so per-hour
+    counts can't compose into this)."""
+    from .windows import rolling_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_distinct(ev, window_hours=3)
+
+
+SQL_ROLLING_DISTINCT = """
+WITH p AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+), r AS (
+  SELECT h + d.d * INTERVAL 1 HOUR AS w, user_id
+  FROM p, (VALUES (0), (1), (2)) d(d)
+)
+SELECT w AS hour, count(DISTINCT user_id) AS n_keys
+FROM r GROUP BY w ORDER BY w
+"""
+
+
 def q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered view -> click -> purchase funnel with a 24h per-step
     window (earliest-completion semantics): users reaching each step

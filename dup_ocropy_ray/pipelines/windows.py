@@ -743,3 +743,59 @@ def retention_days(
                              "n_users": pd.Series(dtype="int64")})
     return (parts.groupby("day_offset", as_index=False)["n_users"].sum()
             .sort_values("day_offset").reset_index(drop=True))
+
+
+def rolling_distinct(
+    events: rd.Dataset,
+    window_hours: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT: for every hour bucket h, the
+    number of distinct keys active in (h - window + 1 .. h] — the
+    rolling-active-users shape an exact distinct can't get from
+    per-hour counts (distincts don't sum). Returns (hour, n_keys) for
+    every hour with at least one active window member.
+
+    Scale shape: each batch pre-dedups to its (hour, key) pairs, then
+    REPLICATES each pair to the ``window_hours`` windows it serves —
+    shuffle traffic is window x per-batch-distinct pairs, never raw
+    events. One (window-hour)-hash shuffle co-locates each window; a
+    partition dedups (window, key) across batches and counts. The
+    replicate-then-dedup trade is the standard exact sliding-distinct
+    plan; for big windows switch to per-hour HLL sketches (mergeable,
+    sketches.py) and pay the approximation instead."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        hour = (b[ts_col].to_numpy().astype("datetime64[h]")
+                .astype(np.int64))
+        pairs = pd.DataFrame({"h": hour,
+                              "k": b[key_col].to_numpy()}).drop_duplicates()
+        reps = []
+        for d in range(window_hours):
+            w = pairs.copy()
+            w["w"] = w["h"] + d
+            reps.append(w[["w", "k"]])
+        out = pd.concat(reps, ignore_index=True).drop_duplicates()
+        out["_part"] = (out["w"].to_numpy(dtype="uint64")
+                        % np.uint64(num_partitions)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["w", "k"])
+        c = d.groupby("w", sort=False).size().reset_index(name="n_keys")
+        return c
+
+    parts = (events.map_batches(tag, batch_format="pandas",
+                                batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    if "w" not in parts.columns:
+        return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                             "n_keys": pd.Series(dtype="int64")})
+    out = parts.groupby("w", as_index=False)["n_keys"].sum()
+    return (pd.DataFrame({
+        "hour": out["w"].to_numpy("datetime64[h]").astype("datetime64[us]"),
+        "n_keys": out["n_keys"].astype("int64"),
+    }).sort_values("hour").reset_index(drop=True))

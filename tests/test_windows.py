@@ -646,3 +646,26 @@ def test_retention_days_offsets(ray_session):
                          num_partitions=4)
     got = dict(zip(out["day_offset"], out["n_users"]))
     assert got == {0: 3, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+
+def test_rolling_distinct_window_membership(ray_session):
+    """Hand-built: a user active only at hour H serves windows H, H+1,
+    H+2; repeats within an hour count once; disjoint users add."""
+    from dup_ocropy_ray.pipelines.windows import rolling_distinct
+
+    H = pd.Timestamp("2024-07-01 10:00:00")
+    hr = pd.Timedelta(hours=1)
+    rows = [
+        (1, H), (1, H + pd.Timedelta(minutes=30)),   # u1 hour 10 twice
+        (2, H + 2 * hr),                             # u2 hour 12
+        (3, H + 5 * hr),                             # u3 hour 15
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = rolling_distinct(rd.from_pandas(df).repartition(2),
+                           window_hours=3, num_partitions=4)
+    got = {pd.Timestamp(h).hour: n for h, n in
+           zip(out["hour"], out["n_keys"])}
+    # windows: 10,11 -> {u1}; 12 -> {u1,u2}; 13,14 -> {u2};
+    # 15,16,17 -> {u3}
+    assert got == {10: 1, 11: 1, 12: 2, 13: 1, 14: 1,
+                   15: 1, 16: 1, 17: 1}

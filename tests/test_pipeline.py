@@ -683,3 +683,29 @@ def test_exact_quantile_selection_edges(ray_session):
                              nbins=64, max_collect=4)
         for q, val in zip(got["q"], got["value"]):
             assert val == ref(v, q), (q, val, ref(v, q))
+
+
+def test_worker_death_task_retry(ray_session, tmp_path):
+    """Fault tolerance the 100TB design leans on: a map_batches task
+    whose worker DIES mid-batch (os._exit — simulating OOM-kill /
+    preemption) is retried transparently by Ray and the pipeline
+    completes with a complete, correct result."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    flag = str(tmp_path / "kill_once")
+
+    def f(b: pd.DataFrame, _flag=flag) -> pd.DataFrame:
+        if b["x"].iloc[0] == 0 and not os.path.exists(_flag):
+            with open(_flag, "w") as fh:
+                fh.write("died")
+            os._exit(1)
+        return pd.DataFrame({"y": b["x"] * 2})
+
+    ds = rd.from_pandas(pd.DataFrame({"x": np.arange(100)})).repartition(4)
+    out = ds.map_batches(f, batch_format="pandas", batch_size=25).to_pandas()
+    assert os.path.exists(flag), "the crash never happened"
+    assert len(out) == 100 and out["y"].sum() == 2 * sum(range(100))

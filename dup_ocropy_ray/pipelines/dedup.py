@@ -23,6 +23,8 @@ Scale notes (each documented against its shuffle):
 
 from __future__ import annotations
 
+import time as _time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -63,6 +63,32 @@ def entry() -> Any:
     return ocr_pipeline(docs, media_ref, recognizer_concurrency=(1, 2))
 
 
+def _graph_sql(which: str) -> str:
+    from dup_ocropy_ray.pipelines import graph
+
+    return {"pagerank": graph.sql_pagerank,
+            "indegree_hist": graph.sql_indegree_hist,
+            "triangle_count": graph.sql_triangle_count}[which]()
+
+
+def _pagerank(sf_dir: str):
+    from dup_ocropy_ray.pipelines import graph
+
+    return graph.pagerank_topk(sf_dir)
+
+
+def _indegree_hist(sf_dir: str):
+    from dup_ocropy_ray.pipelines import graph
+
+    return graph.indegree_hist(sf_dir)
+
+
+def _triangle_count(sf_dir: str):
+    from dup_ocropy_ray.pipelines import graph
+
+    return graph.triangle_count(sf_dir)
+
+
 def _ocr_spans(sf_dir: str):
     """OCR end-to-end as a query: reassembled spans flattened to rows
     (doc_id, offset, kind, text, media_ref) — the span-sequence the
@@ -366,6 +392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_outliers": q.q_event_outliers,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
+        "pagerank": _pagerank,
+        "indegree_hist": _indegree_hist,
+        "triangle_count": _triangle_count,
+        "events_pivot": q.q_events_pivot,
+        "price_histogram": q.q_price_histogram,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -511,6 +542,11 @@ def oracle_sql() -> dict[str, str]:
         "event_outliers": q.SQL_EVENT_OUTLIERS,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
+        "pagerank": _graph_sql("pagerank"),
+        "indegree_hist": _graph_sql("indegree_hist"),
+        "triangle_count": _graph_sql("triangle_count"),
+        "events_pivot": q.SQL_EVENTS_PIVOT,
+        "price_histogram": q.SQL_PRICE_HISTOGRAM,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

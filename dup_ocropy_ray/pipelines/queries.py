@@ -4852,3 +4852,69 @@ SELECT doc_id,
 FROM ranked WHERE rn = 1
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Hourly event-type pivot (the classic wide-table report): one row
+    per hour, one count column per event type. The exchange is the
+    same pre-aggregated (hour, type) partial combine as events_hourly;
+    the pivot itself runs on the bounded hour x type result."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b.event_type,
+                             "hour": b.ts.dt.floor("h")})
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["hour", "event_type"], counts=True)
+    wide = (g.pivot_table(index="hour", columns="event_type", values="n",
+                          aggfunc="sum", fill_value=0)
+            .reset_index())
+    out = pd.DataFrame({"hour": wide["hour"]})
+    for t in ("click", "error", "purchase", "signup", "view"):
+        out[f"n_{t}"] = (wide[t].astype("int64") if t in wide.columns
+                         else np.zeros(len(wide), dtype=np.int64))
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of line-item price (bin = $5000): per-batch
+    partial bin counts, tiny final combine — the distributed histogram
+    primitive every profiling pass needs. Bin edges are exact IEEE
+    floor(x / 5000) on both sides, so the oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bin": np.floor(
+                b.l_extendedprice.to_numpy(np.float64) / 5000.0
+            ).astype(np.int64),
+            "l_quantity": b.l_quantity,
+        })
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    g = grouped_agg(ds, ["bin"], sums=["l_quantity"])
+    return pd.DataFrame({
+        "bin": g["bin"].astype("int64"),
+        "n": g.n.astype("int64"),
+        "sum_qty": np.round(g.sum_l_quantity, 3),
+    }).sort_values("bin").reset_index(drop=True)
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       count(*)::BIGINT AS n,
+       round(sum(l_quantity), 3) AS sum_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""

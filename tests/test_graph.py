@@ -1,0 +1,122 @@
+"""Link-graph analytics (pipelines/graph.py): integer-exact PageRank,
+degree distribution, triangle counting — invariants checked against
+closed forms and a brute-force reference on the deterministic graph."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_docs():
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
+
+def test_out_links_deterministic_and_in_range():
+    from dup_ocropy_ray.pipelines.graph import out_links
+
+    src = np.arange(1000, dtype=np.int64)
+    a = out_links(src, 1000, 4)
+    b = out_links(src, 1000, 4)
+    assert a.shape == (1000, 4)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < 1000
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Closed form for the total scaled rank: every node has out-degree
+    exactly k, so S_{t+1} = N * inj_t + 17 * k * S_t with S_0 = N —
+    a whole-pipeline invariant independent of the graph's wiring."""
+    from dup_ocropy_ray.pipelines import queries as q
+    from dup_ocropy_ray.pipelines.graph import pagerank
+
+    k, iters = 4, 5
+    nodes = q._read(SF, "documents", ["doc_id"])
+    n = nodes.count()
+    ranks = pagerank(nodes, n, k=k, iters=iters).to_pandas()
+    assert len(ranks) == n
+    s = n
+    for t in range(iters):
+        s = n * (3 * 20**t * k ** (t + 1)) + 17 * k * s
+    assert int(ranks["r"].sum()) == s
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    from dup_ocropy_ray.pipelines import queries as q
+    from dup_ocropy_ray.pipelines.graph import out_links, pagerank
+
+    k, iters = 4, 3
+    nodes = q._read(SF, "documents", ["doc_id"])
+    n = nodes.count()
+    ranks = (pagerank(nodes, n, k=k, iters=iters).to_pandas()
+             .sort_values("id").reset_index(drop=True))
+
+    r = np.ones(n, dtype=np.int64)
+    dst = out_links(np.arange(n, dtype=np.int64), n, k)
+    for t in range(iters):
+        nxt = np.full(n, 3 * 20**t * k ** (t + 1), dtype=np.int64)
+        np.add.at(nxt, dst.ravel(), np.repeat(17 * r, k))
+        r = nxt
+    assert np.array_equal(ranks["r"].to_numpy(), r)
+    assert np.array_equal(ranks["id"].to_numpy(), np.arange(n))
+
+
+def test_indegree_hist_totals(ray_session):
+    from dup_ocropy_ray.pipelines.graph import indegree_hist
+
+    k = 4
+    n = _n_docs()
+    h = indegree_hist(SF, k=k)
+    assert int(h["n_nodes"].sum()) == n
+    assert int((h["indeg"] * h["n_nodes"]).sum()) == n * k
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from dup_ocropy_ray.pipelines.graph import out_links, triangle_count
+
+    k = 4
+    n = _n_docs()
+    got = int(triangle_count(SF, k=k)["n_triangles"].iloc[0])
+
+    dst = out_links(np.arange(n, dtype=np.int64), n, k)
+    pairs = set()
+    for s in range(n):
+        for d in dst[s]:
+            if s != d:
+                pairs.add((min(s, int(d)), max(s, int(d))))
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+    want = 0
+    for u, vs in adj.items():
+        vs = sorted(vs)
+        for i, v in enumerate(vs):
+            want += len(adj.get(v, set()) & set(vs[i + 1:]))
+    assert got == want
+
+
+def test_events_pivot_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.queries import q_events_pivot
+
+    out = q_events_pivot(SF)
+    ncols = [c for c in out.columns if c.startswith("n_")]
+    total = int(out[ncols].to_numpy().sum())
+    assert total == pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert out["hour"].is_monotonic_increasing
+
+
+def test_price_histogram_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines.queries import q_price_histogram
+
+    out = q_price_histogram(SF)
+    assert int(out["n"].sum()) == pq.read_metadata(
+        f"{SF}/lineitem.parquet").num_rows
+    assert out["bin"].is_monotonic_increasing
+    assert (out["bin"] >= 0).all()

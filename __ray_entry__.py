@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_outliers": q.q_event_outliers,
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
+        "boilerplate_strip": q.q_boilerplate_strip,
         "pagerank": _pagerank,
         "indegree_hist": _indegree_hist,
         "triangle_count": _triangle_count,
@@ -542,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "event_outliers": q.SQL_EVENT_OUTLIERS,
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
+        "boilerplate_strip": q.SQL_BOILERPLATE_STRIP,
         "pagerank": _graph_sql("pagerank"),
         "indegree_hist": _graph_sql("indegree_hist"),
         "triangle_count": _graph_sql("triangle_count"),

@@ -373,3 +373,160 @@ def extract_tables_stage(b: pd.DataFrame) -> pd.DataFrame:
 def extract_tables_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
     return wrap_docs(ds, batch_size).map_batches(
         extract_tables_stage, batch_format="pandas", batch_size=batch_size)
+
+
+def boilerplate_strip(
+    ds: rd.Dataset,
+    k: int = 4,
+    frac: float = 0.5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    site_col: str = "source",
+) -> rd.Dataset:
+    """Per-site boilerplate removal (the trafilatura/boilerpipe
+    frequency heuristic at corpus scale): a paragraph that appears in
+    ``>= max(min_docs, ceil(frac * site_docs))`` of a site's documents
+    is site template (nav bars, footers, cookie banners) and is
+    stripped from every document of that site. Complements
+    dedup.paragraph_dedup (corpus-global, keep-one) — boilerplate is
+    dropped from ALL copies, and the frequency is judged per site, so
+    a phrase common on one site but organic on another is only removed
+    where it is template. The synthetic corpus has no paragraph breaks,
+    so a "paragraph" is a run of ``k`` whitespace tokens (same chunk
+    convention as paragraph_dedup / the jusText twin).
+
+    Scale shape (100 TB): two corpus scans (the strip_dup_spans /
+    checkpointed-dedup phase pattern). Scan 1 explodes to per-(site,
+    paragraph, doc) rows pre-deduped in-batch, then ONE hash shuffle of
+    those partials counts document frequency; site doc totals ride the
+    same exploded stream and only the site -> threshold map (site-
+    cardinality, i.e. metadata-scale) is ray.put-broadcast. The
+    boilerplate key table is (site, para)-scale — NOT broadcast:
+    scan 2 anti-bucket_joins the paragraph
+    stream against it on a packed 64-bit (site, para) hash, and
+    survivors reassemble per document on a doc-hash shuffle. Nothing
+    lands on the driver; 64-bit hash-only matching (collision odds
+    documented in strip_dup_spans apply).
+
+    Returns (id_col, clean_text, n_kept, n_para); documents whose every
+    paragraph is template disappear (as do token-less documents).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import hashing
+    from ..tuning import suggested_partitions
+    from .relational import bucket_join
+
+    nparts = suggested_partitions()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        sites = batch[site_col].to_numpy(dtype=object)
+        texts = batch[text_col].to_numpy(dtype=object)
+        out_id, out_site, out_ord, out_para, out_np = [], [], [], [], []
+        for i, t in enumerate(texts):
+            words = (t if isinstance(t, str) else "").split()
+            if not words:
+                continue
+            npara = -(-len(words) // k)
+            out_para.extend(" ".join(words[j * k:(j + 1) * k])
+                            for j in range(npara))
+            out_id.append(np.full(npara, ids[i]))
+            out_site.extend([sites[i]] * npara)
+            out_ord.append(np.arange(npara, dtype=np.int64))
+            out_np.append(np.full(npara, npara, dtype=np.int64))
+        if not out_para:
+            return pd.DataFrame({id_col: np.array([], dtype=ids.dtype),
+                                 site_col: np.array([], dtype=object),
+                                 "ord": np.array([], dtype=np.int64),
+                                 "para": np.array([], dtype=object),
+                                 "n_para": np.array([], dtype=np.int64),
+                                 "sp": np.array([], dtype=np.uint64)})
+        para = np.asarray(out_para, dtype=object)
+        site = np.asarray(out_site, dtype=object)
+        sp = hashing.hash_strings(site + "\x1f" + para)
+        return pd.DataFrame({id_col: np.concatenate(out_id),
+                             site_col: site,
+                             "ord": np.concatenate(out_ord),
+                             "para": para,
+                             "n_para": np.concatenate(out_np),
+                             "sp": sp})
+
+    # ---- scan 1: document frequency per (site, paragraph) ----
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # explode batches hold whole documents, so in-batch distinct
+        # (sp, doc) is globally distinct — the shuffle moves partials
+        d = batch.drop_duplicates(["sp", id_col])
+        g = (d.groupby(["sp", site_col], as_index=False, sort=False)
+             .size().rename(columns={"size": "c"}))
+        g["_part"] = (g["sp"].to_numpy(np.uint64)
+                      % np.uint64(nparts)).astype(np.int64)
+        return g
+
+    exploded = ds.map_batches(explode, batch_format="pandas",
+                              batch_size=8192)
+    counts = (exploded.map_batches(df_partial, batch_format="pandas",
+                                   batch_size=65536)
+              .groupby("_part").map_groups(
+                  lambda g: g.groupby(["sp", site_col], as_index=False,
+                                      sort=False)["c"].sum(),
+                  batch_format="pandas"))
+
+    # site doc totals from the same exploded stream (one row per doc):
+    # bounded by site count here; at web scale flip distributed=True —
+    # it is the identical partial-combine exchange
+    from .relational import grouped_agg
+
+    site_first = exploded.map_batches(
+        lambda b: b[b["ord"] == 0][[site_col]],
+        batch_format="pandas", batch_size=65536)
+    site_totals = grouped_agg(site_first, [site_col], counts=True)
+    thresh = {
+        s: max(min_docs, int(np.ceil(frac * nd)))
+        for s, nd in zip(site_totals[site_col], site_totals["n"])
+    }
+    import ray as _ray
+
+    thresh_ref = _ray.put(thresh)
+
+    def bp_filter(b: pd.DataFrame) -> pd.DataFrame:
+        th = b[site_col].map(_ray.get(thresh_ref)).to_numpy()
+        return b[b["c"].to_numpy() >= th][["sp"]]
+
+    bp = counts.map_batches(bp_filter, batch_format="pandas",
+                            batch_size=65536)
+
+    # ---- scan 2: anti-join the paragraph stream, reassemble docs ----
+    paras = ds.map_batches(explode, batch_format="pandas",
+                           batch_size=8192)
+    para_schema = pa.schema([
+        (id_col, pa.int64()), (site_col, pa.string()),
+        ("ord", pa.int64()), ("para", pa.string()),
+        ("n_para", pa.int64()), ("sp", pa.uint64())])
+    bp_schema = pa.schema([("sp", pa.uint64())])
+    kept = bucket_join(paras, bp, "sp", "sp", how="anti",
+                       left_schema=para_schema, right_schema=bp_schema)
+
+    def tag_doc(b: pd.DataFrame) -> pd.DataFrame:
+        dh = hashing.hash_strings(b[id_col].astype(str)
+                                  .to_numpy(dtype=object))
+        b = b.copy()
+        b["_dpart"] = (dh % np.uint64(nparts)).astype(np.int64)
+        return b
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "ord"])
+        agg = g.groupby(id_col, sort=False).agg(
+            clean_text=("para", " ".join),
+            n_kept=("para", "size"),
+            n_para=("n_para", "first"),
+        ).reset_index()
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        return agg
+
+    return (kept.map_batches(tag_doc, batch_format="pandas",
+                             batch_size=65536)
+            .groupby("_dpart").map_groups(reassemble,
+                                          batch_format="pandas"))

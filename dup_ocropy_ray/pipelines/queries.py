@@ -4918,3 +4918,59 @@ SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
        round(sum(l_quantity), 3) AS sum_qty
 FROM lineitem GROUP BY 1 ORDER BY 1
 """
+
+
+def q_boilerplate_strip(sf_dir: str) -> pd.DataFrame:
+    """Per-site boilerplate-paragraph strip (extract.boilerplate_strip):
+    paragraphs appearing in >= max(2, ceil(0.5 * site_docs)) of a
+    site's docs are template and removed from every copy."""
+    from .extract import boilerplate_strip
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = boilerplate_strip(ds, k=4).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "clean_text": out.clean_text.astype(object),
+        "n_kept": out.n_kept.astype("int64"),
+        "n_para": out.n_para.astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BOILERPLATE_STRIP = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, unnest(words) AS w,
+         unnest(range(1, len(words) + 1)) AS ord
+  FROM base
+), para AS (
+  SELECT doc_id, source, (ord - 1) // 4 AS g,
+         string_agg(w, ' ' ORDER BY ord) AS p
+  FROM tok GROUP BY doc_id, source, (ord - 1) // 4
+), site_nd AS (
+  SELECT source, count(DISTINCT doc_id) AS nd FROM para GROUP BY source
+), bp AS (
+  SELECT c.source, c.p
+  FROM (SELECT source, p, count(DISTINCT doc_id) AS c
+        FROM para GROUP BY source, p) c
+  JOIN site_nd d ON c.source = d.source
+  WHERE c.c >= greatest(2, CAST(ceil(0.5 * d.nd) AS BIGINT))
+), kept AS (
+  SELECT pa.doc_id, pa.g, pa.p,
+         count(*) OVER (PARTITION BY pa.doc_id) AS n_kept0
+  FROM para pa ANTI JOIN bp
+    ON pa.source = bp.source AND pa.p = bp.p
+), npara AS (
+  SELECT doc_id, count(*) AS n_para FROM para GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.p, ' ' ORDER BY k.g) AS clean_text,
+       count(*)::BIGINT AS n_kept,
+       any_value(n.n_para)::BIGINT AS n_para
+FROM kept k JOIN npara n ON k.doc_id = n.doc_id
+GROUP BY k.doc_id ORDER BY k.doc_id
+"""

@@ -417,3 +417,34 @@ def test_extract_tables_nested_reported_once():
     assert len(tables) == 1
     flat = [c for rows in tables for r in rows for c in r]
     assert any("inner" in c for c in flat) and any("outer" in c for c in flat)
+
+
+def test_boilerplate_strip_per_site(ray_session):
+    """Planted template: the shared footer is stripped from every doc
+    of site A (3/4 docs >= ceil(0.5*4)=2), the same words on site B
+    (1 doc) survive, and unique body text is untouched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.extract import boilerplate_strip
+
+    footer = "subscribe to our newsletter"   # k=4 -> one paragraph
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["a", "a", "a", "a", "b"],
+        "text": [f"alpha beta gamma delta {footer}",
+                 f"epsilon zeta eta theta {footer}",
+                 f"iota kappa lambda mu {footer}",
+                 "nu xi omicron pi unique tail words here",
+                 f"rho sigma tau upsilon {footer}"],
+    })
+    out = (boilerplate_strip(rd.from_pandas(docs), k=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert footer not in out.loc[1, "clean_text"]
+    assert out.loc[1, "clean_text"] == "alpha beta gamma delta"
+    assert (out.loc[[1, 2, 3], "n_kept"] == 1).all()
+    assert (out.loc[[1, 2, 3], "n_para"] == 2).all()
+    # site A doc without the footer is untouched
+    assert out.loc[4, "n_kept"] == 2
+    # site B's sole doc keeps the same words (not template THERE)
+    assert footer in out.loc[5, "clean_text"]

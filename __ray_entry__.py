@@ -68,7 +68,8 @@ def _graph_sql(which: str) -> str:
 
     return {"pagerank": graph.sql_pagerank,
             "indegree_hist": graph.sql_indegree_hist,
-            "triangle_count": graph.sql_triangle_count}[which]()
+            "triangle_count": graph.sql_triangle_count,
+            "bfs_levels": graph.sql_bfs_levels}[which]()
 
 
 def _pagerank(sf_dir: str):
@@ -87,6 +88,12 @@ def _triangle_count(sf_dir: str):
     from dup_ocropy_ray.pipelines import graph
 
     return graph.triangle_count(sf_dir)
+
+
+def _bfs_levels(sf_dir: str):
+    from dup_ocropy_ray.pipelines import graph
+
+    return graph.bfs_levels(sf_dir)
 
 
 def _ocr_spans(sf_dir: str):
@@ -396,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank,
         "indegree_hist": _indegree_hist,
         "triangle_count": _triangle_count,
+        "bfs_levels": _bfs_levels,
         "events_pivot": q.q_events_pivot,
         "price_histogram": q.q_price_histogram,
         # rows-only (non-SQL-expressible) queries
@@ -547,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _graph_sql("pagerank"),
         "indegree_hist": _graph_sql("indegree_hist"),
         "triangle_count": _graph_sql("triangle_count"),
+        "bfs_levels": _graph_sql("bfs_levels"),
         "events_pivot": q.SQL_EVENTS_PIVOT,
         "price_histogram": q.SQL_PRICE_HISTOGRAM,
         "fingerprints": q.SQL_FINGERPRINTS,

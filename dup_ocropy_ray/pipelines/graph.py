@@ -297,3 +297,81 @@ ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
 SELECT count(*)::BIGINT AS n_triangles
 FROM ue e1 JOIN ue e2 ON e2.u = e1.v
 JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v""")
+
+
+_BFS_INF = 1_000_000_000
+
+
+def bfs_levels(sf_dir: str, k: int = 4, rounds: int = 4,
+               seed_mod: int = 97) -> pd.DataFrame:
+    """Multi-source BFS over the link graph (crawl-frontier distance /
+    seed-set reachability): nodes with ``doc_id % seed_mod == 0`` are
+    the seed set; ``rounds`` synchronous relaxations of
+
+        d_{t+1}(v) = min(d_t(v), min_{u->v} d_t(u) + 1)
+
+    — min is order-free, so the distributed result is exact and the
+    chained-CTE oracle matches bit-for-bit. Same bulk-synchronous
+    schedule as pagerank: one shuffle per round over (node, candidate
+    distance) partials, re-materialized per round. Returns the level
+    histogram (dist, n_nodes) with unreached nodes at dist = -1."""
+    from . import queries as q
+
+    nodes = q._read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+
+    dists = nodes.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["doc_id"].astype(np.int64),
+            "d": np.where(b["doc_id"].to_numpy(np.int64) % seed_mod == 0,
+                          0, _BFS_INF).astype(np.int64)}),
+        batch_format="pandas", batch_size=65536)
+
+    for _ in range(rounds):
+        def relax(b: pd.DataFrame, _k=k, _n=n) -> pd.DataFrame:
+            src = b["id"].to_numpy(np.int64)
+            d = b["d"].to_numpy(np.int64)
+            dst = out_links(src, _n, _k)
+            node = np.concatenate([dst.ravel(), src])
+            cand = np.concatenate(
+                [np.repeat(np.minimum(d + 1, _BFS_INF), _k), d])
+            return pd.DataFrame({"node": node, "d": cand})
+
+        dists = (dists.map_batches(relax, batch_format="pandas",
+                                   batch_size=65536)
+                 .groupby("node").min("d")
+                 .map_batches(lambda b: pd.DataFrame(
+                     {"id": b["node"].astype(np.int64),
+                      "d": b["min(d)"].astype(np.int64)}),
+                     batch_format="pandas", batch_size=65536)
+                 .materialize())
+
+    lev = dists.map_batches(
+        lambda b: pd.DataFrame({"dist": np.where(
+            b["d"].to_numpy(np.int64) >= _BFS_INF, -1,
+            b["d"].to_numpy(np.int64)).astype(np.int64)}),
+        batch_format="pandas", batch_size=65536)
+    g = grouped_agg(lev, ["dist"], counts=True)
+    return (pd.DataFrame({"dist": g["dist"].astype("int64"),
+                          "n_nodes": g["n"].astype("int64")})
+            .sort_values("dist").reset_index(drop=True))
+
+
+def sql_bfs_levels(k: int = 4, rounds: int = 4, seed_mod: int = 97) -> str:
+    parts = [_edges_sql(k), f"""
+d0 AS (SELECT id, CASE WHEN id % {seed_mod} = 0 THEN 0
+                       ELSE {_BFS_INF} END AS d FROM nodes)"""]
+    for t in range(rounds):
+        parts.append(f"""
+d{t + 1} AS (
+  SELECT n.id, least(any_value(dt.d),
+                     coalesce(min(ds.d + 1), {_BFS_INF})) AS d
+  FROM nodes n JOIN d{t} dt ON dt.id = n.id
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN d{t} ds ON ds.id = e.src
+  GROUP BY n.id
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT CASE WHEN d >= {_BFS_INF} THEN -1 ELSE d END::BIGINT AS dist,
+       count(*)::BIGINT AS n_nodes
+FROM d{rounds} GROUP BY 1 ORDER BY 1""")

@@ -120,3 +120,27 @@ def test_price_histogram_totals(ray_session):
         f"{SF}/lineitem.parquet").num_rows
     assert out["bin"].is_monotonic_increasing
     assert (out["bin"] >= 0).all()
+
+
+def test_bfs_levels_matches_numpy(ray_session):
+    from dup_ocropy_ray.pipelines.graph import (_BFS_INF, bfs_levels,
+                                                out_links)
+
+    k, rounds, seed_mod = 4, 4, 97
+    n = _n_docs()
+    got = bfs_levels(SF, k=k, rounds=rounds, seed_mod=seed_mod)
+
+    dst = out_links(np.arange(n, dtype=np.int64), n, k)
+    d = np.where(np.arange(n) % seed_mod == 0, 0, _BFS_INF).astype(np.int64)
+    for _ in range(rounds):
+        nxt = d.copy()
+        np.minimum.at(nxt, dst.ravel(), np.repeat(d + 1, k))
+        d = nxt
+    d = np.where(d >= _BFS_INF, -1, d)
+    want = (pd.Series(d).value_counts().sort_index()
+            .rename_axis("dist").reset_index(name="n_nodes"))
+    assert got["dist"].tolist() == want["dist"].tolist()
+    assert got["n_nodes"].tolist() == want["n_nodes"].tolist()
+    # seeds stay at distance 0 and something beyond the seeds is reached
+    assert 0 in got["dist"].tolist()
+    assert (got["dist"] > 0).any()

@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dups": q.q_video_dups,
         "audio_dups": q.q_audio_dups,
         "boilerplate_strip": q.q_boilerplate_strip,
+        "hybrid_search": q.q_hybrid_search,
         "pagerank": _pagerank,
         "indegree_hist": _indegree_hist,
         "triangle_count": _triangle_count,
@@ -552,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dups": q.SQL_VIDEO_DUPS,
         "audio_dups": q.SQL_AUDIO_DUPS,
         "boilerplate_strip": q.SQL_BOILERPLATE_STRIP,
+        "hybrid_search": q.SQL_HYBRID_SEARCH,
         "pagerank": _graph_sql("pagerank"),
         "indegree_hist": _graph_sql("indegree_hist"),
         "triangle_count": _graph_sql("triangle_count"),

@@ -4974,3 +4974,87 @@ SELECT k.doc_id,
 FROM kept k JOIN npara n ON k.doc_id = n.doc_id
 GROUP BY k.doc_id ORDER BY k.doc_id
 """
+
+
+def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the BM25 keyword leg and the dense cosine-kNN leg. Each leg is
+    its production distributed operator (shuffle-free block top-k +
+    driver merge); fusion happens on the two k-row candidate lists —
+    top-k-scale by construction. RRF uses INTEGER contributions
+    ``10^9 // (60 + rank)`` so the fused scores are engine-exact
+    (float 1/(60+r) sums would differ from the oracle in the last
+    ulp)."""
+    from . import similarity, textstats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sparse = textstats.bm25_search(docs, _BM25_TERMS, k=100)
+    sparse = sparse[sparse["score"] > 0].reset_index(drop=True)
+    sparse["r_sp"] = np.arange(1, len(sparse) + 1, dtype=np.int64)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    dense = similarity.knn_brute(emb, np.asarray(qv), k=100)
+    dense = dense.rename(columns={"vec_id": "doc_id"}).reset_index(drop=True)
+    dense["r_dn"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+
+    f = sparse[["doc_id", "r_sp"]].merge(dense[["doc_id", "r_dn"]],
+                                         on="doc_id", how="outer")
+    contrib = np.zeros(len(f), dtype=np.int64)
+    for col in ("r_sp", "r_dn"):
+        r = f[col].to_numpy(dtype="float64")
+        has = ~np.isnan(r)
+        contrib[has] += (10**9 // (60 + r[has].astype(np.int64)))
+    f["rrf_score"] = contrib
+    f = f.sort_values(["rrf_score", "doc_id"],
+                      ascending=[False, True]).head(10)
+    return pd.DataFrame({"doc_id": f["doc_id"].astype("int64"),
+                         "rrf_score": f["rrf_score"].astype("int64")}
+                        ).reset_index(drop=True)
+
+
+SQL_HYBRID_SEARCH = r"""
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+         len(list_filter(l, x -> x = 'spark'))  AS tf0,
+         len(list_filter(l, x -> x = 'window')) AS tf1,
+         len(list_filter(l, x -> x = 'merge'))  AS tf2
+  FROM c
+), g AS (
+  SELECT count(*) AS n,
+         sum((tf0 > 0)::INT) AS df0,
+         sum((tf1 > 0)::INT) AS df1,
+         sum((tf2 > 0)::INT) AS df2
+  FROM tf
+), s AS (
+  SELECT doc_id,
+         tf0 * ((n - df0 + 1) * 1000000 // (df0 + 1)) // (tf0 + 1)
+       + tf1 * ((n - df1 + 1) * 1000000 // (df1 + 1)) // (tf1 + 1)
+       + tf2 * ((n - df2 + 1) * 1000000 // (df2 + 1)) // (tf2 + 1)
+           AS score
+  FROM tf, g
+), sp AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (SELECT doc_id, score FROM s WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 100)
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), dn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+  FROM (SELECT vec_id AS doc_id,
+               list_cosine_similarity(embedding::DOUBLE[],
+                                      (SELECT qe FROM q)) AS cs
+        FROM embeddings ORDER BY cs DESC, vec_id LIMIT 100)
+), f AS (
+  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         coalesce(1000000000 // (60 + sp.r), 0)
+       + coalesce(1000000000 // (60 + dn.r), 0) AS rrf_score
+  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+)
+SELECT doc_id, rrf_score::BIGINT AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""

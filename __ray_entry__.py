@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dups": q.q_audio_dups,
         "boilerplate_strip": q.q_boilerplate_strip,
         "hybrid_search": q.q_hybrid_search,
+        "cust_order_outer": q.q_cust_order_outer,
         "pagerank": _pagerank,
         "indegree_hist": _indegree_hist,
         "triangle_count": _triangle_count,
@@ -554,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dups": q.SQL_AUDIO_DUPS,
         "boilerplate_strip": q.SQL_BOILERPLATE_STRIP,
         "hybrid_search": q.SQL_HYBRID_SEARCH,
+        "cust_order_outer": q.SQL_CUST_ORDER_OUTER,
         "pagerank": _graph_sql("pagerank"),
         "indegree_hist": _graph_sql("indegree_hist"),
         "triangle_count": _graph_sql("triangle_count"),

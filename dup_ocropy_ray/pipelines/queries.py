@@ -5058,3 +5058,65 @@ WITH c AS (
 SELECT doc_id, rrf_score::BIGINT AS rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+
+def q_cust_order_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER bucket_join: customers on a sparse predicate vs
+    per-customer order counts with a HAVING floor — both sides carry
+    keys the other lacks, so left-null AND right-null rows survive.
+    The right side is a distributed groupby count (unbounded key
+    cardinality: no driver combine); money rides as integer cents."""
+    from .relational import bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def lprep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.c_custkey % 3 == 0]
+        return pd.DataFrame({
+            "c_custkey": b.c_custkey.astype("int64"),
+            "acctbal_cents": np.round(
+                b.c_acctbal.to_numpy(np.float64) * 100).astype(np.int64),
+        })
+
+    left = cust.map_batches(lprep, batch_format="pandas", batch_size=65536)
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    right = (orders.groupby("o_custkey").count()
+             .map_batches(lambda b: pd.DataFrame(
+                 {"o_custkey": b["o_custkey"].astype("int64"),
+                  "n_orders": b["count()"].astype("int64")})
+                 [lambda d: d.n_orders >= 8],
+                 batch_format="pandas", batch_size=65536))
+
+    import pyarrow as pa
+
+    lschema = pa.schema([("c_custkey", pa.int64()),
+                         ("acctbal_cents", pa.int64())])
+    rschema = pa.schema([("o_custkey", pa.int64()),
+                         ("n_orders", pa.int64())])
+    joined = bucket_join(left, right, "c_custkey", "o_custkey",
+                         how="outer", left_schema=lschema,
+                         right_schema=rschema).to_pandas()
+    key = joined["c_custkey"].fillna(joined["o_custkey"])
+    return (pd.DataFrame({
+        "custkey": key.astype("int64"),
+        "acctbal_cents": joined["acctbal_cents"].fillna(-1).astype("int64"),
+        "n_orders": joined["n_orders"].fillna(0).astype("int64"),
+    }).sort_values("custkey").reset_index(drop=True))
+
+
+SQL_CUST_ORDER_OUTER = """
+WITH l AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer WHERE c_custkey % 3 = 0
+), r AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+)
+SELECT coalesce(l.c_custkey, r.o_custkey) AS custkey,
+       coalesce(l.acctbal_cents, -1) AS acctbal_cents,
+       coalesce(r.n_orders, 0) AS n_orders
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+ORDER BY custkey
+"""

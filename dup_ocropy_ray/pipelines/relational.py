@@ -207,7 +207,9 @@ def bucket_join(
     ``"inner"`` (default), ``"left"`` (unmatched left rows survive with
     nulls in the right columns), ``"semi"``/``"anti"`` (left columns
     only, filtered by match-existence; right-side key duplicates cannot
-    multiply rows). All four run on the identical ONE-shuffle plan:
+    multiply rows), ``"outer"`` (full outer: unmatched rows of BOTH
+    sides survive with nulls — incompatible with hot-key salting, which
+    replicates right rows). All five run on the identical ONE-shuffle plan:
     because both sides hash on the join key, every row that could match
     a given left row lands in the same partition, so per-partition
     left/semi/anti is globally exact.
@@ -221,8 +223,15 @@ def bucket_join(
 
     from ..tuning import suggested_partitions
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"bucket_join: unsupported how={how!r}")
+    if how == "outer" and hot_keys:
+        # salting replicates hot RIGHT rows across salt partitions;
+        # inner/left/semi/anti never emit an unmatched right row, so the
+        # copies collapse — a FULL OUTER would emit one unmatched row
+        # per salt. Keep the two features apart.
+        raise ValueError("bucket_join: hot_keys is incompatible with "
+                         "how='outer'")
     if num_partitions is None:
         num_partitions = suggested_partitions()
     def _pa_type(t) -> pa.DataType:
@@ -341,7 +350,8 @@ def bucket_join(
         rf = (g.filter(pc.equal(side, 1))
                .select(rout).to_pandas())
         merged = lf.merge(rf, left_on=left_on, right_on=rkey,
-                          how="left" if how == "left" else "inner")
+                          how={"left": "left", "outer": "outer"}.get(
+                              how, "inner"))
         # Arrow out WITHOUT pandas schema metadata: the metadata dict is
         # unhashable and makes Ray's shuffle schema-dedup log a warning
         # per block ("Failed to hash the schemas")

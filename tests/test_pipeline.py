@@ -498,11 +498,34 @@ def test_bucket_join_modes_property_random_frames(ray_session):
     assert got.count() == 0
     assert got.schema().names == ["k", "v"]
 
+    # outer: pandas full outer merge (unmatched rows of BOTH sides)
+    got = bucket_join(rd.from_pandas(left).repartition(3),
+                      rd.from_pandas(right).repartition(2),
+                      "k", "rk", num_partitions=8, how="outer").to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="outer")
+    cols = ["k", "v", "rk", "w"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.astype("object").where(got.notna(), None).equals(
+        want.astype("object").where(want.notna(), None)), "outer"
+
+    # explicit fixture where BOTH unmatched directions occur
+    l2 = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    r2 = pd.DataFrame({"rk": ["b", "c"], "w": [20, 30]})
+    got2 = bucket_join(rd.from_pandas(l2), rd.from_pandas(r2),
+                       "k", "rk", num_partitions=4,
+                       how="outer").to_pandas()
+    assert len(got2) == 3
+    assert got2["v"].isna().any() and got2["w"].isna().any()
+
     import pytest
 
     with pytest.raises(ValueError):
         bucket_join(rd.from_pandas(left), rd.from_pandas(right),
-                    "k", "rk", how="outer")
+                    "k", "rk", how="cross")
+    with pytest.raises(ValueError):
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", how="outer", hot_keys=["k0"])
 
 
 def test_run_job_cli_smoke_and_resume(corpus, tmp_path):

@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "html_extract": q.q_html_extract,
+        "warc_extract": q.q_warc_extract,
+        "warc_stats": q.q_warc_stats,
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
         "nb_langid": q.q_nb_langid,
@@ -493,6 +495,8 @@ def oracle_sql() -> dict[str, str]:
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         "html_extract": q.SQL_HTML_EXTRACT,
+        "warc_extract": q.SQL_HTML_EXTRACT,
+        "warc_stats": q.SQL_WARC_STATS,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,
         "nb_langid": q.SQL_NB_LANGID,

@@ -1992,6 +1992,64 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_warc_extract(sf_dir: str) -> pd.DataFrame:
+    """Main-content extraction over WARC shards — the real web-scale
+    input shape: the documents table is rendered once into deterministic
+    member-per-record .warc.gz shards (sources/warcgen.py, Common Crawl
+    layout), then a Ray pipeline reads the shards file-parallel, parses
+    records, and density-extracts the main text.  Shares
+    SQL_HTML_EXTRACT's identity oracle, so the hash compare proves the
+    WHOLE chain — WARC write, member parse, HTML strip — loses nothing."""
+    from ..functions.htmlx import extract_main_text
+    from ..sources.warcgen import build_warc_corpus, read_warc, uri_doc_id
+
+    man = build_warc_corpus(sf_dir)
+    ds = read_warc(man["shards"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ids = [uri_doc_id(u) for u in b.column("uri").to_pylist()]
+        texts = [extract_main_text(p.decode())
+                 for p in b.column("payload").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "main_text": pa.array(texts, pa.string())})
+
+    out = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_warc_stats(sf_dir: str) -> pd.DataFrame:
+    """Shard-routing audit over the WARC corpus: per shard, records
+    seen by the reader and the doc_id range parsed back from the record
+    URIs.  Oracle recomputes all three from the documents table and the
+    doc_id % num_shards routing rule — a full round-trip check that no
+    record was dropped, duplicated, or mis-routed by the shard writer."""
+    from ..sources.warcgen import build_warc_corpus, read_warc, uri_doc_id
+
+    man = build_warc_corpus(sf_dir)
+    ds = read_warc(man["shards"])
+    n = man["num_shards"]
+
+    def per_rec(b: pa.Table) -> pa.Table:
+        ids = np.array([uri_doc_id(u) for u in b.column("uri").to_pylist()],
+                       dtype=np.int64)
+        return pa.table({"shard": pa.array(ids % n, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    recs = ds.map_batches(per_rec, batch_format="pyarrow")
+    out = grouped_agg(recs, ["shard"], mins=["doc_id"], maxs=["doc_id"])
+    out = out.rename(columns={"n": "n_records", "min_doc_id": "min_doc",
+                              "max_doc_id": "max_doc"})
+    return (out[["shard", "n_records", "min_doc", "max_doc"]]
+            .sort_values("shard").reset_index(drop=True))
+
+
+SQL_WARC_STATS = r"""
+SELECT doc_id % 8 AS shard, count(*) AS n_records,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_web_spans(sf_dir: str) -> pd.DataFrame:
     """Full interleaved span sequence (kind, text, media_ref, order) per
     document after extraction — the north rule's per-row invariant

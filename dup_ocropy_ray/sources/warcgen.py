@@ -1,0 +1,181 @@
+"""Deterministic WARC shard corpus + distributed Ray reader.
+
+The web-scale input story: crawl data arrives as ``.warc.gz`` shards
+(member-per-record gzip, Common Crawl layout — see functions/warcx.py).
+This module
+
+- **builds** a deterministic shard set from the sandbox ``documents``
+  table (each doc rendered into a boilerplate-laden page by
+  sources/webgen.py and routed to shard ``doc_id % num_shards``) — the
+  build itself is a Ray pipeline (one coarse groupby on the shard key,
+  one writer task per shard), not a driver loop;
+- **reads** shard sets back as a ``ray.data.Dataset`` of record rows,
+  one read task per shard file (``read_binary_files`` keeps the file →
+  block mapping; at 100 TB shards are ~1 GiB and the streaming executor
+  pipelines parse against read).
+
+Each shard is written next to a CDX-style parquet index
+``(uri, offset, length)`` so a consumer can fetch single records with
+ranged reads (functions/warcx.read_record_at) instead of shard scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions import warcx
+from .webgen import wrap_html
+
+_URI_PREFIX = "https://example.org/doc/"
+
+
+def doc_uri(doc_id: int) -> str:
+    return f"{_URI_PREFIX}{int(doc_id)}"
+
+
+def uri_doc_id(uri: str) -> int:
+    if not uri.startswith(_URI_PREFIX):
+        raise ValueError(f"not a corpus URI: {uri!r}")
+    return int(uri[len(_URI_PREFIX):])
+
+
+def _corpus_version() -> str:
+    """Content hash of the modules whose output bytes the cache pins."""
+    h = hashlib.md5()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rel in ("warcgen.py", "webgen.py", "../functions/warcx.py"):
+        with open(os.path.normpath(os.path.join(here, rel)), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+def build_warc_corpus(sf_dir: str, num_shards: int = 8,
+                      root: str = "/tmp") -> dict:
+    """Render ``documents`` into ``num_shards`` deterministic .warc.gz
+    shards (cached per (sf, num_shards, code version)).
+
+    Distributed shape: read (doc_id, text) with pruned columns, route by
+    ``doc_id % num_shards`` (ONE coarse metadata-scale shuffle), then one
+    writer task per shard serializes its group in doc_id order.  Only the
+    num_shards-row manifest lands on the driver.  Publication is atomic:
+    shards are written under a tmp dir and renamed into place last.
+    """
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{num_shards}|{_corpus_version()}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(root, f"warc_corpus_{key}")
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    from ..tuning import configure_data_context
+
+    configure_data_context()
+    tmp_dir = out_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        shard = int(g["shard"].iloc[0])
+        recs = [
+            (doc_uri(i), wrap_html(int(i), t if isinstance(t, str) else "").encode())
+            for i, t in zip(g["doc_id"], g["text"])
+        ]
+        blob, index = warcx.write_warc_gz(recs)
+        name = f"shard-{shard:05d}.warc.gz"
+        with open(os.path.join(tmp_dir, name), "wb") as f:
+            f.write(blob)
+        pq.write_table(
+            pa.table({
+                "uri": [e["uri"] for e in index],
+                "offset": pa.array([e["offset"] for e in index], pa.int64()),
+                "length": pa.array([e["length"] for e in index], pa.int64()),
+            }),
+            os.path.join(tmp_dir, name + ".cdx.parquet"),
+        )
+        return pd.DataFrame({"shard": [shard], "file": [name],
+                             "n_records": [len(recs)]})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = (
+        ds.map_batches(
+            lambda b: b.assign(shard=(b["doc_id"] % num_shards).astype("int64")),
+            batch_format="pandas")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    manifest = {
+        "dir": out_dir,
+        "num_shards": int(num_shards),
+        "shards": [os.path.join(out_dir, f)
+                   for f in sorted(rows["file"].tolist())],
+        "n_records": int(rows["n_records"].sum()),
+        "version": _corpus_version(),
+    }
+    with open(os.path.join(tmp_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if not os.path.exists(manifest_path):  # lose benign races gracefully
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            pass
+    return manifest
+
+
+def read_warc(paths: list[str] | str) -> rd.Dataset:
+    """``.warc.gz`` shard set -> Dataset of record rows
+    ``(path, offset, length, uri, payload:binary)``.
+
+    One read task per shard; the member-per-record parse streams inside
+    ``map_batches`` so a shard never exists decompressed-in-full —
+    payload rows flow out in Arrow blocks under backpressure.
+    """
+    from ..tuning import configure_data_context
+
+    configure_data_context()
+    if isinstance(paths, str):
+        paths = [paths]
+    # NOTE: not read_binary_files — Ray's file datasource force-detects
+    # gzip from the .gz extension and would hand us the shard already
+    # gunzipped, destroying the member offsets the CDX index addresses.
+    # One parse task per shard opens the raw bytes itself (at scale this
+    # is an arrow-filesystem ranged read against object storage).
+    files = rd.from_items([{"path": p} for p in sorted(paths)],
+                          override_num_blocks=len(paths))
+
+    def parse(b: pa.Table) -> pa.Table:
+        from pyarrow import fs as pafs
+
+        paths_out, offs, lens, uris, payloads = [], [], [], [], []
+        for path in b.column("path").to_pylist():
+            f = pafs.LocalFileSystem().open_input_file(path)
+            try:
+                blob = f.read()
+            finally:
+                f.close()
+            for off, length, rec in warcx.iter_warc_gz(blob):
+                paths_out.append(path)
+                offs.append(off)
+                lens.append(length)
+                uris.append(rec["headers"].get("warc-target-uri", ""))
+                payloads.append(rec["payload"])
+        return pa.table({
+            "path": pa.array(paths_out, pa.string()),
+            "offset": pa.array(offs, pa.int64()),
+            "length": pa.array(lens, pa.int64()),
+            "uri": pa.array(uris, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)

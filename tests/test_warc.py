@@ -1,0 +1,104 @@
+"""WARC codec + shard corpus tests: record round-trip, member-per-record
+ranged access (the CDX property), deterministic bytes, and the
+documents -> shards -> extract round-trip through Ray."""
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from dup_ocropy_ray.functions import warcx
+
+
+RECS = [
+    ("https://example.org/doc/0", b"<html><body>zero</body></html>"),
+    ("https://example.org/doc/1", "p\xe5ge one — unicode".encode()),
+    ("https://example.org/doc/2", b""),  # empty payload is legal
+    ("https://example.org/doc/3", b"x" * 70000),  # bigger than one gzip window
+]
+
+
+def test_record_roundtrip_plain():
+    blob = b"".join(warcx.build_record(u, p) for u, p in RECS)
+    out = list(warcx.iter_warc(blob))
+    assert [r["payload"] for r in out] == [p for _, p in RECS]
+    assert [r["headers"]["warc-target-uri"] for r in out] == [u for u, _ in RECS]
+    assert all(r["headers"]["warc-type"] == "response" for r in out)
+
+
+def test_gz_members_and_ranged_fetch():
+    blob, index = warcx.write_warc_gz(RECS)
+    # full scan
+    scanned = list(warcx.iter_warc_gz(blob))
+    assert [(o, l) for o, l, _ in scanned] == [
+        (e["offset"], e["length"]) for e in index]
+    # members tile the file exactly
+    assert index[0]["offset"] == 0
+    assert sum(e["length"] for e in index) == len(blob)
+    # ranged fetch of each record equals the scan (no other bytes touched)
+    for e, (_, _, rec) in zip(index, scanned):
+        got = warcx.read_record_at(blob, e["offset"], e["length"])
+        assert got["payload"] == rec["payload"]
+        assert got["headers"]["warc-target-uri"] == e["uri"]
+
+
+def test_deterministic_bytes():
+    b1, _ = warcx.write_warc_gz(RECS)
+    b2, _ = warcx.write_warc_gz(RECS)
+    assert b1 == b2
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        list(warcx.iter_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+    good = warcx.build_record("u:1", b"abc")
+    with pytest.raises(ValueError):
+        list(warcx.iter_warc(good[:-4]))  # trailing CRLFCRLF chopped
+    blob, _ = warcx.write_warc_gz(RECS[:1])
+    with pytest.raises(ValueError):
+        list(warcx.iter_warc_gz(blob[:-3]))  # truncated member
+
+
+def test_content_length_binary_safe():
+    # payload containing the record terminator must survive (length-framed,
+    # not delimiter-framed)
+    tricky = b"a\r\n\r\nb" + gzip.compress(b"inner")
+    rec = warcx.build_record("u:t", tricky)
+    (out,) = list(warcx.iter_warc(rec))
+    assert out["payload"] == tricky
+
+
+def test_corpus_build_read_extract(ray_session, tmp_path):
+    from dup_ocropy_ray.sources.warcgen import (
+        build_warc_corpus, read_warc, uri_doc_id)
+
+    sf_dir = "/root/testdata/sf0.001"
+    man = build_warc_corpus(sf_dir, num_shards=4, root=str(tmp_path))
+    assert len(man["shards"]) <= 4
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert man["n_records"] == len(docs)
+
+    rows = read_warc(man["shards"]).to_pandas()
+    assert len(rows) == len(docs)
+    ids = sorted(uri_doc_id(u) for u in rows["uri"])
+    assert ids == sorted(docs["doc_id"].tolist())
+    # shard routing: every record's file index == doc_id % num_shards
+    for p, u in zip(rows["path"], rows["uri"]):
+        shard = int(p.split("shard-")[1][:5])
+        assert shard == uri_doc_id(u) % 4
+
+    # build is cached: second call returns the same manifest without work
+    again = build_warc_corpus(sf_dir, num_shards=4, root=str(tmp_path))
+    assert again == man
+
+    # ranged CDX fetch against one shard
+    import pyarrow.parquet as pq
+
+    cdx = pq.read_table(man["shards"][0] + ".cdx.parquet").to_pandas()
+    with open(man["shards"][0], "rb") as f:
+        blob = f.read()
+    e = cdx.iloc[len(cdx) // 2]
+    rec = warcx.read_record_at(blob, int(e["offset"]), int(e["length"]))
+    assert rec["headers"]["warc-target-uri"] == e["uri"]
+    assert rec["payload"].decode().startswith("<!DOCTYPE html>")

@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "testset_split": q.q_testset_split,
         "project_text": q.q_project_text,
         "html_extract": q.q_html_extract,
+        "html_markdown": q.q_html_markdown,
         "warc_extract": q.q_warc_extract,
         "warc_stats": q.q_warc_stats,
         "web_span_counts": q.q_web_span_counts,
@@ -495,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "testset_split": q.SQL_TESTSET_SPLIT,
         "project_text": q.SQL_PROJECT_TEXT,
         "html_extract": q.SQL_HTML_EXTRACT,
+        "html_markdown": q.SQL_HTML_MARKDOWN,
         "warc_extract": q.SQL_HTML_EXTRACT,
         "warc_stats": q.SQL_WARC_STATS,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,

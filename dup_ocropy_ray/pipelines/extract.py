@@ -65,6 +65,17 @@ def extract_spans_stage(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def markdown_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, html) -> (doc_id, markdown): main content rendered as
+    Markdown blocks (functions/mdx.py) instead of one flat string."""
+    from ..functions.mdx import to_markdown
+
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "markdown": [to_markdown(h) for h in b["html"]],
+    })
+
+
 def wrap_docs(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
     return ds.map_batches(wrap_stage, batch_format="pandas",
                           batch_size=batch_size)

@@ -1992,6 +1992,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_html_markdown(sf_dir: str) -> pd.DataFrame:
+    """Main content rendered as Markdown (headings / paragraphs / image
+    blocks) instead of a flat string — the standard web-corpus
+    representation for LLM pretraining.  The oracle reconstructs the
+    expected Markdown purely in SQL from the source text and the wrap
+    layout rule (chunk size k = 10+3*(doc_id%4) words, one H1 title, an
+    image block after paragraph n//2 iff doc_id%3==0), so the hash
+    compare pins heading syntax, block order, and blank-line joins."""
+    from .extract import markdown_stage, wrap_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (wrap_docs(ds)
+           .map_batches(markdown_stage, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HTML_MARKDOWN = r"""
+WITH w AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+         10 + 3 * (doc_id % 4) AS k
+  FROM documents
+), words AS (
+  SELECT doc_id, k,
+         unnest(string_split(t, ' ')) AS word,
+         unnest(range(1, len(string_split(t, ' ')) + 1)) AS i
+  FROM w WHERE t <> ''
+), paras AS (
+  SELECT doc_id, k, (i - 1) // k AS p,
+         string_agg(word, ' ' ORDER BY i) AS para
+  FROM words GROUP BY doc_id, k, (i - 1) // k
+), np AS (
+  SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id
+), blocks AS (
+  SELECT p.doc_id, p.p,
+         p.para || CASE WHEN p.doc_id % 3 = 0 AND p.p = np.n // 2
+                        THEN chr(10) || chr(10) || '![](img://'
+                             || p.doc_id::VARCHAR || '/' || p.p::VARCHAR || ')'
+                        ELSE '' END AS md
+  FROM paras p JOIN np USING (doc_id)
+), body AS (
+  SELECT doc_id, string_agg(md, chr(10) || chr(10) ORDER BY p) AS b
+  FROM blocks GROUP BY doc_id
+)
+SELECT w.doc_id,
+       '# Story ' || w.doc_id::VARCHAR
+       || coalesce(chr(10) || chr(10) || body.b, '') AS markdown
+FROM w LEFT JOIN body USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def q_warc_extract(sf_dir: str) -> pd.DataFrame:
     """Main-content extraction over WARC shards — the real web-scale
     input shape: the documents table is rendered once into deterministic

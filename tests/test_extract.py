@@ -448,3 +448,64 @@ def test_boilerplate_strip_per_site(ray_session):
     assert out.loc[4, "n_kept"] == 2
     # site B's sole doc keeps the same words (not template THERE)
     assert footer in out.loc[5, "clean_text"]
+
+
+# ------------------------------------------------------------- markdown
+
+
+def test_markdown_block_syntax_golden():
+    from dup_ocropy_ray.functions.mdx import to_markdown
+
+    html = (
+        "<html><body><article>"
+        "<h2>Title</h2>"
+        '<p>Para with <a href="u">link</a> and <b>bold</b></p>'
+        "<ul><li>first</li><li>second</li></ul>"
+        "<ol><li>a</li><li>b</li></ol>"
+        "<blockquote><p>quoted text here</p></blockquote>"
+        "<pre>code  here\n  indented</pre>"
+        "<table><tr><th>k</th><th>v</th></tr><tr><td>1</td><td>2</td></tr>"
+        "</table><hr></article></body></html>"
+    )
+    assert to_markdown(html) == (
+        "## Title\n\n"
+        "Para with [link](u) and **bold**\n\n"
+        "- first\n- second\n\n"
+        "1. a\n2. b\n\n"
+        "> quoted text here\n\n"
+        "```\ncode  here\n  indented\n```\n\n"
+        "| k | v |\n| --- | --- |\n| 1 | 2 |\n\n"
+        "---"
+    )
+
+
+def test_markdown_strips_chrome_like_extractor():
+    from dup_ocropy_ray.functions.mdx import to_markdown
+
+    md = to_markdown(wrap_html(5, "alpha beta gamma delta " * 10))
+    assert md.startswith("# Story 5\n\n")
+    # chrome never leaks: no nav/ads/comment/footer text
+    for junk in ("comment", "Home", "sponsored", "widget"):
+        assert junk not in md
+    # paragraphs are blank-line separated plain word runs
+    body = md.split("\n\n")[1:]
+    assert all(b and "\n" not in b for b in body)
+
+
+def test_markdown_empty_and_garbage_never_crash():
+    from dup_ocropy_ray.functions.mdx import to_markdown
+
+    assert to_markdown("") == ""
+    assert isinstance(to_markdown("<p>&#xx;<x <"), str)
+    assert to_markdown("<body><script>x</script></body>") == ""
+
+
+def test_markdown_image_blocks_and_inline_code():
+    from dup_ocropy_ray.functions.mdx import to_markdown
+
+    html = ('<body><article><p>uses <code>fn()</code> calls</p>'
+            '<img src="img://1/0" alt="fig">'
+            '<p>tail paragraph of words</p></article></body>')
+    assert to_markdown(html) == (
+        "uses `fn()` calls\n\n![fig](img://1/0)\n\ntail paragraph of words"
+    )

@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_curate": q.q_web_curate,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
+        "robots_filter": q.q_robots_filter,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "web_curate": q.SQL_WEB_CURATE,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,
+        "robots_filter": q.SQL_ROBOTS_FILTER,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

@@ -657,6 +657,43 @@ def url_table(docs: rd.Dataset, batch_size: int = 8192) -> rd.Dataset:
                             batch_size=batch_size)
 
 
+def robots_filter(docs: rd.Dataset, user_agent: str = "graftbot",
+                  batch_size: int = 8192) -> rd.Dataset:
+    """Crawl-politeness gate: evaluate each doc's URL path against its
+    source's robots.txt (functions/robotsx.py, RFC 9309 longest-match
+    semantics) for ``user_agent``.
+
+    Scale shape: robots bodies are domain-scale — each batch parses a
+    source's file ONCE into a compiled Matcher and caches it for the
+    life of the worker (process-level memo), so per-row work is one
+    regex scan over a URL path. Stateless map, no shuffle."""
+    from ..functions import robotsx, urlx
+    from ..sources.urlgen import doc_url, robots_txt
+
+    matchers: dict[str, robotsx.Matcher] = {}
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        paths, allowed = [], []
+        for i, s in zip(b["doc_id"], b["source"]):
+            m = matchers.get(s)
+            if m is None:
+                m = robotsx.Matcher(robotsx.parse_robots(robots_txt(s)),
+                                    user_agent)
+                matchers[s] = m
+            p = urlx.parse_url(doc_url(int(i), s))
+            path = urlx.resolve_dot_segments(p["path"] or "/")
+            paths.append(path)
+            allowed.append(m.is_allowed(path))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "path": pd.Series(paths, dtype=str),
+            "allowed": pd.Series(allowed, dtype=bool),
+        })
+
+    return docs.map_batches(stage, batch_format="pandas",
+                            batch_size=batch_size)
+
+
 def domain_stats(docs: rd.Dataset) -> pd.DataFrame:
     """Registered-domain rollup of the URL table (the blocklist-audit
     view): docs per domain, blocked count, max path depth. One

@@ -3140,6 +3140,43 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_robots_filter(sf_dir: str) -> pd.DataFrame:
+    """RFC 9309 robots.txt gate over the per-doc URLs: parse each
+    source's deterministic robots file (sources/urlgen.robots_txt),
+    select the '*' group for our agent (the named smartbot group must
+    NOT apply), and evaluate the longest-match allow/deny per path.
+    The oracle replays every decision from the URL-template + robots
+    rule tables in pure SQL — including the allow-overrides-disallow
+    tie (/articles/202 beats /articles/ for doc 202x on odd sources)
+    and the wildcard /post/*/ deny."""
+    from .curate import robots_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = robots_filter(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_ROBOTS_FILTER = r"""
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t, (doc_id % 4)::INT AS reps,
+         CAST(substr(source, 4) AS INT) % 2 = 1 AS odd_src
+  FROM documents
+)
+SELECT doc_id,
+  CASE t WHEN 0 THEN '/articles/' || doc_id::VARCHAR
+         WHEN 1 THEN '/a/news/' || doc_id::VARCHAR
+         WHEN 2 THEN '/post/' || doc_id::VARCHAR || '/'
+         WHEN 3 THEN '/track/' || doc_id::VARCHAR
+         WHEN 4 THEN '/' || repeat('x/', reps) || 'page'
+         ELSE '/a%20b/' END AS path,
+  CASE t WHEN 0 THEN (NOT odd_src) OR doc_id::VARCHAR LIKE '202%'
+         WHEN 2 THEN FALSE
+         WHEN 3 THEN FALSE
+         ELSE TRUE END AS allowed
+FROM f ORDER BY doc_id
+"""
+
+
 def q_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Registered-domain rollup of the URL table (blocklist audit):
     docs / blocked docs / max path depth per eTLD+1. One grouped

@@ -29,3 +29,30 @@ def doc_url(doc_id: int, source: str) -> str:
                 + "x/" * (doc_id % 4) + "page")
     return (f"https://A.B.{source}.COM/a%20b/"
             f"?id=1&utm_medium=m&ref=2")
+
+
+def robots_txt(source: str) -> str:
+    """Deterministic robots.txt for every host of ``source``: a named
+    smartbot group (tests group selection — it must hide '*' for that
+    agent), a '*' group with prefix / wildcard / anchored rules, and for
+    odd-numbered sources an allow-overrides-disallow pair on /articles/
+    (longest-match tie-breaking). Pure function of the source string so
+    the SQL oracle can replicate every decision."""
+    odd = int(source[3:]) % 2 == 1
+    lines = [
+        f"# synthetic robots for {source}",
+        "User-agent: smartbot",
+        "Disallow: /a/",
+        "Allow: /a/news/",
+        "",
+        f"Sitemap: https://{source}.com/sitemap.xml",
+        "",
+        "User-agent: *",
+        "Crawl-delay: 2",
+        "Disallow: /track/",
+        "Disallow: /post/*/",
+        "Disallow: /*.pdf$",
+    ]
+    if odd:
+        lines += ["Disallow: /articles/", "Allow: /articles/202"]
+    return "\n".join(lines)

@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
         "robots_filter": q.q_robots_filter,
+        "snapshot_diff": q.q_snapshot_diff,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,
         "robots_filter": q.SQL_ROBOTS_FILTER,
+        "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

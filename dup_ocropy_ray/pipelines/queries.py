@@ -3140,6 +3140,82 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Recrawl delta between two corpus snapshots — the incremental-
+    ingestion primitive: snapshot A is the documents table, snapshot B
+    a deterministic mutation of it (doc_id%7==0 removed, %7==1 text
+    updated, %7==2 additionally re-appears as a NEW page under
+    id+1,000,000).  Each side reduces to (doc_id, content-hash) inside
+    ``map_batches`` — full bodies never enter the shuffle — then ONE
+    full-outer bucket_join classifies every id as
+    added/removed/changed/unchanged.  The oracle replays the mutation
+    rule and a FULL OUTER JOIN over the raw texts in SQL, so a 64-bit
+    hash collision or a join-mode bug would hash-mismatch."""
+    from ..functions.hashing import hash_strings
+    from .relational import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "h_a": pd.Series([f"{h:016x}" for h in
+                              hash_strings(b["text"].fillna(""))], dtype=str
+                             ).to_numpy(),
+        })
+
+    def side_b(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 7 != 0]
+        text = keep["text"].fillna("").where(
+            keep["doc_id"] % 7 != 1, keep["text"].fillna("") + " updated")
+        new = b[b["doc_id"] % 7 == 2]
+        ids = pd.concat([keep["doc_id"], new["doc_id"] + 1_000_000])
+        texts = pd.concat(
+            [text, "new page " + new["doc_id"].astype(str)])
+        return pd.DataFrame({
+            "doc_id": ids.astype("int64").to_numpy(),
+            "h_b": pd.Series([f"{h:016x}" for h in hash_strings(texts)],
+                             dtype=str).to_numpy(),
+        })
+
+    a = docs.map_batches(side_a, batch_format="pandas")
+    b = docs.map_batches(side_b, batch_format="pandas")
+    lschema = pa.schema([("doc_id", pa.int64()), ("h_a", pa.string())])
+    rschema = pa.schema([("doc_id", pa.int64()), ("h_b", pa.string())])
+    j = bucket_join(a, b, "doc_id", "doc_id", how="outer",
+                    left_schema=lschema, right_schema=rschema).to_pandas()
+    key = j["doc_id"].fillna(j["doc_id_r"])
+    status = np.where(
+        j["h_b"].isna(), "removed",
+        np.where(j["h_a"].isna(), "added",
+                 np.where(j["h_a"] != j["h_b"], "changed", "unchanged")))
+    out = pd.DataFrame({"doc_id": key.astype("int64"),
+                        "status": pd.Series(status, dtype=str)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH a AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN coalesce(text, '') || ' updated'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new page ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 7 = 2
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            WHEN a.text <> b.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_robots_filter(sf_dir: str) -> pd.DataFrame:
     """RFC 9309 robots.txt gate over the per-doc URLs: parse each
     source's deterministic robots file (sources/urlgen.robots_txt),

@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q.q_domain_stats,
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
+        "meta_extract": q.q_meta_extract,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -523,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": q.SQL_DOMAIN_STATS,
         "robots_filter": q.SQL_ROBOTS_FILTER,
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
+        "meta_extract": q.SQL_META_EXTRACT,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

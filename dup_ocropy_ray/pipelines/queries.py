@@ -3140,6 +3140,59 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_meta_extract(sf_dir: str) -> pd.DataFrame:
+    """Head-metadata harvesting (OpenGraph meta + JSON-LD entity) from
+    the wrapped pages: og:title, description, schema.org @type /
+    headline / wordCount per doc.  The oracle rebuilds every field from
+    the source text (title from doc_id, description = first 8
+    whitespace-normalized words, wordCount = word count), so the hash
+    compare pins attribute parsing, entity decoding, and the
+    first-occurrence-wins meta rule."""
+    from ..functions.metax import extract_metadata
+    from .extract import wrap_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        recs = [extract_metadata(h) for h in b["html"]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "og_title": pd.Series([r["og_title"] for r in recs], dtype=object),
+            "description": pd.Series([r["description"] for r in recs],
+                                     dtype=object),
+            "ld_type": pd.Series([r["ld_type"] for r in recs], dtype=object),
+            "ld_headline": pd.Series([r["ld_headline"] for r in recs],
+                                     dtype=object),
+            "word_count": pd.Series([r["word_count"] for r in recs],
+                                    dtype="int64"),
+        })
+
+    out = (wrap_docs(ds).map_batches(stage, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_META_EXTRACT = r"""
+WITH w AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t, string_split(t, ' ') AS words,
+         CASE WHEN t = '' THEN 0
+              ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n
+  FROM w
+)
+SELECT doc_id,
+       'Story ' || doc_id::VARCHAR AS og_title,
+       CASE WHEN n = 0 THEN '' ELSE array_to_string(words[1:8], ' ') END
+         AS description,
+       'Article' AS ld_type,
+       'Story ' || doc_id::VARCHAR AS ld_headline,
+       n::BIGINT AS word_count
+FROM c ORDER BY doc_id
+"""
+
+
 def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Recrawl delta between two corpus snapshots — the incremental-
     ingestion primitive: snapshot A is the documents table, snapshot B

@@ -138,9 +138,20 @@ def wrap_html(doc_id: int, text: str, with_images: bool = True) -> str:
         body = _ads(rng, 2) + chrome_head + main + chrome_tail + chrome_side
     else:
         body = chrome_head + '<div class="wrap">' + chrome_side + main + "</div>" + chrome_tail
+    # deterministic head metadata (harvested by functions/metax.py):
+    # og:title mirrors the H1, description = first 8 body words,
+    # JSON-LD carries type/headline/wordCount
+    words = text.split()
+    desc = _html.escape(" ".join(words[:8]))
+    ld = ('{"@type": "Article", "headline": "Story %d", "wordCount": %d}'
+          % (doc_id, n_words))
     return (
         "<!DOCTYPE html><html><head><title>"
-        f"Story {doc_id}</title><script>var x=1;</script>"
+        f"Story {doc_id}</title>"
+        f'<meta property="og:title" content="Story {doc_id}">'
+        f'<meta name="description" content="{desc}">'
+        f'<script type="application/ld+json">{ld}</script>'
+        "<script>var x=1;</script>"
         "<style>.ads{color:red}</style></head>"
         f"<body>{body}</body></html>"
     )

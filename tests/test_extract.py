@@ -509,3 +509,31 @@ def test_markdown_image_blocks_and_inline_code():
     assert to_markdown(html) == (
         "uses `fn()` calls\n\n![fig](img://1/0)\n\ntail paragraph of words"
     )
+
+
+# ------------------------------------------------------------- metadata
+
+
+def test_metadata_harvest_fields_and_tolerance():
+    from dup_ocropy_ray.functions.metax import extract_metadata
+
+    m = extract_metadata(wrap_html(7, "one two three four five six seven eight nine"))
+    assert m == {"og_title": "Story 7",
+                 "description": "one two three four five six seven eight",
+                 "ld_type": "Article", "ld_headline": "Story 7",
+                 "word_count": 9}
+    # malformed JSON-LD -> None fields, no crash; array form -> first object
+    bad = '<head><script type="application/ld+json">{oops</script></head>'
+    assert extract_metadata(bad)["ld_type"] is None
+    arr = ('<head><script type="application/ld+json">'
+           '[1, {"@type": "NewsArticle", "wordCount": 3.0}]</script></head>')
+    m2 = extract_metadata(arr)
+    assert m2["ld_type"] == "NewsArticle" and m2["word_count"] == 3
+    # boolean wordCount is not a count; first meta occurrence wins
+    dup = ('<head><meta name="description" content="first">'
+           '<meta name="description" content="second">'
+           '<script type="application/ld+json">'
+           '{"wordCount": true}</script></head>')
+    m3 = extract_metadata(dup)
+    assert m3["description"] == "first" and m3["word_count"] is None
+    assert extract_metadata("")["og_title"] is None

@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
+        "warc_curate": q.q_warc_curate,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": q.SQL_ROBOTS_FILTER,
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "meta_extract": q.SQL_META_EXTRACT,
+        "warc_curate": q.SQL_WARC_CURATE,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

@@ -3140,6 +3140,147 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_warc_curate(sf_dir: str) -> pd.DataFrame:
+    """Composed crawl-to-corpus flagship over the WARC input shape —
+    every link an operator this engine ships separately:
+
+      1. read the member-per-record .warc.gz shards file-parallel and
+         density-extract each page's main text (warc_extract's chain);
+      2. bucket_join the crawl metadata sidecar (documents' source
+         column) on doc_id — large x large, one coarse shuffle;
+      3. robots gate: RFC 9309 longest-match decision on each doc's URL
+         path for our agent (robots_filter's chain);
+      4. content-prefix dedup among allowed docs: keeper = min doc_id
+         per first-3-body-words key, ONE key-hash bucket shuffle;
+      5. quality gate: keepers with >= 10 body words survive;
+      6. per-source rollup: docs / allowed / kept / surviving words.
+
+    The oracle replays the WHOLE chain in SQL (identity extraction,
+    robots rule table, QUALIFY-style keeper, word gate, rollup)."""
+    from ..functions import robotsx, urlx
+    from ..functions.hashing import hash_strings
+    from ..functions.htmlx import extract_main_text
+    from ..sources.urlgen import doc_url, robots_txt
+    from ..sources.warcgen import build_warc_corpus, read_warc, uri_doc_id
+    from .relational import bucket_join, grouped_agg
+
+    man = build_warc_corpus(sf_dir)
+    recs = read_warc(man["shards"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ids, bodies, nbody = [], [], []
+        for u, p in zip(b.column("uri").to_pylist(),
+                        b.column("payload").to_pylist()):
+            ids.append(uri_doc_id(u))
+            words = extract_main_text(p.decode()).split()
+            body = words[2:]  # strip the 'Story <id>' title tokens
+            bodies.append(" ".join(body[:3]))  # dedup prefix key
+            nbody.append(len(body))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "prefix": pa.array(bodies, pa.string()),
+                         "n_body": pa.array(nbody, pa.int64())})
+
+    docs = recs.map_batches(extract, batch_format="pyarrow")
+    meta = _read(sf_dir, "documents", ["doc_id", "source"])
+    lschema = pa.schema([("doc_id", pa.int64()), ("prefix", pa.string()),
+                         ("n_body", pa.int64())])
+    rschema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    joined = bucket_join(docs, meta, "doc_id", "doc_id",
+                         left_schema=lschema, right_schema=rschema)
+
+    matchers: dict[str, robotsx.Matcher] = {}
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        allowed = []
+        for i, s in zip(b["doc_id"], b["source"]):
+            m = matchers.get(s)
+            if m is None:
+                m = robotsx.Matcher(robotsx.parse_robots(robots_txt(s)),
+                                    "graftbot")
+                matchers[s] = m
+            p = urlx.parse_url(doc_url(int(i), s))
+            allowed.append(m.is_allowed(
+                urlx.resolve_dot_segments(p["path"] or "/")))
+        b = b.copy()
+        b["allowed"] = pd.Series(allowed, dtype=bool).to_numpy()
+        return b
+
+    gated = joined.map_batches(gate, batch_format="pandas")
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = hash_strings(b["prefix"].to_numpy(dtype=object))
+        b["_part"] = (h % np.uint64(64)).astype(np.int64)
+        return b
+
+    def keeper_flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        mins = g[g["allowed"]].groupby("prefix")["doc_id"].transform("min")
+        g["kept"] = False
+        g.loc[g["allowed"], "kept"] = (
+            (g.loc[g["allowed"], "doc_id"] == mins)
+            & (g.loc[g["allowed"], "n_body"] >= 10))
+        return g.drop(columns=["_part"])
+
+    flagged = (gated.map_batches(add_part, batch_format="pandas")
+               .groupby("_part").map_groups(keeper_flags,
+                                            batch_format="pandas"))
+
+    def to_metrics(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "allowed": b["allowed"].astype("int64"),
+            "kept": b["kept"].astype("int64"),
+            "kept_words": (b["n_body"] * b["kept"]).astype("int64"),
+        })
+
+    agg = grouped_agg(flagged.map_batches(to_metrics, batch_format="pandas"),
+                      ["source"], sums=["allowed", "kept", "kept_words"])
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n"].astype("int64"),
+        "n_allowed": agg["sum_allowed"].astype("int64"),
+        "n_kept": agg["sum_kept"].astype("int64"),
+        "kept_words": agg["sum_kept_words"].astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_WARC_CURATE = r"""
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t,
+         CAST(substr(source, 4) AS INT) % 2 = 1 AS odd_src,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+  FROM documents
+), g AS (
+  SELECT doc_id, source, body,
+         CASE WHEN body = '' THEN 0
+              ELSE length(body) - length(replace(body, ' ', '')) + 1
+         END AS n_body,
+         CASE WHEN body = '' THEN ''
+              ELSE array_to_string(string_split(body, ' ')[1:3], ' ')
+         END AS prefix,
+         CASE t WHEN 0 THEN (NOT odd_src) OR doc_id::VARCHAR LIKE '202%'
+                WHEN 2 THEN FALSE
+                WHEN 3 THEN FALSE
+                ELSE TRUE END AS allowed
+  FROM f
+), k AS (
+  SELECT *,
+         allowed
+         AND doc_id = min(doc_id) FILTER (WHERE allowed)
+                       OVER (PARTITION BY prefix)
+         AND n_body >= 10 AS kept
+  FROM g
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN kept THEN n_body ELSE 0 END)::BIGINT AS kept_words
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 def q_meta_extract(sf_dir: str) -> pd.DataFrame:
     """Head-metadata harvesting (OpenGraph meta + JSON-LD entity) from
     the wrapped pages: og:title, description, schema.org @type /

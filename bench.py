@@ -59,6 +59,9 @@ QUERY_SUBSET = [
     "rate_limit",
     "retention",
     "profile_table",
+    "warc_curate",
+    "html_markdown",
+    "snapshot_diff",
 ]
 
 

@@ -102,3 +102,42 @@ def test_corpus_build_read_extract(ray_session, tmp_path):
     rec = warcx.read_record_at(blob, int(e["offset"]), int(e["length"]))
     assert rec["headers"]["warc-target-uri"] == e["uri"]
     assert rec["payload"].decode().startswith("<!DOCTYPE html>")
+
+
+def test_warc_checkpoint_resume_and_mode_guard(ray_session, tmp_path):
+    import json
+    import os
+
+    from dup_ocropy_ray.sources.warcgen import (
+        build_warc_corpus, run_warc_extract_with_checkpoint)
+
+    man = build_warc_corpus("/root/testdata/sf0.001", num_shards=4,
+                            root=str(tmp_path))
+    out_root = str(tmp_path / "ckpt")
+    r1 = run_warc_extract_with_checkpoint(man["shards"], out_root,
+                                          num_fragments=2)
+    assert r1["fragments_run"] == [0, 1]
+    assert r1["counters"]["records"] == man["n_records"]
+    assert r1["counters"]["chars_extracted"] > 0
+    # completed job: rerun is a no-op
+    r2 = run_warc_extract_with_checkpoint(man["shards"], out_root,
+                                          num_fragments=2)
+    assert r2["fragments_run"] == []
+    assert r2["counters"] == r1["counters"]
+    # kill one fragment's manifest: only THAT fragment reruns
+    os.remove(os.path.join(out_root, "_manifest", "00001.json"))
+    r3 = run_warc_extract_with_checkpoint(man["shards"], out_root,
+                                          num_fragments=2)
+    assert r3["fragments_run"] == [1]
+    assert r3["counters"] == r1["counters"]
+    # per-fragment metrics recorded
+    with open(os.path.join(out_root, "_manifest", "00000.json")) as f:
+        mf = json.load(f)
+    assert mf["metrics"]["shards"] == 2 and mf["metrics"]["wall_sec"] > 0
+    # a foreign-mode plan refuses to resume
+    other = str(tmp_path / "ckpt2")
+    os.makedirs(other)
+    with open(os.path.join(other, "_plan.json"), "w") as f:
+        json.dump({"mode": "file_groups", "groups": []}, f)
+    with pytest.raises(RuntimeError, match="fresh out_root"):
+        run_warc_extract_with_checkpoint(man["shards"], other)

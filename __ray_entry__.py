@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q.q_html_extract,
         "html_markdown": q.q_html_markdown,
         "warc_extract": q.q_warc_extract,
+        "warc_fetch": q.q_warc_fetch,
         "warc_stats": q.q_warc_stats,
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
@@ -502,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": q.SQL_HTML_EXTRACT,
         "html_markdown": q.SQL_HTML_MARKDOWN,
         "warc_extract": q.SQL_HTML_EXTRACT,
+        "warc_fetch": q.SQL_WARC_FETCH,
         "warc_stats": q.SQL_WARC_STATS,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,

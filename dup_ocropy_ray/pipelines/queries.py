@@ -2069,6 +2069,59 @@ def q_warc_extract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_warc_fetch(sf_dir: str) -> pd.DataFrame:
+    """CDX-pruned ranged fetch: select a sparse doc subset (doc_id %
+    97 == 0) from the per-shard CDX indexes (small parquet sidecars),
+    then read ONLY those records' gzip members from the shards by
+    (offset, length) — the corpus bytes outside the probed members are
+    never touched, the random-access path a 100 TB archive depends on.
+    Identity oracle on the fetched subset proves the ranged decode
+    returns exactly the records the index promised."""
+    from ..functions import warcx
+    from ..functions.htmlx import extract_main_text
+    from ..sources.warcgen import build_warc_corpus, uri_doc_id
+
+    man = build_warc_corpus(sf_dir)
+    cdx = rd.read_parquet([s + ".cdx.parquet" for s in man["shards"]],
+                          include_paths=True)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ids = np.array([uri_doc_id(u) for u in b.column("uri").to_pylist()],
+                       dtype=np.int64)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        # group probes per shard: one open per (task, shard), then pure
+        # seek+read per record
+        df = b.select(["path", "uri", "offset", "length"]).to_pandas()
+        for path, g in df.groupby("path", sort=False):
+            shard = path[: -len(".cdx.parquet")]
+            with open(shard, "rb") as f:
+                for uri, off, length in zip(g["uri"], g["offset"],
+                                            g["length"]):
+                    f.seek(int(off))
+                    member = f.read(int(length))
+                    rec = warcx.read_record_at(member, 0, len(member))
+                    assert rec["headers"]["warc-target-uri"] == uri
+                    ids.append(uri_doc_id(uri))
+                    texts.append(extract_main_text(rec["payload"].decode()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "main_text": pa.array(texts, pa.string())})
+
+    out = (cdx.map_batches(probe, batch_format="pyarrow")
+           .map_batches(fetch, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WARC_FETCH = r"""
+SELECT doc_id,
+       trim('Story ' || doc_id::VARCHAR || ' '
+            || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS main_text
+FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id
+"""
+
+
 def q_warc_stats(sf_dir: str) -> pd.DataFrame:
     """Shard-routing audit over the WARC corpus: per shard, records
     seen by the reader and the doc_id range parsed back from the record

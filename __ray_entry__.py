@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
         "warc_curate": q.q_warc_curate,
+        "outlink_stats": q.q_outlink_stats,
         "pdf_extract": q.q_pdf_extract,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -529,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "meta_extract": q.SQL_META_EXTRACT,
         "warc_curate": q.SQL_WARC_CURATE,
+        "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,
         "pack_sequences": q.SQL_PACK_SEQUENCES,
         "decontaminate": q.SQL_DECONTAMINATE,

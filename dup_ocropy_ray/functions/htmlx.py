@@ -424,3 +424,21 @@ def justext_stats(html: str) -> dict:
         "good_chars": sum(len(b["text"]) for b, c in zip(blocks, final)
                           if c == "good"),
     }
+
+
+def extract_links(html: str) -> list[dict]:
+    """All hyperlinks of the page, in document order — the crawl
+    frontier / link-graph view, so chrome links (nav, ads, sidebar)
+    are INCLUDED; only non-content containers (script/style/template)
+    can't contain anchors anyway. Returns [{href, text}] with
+    whitespace-normalized anchor text."""
+    out: list[dict] = []
+    for n in parse_html(html).iter():
+        if n.tag == "a":
+            href = n.attrs.get("href")
+            if not href:
+                continue
+            texts: list[str] = []
+            _collect(n, texts, [])
+            out.append({"href": href, "text": _clean_text(texts)})
+    return out

@@ -3334,6 +3334,50 @@ FROM k GROUP BY source ORDER BY source
 """
 
 
+def q_outlink_stats(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier link extraction: parse EVERY hyperlink of each
+    page (chrome included — nav, ads, sidebar), classify by href prefix
+    and count per doc.  The oracle recomputes all four counts from the
+    page-template rule (tpl = doc_id%4: 6+tpl nav links, 1+tpl%2 ad
+    slots +2 extra on tpl 2, 12 sidebar tags), so the hash compare pins
+    the DOM walk finding every anchor exactly once."""
+    from ..functions.htmlx import extract_links
+    from .extract import wrap_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "n_links": [], "n_nav": [], "n_ads": [],
+                "n_tags": []}
+        for i, h in zip(b["doc_id"], b["html"]):
+            links = extract_links(h)
+            ads = sum(1 for l in links if l["href"].startswith("/promo"))
+            tags = sum(1 for l in links if l["href"].startswith("/tag/"))
+            rows["doc_id"].append(int(i))
+            rows["n_links"].append(len(links))
+            rows["n_ads"].append(ads)
+            rows["n_tags"].append(tags)
+            rows["n_nav"].append(len(links) - ads - tags)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in rows.items()})
+
+    out = (wrap_docs(ds).map_batches(stage, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_OUTLINK_STATS = r"""
+WITH t AS (SELECT doc_id, doc_id % 4 AS tpl FROM documents)
+SELECT doc_id,
+       (6 + tpl) + (1 + tpl % 2 + CASE WHEN tpl = 2 THEN 2 ELSE 0 END)
+         + 12 AS n_links,
+       (6 + tpl)::BIGINT AS n_nav,
+       (1 + tpl % 2 + CASE WHEN tpl = 2 THEN 2 ELSE 0 END)::BIGINT AS n_ads,
+       12::BIGINT AS n_tags
+FROM t ORDER BY doc_id
+"""
+
+
 def q_meta_extract(sf_dir: str) -> pd.DataFrame:
     """Head-metadata harvesting (OpenGraph meta + JSON-LD entity) from
     the wrapped pages: og:title, description, schema.org @type /

@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_markdown": q.q_html_markdown,
         "warc_extract": q.q_warc_extract,
         "warc_fetch": q.q_warc_fetch,
+        "warc_charsets": q.q_warc_charsets,
         "warc_stats": q.q_warc_stats,
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
@@ -505,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "html_markdown": q.SQL_HTML_MARKDOWN,
         "warc_extract": q.SQL_HTML_EXTRACT,
         "warc_fetch": q.SQL_WARC_FETCH,
+        "warc_charsets": q.SQL_WARC_CHARSETS,
         "warc_stats": q.SQL_WARC_STATS,
         "web_span_counts": q.SQL_WEB_SPAN_COUNTS,
         "justext_stats": q.SQL_JUSTEXT_STATS,

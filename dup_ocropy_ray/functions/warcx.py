@@ -131,14 +131,16 @@ def read_record_at(data: bytes, offset: int, length: int) -> dict:
     return rec
 
 
-def write_warc_gz(records: list[tuple[str, bytes]]) -> tuple[bytes, list[dict]]:
-    """Serialize ``[(uri, payload), ...]`` into member-per-record
-    .warc.gz bytes plus its CDX-style index
+def write_warc_gz(records: list[tuple]) -> tuple[bytes, list[dict]]:
+    """Serialize ``[(uri, payload[, content_type]), ...]`` into
+    member-per-record .warc.gz bytes plus its CDX-style index
     ``[{uri, offset, length}, ...]``.  Deterministic (mtime=0)."""
     out = io.BytesIO()
     index: list[dict] = []
-    for uri, payload in records:
-        member = gzip.compress(build_record(uri, payload), mtime=0)
+    for rec in records:
+        uri, payload = rec[0], rec[1]
+        kwargs = {"content_type": rec[2]} if len(rec) > 2 else {}
+        member = gzip.compress(build_record(uri, payload, **kwargs), mtime=0)
         index.append({"uri": uri, "offset": out.tell(), "length": len(member)})
         out.write(member)
     return out.getvalue(), index

@@ -2122,6 +2122,48 @@ FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id
 """
 
 
+def q_warc_charsets(sf_dir: str) -> pd.DataFrame:
+    """Mixed-encoding decode audit: a charset_mix WARC corpus encodes
+    each doc per a doc_id rule (UTF-8 plain / UTF-16LE+BOM /
+    UTF-16BE+BOM / UTF-8 via Content-Type header), and the WHATWG-order
+    sniffing decoder (functions/charsetx.py) must both NAME the
+    encoding and recover the exact text.  Oracle: encoding from the
+    rule, main_text identity from the source column — a wrong decode or
+    a leaked BOM hash-mismatches."""
+    from ..functions.charsetx import decode_html
+    from ..functions.htmlx import extract_main_text
+    from ..sources.warcgen import build_warc_corpus, read_warc, uri_doc_id
+
+    man = build_warc_corpus(sf_dir, charset_mix=True)
+    ds = read_warc(man["shards"])
+
+    def decode(b: pa.Table) -> pa.Table:
+        ids, encs, texts = [], [], []
+        for u, ct, p in zip(b.column("uri").to_pylist(),
+                            b.column("content_type").to_pylist(),
+                            b.column("payload").to_pylist()):
+            text, enc = decode_html(p, ct)
+            ids.append(uri_doc_id(u))
+            encs.append(enc)
+            texts.append(extract_main_text(text))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "encoding": pa.array(encs, pa.string()),
+                         "main_text": pa.array(texts, pa.string())})
+
+    out = ds.map_batches(decode, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WARC_CHARSETS = r"""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 1 THEN 'utf-16-le' WHEN 2 THEN 'utf-16-be'
+            ELSE 'utf-8' END AS encoding,
+       trim('Story ' || doc_id::VARCHAR || ' '
+            || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS main_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_warc_stats(sf_dir: str) -> pd.DataFrame:
     """Shard-routing audit over the WARC corpus: per shard, records
     seen by the reader and the doc_id range parsed back from the record

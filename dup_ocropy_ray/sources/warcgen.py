@@ -57,8 +57,24 @@ def _corpus_version() -> str:
     return h.hexdigest()[:8]
 
 
+def encode_mixed(doc_id: int, html: str) -> tuple[bytes, str]:
+    """Deterministic per-doc transport encoding (the charset_mix corpus):
+    doc_id%4 == 0 plain UTF-8 (validity-sniff path), 1 UTF-16LE+BOM,
+    2 UTF-16BE+BOM (BOM paths; header stays silent), 3 UTF-8 with the
+    charset declared in the Content-Type header (header path).
+    Returns (payload bytes, content-type header value)."""
+    v = doc_id % 4
+    if v == 1:
+        return b"\xff\xfe" + html.encode("utf-16-le"), "text/html"
+    if v == 2:
+        return b"\xfe\xff" + html.encode("utf-16-be"), "text/html"
+    if v == 3:
+        return html.encode(), "text/html; charset=utf-8"
+    return html.encode(), "text/html"
+
+
 def build_warc_corpus(sf_dir: str, num_shards: int = 8,
-                      root: str = "/tmp") -> dict:
+                      root: str = "/tmp", charset_mix: bool = False) -> dict:
     """Render ``documents`` into ``num_shards`` deterministic .warc.gz
     shards (cached per (sf, num_shards, code version)).
 
@@ -69,7 +85,8 @@ def build_warc_corpus(sf_dir: str, num_shards: int = 8,
     shards are written under a tmp dir and renamed into place last.
     """
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{num_shards}|{_corpus_version()}".encode()
+        f"{os.path.abspath(sf_dir)}|{num_shards}|{_corpus_version()}"
+        f"|mix={int(charset_mix)}".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join(root, f"warc_corpus_{key}")
     manifest_path = os.path.join(out_dir, "_manifest.json")
@@ -86,10 +103,14 @@ def build_warc_corpus(sf_dir: str, num_shards: int = 8,
     def write_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         shard = int(g["shard"].iloc[0])
-        recs = [
-            (doc_uri(i), wrap_html(int(i), t if isinstance(t, str) else "").encode())
-            for i, t in zip(g["doc_id"], g["text"])
-        ]
+        recs = []
+        for i, t in zip(g["doc_id"], g["text"]):
+            html = wrap_html(int(i), t if isinstance(t, str) else "")
+            if charset_mix:
+                payload, ct = encode_mixed(int(i), html)
+                recs.append((doc_uri(i), payload, ct))
+            else:
+                recs.append((doc_uri(i), html.encode()))
         blob, index = warcx.write_warc_gz(recs)
         name = f"shard-{shard:05d}.warc.gz"
         with open(os.path.join(tmp_dir, name), "wb") as f:
@@ -157,7 +178,7 @@ def read_warc(paths: list[str] | str) -> rd.Dataset:
     def parse(b: pa.Table) -> pa.Table:
         from pyarrow import fs as pafs
 
-        paths_out, offs, lens, uris, payloads = [], [], [], [], []
+        paths_out, offs, lens, uris, ctypes, payloads = [], [], [], [], [], []
         for path in b.column("path").to_pylist():
             f = pafs.LocalFileSystem().open_input_file(path)
             try:
@@ -169,12 +190,14 @@ def read_warc(paths: list[str] | str) -> rd.Dataset:
                 offs.append(off)
                 lens.append(length)
                 uris.append(rec["headers"].get("warc-target-uri", ""))
+                ctypes.append(rec["headers"].get("content-type", ""))
                 payloads.append(rec["payload"])
         return pa.table({
             "path": pa.array(paths_out, pa.string()),
             "offset": pa.array(offs, pa.int64()),
             "length": pa.array(lens, pa.int64()),
             "uri": pa.array(uris, pa.string()),
+            "content_type": pa.array(ctypes, pa.string()),
             "payload": pa.array(payloads, pa.large_binary()),
         })
 

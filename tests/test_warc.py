@@ -141,3 +141,31 @@ def test_warc_checkpoint_resume_and_mode_guard(ray_session, tmp_path):
         json.dump({"mode": "file_groups", "groups": []}, f)
     with pytest.raises(RuntimeError, match="fresh out_root"):
         run_warc_extract_with_checkpoint(man["shards"], other)
+
+
+def test_charset_sniffing_priority_and_bom_strip():
+    from dup_ocropy_ray.functions import charsetx
+
+    s = "héllo wörld"
+    # BOM beats header, and the BOM char never leaks into the text
+    t, e = charsetx.decode_html(b"\xff\xfe" + s.encode("utf-16-le"),
+                                "text/html; charset=latin-1")
+    assert (t, e) == (s, "utf-16-le")
+    t, e = charsetx.decode_html(b"\xfe\xff" + s.encode("utf-16-be"), None)
+    assert (t, e) == (s, "utf-16-be")
+    t, e = charsetx.decode_html(b"\xef\xbb\xbf" + s.encode(), None)
+    assert (t, e) == (s, "utf-8")
+    # header beats meta
+    payload = b'<meta charset="utf-8">' + s.encode("latin-1")
+    t, e = charsetx.decode_html(payload, "text/html; charset=latin-1")
+    assert e == "latin-1" and "h\xe9llo" in t
+    # meta used when header is silent
+    t, e = charsetx.decode_html(b'<meta charset="latin-1">' +
+                                s.encode("latin-1"), "text/html")
+    assert e == "latin-1"
+    # lying meta (declares utf-16 over ascii bytes) falls back, no crash
+    t, e = charsetx.decode_html(b'<meta charset="utf-17x">plain', None)
+    assert e == "utf-8" and "plain" in t
+    # undecodable utf-8 -> latin-1 last resort
+    t, e = charsetx.decode_html(b"\xff\xfa\x01", None)
+    assert e == "latin-1" and len(t) == 3

@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q.q_dedup_corpus,
         "paragraph_dedup": q.q_paragraph_dedup,
         "revenue_rollup": q.q_revenue_rollup,
+        "events_cube": q.q_events_cube,
         "unigram_logprob": q.q_unigram_logprob,
         "bigram_logprob": q.q_bigram_logprob,
         "tier_extract": q.q_tier_extract,
@@ -562,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
         "paragraph_dedup": q.SQL_PARAGRAPH_DEDUP,
         "revenue_rollup": q.SQL_REVENUE_ROLLUP,
+        "events_cube": q.SQL_EVENTS_CUBE,
         "unigram_logprob": q.SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": q.SQL_BIGRAM_LOGPROB,
         "tier_extract": q.SQL_TIER_EXTRACT,

@@ -3887,6 +3887,67 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def q_events_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE over (event_type, hour-of-day): ONE corpus scan computes the
+    finest grouping set via in-batch partial aggregation; the other
+    three sets (type margin, hour margin, grand total) re-aggregate the
+    fine level's group-scale partials on the driver — the engine shape
+    for GROUPING SETS, same as revenue_rollup but two-dimensional.
+    Margins are marked 'ALL'/-1 instead of NULL so the hash compare is
+    null-free.  Money rides as integer cents (floor(value*100))."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "hod": pd.to_datetime(b.ts).dt.hour.astype("int64"),
+            "cents": np.floor(b.value.to_numpy(np.float64) * 100
+                              ).astype("int64"),
+        })
+
+    base = grouped_agg(ev.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "hod"], sums=["cents"])
+    base = pd.DataFrame({"event_type": base["event_type"],
+                         "hod": base["hod"].astype("int64"),
+                         "n_events": base["n"].astype("int64"),
+                         "sum_cents": base["sum_cents"].astype("int64")})
+
+    def margin(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False)[["n_events", "sum_cents"]
+                                                 ].sum()
+        else:
+            g = pd.DataFrame({"n_events": [df["n_events"].sum()],
+                              "sum_cents": [df["sum_cents"].sum()]})
+        if "event_type" not in g:
+            g["event_type"] = "ALL"
+        if "hod" not in g:
+            g["hod"] = -1
+        return g[["event_type", "hod", "n_events", "sum_cents"]]
+
+    out = pd.concat([base,
+                     margin(base, ["event_type"]),
+                     margin(base, ["hod"]),
+                     margin(base, [])], ignore_index=True)
+    out["hod"] = out["hod"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return (out.sort_values(["event_type", "hod"])
+            .reset_index(drop=True))
+
+
+SQL_EVENTS_CUBE = r"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hod, -1) AS hod,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM (SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hod,
+             floor(value * 100)::BIGINT AS cents FROM events)
+GROUP BY CUBE(event_type, hod)
+ORDER BY event_type, hod
+"""
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP-style multi-level aggregate (order priority -> grand
     total) computed as two grouped partial-agg passes over ONE scan's

@@ -488,6 +488,35 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return asof_join_aggregate(events, orders)
 
 
+def q_asof_forward(sf_dir: str) -> pd.DataFrame:
+    """Forward as-of join (events -> EARLIEST order with o_orderdate >=
+    ts, tie-break min o_orderkey) — the look-ahead variant; same
+    one-shuffle searchsorted engine, opposite insertion side."""
+    from .windows import asof_join_aggregate
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return asof_join_aggregate(events, orders, direction="forward")
+
+
+SQL_ASOF_FORWARD = """
+SELECT e.event_type,
+       count(*) AS n_events,
+       count(j.o_orderkey) AS n_matched,
+       coalesce(sum(floor(j.o_totalprice * 100)::BIGINT), 0)::BIGINT AS sum_price_cents
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id + 1 AND o.o_orderdate >= e.ts
+  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC
+  LIMIT 1
+) j ON true
+GROUP BY e.event_type
+"""
+
+
 SQL_ASOF_JOIN = """
 SELECT e.event_type,
        count(*) AS n_events,

@@ -189,11 +189,16 @@ def asof_join_aggregate(
     orders: rd.Dataset,
     group_col: str = "event_type",
     num_partitions: int = 32,
+    direction: str = "backward",
 ) -> pd.DataFrame:
     """As-of join: each event matches the LATEST order of the same
     customer with o_orderdate <= ts (tie-break: max o_orderkey), where
     custkey = user_id + 1. Aggregated to (event_type, n_events,
     n_matched, sum_price_cents).
+
+    ``direction="forward"`` flips the match to the EARLIEST order with
+    o_orderdate >= ts (tie-break: min o_orderkey) — same shuffle, same
+    lexsorted history, just the other searchsorted side.
 
     Scale shape: both sides tagged and unioned, ONE hash shuffle into
     ``num_partitions`` buckets (never one group per key — per-group UDF
@@ -272,11 +277,19 @@ def asof_join_aggregate(
         cents_o = np.floor(od["price"].to_numpy(np.float64) * 100).astype(
             np.int64
         )[order]
-        pos = np.searchsorted(cs, comb_e, side="right") - 1
-        valid = pos >= 0
+        if direction == "forward":
+            # first order at-or-after: left insertion point; the lexsort
+            # already puts min okey first within equal (key, ts)
+            pos = np.searchsorted(cs, comb_e, side="left")
+            valid = pos < len(cs)
+            pos = np.minimum(pos, len(cs) - 1)
+        else:
+            pos = np.searchsorted(cs, comb_e, side="right") - 1
+            valid = pos >= 0
+            pos = np.maximum(pos, 0)
         # the candidate must belong to the event's key
-        valid &= np.where(valid, cs[np.maximum(pos, 0)] // span == kid_e, False)
-        cents = np.where(valid, cents_o[np.maximum(pos, 0)], 0)
+        valid &= np.where(valid, cs[pos] // span == kid_e, False)
+        cents = np.where(valid, cents_o[pos], 0)
         return pd.DataFrame(
             {
                 "grp": ev["grp"].to_numpy(),

@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": q.q_moving_avg,
         "asof_join": q.q_asof_join,
         "asof_forward": q.q_asof_forward,
+        "order_ntile": q.q_order_ntile,
         "range_join": q.q_range_join,
         "value_quantiles": q.q_value_quantiles,
         "join_revenue_priority": q.q_join_revenue_priority,
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": q.SQL_MOVING_AVG,
         "asof_join": q.SQL_ASOF_JOIN,
         "asof_forward": q.SQL_ASOF_FORWARD,
+        "order_ntile": q.SQL_ORDER_NTILE,
         "range_join": q.SQL_RANGE_JOIN,
         "value_quantiles": q.SQL_VALUE_QUANTILES,
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,

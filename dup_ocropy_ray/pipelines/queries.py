@@ -488,6 +488,84 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return asof_join_aggregate(events, orders)
 
 
+def q_order_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(8) over order totals — the global-rank window function:
+    per-order totals aggregate distributed (key-hash groupby), the
+    global rank comes from the ordered_scan prefix-scan primitive over
+    ONE composed (total, orderkey) int64 key (no driver-side sort), and
+    the SQL NTILE fill rule (first n%N tiles get the extra row) is
+    applied vectorized.  Ties are broken by orderkey exactly as the
+    oracle's ORDER BY does."""
+    from .windows import ordered_scan
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial sums, then ONE coarse hash shuffle — the
+        # repo's standard keyed-aggregate shape (the native Ray groupby
+        # aggregator pool measured 16s on this 60k-row input alone)
+        g = pd.DataFrame({
+            "l_orderkey": b.l_orderkey.astype("int64"),
+            "cents": np.floor(
+                b.l_extendedprice.to_numpy(np.float64) * 100
+            ).astype("int64"),
+        }).groupby("l_orderkey", as_index=False)["cents"].sum()
+        g["_part"] = (g["l_orderkey"].to_numpy(np.int64)
+                      * 2654435761 % 2**32) % 64
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", as_index=False)["cents"].sum()
+        return out.rename(columns={"cents": "total_cents"})
+
+    totals = (li.map_batches(partial, batch_format="pandas")
+              .groupby("_part").map_groups(combine, batch_format="pandas")
+              # group-scale (one row per order): pin it, or each scalar
+              # probe below re-executes the whole groupby lineage
+              .materialize())
+    umax = int(totals.max("l_orderkey")) + 1
+    tmax = int(totals.max("total_cents"))
+    if tmax * umax >= 2**62:
+        raise OverflowError("ntile sort-key composition overflows int64")
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["key"] = b["total_cents"].to_numpy(np.int64) * umax + \
+            b["l_orderkey"].to_numpy(np.int64)
+        b["one"] = np.int64(1)
+        return b
+
+    scanned = ordered_scan(totals.map_batches(key, batch_format="pandas"),
+                           "key", sum_cols=("one",))
+    n = totals.count()
+    ntiles = 8
+    k, m = n // ntiles, n % ntiles
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["run_one"].to_numpy(np.int64)  # inclusive rank, 1-based
+        cut = m * (k + 1)
+        t = np.where(r <= cut, (r - 1) // (k + 1),
+                     m + (r - 1 - cut) // max(k, 1)) + 1
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "total_cents": b["total_cents"].astype("int64"),
+            "tile": t.astype("int64"),
+        })
+
+    out = scanned.map_batches(tile, batch_format="pandas").to_pandas()
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+SQL_ORDER_NTILE = """
+SELECT l_orderkey, total_cents,
+       NTILE(8) OVER (ORDER BY total_cents, l_orderkey)::BIGINT AS tile
+FROM (SELECT l_orderkey,
+             sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS total_cents
+      FROM lineitem GROUP BY l_orderkey)
+ORDER BY l_orderkey
+"""
+
+
 def q_asof_forward(sf_dir: str) -> pd.DataFrame:
     """Forward as-of join (events -> EARLIEST order with o_orderdate >=
     ts, tie-break min o_orderkey) — the look-ahead variant; same

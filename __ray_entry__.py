@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "asof_forward": q.q_asof_forward,
         "order_ntile": q.q_order_ntile,
+        "events_lag": q.q_events_lag,
+        "modal_hour": q.q_modal_hour,
         "range_join": q.q_range_join,
         "value_quantiles": q.q_value_quantiles,
         "join_revenue_priority": q.q_join_revenue_priority,
@@ -498,6 +500,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": q.SQL_ASOF_JOIN,
         "asof_forward": q.SQL_ASOF_FORWARD,
         "order_ntile": q.SQL_ORDER_NTILE,
+        "events_lag": q.SQL_EVENTS_LAG,
+        "modal_hour": q.SQL_MODAL_HOUR,
         "range_join": q.SQL_RANGE_JOIN,
         "value_quantiles": q.SQL_VALUE_QUANTILES,
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,

@@ -488,6 +488,83 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return asof_join_aggregate(events, orders)
 
 
+def q_events_lag(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG: microseconds since the user's previous event
+    (deterministic (ts, event_id) ordering; -1 for each user's first
+    event).  One user-hash shuffle, then a vectorized per-partition
+    sort + shifted diff — the classic per-key window op, value-exact
+    against the LAG window oracle."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts"]].copy()
+        k = b["user_id"].to_numpy(np.int64)
+        b["_part"] = (k * 2654435761 % 2**32) % 32
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].astype("int64")  # µs since epoch
+        gap = us.diff()
+        first = g["user_id"].ne(g["user_id"].shift())
+        gap[first] = -1
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64").to_numpy(),
+            "gap_us": gap.astype("int64").to_numpy(),
+        })
+
+    out = (ev.map_batches(tag, batch_format="pandas")
+           .groupby("_part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id,
+       coalesce(epoch_us(ts) - epoch_us(
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+           -1)::BIGINT AS gap_us
+FROM events ORDER BY event_id
+"""
+
+
+def q_modal_hour(sf_dir: str) -> pd.DataFrame:
+    """Per-type modal hour (most frequent hour-of-day, smallest hour on
+    ties) — a deterministic MODE: one in-batch partial count + a
+    group-scale driver argmax over the types x 24 table."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "hod": pd.to_datetime(b.ts).dt.hour.astype("int64"),
+        })
+
+    base = grouped_agg(ev.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "hod"])
+    base = base.sort_values(["event_type", "n", "hod"],
+                            ascending=[True, False, True])
+    out = base.groupby("event_type", as_index=False).head(1)
+    return (pd.DataFrame({
+        "event_type": out["event_type"],
+        "modal_hour": out["hod"].astype("int64"),
+        "n_events": out["n"].astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True))
+
+
+SQL_MODAL_HOUR = """
+SELECT event_type, hod AS modal_hour, n AS n_events
+FROM (
+  SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hod,
+         count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC,
+                                     EXTRACT(hour FROM ts)::BIGINT) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def q_order_ntile(sf_dir: str) -> pd.DataFrame:
     """NTILE(8) over order totals — the global-rank window function:
     per-order totals aggregate distributed (key-hash groupby), the

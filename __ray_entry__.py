@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
+        "merge_upsert": q.q_merge_upsert,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
         "pdf_extract": q.q_pdf_extract,
@@ -540,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": q.SQL_ROBOTS_FILTER,
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "meta_extract": q.SQL_META_EXTRACT,
+        "merge_upsert": q.SQL_MERGE_UPSERT,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

@@ -3604,6 +3604,95 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse merge/compaction: apply a change log (upserts with
+    version sequence + deletes + inserts, synthesized deterministically
+    from the doc_id) onto the base table, keeping the LATEST version per
+    key and dropping deleted keys.  Base and log union into ONE
+    key-hash bucket shuffle; each partition resolves latest-wins with a
+    vectorized sort + group-head.  Oracle replays the log rule with a
+    QUALIFY-style window."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def base_rows(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "seq": np.int64(0),
+                             "op": "upsert",
+                             "text": t})
+
+    def log_rows(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        t = b["text"].fillna("")
+        m = i % 9
+        frames = [
+            pd.DataFrame({"doc_id": i[m == 0], "seq": np.int64(1),
+                          "op": "delete", "text": ""}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(1),
+                          "op": "upsert", "text": t[m == 1] + " v1"}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(2),
+                          "op": "upsert", "text": t[m == 1] + " v2"}),
+            pd.DataFrame({"doc_id": i[m == 2], "seq": np.int64(1),
+                          "op": "upsert",
+                          "text": "rewrite " + i[m == 2].astype(str)}),
+            pd.DataFrame({"doc_id": i[m == 3] + 2_000_000,
+                          "seq": np.int64(1), "op": "upsert",
+                          "text": "inserted " + i[m == 3].astype(str)}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    union = (docs.map_batches(base_rows, batch_format="pandas")
+             .union(docs.map_batches(log_rows, batch_format="pandas")))
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        k = b["doc_id"].to_numpy(np.int64)
+        b["_part"] = (k * 2654435761 % 2**32) % 64
+        return b
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        latest = (g.sort_values(["doc_id", "seq"], ascending=[True, False])
+                  .groupby("doc_id", as_index=False).head(1))
+        keep = latest[latest["op"] != "delete"]
+        return pd.DataFrame({"doc_id": keep["doc_id"].astype("int64"),
+                             "text": keep["text"]})
+
+    out = (union.map_batches(bucket, batch_format="pandas")
+           .groupby("_part").map_groups(resolve, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_MERGE_UPSERT = r"""
+WITH base AS (
+  SELECT doc_id, 0 AS seq, 'upsert' AS op, coalesce(text, '') AS text
+  FROM documents
+), log AS (
+  SELECT doc_id, 1 AS seq, 'delete' AS op, '' AS text
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, 1, 'upsert', coalesce(text, '') || ' v1'
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'upsert', coalesce(text, '') || ' v2'
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'upsert', 'rewrite ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, 1, 'upsert', 'inserted ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 9 = 3
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM u
+)
+SELECT doc_id, text FROM latest WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+"""
+
+
 def q_meta_extract(sf_dir: str) -> pd.DataFrame:
     """Head-metadata harvesting (OpenGraph meta + JSON-LD entity) from
     the wrapped pages: og:title, description, schema.org @type /

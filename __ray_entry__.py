@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
         "merge_upsert": q.q_merge_upsert,
+        "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
         "pdf_extract": q.q_pdf_extract,

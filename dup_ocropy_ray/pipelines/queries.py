@@ -3604,6 +3604,44 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_incremental_neardup(sf_dir: str) -> pd.DataFrame:
+    """Streaming NEAR-dup ingest (state/neardup_index.py — MinHash-LSH
+    bands behind sharded actors): wave 1 admits the even docs; wave 2
+    replays every doc plus planted one-token-tail variants of the
+    admitted ones — the variants and the replayed evens must be
+    rejected by band collision while the odd docs admit.  Rows-only
+    (stateful streaming); the planted-pair and snapshot gates live in
+    tests/test_neardup_index.py."""
+    from ..state.neardup_index import NearDupIndex
+
+    idx = NearDupIndex(num_bands=16, num_perm=64)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    wave1 = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    n1_in = wave1.count()
+    n1 = idx.count_new(wave1)
+
+    def variants(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = b.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "doc_id": pc.add(sel["doc_id"], 5_000_000),
+            "text": pc.binary_join_element_wise(
+                pc.coalesce(sel["text"], ""), " tail", ""),
+        })
+
+    wave2 = docs.union(docs.map_batches(variants, batch_format="pyarrow"))
+    n2_in = wave2.count()
+    n2 = idx.count_new(wave2)
+    return pd.DataFrame({
+        "wave": pd.Series([1, 2], dtype="int64"),
+        "n_in": pd.Series([n1_in, n2_in], dtype="int64"),
+        "n_admitted": pd.Series([n1, n2], dtype="int64"),
+    })
+
+
 def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
     """Lakehouse merge/compaction: apply a change log (upserts with
     version sequence + deletes + inserts, synthesized deterministically

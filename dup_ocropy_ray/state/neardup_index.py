@@ -1,0 +1,171 @@
+"""Sharded streaming NEAR-dup index — the MinHash-LSH counterpart of
+``state/dedup_index.py``: an unbounded ingest stream is filtered against
+every document EVER admitted, where "duplicate" means sharing at least
+one LSH band with an admitted doc (the same banding rule as the batch
+``dedup.minhash_dup_pairs_ds``, so thresholds tune identically).
+
+Topology: one actor per BAND INDEX (band i of every doc lives on shard
+i), so a doc's membership probe fans out to ``num_bands`` shards but
+each shard owns a disjoint slice of the band space and stays a plain
+uint64 set.  Ingest is two-phase per batch — ``probe`` (read-only: which
+band keys exist?) then ``register`` (survivors only) — so admitted dups
+never pollute the index.  Within a batch the survivor decision is
+deterministic (first occurrence of a colliding band wins, in row
+order); across CONCURRENT batches a racing near-dup pair can both admit
+(the probe/register gap) — sequential waves, as in any checkpointed
+ingest, are exact.  Same quiesce-then-save snapshot contract as the
+exact index.
+
+Scale: per-shard state ~40 B/band; num_perm/num_bands tune the Jaccard
+threshold exactly as in the batch pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from ..functions import hashing
+
+
+@ray.remote(num_cpus=0)
+class _BandShard:
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+
+    def probe(self, keys: np.ndarray) -> np.ndarray:
+        seen = self._seen
+        return np.fromiter((int(k) in seen for k in keys),
+                           dtype=bool, count=len(keys))
+
+    def register(self, keys: np.ndarray) -> int:
+        self._seen.update(int(k) for k in keys.tolist())
+        return len(self._seen)
+
+    def size(self) -> int:
+        return len(self._seen)
+
+    def snapshot(self) -> np.ndarray:
+        return np.fromiter(self._seen, dtype=np.uint64, count=len(self._seen))
+
+    def restore(self, keys: np.ndarray) -> int:
+        self._seen.update(int(k) for k in
+                          np.asarray(keys, dtype=np.uint64).tolist())
+        return len(self._seen)
+
+
+class NearDupIndex:
+    """Handle bundling the per-band shard actors."""
+
+    def __init__(self, num_bands: int = 16, num_perm: int = 64,
+                 shingle_k: int = 3, seed: int = 1234):
+        if num_perm % num_bands:
+            raise ValueError("num_perm must divide into num_bands")
+        self.num_bands = num_bands
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self._a, self._b = hashing.minhash_params(num_perm, seed=seed)
+        self.shards = [_BandShard.remote() for _ in range(num_bands)]
+
+    def _band_keys(self, texts) -> np.ndarray:
+        vals, offsets = hashing.batch_shingle_hashes(list(texts),
+                                                     self.shingle_k)
+        sigs = hashing.batch_minhash_signatures(vals, offsets,
+                                                self._a, self._b)
+        return hashing.batch_minhash_bands(sigs, self.num_bands)
+
+    # ---------------------------------------------------------- ingest
+
+    def filter_new(self, ds: rd.Dataset, text_col: str = "text"
+                   ) -> rd.Dataset:
+        """Rows that near-dup-match NOTHING admitted so far; survivors'
+        bands are registered.  Two actor round-trips per batch
+        (probe all bands, register survivors' bands)."""
+        shards = self.shards
+        nb = self.num_bands
+        band_keys = self._band_keys
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            bands = band_keys(batch[text_col].to_numpy(dtype=object))
+            seen = np.zeros(bands.shape, dtype=bool)
+            probes = [shards[i].probe.remote(bands[:, i])
+                      for i in range(nb)]
+            for i, mask in enumerate(ray.get(probes)):
+                seen[:, i] = mask
+            keep = ~seen.any(axis=1)
+            # in-batch collisions: row order wins — a later row sharing
+            # any band with an earlier KEPT row is a dup of it
+            claimed = [dict() for _ in range(nb)]
+            for r in np.flatnonzero(keep):
+                hit = False
+                for i in range(nb):
+                    if int(bands[r, i]) in claimed[i]:
+                        hit = True
+                        break
+                if hit:
+                    keep[r] = False
+                    continue
+                for i in range(nb):
+                    claimed[i][int(bands[r, i])] = r
+            if keep.any():
+                regs = [shards[i].register.remote(bands[keep, i])
+                        for i in range(nb)]
+                ray.get(regs)
+            return batch[keep]
+
+        return ds.map_batches(f, batch_format="pandas", batch_size=8192)
+
+    def count_new(self, ds: rd.Dataset, text_col: str = "text") -> int:
+        return self.filter_new(ds, text_col).count()
+
+    def size(self) -> int:
+        return int(sum(ray.get([s.size.remote() for s in self.shards])))
+
+    # ------------------------------------------------------ checkpoint
+
+    def save(self, root: str) -> str:
+        """Atomic versioned snapshot (quiesce ingest first — same
+        contract as DedupIndex.save)."""
+        import json
+
+        os.makedirs(root, exist_ok=True)
+        existing = [int(d.split("-")[1]) for d in os.listdir(root)
+                    if d.startswith("snap-") and not d.endswith(".tmp")]
+        n = max(existing, default=-1) + 1
+        tmp = os.path.join(root, f"snap-{n:05d}.tmp")
+        final = os.path.join(root, f"snap-{n:05d}")
+        os.makedirs(tmp, exist_ok=True)
+        snaps = ray.get([s.snapshot.remote() for s in self.shards])
+        for i, arr in enumerate(snaps):
+            np.save(os.path.join(tmp, f"band-{i:04d}.npy"), arr)
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump({"num_bands": self.num_bands,
+                       "num_perm": self.num_perm,
+                       "shingle_k": self.shingle_k,
+                       "counts": [len(a) for a in snaps]}, f)
+        os.rename(tmp, final)
+        return final
+
+    def restore(self, snap_dir: str) -> None:
+        import json
+
+        with open(os.path.join(snap_dir, "manifest.json")) as f:
+            man = json.load(f)
+        if (man["num_bands"], man["num_perm"], man["shingle_k"]) != (
+                self.num_bands, self.num_perm, self.shingle_k):
+            raise ValueError(
+                f"snapshot was built with bands/perm/k "
+                f"{(man['num_bands'], man['num_perm'], man['shingle_k'])}, "
+                f"index has {(self.num_bands, self.num_perm, self.shingle_k)}")
+        calls = []
+        for i in range(self.num_bands):
+            arr = np.load(os.path.join(snap_dir, f"band-{i:04d}.npy"))
+            calls.append(self.shards[i].restore.remote(arr))
+        got = ray.get(calls)
+        if got != man["counts"]:
+            raise RuntimeError("restore count mismatch vs snapshot manifest")

@@ -372,6 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
         "merge_upsert": q.q_merge_upsert,
+        "event_paths": q.q_event_paths,
+        "trending_types": q.q_trending_types,
+        "vocab_growth": q.q_vocab_growth,
+        "user_lifecycle": q.q_user_lifecycle,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
@@ -543,6 +547,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "meta_extract": q.SQL_META_EXTRACT,
         "merge_upsert": q.SQL_MERGE_UPSERT,
+        "event_paths": q.SQL_EVENT_PATHS,
+        "trending_types": q.SQL_TRENDING_TYPES,
+        "vocab_growth": q.SQL_VOCAB_GROWTH,
+        "user_lifecycle": q.SQL_USER_LIFECYCLE,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

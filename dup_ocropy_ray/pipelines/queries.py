@@ -6048,3 +6048,211 @@ SELECT coalesce(l.c_custkey, r.o_custkey) AS custkey,
 FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
 ORDER BY custkey
 """
+
+
+def q_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type path (first 8 events joined with
+    '>') — the behavioral-sequence extraction that feeds session-level
+    n-gram / markov models.  ONE user-hash shuffle; inside each
+    partition a single vectorized sort + per-user head(8), then the
+    string join runs over <=8 already-colocated strings per user (no
+    cross-partition state).  Scale: partitions hold disjoint users, the
+    output is one metadata-width row per user."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts", "event_type"]].copy()
+        k = b["user_id"].to_numpy(np.int64)
+        b["_part"] = (k * 2654435761 % 2**32) % 32
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.groupby("user_id", sort=False).head(8)
+        grp = g.groupby("user_id", sort=False)["event_type"]
+        path = grp.apply(">".join)
+        n = grp.size()
+        return pd.DataFrame({
+            "user_id": path.index.to_numpy(np.int64),
+            "path": path.to_numpy(object),
+            "n_steps": n.to_numpy(np.int64),
+        })
+
+    out = (ev.map_batches(tag, batch_format="pandas")
+           .groupby("_part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENT_PATHS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+       count(*)::BIGINT AS n_steps
+FROM o WHERE rn <= 8 GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_trending_types(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day trending event types: per (day, type) counts with
+    the previous day's count (LAG) and an integer permille growth
+    ratio.  The count table is a bounded days x types combine
+    (grouped_agg per-batch partials); the LAG runs on that group-scale
+    result — nothing row-scale reaches the driver."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (b["ts"].astype("int64") // 86_400_000_000),
+            "event_type": b["event_type"],
+        })
+
+    base = grouped_agg(ev.map_batches(prep, batch_format="pandas"),
+                       ["day", "event_type"])
+    base = base.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = base.groupby("event_type", sort=False)["n"].shift(1)
+    n = base["n"].astype("int64")
+    prev_n = prev.fillna(-1).astype("int64")
+    ratio = np.where(prev_n > 0, (n * 1000) // prev_n.where(prev_n > 0, 1),
+                     -1)
+    return pd.DataFrame({
+        "day": base["day"].astype("int64"),
+        "event_type": base["event_type"],
+        "n": n,
+        "prev_n": prev_n,
+        "ratio_permille": ratio.astype("int64"),
+    })
+
+
+SQL_TRENDING_TYPES = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       coalesce(LAG(n) OVER (PARTITION BY event_type ORDER BY day),
+                -1)::BIGINT AS prev_n,
+       (CASE WHEN LAG(n) OVER (PARTITION BY event_type ORDER BY day) > 0
+             THEN (n * 1000) // LAG(n) OVER (PARTITION BY event_type
+                                             ORDER BY day)
+             ELSE -1 END)::BIGINT AS ratio_permille
+FROM c ORDER BY event_type, day
+"""
+
+
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary growth curve: distinct words seen in the
+    first k/10 of the corpus (by doc_id) for k = 1..10.  Per batch the
+    token stream collapses to (word, min doc_id) partials BEFORE the
+    exchange; ONE word-hash bucket shuffle computes the global first
+    occurrence per word; each partition then bins its first-occurrence
+    positions against the 10 broadcast cutoffs — only 10-row partial
+    histograms reach the driver.  No vocabulary-scale driver state."""
+    from ..functions.hashing import hash_strings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+    cutoffs = np.array([(mx * k) // 10 for k in range(1, 11)],
+                       dtype=np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        if ex.empty:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "first_doc": pd.Series([], dtype="int64"),
+                                 "_part": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({
+            "word": ex.to_numpy(object),
+            "first_doc": b["doc_id"].to_numpy(np.int64)[
+                ex.index.to_numpy(np.int64)],
+        })
+        df = df.groupby("word", as_index=False, sort=False)["first_doc"].min()
+        df["_part"] = (hash_strings(df["word"]) % 64).astype("int64")
+        return df
+
+    def bin_part(g: pd.DataFrame, _cut=cutoffs) -> pd.DataFrame:
+        first = g.groupby("word", sort=False)["first_doc"].min().to_numpy()
+        idx = np.searchsorted(_cut, first, side="left")
+        counts = np.bincount(idx, minlength=10)[:10]
+        return pd.DataFrame({"bucket": np.arange(10, dtype=np.int64),
+                             "n": counts.astype(np.int64)})
+
+    parts = (docs.map_batches(partial, batch_format="pandas")
+             .groupby("_part").map_groups(bin_part, batch_format="pandas")
+             .to_pandas())
+    hist = parts.groupby("bucket")["n"].sum().reindex(range(10),
+                                                      fill_value=0)
+    return pd.DataFrame({
+        "decile": np.arange(1, 11, dtype=np.int64),
+        "n_words": hist.cumsum().to_numpy(np.int64),
+    })
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), f AS (
+  SELECT word, min(doc_id) AS first_doc
+  FROM w WHERE word <> '' GROUP BY word
+), m AS (SELECT max(doc_id) AS mx FROM documents),
+d AS (SELECT unnest(range(1, 11)) AS k)
+SELECT d.k::BIGINT AS decile, count(*)::BIGINT AS n_words
+FROM f, m, d
+WHERE f.first_doc <= (m.mx * d.k) // 10
+GROUP BY d.k ORDER BY d.k
+"""
+
+
+def q_user_lifecycle(sf_dir: str) -> pd.DataFrame:
+    """Set-operation lifecycle report: users active in BOTH halves of
+    the time range (INTERSECT), only the early half (EXCEPT), or only
+    the late half.  One per-user min/max partial aggregation (bounded
+    combine); the global midpoint derives from the same table's
+    extrema, so the whole query is a single scan plus a group-scale
+    classification."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "us": b["ts"].astype("int64"),
+        })
+
+    per_user = grouped_agg(ev.map_batches(prep, batch_format="pandas"),
+                           ["user_id"], mins=["us"], maxs=["us"])
+    mid = (int(per_user["min_us"].min()) + int(per_user["max_us"].max())) // 2
+    early = per_user["min_us"] < mid
+    late = per_user["max_us"] >= mid
+    status = np.where(early & late, "both",
+                      np.where(early, "early_only", "late_only"))
+    return (pd.DataFrame({
+        "user_id": per_user["user_id"].astype("int64"),
+        "status": status,
+    }).sort_values("user_id").reset_index(drop=True))
+
+
+SQL_USER_LIFECYCLE = """
+WITH m AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+), u AS (
+  SELECT user_id,
+         max(CASE WHEN epoch_us(ts) < (SELECT mid FROM m)
+                  THEN 1 ELSE 0 END) AS e,
+         max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m)
+                  THEN 1 ELSE 0 END) AS l
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN e = 1 AND l = 1 THEN 'both'
+            WHEN e = 1 THEN 'early_only'
+            ELSE 'late_only' END AS status
+FROM u ORDER BY user_id
+"""

@@ -1,0 +1,109 @@
+"""Sequence/lifecycle/trend queries (queries.py): per-user event paths,
+day-over-day trending types, Heaps-law vocabulary growth, and the
+INTERSECT/EXCEPT user-lifecycle report — value-exact against their
+DuckDB twins at sf0.001 plus structural invariants."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_event_paths_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_event_paths(SF))
+    want = _canon(con.sql(q.SQL_EVENT_PATHS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_steps"] <= 8).all()
+    assert (got["path"].str.split(">").str.len()
+            == got["n_steps"]).all()
+
+
+def test_trending_types_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_trending_types(SF))
+    want = _canon(con.sql(q.SQL_TRENDING_TYPES).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # first day of every type has no predecessor -> sentinel ratios
+    first = got[got["prev_n"] == -1]
+    assert (first["ratio_permille"] == -1).all()
+    # every type appears with its earliest day carrying the sentinel
+    g = got.sort_values(["event_type", "day"]).groupby("event_type")
+    assert (g.head(1)["prev_n"] == -1).all()
+
+
+def test_vocab_growth_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_vocab_growth(SF))
+    want = _canon(con.sql(q.SQL_VOCAB_GROWTH).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    curve = got.sort_values("decile")["n_words"].to_numpy()
+    assert (np.diff(curve) >= 0).all()           # monotone growth
+    total = con.sql(
+        r"""SELECT count(DISTINCT word) FROM (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+')) AS word
+              FROM documents) WHERE word <> ''""").fetchone()[0]
+    assert curve[-1] == total                    # decile 10 = full vocab
+
+
+def test_user_lifecycle_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_user_lifecycle(SF))
+    want = _canon(con.sql(q.SQL_USER_LIFECYCLE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["status"]) <= {"both", "early_only", "late_only"}
+    # every user with any event is classified exactly once
+    n_users = con.sql(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(got) == n_users
+
+
+def test_event_paths_synthetic_truncation(ray_session):
+    """A user with 12 events keeps exactly the first 8 in ts order;
+    ties on ts break by event_id."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines import queries as q
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(12):
+        rows.append((i, 7, base + pd.Timedelta(minutes=i), f"t{i}"))
+    # user 8: two events at the SAME ts -> event_id orders them
+    rows.append((100, 8, base, "late"))
+    rows.append((99, 8, base, "early"))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q.q_event_paths(d).set_index("user_id")
+    assert out.loc[7, "path"] == ">".join(f"t{i}" for i in range(8))
+    assert out.loc[7, "n_steps"] == 8
+    assert out.loc[8, "path"] == "early>late"

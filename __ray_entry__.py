@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_types": q.q_trending_types,
         "vocab_growth": q.q_vocab_growth,
         "user_lifecycle": q.q_user_lifecycle,
+        "frontier_dedup": q.q_frontier_dedup,
+        "crawl_schedule": q.q_crawl_schedule,
+        "anchor_text": q.q_anchor_text,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
@@ -551,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
         "trending_types": q.SQL_TRENDING_TYPES,
         "vocab_growth": q.SQL_VOCAB_GROWTH,
         "user_lifecycle": q.SQL_USER_LIFECYCLE,
+        "frontier_dedup": q.SQL_FRONTIER_DEDUP,
+        "crawl_schedule": q.SQL_CRAWL_SCHEDULE,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

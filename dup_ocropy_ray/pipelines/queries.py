@@ -6256,3 +6256,194 @@ SELECT user_id,
             ELSE 'late_only' END AS status
 FROM u ORDER BY user_id
 """
+
+
+def q_frontier_dedup(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier canonical dedup audit: per registered domain, raw
+    URL count vs distinct NORMALIZED urls (functions/urlx.py — case,
+    default ports, dot segments, utm_* params, fragments) — the
+    dedup a frontier does before scheduling fetches.  Per batch the
+    stream collapses to (domain, norm_url, n) partials, then ONE
+    domain-hash shuffle computes exact distincts per partition-local
+    domain.  The oracle rebuilds every normalized URL from the six
+    hazard templates."""
+    from .curate import url_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    tbl = url_table(docs)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["domain", "norm_url"], as_index=False, sort=False)
+             .agg(n=("doc_id", "size")))
+        k = g["domain"].astype(str)
+        g["_part"] = (pd.util.hash_array(k.to_numpy(object),
+                                         categorize=False) % 32).astype(
+                                             "int64")
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("domain", sort=False).agg(
+            n_urls=("n", "sum"), n_distinct=("norm_url", "nunique"))
+        agg = agg.reset_index()
+        return pd.DataFrame({
+            "domain": agg["domain"],
+            "n_urls": agg["n_urls"].astype("int64"),
+            "n_distinct": agg["n_distinct"].astype("int64"),
+            "n_dupes": (agg["n_urls"] - agg["n_distinct"]).astype("int64"),
+        })
+
+    out = (tbl.map_batches(partial, batch_format="pandas")
+           .groupby("_part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+SQL_FRONTIER_DEDUP = """
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t, doc_id::VARCHAR AS i,
+         (doc_id % 4)::INT AS reps
+  FROM documents
+), u AS (
+  SELECT
+    CASE t WHEN 1 THEN source || '.co.uk' WHEN 2 THEN source || '.org'
+           WHEN 3 THEN source || '.net' ELSE source || '.com'
+    END AS domain,
+    CASE t
+      WHEN 0 THEN 'https://www.' || source || '.com/articles/' || i
+      WHEN 1 THEN 'http://' || source || '.co.uk/a/news/' || i
+                  || '?id=' || i
+      WHEN 2 THEN 'https://blog.' || source || '.org/post/' || i || '/'
+      WHEN 3 THEN 'http://ads.' || source || '.net/track/' || i
+      WHEN 4 THEN 'https://' || source || '.com:8443/'
+                  || repeat('x/', reps) || 'page'
+      ELSE 'https://a.b.' || source || '.com/a%20b/?id=1&ref=2'
+    END AS norm_url
+  FROM f
+)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       count(DISTINCT norm_url)::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT norm_url))::BIGINT AS n_dupes
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
+def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """Politeness fetch scheduler: within each registered domain, order
+    fetches by doc_id and space them by the domain's crawl delay
+    (200ms x (1 + len(domain) % 4) — a stand-in for robots
+    crawl-delay).  ONE domain-hash shuffle; each partition ranks its
+    disjoint domains with a vectorized sort + cumcount.  The per-doc
+    schedule stays distributed at web scale (this query collects it
+    only for the oracle compare)."""
+    from .curate import url_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    tbl = url_table(docs)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "domain"]].copy()
+        b["_part"] = (pd.util.hash_array(
+            b["domain"].to_numpy(object), categorize=False) % 32).astype(
+                "int64")
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["domain", "doc_id"])
+        slot = g.groupby("domain", sort=False).cumcount()
+        delay = 200 * (1 + g["domain"].str.len() % 4)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").to_numpy(),
+            "domain": g["domain"].to_numpy(object),
+            "slot": slot.astype("int64").to_numpy(),
+            "fetch_at_ms": (slot * delay).astype("int64").to_numpy(),
+        })
+
+    out = (tbl.map_batches(tag, batch_format="pandas")
+           .groupby("_part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH f AS (
+  SELECT doc_id, source, doc_id % 6 AS t FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE t WHEN 1 THEN source || '.co.uk' WHEN 2 THEN source || '.org'
+           WHEN 3 THEN source || '.net' ELSE source || '.com'
+    END AS domain
+  FROM f
+)
+SELECT doc_id, domain,
+       (row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+        - 1)::BIGINT AS slot,
+       ((row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1)
+        * 200 * (1 + length(domain) % 4))::BIGINT AS fetch_at_ms
+FROM u ORDER BY doc_id
+"""
+
+
+def q_anchor_text(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text aggregation — the classic link-based search signal:
+    for every link TARGET (href) across the corpus, how many pages link
+    to it, with how many distinct anchor texts, and what the dominant
+    anchor text is (highest count, lexicographically smallest on
+    ties).  Per batch the link stream collapses to (href, text, n)
+    partials; ONE href-hash shuffle, per-partition exact counts.
+    Rows-only (the page chrome is PRNG-generated, so SQL cannot replay
+    the hrefs); planted-corpus exactness + total-count parity vs
+    outlink_stats are pinned in tests/test_sequence_queries.py."""
+    from .extract import wrap_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return anchor_text_rollup(wrap_docs(ds)).sort_values(
+        "href").reset_index(drop=True)
+
+
+def anchor_text_rollup(pages: rd.Dataset) -> pd.DataFrame:
+    """Per-href anchor rollup over a Dataset with an ``html`` column.
+    Scale shape: partials are (href, text, n) — bounded by the anchor
+    vocabulary, not the corpus; one href-hash shuffle; the driver sees
+    one row per distinct href."""
+    from ..functions.htmlx import extract_links
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hrefs: list[str] = []
+        texts: list[str] = []
+        for h in b["html"]:
+            for link in extract_links(h):
+                hrefs.append(link["href"])
+                texts.append(link["text"])
+        if not hrefs:
+            return pd.DataFrame({"href": pd.Series([], dtype=object),
+                                 "text": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_part": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"href": hrefs, "text": texts})
+        g = df.groupby(["href", "text"], as_index=False, sort=False).agg(
+            n=("text", "size"))
+        g["_part"] = (pd.util.hash_array(g["href"].to_numpy(object),
+                                         categorize=False) % 32).astype(
+                                             "int64")
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        full = (g.groupby(["href", "text"], as_index=False, sort=False)
+                ["n"].sum())
+        # dominant text: max n, ties -> lexicographically smallest text
+        full = full.sort_values(["href", "n", "text"],
+                                ascending=[True, False, True])
+        top = full.groupby("href", sort=False).head(1)
+        stats = full.groupby("href", sort=False).agg(
+            n_links=("n", "sum"), n_texts=("text", "size"))
+        out = stats.join(top.set_index("href")["text"]).reset_index()
+        return pd.DataFrame({
+            "href": out["href"],
+            "n_links": out["n_links"].astype("int64"),
+            "n_texts": out["n_texts"].astype("int64"),
+            "top_text": out["text"],
+        })
+
+    return (pages.map_batches(partial, batch_format="pandas")
+            .groupby("_part").map_groups(per_part, batch_format="pandas")
+            .to_pandas())

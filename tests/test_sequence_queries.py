@@ -107,3 +107,67 @@ def test_event_paths_synthetic_truncation(ray_session):
     assert out.loc[7, "path"] == ">".join(f"t{i}" for i in range(8))
     assert out.loc[7, "n_steps"] == 8
     assert out.loc[8, "path"] == "early>late"
+
+
+def test_frontier_dedup_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_frontier_dedup(SF))
+    want = _canon(con.sql(q.SQL_FRONTIER_DEDUP).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_dupes"] >= 0).all()
+    # the t=5 template collapses all of a source's docs to ONE norm_url,
+    # so at least one domain must show dupes at sf0.001
+    assert got["n_dupes"].sum() > 0
+
+
+def test_crawl_schedule_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_crawl_schedule(SF))
+    want = _canon(con.sql(q.SQL_CRAWL_SCHEDULE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # politeness invariant: within a domain, slots are 0..n-1 and
+    # fetch_at_ms is slot-proportional
+    g = got.groupby("domain")
+    assert (g["slot"].max() + 1 == g.size()).all()
+    assert (got["fetch_at_ms"] % 200 == 0).all()
+
+
+def test_anchor_text_planted(ray_session):
+    """Exact rollup on a hand-built page set: counts, distinct texts,
+    and the dominant-text tie rule (max count, then lexicographically
+    smallest)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.queries import anchor_text_rollup
+
+    pages = pd.DataFrame({"html": [
+        '<p><a href="/a">Alpha</a> <a href="/a">Alpha</a> '
+        '<a href="/b">Beta</a></p>',
+        '<p><a href="/a">Other</a> <a href="/b">beta2</a> '
+        '<a href="/b">Beta</a></p>',
+        # tie on /c: "x" and "y" once each -> "x" wins lexicographically
+        '<p><a href="/c">y</a> <a href="/c">x</a> <a>no href</a></p>',
+    ]})
+    out = anchor_text_rollup(rd.from_pandas(pages).repartition(3)) \
+        .set_index("href").sort_index()
+    assert out.loc["/a", "n_links"] == 3
+    assert out.loc["/a", "n_texts"] == 2
+    assert out.loc["/a", "top_text"] == "Alpha"
+    assert out.loc["/b", "n_links"] == 3
+    assert out.loc["/b", "top_text"] == "Beta"
+    assert out.loc["/c", "n_links"] == 2
+    assert out.loc["/c", "top_text"] == "x"
+    assert len(out) == 3          # the hrefless anchor never appears
+
+
+def test_anchor_text_total_parity(ray_session, con):
+    """Sum of per-href link counts == sum of per-doc outlink counts
+    (the two views walk the same DOM)."""
+    from dup_ocropy_ray.pipelines import queries as q
+
+    anchors = q.q_anchor_text(SF)
+    outlinks = q.q_outlink_stats(SF)
+    assert anchors["n_links"].sum() == outlinks["n_links"].sum()
+    assert (anchors["href"].str.startswith("/")).all()

@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_dedup": q.q_frontier_dedup,
         "crawl_schedule": q.q_crawl_schedule,
         "anchor_text": q.q_anchor_text,
+        "redirect_chains": q.q_redirect_chains,
+        "scd2_history": q.q_scd2_history,
+        "unicode_clean": q.q_unicode_clean,
+        "compression_ratio": q.q_compression_ratio,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
@@ -556,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
         "user_lifecycle": q.SQL_USER_LIFECYCLE,
         "frontier_dedup": q.SQL_FRONTIER_DEDUP,
         "crawl_schedule": q.SQL_CRAWL_SCHEDULE,
+        "redirect_chains": q.SQL_REDIRECT_CHAINS,
+        "scd2_history": q.SQL_SCD2_HISTORY,
+        "unicode_clean": q.SQL_UNICODE_CLEAN,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

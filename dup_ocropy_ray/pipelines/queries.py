@@ -6447,3 +6447,263 @@ def anchor_text_rollup(pages: rd.Dataset) -> pd.DataFrame:
     return (pages.map_batches(partial, batch_format="pandas")
             .groupby("_part").map_groups(per_part, batch_format="pandas")
             .to_pandas())
+
+
+def q_redirect_chains(sf_dir: str) -> pd.DataFrame:
+    """Redirect-chain resolution (the crawl canonicalization step after
+    fetching 3xx responses): every 'ads' doc (doc_id % 6 == 3)
+    redirects to a strictly-smaller doc_id, so chains are acyclic and
+    terminate; resolve each start to its FINAL landing doc and hop
+    count.  Each round is one large x large bucket_join of the
+    unresolved frontier against the redirect edge table (cur == src):
+    a match advances the chain, a miss resolves the row — the
+    iterative-join shape of Common Crawl's redirect resolution.  The
+    chain length is bounded by construction (strictly decreasing ids);
+    the loop asserts convergence instead of trusting it.  Oracle:
+    recursive CTE walking the same edges."""
+    from .relational import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["doc_id"].astype("int64")
+        r = u[u % 6 == 3].to_numpy(np.int64)
+        # every third redirect points at the PREVIOUS redirect node
+        # (making real 2-hop chains); the rest exit to a content doc
+        chain = (r // 6) % 3 == 0
+        dst = np.where(chain, r - 6, r - 1 - (r % 5))
+        return pd.DataFrame({
+            "src": r,
+            "dst": np.maximum(dst, 0).astype(np.int64),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    state = edges.map_batches(
+        lambda b: pd.DataFrame({"start": b["src"].astype("int64"),
+                                "cur": b["dst"].astype("int64"),
+                                "hops": np.int64(1)}),
+        batch_format="pandas")
+
+    resolved: list[pd.DataFrame] = []
+    for _ in range(12):
+        j = bucket_join(state, edges, "cur", "src", how="left")
+
+        def split_done(b: pd.DataFrame) -> pd.DataFrame:
+            done = b["dst"].isna()
+            out = pd.DataFrame({
+                "start": b["start"].astype("int64"),
+                "cur": np.where(done, b["cur"],
+                                b["dst"].fillna(-1)).astype(np.int64),
+                "hops": np.where(done, b["hops"],
+                                 b["hops"] + 1).astype(np.int64),
+                "done": done.to_numpy(),
+            })
+            return out
+
+        j = j.map_batches(split_done, batch_format="pandas").materialize()
+        resolved.append(j.filter(expr="done == True").drop_columns(
+            ["done"]).to_pandas())
+        state = j.filter(expr="done == False").drop_columns(["done"])
+        if state.count() == 0:
+            break
+    else:
+        raise RuntimeError("redirect chains did not converge in 12 rounds")
+
+    out = pd.concat(resolved, ignore_index=True)
+    return (pd.DataFrame({
+        "doc_id": out["start"].astype("int64"),
+        "final_id": out["cur"].astype("int64"),
+        "hops": out["hops"].astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         greatest(CASE WHEN (doc_id // 6) % 3 = 0 THEN doc_id - 6
+                       ELSE doc_id - 1 - (doc_id % 5) END, 0) AS dst
+  FROM documents WHERE doc_id % 6 = 3
+), walk AS (
+  SELECT src AS start, dst AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+)
+SELECT start AS doc_id, cur AS final_id, hops::BIGINT AS hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+ORDER BY doc_id
+"""
+
+
+def q_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type 2) history build from the SAME
+    deterministic change log as merge_upsert: every upsert version gets
+    its validity interval [seq, valid_to) — valid_to is the NEXT
+    operation's seq (upsert or delete), -1 while still current.  ONE
+    key-hash bucket shuffle; each partition sorts its disjoint keys
+    once and derives valid_to with a vectorized shift — the lakehouse
+    history-table companion to merge_upsert's latest-wins compaction.
+    Oracle: LEAD window over the replayed log."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def ops_rows(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        m = i % 9
+        frames = [
+            pd.DataFrame({"doc_id": i, "seq": np.int64(0), "op": "upsert"}),
+            pd.DataFrame({"doc_id": i[m == 0], "seq": np.int64(1),
+                          "op": "delete"}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(1),
+                          "op": "upsert"}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(2),
+                          "op": "upsert"}),
+            pd.DataFrame({"doc_id": i[m == 2], "seq": np.int64(1),
+                          "op": "upsert"}),
+            pd.DataFrame({"doc_id": i[m == 3] + 2_000_000,
+                          "seq": np.int64(1), "op": "upsert"}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        k = b["doc_id"].to_numpy(np.int64)
+        b["_part"] = (k * 2654435761 % 2**32) % 64
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seq"])
+        nxt = g.groupby("doc_id", sort=False)["seq"].shift(-1)
+        keep = g["op"] == "upsert"
+        return pd.DataFrame({
+            "doc_id": g.loc[keep, "doc_id"].astype("int64").to_numpy(),
+            "seq": g.loc[keep, "seq"].astype("int64").to_numpy(),
+            "valid_to": nxt[keep].fillna(-1).astype("int64").to_numpy(),
+            "is_current": nxt[keep].isna().to_numpy(),
+        })
+
+    out = (docs.map_batches(ops_rows, batch_format="pandas")
+           .map_batches(bucket, batch_format="pandas")
+           .groupby("_part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+SQL_SCD2_HISTORY = """
+WITH a AS (
+  SELECT doc_id, 0 AS seq, 'upsert' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'delete' FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, 1, 'upsert' FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'upsert' FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'upsert' FROM documents WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, 1, 'upsert' FROM documents WHERE doc_id % 9 = 3
+), v AS (
+  SELECT doc_id, seq, op,
+         LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+  FROM a
+)
+SELECT doc_id, seq::BIGINT AS seq,
+       coalesce(nxt, -1)::BIGINT AS valid_to,
+       (nxt IS NULL) AS is_current
+FROM v WHERE op = 'upsert' ORDER BY doc_id, seq
+"""
+
+
+def q_unicode_clean(sf_dir: str) -> pd.DataFrame:
+    """Unicode normalization cleanup (the mojibake/diacritics matching
+    step of web-text canonicalization): odd docs get deterministic
+    accent damage (e -> é, a -> à), then the vectorized NFD +
+    combining-mark strip + NFC pipeline restores them; per-source
+    report of damaged vs fully-restored docs.  Stateless pandas-string
+    map (no per-row Python), one bounded per-source combine.  Oracle
+    replays the damage and DuckDB's strip_accents/nfc_normalize."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        odd = (b["doc_id"].astype("int64") % 2 == 1).to_numpy()
+        dirty = t.str.replace("e", "é", regex=False).str.replace(
+            "a", "à", regex=False).where(odd, t)
+        clean = (dirty.str.normalize("NFD")
+                 .str.replace("[\u0300-\u036f]", "", regex=True)
+                 .str.normalize("NFC"))
+        df = pd.DataFrame({
+            "source": b["source"],
+            "is_dirty": (dirty != t).to_numpy(),
+            "restored": (clean == t).to_numpy(),
+        })
+        g = df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("source", "size"), n_dirty=("is_dirty", "sum"),
+            n_restored=("restored", "sum"))
+        return g
+
+    parts = docs.map_batches(stage, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).sum()
+    return (pd.DataFrame({
+        "source": out["source"],
+        "n_docs": out["n_docs"].astype("int64"),
+        "n_dirty": out["n_dirty"].astype("int64"),
+        "n_restored": out["n_restored"].astype("int64"),
+    }).sort_values("source").reset_index(drop=True))
+
+
+SQL_UNICODE_CLEAN = """
+WITH d AS (
+  SELECT source, coalesce(text, '') AS t,
+         CASE WHEN doc_id % 2 = 1
+              THEN replace(replace(coalesce(text, ''), 'e', 'é'),
+                           'a', 'à')
+              ELSE coalesce(text, '') END AS dirty
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dirty <> t THEN 1 ELSE 0 END)::BIGINT AS n_dirty,
+       sum(CASE WHEN strip_accents(nfc_normalize(dirty)) = t
+                THEN 1 ELSE 0 END)::BIGINT AS n_restored
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal (RefinedWeb/Dolma-style
+    repetition filter: highly compressible text is boilerplate or
+    looped spam): per-source docs flagged at ratio <= 300 permille
+    (DEFLATE level 6), plus mean permille.  zlib runs per doc inside
+    the batch (a C call per row, bounded by doc length); only the
+    bounded per-source combine leaves the stage.  Rows-only (SQL has
+    no DEFLATE); planted repetitive/varied-text ordering and
+    determinism are pinned in tests/test_sequence_queries.py."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return compression_ratio_stats(ds)
+
+
+def compression_ratio_stats(docs: rd.Dataset,
+                            flag_permille: int = 300) -> pd.DataFrame:
+    import zlib
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        raw = t.str.encode("utf-8")
+        ratio = np.array(
+            [len(zlib.compress(x, 6)) * 1000 // len(x) if len(x) else 1000
+             for x in raw], dtype=np.int64)
+        df = pd.DataFrame({"source": b["source"],
+                           "ratio": ratio,
+                           "flagged": ratio <= flag_permille})
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("source", "size"), n_flagged=("flagged", "sum"),
+            sum_ratio=("ratio", "sum"))
+
+    parts = docs.map_batches(stage, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).sum()
+    return (pd.DataFrame({
+        "source": out["source"],
+        "n_docs": out["n_docs"].astype("int64"),
+        "n_flagged": out["n_flagged"].astype("int64"),
+        "mean_permille": (out["sum_ratio"] // out["n_docs"]).astype(
+            "int64"),
+    }).sort_values("source").reset_index(drop=True))

@@ -171,3 +171,86 @@ def test_anchor_text_total_parity(ray_session, con):
     outlinks = q.q_outlink_stats(SF)
     assert anchors["n_links"].sum() == outlinks["n_links"].sum()
     assert (anchors["href"].str.startswith("/")).all()
+
+
+def test_redirect_chains_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_redirect_chains(SF))
+    want = _canon(con.sql(q.SQL_REDIRECT_CHAINS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every redirect doc resolves, finals are never redirects
+    assert (got["doc_id"] % 6 == 3).all()
+    assert (got["final_id"] % 6 != 3).all()
+    # the chaining rule plants real 2-hop chains
+    assert got["hops"].max() == 2
+    idx = got.set_index("doc_id")
+    # doc 57 (k=9, 9%3==0) -> 51 (redirect) -> 49
+    assert idx.loc[57, "final_id"] == 49 and idx.loc[57, "hops"] == 2
+    # doc 27 (k=4) exits directly: 27-1-2 = 24
+    assert idx.loc[27, "final_id"] == 24 and idx.loc[27, "hops"] == 1
+
+
+def test_scd2_history_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_scd2_history(SF))
+    want = _canon(con.sql(q.SQL_SCD2_HISTORY).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exactly one current version per surviving key; deleted keys
+    # (doc_id % 9 == 0, closed by the delete op) have none
+    cur = got[got["is_current"]]
+    assert cur["doc_id"].is_unique
+    deleted = got["doc_id"] % 9 == 0
+    assert not got.loc[deleted & (got["doc_id"] < 2_000_000),
+                       "is_current"].any()
+    # intervals chain: a non-current version's valid_to is a later seq
+    noncur = got[~got["is_current"]]
+    assert (noncur["valid_to"] > noncur["seq"]).all()
+
+
+def test_unicode_clean_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_unicode_clean(SF))
+    want = _canon(con.sql(q.SQL_UNICODE_CLEAN).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the corpus is ASCII: every damaged doc must restore exactly
+    assert (got["n_restored"] == got["n_docs"]).all()
+    assert got["n_dirty"].sum() > 0
+
+
+def test_compression_ratio_planted(ray_session):
+    """Repetitive text compresses far below the flag threshold; a
+    high-entropy string stays above it; empty text gets the 1000
+    sentinel; results are deterministic."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.queries import compression_ratio_stats
+
+    rng = np.random.RandomState(7)
+    noisy = "".join(chr(33 + rng.randint(90)) for _ in range(4000))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["rep", "noise", "empty"],
+        "text": ["spam ham " * 500, noisy, ""],
+    })
+    out = compression_ratio_stats(
+        rd.from_pandas(docs).repartition(2)).set_index("source")
+    assert out.loc["rep", "n_flagged"] == 1          # boilerplate caught
+    assert out.loc["rep", "mean_permille"] < 100
+    assert out.loc["noise", "n_flagged"] == 0
+    assert out.loc["noise", "mean_permille"] > 700
+    assert out.loc["empty", "mean_permille"] == 1000
+    out2 = compression_ratio_stats(
+        rd.from_pandas(docs).repartition(2)).set_index("source")
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compression_ratio_runs_on_corpus(ray_session):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    out = q.q_compression_ratio(SF)
+    assert (out["mean_permille"] > 0).all()
+    assert (out["mean_permille"] <= 1000).all()
+    assert out["n_docs"].sum() == 500

@@ -383,6 +383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q.q_scd2_history,
         "unicode_clean": q.q_unicode_clean,
         "compression_ratio": q.q_compression_ratio,
+        "balanced_shards": q.q_balanced_shards,
+        "domain_prior": q.q_domain_prior,
+        "epoch_sample": q.q_epoch_sample,
+        "knn_ivfpq": q.q_knn_ivfpq,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,
@@ -563,6 +567,9 @@ def oracle_sql() -> dict[str, str]:
         "redirect_chains": q.SQL_REDIRECT_CHAINS,
         "scd2_history": q.SQL_SCD2_HISTORY,
         "unicode_clean": q.SQL_UNICODE_CLEAN,
+        "balanced_shards": q.SQL_BALANCED_SHARDS,
+        "domain_prior": q.SQL_DOMAIN_PRIOR,
+        "epoch_sample": q.SQL_EPOCH_SAMPLE,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

@@ -6707,3 +6707,196 @@ def compression_ratio_stats(docs: rd.Dataset,
         "mean_permille": (out["sum_ratio"] // out["n_docs"]).astype(
             "int64"),
     }).sort_values("source").reset_index(drop=True))
+
+
+def q_knn_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """Composed IVF-PQ two-stage ANN (similarity.build_ivfpq_index /
+    knn_ivfpq): coarse cells prune AT THE READ, uint8 residual PQ codes
+    shrink the candidate scan payload, and the re-rank pass reads raw
+    vectors of only the probed cells filtered to the candidate ids.
+    Rows-only (PQ is approximate); the exhaustive-probe + lossless-
+    codebook == brute force gate lives in
+    tests/test_sequence_queries.py."""
+    import hashlib
+    import os
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[
+        0, "embedding"]
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/ivfpq_index_{key}"
+    if not os.path.exists(os.path.join(idx, "_books.npy")):
+        similarity.build_ivfpq_index(ds, idx, num_centroids=8, m=8,
+                                     n_codes=32)
+    return similarity.knn_ivfpq(idx, np.asarray(qv), k=10, nprobe=4,
+                                rerank=40)
+
+
+def q_balanced_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-balanced shard planner (the training-shard packing step):
+    docs rank globally by (tokens DESC, doc_id) via the ordered_scan
+    prefix-scan primitive (no driver sort), then SNAKE-assign to 8
+    shards (rank j -> shard j%16 folded) so the heaviest docs spread
+    evenly; per-shard doc and token totals.  Everything but the 8-row
+    report stays distributed; the oracle replays the row_number + snake
+    arithmetic."""
+    from .windows import ordered_scan
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "toks": b["text"].fillna("").str.split().str.len().astype(
+                "int64"),
+        })
+
+    t = docs.map_batches(toks, batch_format="pandas").materialize()
+    tmax = int(t.max("toks"))
+    umax = int(t.max("doc_id")) + 1
+    if (tmax + 1) * umax >= 2**62:
+        raise OverflowError("shard sort-key composition overflows int64")
+
+    def key(b: pd.DataFrame, _tmax=tmax, _umax=umax) -> pd.DataFrame:
+        b = b.copy()
+        b["key"] = ((_tmax - b["toks"].to_numpy(np.int64)) * _umax
+                    + b["doc_id"].to_numpy(np.int64))
+        b["one"] = np.int64(1)
+        return b
+
+    scanned = ordered_scan(t.map_batches(key, batch_format="pandas"),
+                           "key", sum_cols=("one",))
+    nshards = 8
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        j = (b["run_one"].to_numpy(np.int64) - 1) % (2 * nshards)
+        shard = np.where(j < nshards, j, 2 * nshards - 1 - j)
+        g = pd.DataFrame({"shard": shard.astype(np.int64),
+                          "toks": b["toks"].astype("int64")})
+        return g.groupby("shard", as_index=False).agg(
+            n_docs=("toks", "size"), total_tokens=("toks", "sum"))
+
+    parts = scanned.map_batches(assign, batch_format="pandas").to_pandas()
+    out = parts.groupby("shard", as_index=False).sum()
+    return (pd.DataFrame({
+        "shard": out["shard"].astype("int64"),
+        "n_docs": out["n_docs"].astype("int64"),
+        "total_tokens": out["total_tokens"].astype("int64"),
+    }).sort_values("shard").reset_index(drop=True))
+
+
+SQL_BALANCED_SHARDS = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                               '\s+'),
+                         w -> w <> '')) AS toks
+  FROM documents
+), r AS (
+  SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
+  FROM t
+), s AS (
+  SELECT toks, (rn - 1) % 16 AS j FROM r
+)
+SELECT (CASE WHEN j < 8 THEN j ELSE 15 - j END)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS total_tokens
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_domain_prior(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes shrunk per-source quality prior (the URL/domain-
+    level filter signal: small domains shrink toward the corpus rate
+    instead of flapping on a handful of docs): flag = n_chars < 200,
+    shrunk_permille = (flags*1000 + prior*50) // (n + 50) with the
+    corpus-wide prior.  One bounded per-source combine + two scalars;
+    integer arithmetic end-to-end so the oracle is exact."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "flagged": (b["n_chars"].fillna(0).astype("int64")
+                        < 200).astype("int64"),
+        })
+
+    g = grouped_agg(docs.map_batches(prep, batch_format="pandas"),
+                    ["source"], sums=["flagged"])
+    total_n = int(g["n"].sum())
+    total_f = int(g["sum_flagged"].sum())
+    prior = total_f * 1000 // total_n
+    strength = 50
+    shrunk = ((g["sum_flagged"].astype("int64") * 1000 + prior * strength)
+              // (g["n"].astype("int64") + strength))
+    return (pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["n"].astype("int64"),
+        "n_flagged": g["sum_flagged"].astype("int64"),
+        "raw_permille": (g["sum_flagged"] * 1000 // g["n"]).astype(
+            "int64"),
+        "shrunk_permille": shrunk.astype("int64"),
+    }).sort_values("source").reset_index(drop=True))
+
+
+SQL_DOMAIN_PRIOR = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN coalesce(n_chars, 0) < 200 THEN 1 ELSE 0 END AS f
+  FROM documents
+), g AS (
+  SELECT source, count(*)::BIGINT AS n, sum(f)::BIGINT AS nf
+  FROM d GROUP BY source
+), p AS (
+  SELECT sum(nf) * 1000 // sum(n) AS prior FROM g
+)
+SELECT source, n AS n_docs, nf AS n_flagged,
+       (nf * 1000 // n)::BIGINT AS raw_permille,
+       ((nf * 1000 + p.prior * 50) // (n + 50))::BIGINT AS shrunk_permille
+FROM g, p ORDER BY source
+"""
+
+
+def q_epoch_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch resampling with fractional per-source
+    weights (the mixture-upsampling step of training-data assembly):
+    weight w permille = 500 * (1 + len(source) % 3) — so one source
+    class downsamples (0-or-1 copies), one passes through, one
+    upsamples (1-or-2) — with the fractional part decided by the
+    Knuth-hash membership rule the engine uses everywhere.  The
+    replicated rows are ACTUALLY materialized by a vectorized
+    np.repeat flat-map (not just counted), then roll up per source.
+    The oracle recomputes expected copies analytically."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy(np.int64)
+        w = (500 * (1 + b["source"].str.len() % 3)).to_numpy(np.int64)
+        extra = ((i * 2654435761 % 2**32) % 1000 < (w % 1000))
+        n = (w // 1000 + extra).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), n)
+        out = b.iloc[idx][["doc_id", "source"]].reset_index(drop=True)
+        return out
+
+    reps = docs.map_batches(rep, batch_format="pandas")
+    copies = grouped_agg(reps, ["source"])
+    base = grouped_agg(docs, ["source"])
+    out = base.merge(copies, on="source", how="left",
+                     suffixes=("_in", "_out"))
+    return (pd.DataFrame({
+        "source": out["source"],
+        "n_docs": out["n_in"].astype("int64"),
+        "n_copies": out["n_out"].fillna(0).astype("int64"),
+    }).sort_values("source").reset_index(drop=True))
+
+
+SQL_EPOCH_SAMPLE = """
+WITH d AS (
+  SELECT source, 500 * (1 + length(source) % 3) AS w,
+         (doc_id * 2654435761) % 4294967296 % 1000 AS h
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END
+           )::BIGINT AS n_copies
+FROM d GROUP BY source ORDER BY source
+"""

@@ -811,3 +811,174 @@ def label_centroid_sims(ds: rd.Dataset, label_col: str = "label",
             if labels[a] < labels[b]]
     return (pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
             .sort_values(["label_a", "label_b"]).reset_index(drop=True))
+
+
+# ------------------------------------------- IVF-PQ composed index
+
+
+def build_ivfpq_index(ds: rd.Dataset, out_dir: str,
+                      num_centroids: int = 16, m: int = 8,
+                      n_codes: int = 32, vec_col: str = "embedding",
+                      id_col: str = "vec_id", sample: int = 2048,
+                      seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """The composed 10^12-vector layout (Jegou et al. TPAMI'11 /
+    FAISS IVFPQ shape): coarse IVF cells partition storage, and inside
+    each cell rows carry only (id, uint8 PQ codes of the RESIDUAL
+    x - centroid[cell]) — the raw vectors live in a sibling
+    ``raw/cell=K`` layout read only by the re-rank pass over candidate
+    cells.  Codes shrink the scan payload ~dim*8/m x; residual
+    quantization (not plain PQ) keeps the codebooks shared across
+    cells while centering each cell's distribution.
+
+    Returns (centroids, codebooks); both are also persisted in
+    ``out_dir`` so a query process needs no training pass."""
+    import os
+
+    C = train_centroids(ds, num_centroids, vec_col, sample=sample,
+                        seed=seed)
+    cref = ray.put(C)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        Ci = ray.get(cref)
+        X = _normalize(_stack(b[vec_col]))
+        b = b.copy()
+        b["cell"] = (X @ Ci.T).argmax(axis=1).astype(np.int64)
+        return b
+
+    cells = ds.map_batches(assign, batch_format="pandas",
+                           batch_size=65536).materialize()
+
+    # train PQ books on residuals of a sample
+    take = cells.limit(sample).to_pandas()
+    X = _normalize(_stack(take[vec_col]))
+    R = X - C[take["cell"].to_numpy(np.int64)]
+    d = R.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub), dtype=np.float64)
+    for s in range(m):
+        Rs = np.ascontiguousarray(R[:, s * sub:(s + 1) * sub])
+        kk = min(n_codes, len(Rs))
+        B = Rs[rng.choice(len(Rs), size=kk, replace=False)].copy()
+        for _ in range(10):
+            d2 = -2.0 * (Rs @ B.T) + (B * B).sum(axis=1)[None, :]
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                msk = a == c
+                if msk.any():
+                    B[c] = Rs[msk].mean(axis=0)
+        books[s, :kk] = B
+        if kk < n_codes:
+            books[s, kk:] = B[0]
+    bref = ray.put(books)
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        Ci, Bk = ray.get(cref), ray.get(bref)
+        X = _normalize(_stack(b[vec_col]))
+        R = X - Ci[b["cell"].to_numpy(np.int64)]
+        codes = np.empty((len(X), Bk.shape[0]), dtype=np.uint8)
+        for s in range(Bk.shape[0]):
+            Rs = R[:, s * sub:(s + 1) * sub]
+            d2 = (-2.0 * (Rs @ Bk[s].T)
+                  + (Bk[s] * Bk[s]).sum(axis=1)[None, :])
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "pq_codes": list(codes),
+                             "cell": b["cell"].to_numpy(np.int64)})
+
+    (cells.map_batches(enc, batch_format="pandas", batch_size=65536)
+        .write_parquet(os.path.join(out_dir, "codes"),
+                       partition_cols=["cell"]))
+    (cells.write_parquet(os.path.join(out_dir, "raw"),
+                         partition_cols=["cell"]))
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "_centroids.npy"), C)
+    np.save(os.path.join(out_dir, "_books.npy"), books)
+    return C, books
+
+
+def knn_ivfpq(index_dir: str, query: np.ndarray, k: int = 10,
+              nprobe: int = 4, rerank: int = 40,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> pd.DataFrame:
+    """Two-stage ANN over a ``build_ivfpq_index`` layout:
+
+      1. candidate scan — read ONLY the ``nprobe`` nearest cells'
+         CODES files (prune at the read, tiny rows), score by ADC
+         table lookup against the per-cell residual tables, keep the
+         top ``rerank`` candidates;
+      2. re-rank — read the raw vectors of ONLY the probed cells,
+         filtered to the candidate ids at the Arrow scan, exact cosine,
+         top ``k``.
+
+    nprobe == num_centroids with lossless codebooks reduces to brute
+    force (pinned in tests)."""
+    import glob as _glob
+    import os
+
+    C = np.load(os.path.join(index_dir, "_centroids.npy"))
+    books = np.load(os.path.join(index_dir, "_books.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    mm, _nc, sub = books.shape
+    probe = np.argsort(-(C @ q))[:nprobe].tolist()
+    code_files = [f for c in probe
+                  for f in sorted(_glob.glob(os.path.join(
+                      index_dir, "codes", f"cell={c}", "*.parquet")))]
+    if not code_files:
+        return pd.DataFrame({id_col: [], "cos_sim": []})
+
+    # per-cell ADC tables: sim(x) ~ q . c + q . residual -> the second
+    # term is m lookups into T[s] = books[s] @ q_s (cell-independent),
+    # the first a per-cell scalar
+    T = np.stack([books[s] @ q[s * sub:(s + 1) * sub]
+                  for s in range(mm)])        # (m, n_codes)
+    base = C @ q                              # (num_centroids,)
+    tref = ray.put((T, base))
+
+    def score(b: pd.DataFrame, _rr=rerank) -> pd.DataFrame:
+        Tt, bs = ray.get(tref)
+        Cd = np.stack(b["pq_codes"].to_numpy())
+        sim = (Tt[np.arange(Tt.shape[0])[None, :], Cd].sum(axis=1)
+               + bs[b["cell"].to_numpy(np.int64)])
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            "pq_sim": sim})
+        return out.sort_values(["pq_sim", id_col],
+                               ascending=[False, True]).head(_rr)
+
+    cand = (rd.read_parquet(code_files,
+                            columns=[id_col, "pq_codes", "cell"])
+            .map_batches(score, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+            .sort_values(["pq_sim", id_col], ascending=[False, True])
+            .head(rerank))
+    ids = set(cand[id_col].tolist())
+
+    raw_files = [f for c in probe
+                 for f in sorted(_glob.glob(os.path.join(
+                     index_dir, "raw", f"cell={c}", "*.parquet")))]
+    qref = ray.put(q)
+    idref = ray.put(np.array(sorted(ids)))
+
+    def rescore(b: pd.DataFrame, _k=k) -> pd.DataFrame:
+        qv = ray.get(qref)
+        keep = np.isin(b[id_col].to_numpy(), ray.get(idref))
+        b = b[keep]
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="f8")})
+        M = _normalize(_stack(b[vec_col]))
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            "cos_sim": M @ qv})
+        return out.sort_values(["cos_sim", id_col],
+                               ascending=[False, True]).head(_k)
+
+    parts = (rd.read_parquet(raw_files, columns=[id_col, vec_col])
+             .map_batches(rescore, batch_format="pandas",
+                          batch_size=65536).to_pandas())
+    out = parts.sort_values(["cos_sim", id_col],
+                            ascending=[False, True]).head(k)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out.reset_index(drop=True)

@@ -254,3 +254,81 @@ def test_compression_ratio_runs_on_corpus(ray_session):
     assert (out["mean_permille"] > 0).all()
     assert (out["mean_permille"] <= 1000).all()
     assert out["n_docs"].sum() == 500
+
+
+def test_ivfpq_exhaustive_equals_brute(ray_session):
+    """nprobe == num_centroids + rerank >= corpus reduces IVF-PQ to
+    exact brute force (the re-rank stage computes true cosine over ALL
+    candidates); a pruned config still clears a recall gate."""
+    import tempfile
+
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines import queries as q
+    from dup_ocropy_ray.pipelines import similarity
+
+    ds = q._read(SF, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    qv = np.asarray(q._read_pd(SF, "embeddings")
+                    .set_index("vec_id").loc[0, "embedding"])
+    d = tempfile.mkdtemp()
+    similarity.build_ivfpq_index(ds, d, num_centroids=4, m=8, n_codes=32)
+    brute = similarity.knn_brute(ds, qv, k=10)
+    exact = similarity.knn_ivfpq(d, qv, k=10, nprobe=4, rerank=n)
+    assert list(exact.vec_id) == list(brute.vec_id)
+    np.testing.assert_allclose(exact.cos_sim, brute.cos_sim, atol=1e-6)
+    approx = similarity.knn_ivfpq(d, qv, k=10, nprobe=2, rerank=40)
+    recall = len(set(approx.vec_id) & set(brute.vec_id)) / 10
+    assert recall >= 0.5
+    # deterministic end to end
+    approx2 = similarity.knn_ivfpq(d, qv, k=10, nprobe=2, rerank=40)
+    pd.testing.assert_frame_equal(approx, approx2)
+
+
+def test_balanced_shards_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_balanced_shards(SF))
+    want = _canon(con.sql(q.SQL_BALANCED_SHARDS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # snake packing: shard token totals differ by less than one
+    # max-size doc (the greedy-balance guarantee for sorted snakes)
+    docs = con.sql(
+        r"""SELECT max(len(list_filter(regexp_split_to_array(
+              trim(coalesce(text, '')), '\s+'), w -> w <> '')))
+            FROM documents""").fetchone()[0]
+    spread = got["total_tokens"].max() - got["total_tokens"].min()
+    assert spread <= docs
+    assert got["n_docs"].sum() == 500
+
+
+def test_domain_prior_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_domain_prior(SF))
+    want = _canon(con.sql(q.SQL_DOMAIN_PRIOR).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # shrinkage pulls every source toward the corpus prior
+    total_f = got["n_flagged"].sum()
+    total_n = got["n_docs"].sum()
+    prior = total_f * 1000 // total_n
+    away = (got["shrunk_permille"] - prior).abs()
+    raw_away = (got["raw_permille"] - prior).abs()
+    assert (away <= raw_away + 1).all()
+
+
+def test_epoch_sample_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_epoch_sample(SF))
+    want = _canon(con.sql(q.SQL_EPOCH_SAMPLE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # weight classes: w=1000 sources copy exactly once; w=500 can only
+    # downsample; w=1500 can only upsample
+    w = 500 * (1 + got["source"].str.len() % 3)
+    ident = got[w == 1000]
+    assert (ident["n_copies"] == ident["n_docs"]).all()
+    down = got[w == 500]
+    assert (down["n_copies"] <= down["n_docs"]).all()
+    up = got[w == 1500]
+    assert (up["n_copies"] >= up["n_docs"]).all()

@@ -110,9 +110,12 @@ def iter_warc_gz(data: bytes):
     member inside the shard — exactly what a CDX index stores."""
     pos = 0
     n = len(data)
+    # memoryview: slicing bytes would COPY the remaining shard per
+    # member (O(records x shard_size) memcpy on a 10k-member shard)
+    view = memoryview(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        raw = d.decompress(data[pos:])
+        raw = d.decompress(view[pos:])
         if not d.eof:
             raise ValueError("truncated gzip member in .warc.gz")
         consumed = n - pos - len(d.unused_data)

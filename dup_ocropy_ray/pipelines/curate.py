@@ -657,6 +657,36 @@ def url_table(docs: rd.Dataset, batch_size: int = 8192) -> rd.Dataset:
                             batch_size=batch_size)
 
 
+def robots_gate(doc_ids, sources, user_agent: str = "graftbot",
+                matchers: dict | None = None
+                ) -> tuple[list[str], list[bool]]:
+    """THE politeness rule, in one place: per-doc URL path resolution +
+    RFC 9309 longest-match evaluation against the source's robots.txt.
+    Returns (paths, allowed) aligned with the inputs.  Every pipeline
+    that gates on robots (``robots_filter``, the ``warc_curate``
+    flagship) calls this, so a change to the rule — the agent string,
+    crawl-delay handling — can never silently diverge between them.
+    Pass a worker-lifetime dict as ``matchers`` to memoize compiled
+    per-source Matchers (robots bodies are domain-scale)."""
+    from ..functions import robotsx, urlx
+    from ..sources.urlgen import doc_url, robots_txt
+
+    if matchers is None:
+        matchers = {}
+    paths, allowed = [], []
+    for i, s in zip(doc_ids, sources):
+        m = matchers.get(s)
+        if m is None:
+            m = robotsx.Matcher(robotsx.parse_robots(robots_txt(s)),
+                                user_agent)
+            matchers[s] = m
+        p = urlx.parse_url(doc_url(int(i), s))
+        path = urlx.resolve_dot_segments(p["path"] or "/")
+        paths.append(path)
+        allowed.append(m.is_allowed(path))
+    return paths, allowed
+
+
 def robots_filter(docs: rd.Dataset, user_agent: str = "graftbot",
                   batch_size: int = 8192) -> rd.Dataset:
     """Crawl-politeness gate: evaluate each doc's URL path against its
@@ -667,23 +697,11 @@ def robots_filter(docs: rd.Dataset, user_agent: str = "graftbot",
     source's file ONCE into a compiled Matcher and caches it for the
     life of the worker (process-level memo), so per-row work is one
     regex scan over a URL path. Stateless map, no shuffle."""
-    from ..functions import robotsx, urlx
-    from ..sources.urlgen import doc_url, robots_txt
-
-    matchers: dict[str, robotsx.Matcher] = {}
+    matchers: dict = {}
 
     def stage(b: pd.DataFrame) -> pd.DataFrame:
-        paths, allowed = [], []
-        for i, s in zip(b["doc_id"], b["source"]):
-            m = matchers.get(s)
-            if m is None:
-                m = robotsx.Matcher(robotsx.parse_robots(robots_txt(s)),
-                                    user_agent)
-                matchers[s] = m
-            p = urlx.parse_url(doc_url(int(i), s))
-            path = urlx.resolve_dot_segments(p["path"] or "/")
-            paths.append(path)
-            allowed.append(m.is_allowed(path))
+        paths, allowed = robots_gate(b["doc_id"], b["source"],
+                                     user_agent, matchers)
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64"),
             "path": pd.Series(paths, dtype=str),

@@ -504,7 +504,7 @@ def q_events_lag(sf_dir: str) -> pd.DataFrame:
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        us = g["ts"].astype("int64")  # µs since epoch
+        us = g["ts"].astype("datetime64[us]").astype("int64")  # unit-exact µs
         gap = us.diff()
         first = g["user_id"].ne(g["user_id"].shift())
         gap[first] = -1
@@ -3436,11 +3436,10 @@ def q_warc_curate(sf_dir: str) -> pd.DataFrame:
 
     The oracle replays the WHOLE chain in SQL (identity extraction,
     robots rule table, QUALIFY-style keeper, word gate, rollup)."""
-    from ..functions import robotsx, urlx
     from ..functions.hashing import hash_strings
     from ..functions.htmlx import extract_main_text
-    from ..sources.urlgen import doc_url, robots_txt
     from ..sources.warcgen import build_warc_corpus, read_warc, uri_doc_id
+    from . import curate
     from .relational import bucket_join, grouped_agg
 
     man = build_warc_corpus(sf_dir)
@@ -3467,19 +3466,13 @@ def q_warc_curate(sf_dir: str) -> pd.DataFrame:
     joined = bucket_join(docs, meta, "doc_id", "doc_id",
                          left_schema=lschema, right_schema=rschema)
 
-    matchers: dict[str, robotsx.Matcher] = {}
+    matchers: dict = {}
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
-        allowed = []
-        for i, s in zip(b["doc_id"], b["source"]):
-            m = matchers.get(s)
-            if m is None:
-                m = robotsx.Matcher(robotsx.parse_robots(robots_txt(s)),
-                                    "graftbot")
-                matchers[s] = m
-            p = urlx.parse_url(doc_url(int(i), s))
-            allowed.append(m.is_allowed(
-                urlx.resolve_dot_segments(p["path"] or "/")))
+        # the ONE politeness rule (curate.robots_gate) — shared with
+        # robots_filter so the flagship can never diverge from it
+        _, allowed = curate.robots_gate(b["doc_id"], b["source"],
+                                        "graftbot", matchers)
         b = b.copy()
         b["allowed"] = pd.Series(allowed, dtype=bool).to_numpy()
         return b
@@ -3609,7 +3602,11 @@ def q_incremental_neardup(sf_dir: str) -> pd.DataFrame:
     bands behind sharded actors): wave 1 admits the even docs; wave 2
     replays every doc plus planted one-token-tail variants of the
     admitted ones — the variants and the replayed evens must be
-    rejected by band collision while the odd docs admit.  Rows-only
+    rejected by band collision while the odd docs admit.  Uses the
+    ORDER-FREE wave mode (filter_new_wave: probe-only, in-wave
+    min-id-per-band resolution, then register) so n_admitted depends
+    only on wave content — the per-batch streaming mode can race a
+    near-dup pair spanning two concurrent batches.  Rows-only
     (stateful streaming); the planted-pair and snapshot gates live in
     tests/test_neardup_index.py."""
     from ..state.neardup_index import NearDupIndex
@@ -3619,7 +3616,7 @@ def q_incremental_neardup(sf_dir: str) -> pd.DataFrame:
 
     wave1 = docs.filter(lambda r: r["doc_id"] % 2 == 0)
     n1_in = wave1.count()
-    n1 = idx.count_new(wave1)
+    n1 = idx.count_new_wave(wave1)
 
     def variants(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3634,7 +3631,7 @@ def q_incremental_neardup(sf_dir: str) -> pd.DataFrame:
 
     wave2 = docs.union(docs.map_batches(variants, batch_format="pyarrow"))
     n2_in = wave2.count()
-    n2 = idx.count_new(wave2)
+    n2 = idx.count_new_wave(wave2)
     return pd.DataFrame({
         "wave": pd.Series([1, 2], dtype="int64"),
         "n_in": pd.Series([n1_in, n2_in], dtype="int64"),
@@ -6106,7 +6103,8 @@ def q_trending_types(sf_dir: str) -> pd.DataFrame:
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "day": (b["ts"].astype("int64") // 86_400_000_000),
+            "day": (b["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000),
             "event_type": b["event_type"],
         })
 
@@ -6223,7 +6221,7 @@ def q_user_lifecycle(sf_dir: str) -> pd.DataFrame:
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "user_id": b["user_id"].astype("int64"),
-            "us": b["ts"].astype("int64"),
+            "us": b["ts"].astype("datetime64[us]").astype("int64"),
         })
 
     per_user = grouped_agg(ev.map_batches(prep, batch_format="pandas"),

@@ -333,30 +333,49 @@ def bucket_join(
 
     def per_part(g: pa.Table) -> pd.DataFrame:
         side = g.column("_side")
-        lf = (g.filter(pc.equal(side, 0))
-               .select(lcols).to_pandas())
         if how in ("semi", "anti"):
             # membership, not merge: right key duplicates must not
             # multiply left rows, and no right columns are emitted.
             # Arrow out with an explicit schema: an all-empty pandas
             # result would otherwise lose the schema entirely (Ray
             # drops empty schemaless blocks -> 0-column to_pandas).
+            lf = (g.filter(pc.equal(side, 0))
+                   .select(lcols).to_pandas())
             rkeys = (g.filter(pc.equal(side, 1)).column(rkey))
             hit = lf[left_on].isin(rkeys.to_pandas().unique())
             out = lf[hit if how == "semi" else ~hit]
             lschema = pa.schema([(n, ltypes[n]) for n in lcols])
             return pa.Table.from_pandas(out, schema=lschema,
                                         preserve_index=False)
-        rf = (g.filter(pc.equal(side, 1))
-               .select(rout).to_pandas())
-        merged = lf.merge(rf, left_on=left_on, right_on=rkey,
-                          how={"left": "left", "outer": "outer"}.get(
-                              how, "inner"))
-        # Arrow out WITHOUT pandas schema metadata: the metadata dict is
-        # unhashable and makes Ray's shuffle schema-dedup log a warning
-        # per block ("Failed to hash the schemas")
-        return pa.Table.from_pandas(
-            merged, preserve_index=False).replace_schema_metadata(None)
+        lt = g.filter(pc.equal(side, 0)).select(lcols)
+        rt = g.filter(pc.equal(side, 1)).select(rout)
+        # pandas merges ROW INDICES only; values come back via Arrow
+        # `take` with null indices. A whole-frame pandas merge would
+        # NaN-coerce int columns to float64 in any partition holding an
+        # unmatched row (left/outer), emitting blocks with INCONSISTENT
+        # schemas across partitions and losing int64 exactness past
+        # 2^53; index-take keeps every value in its exact Arrow type.
+        ml = pd.DataFrame({"k": lt.column(left_on).to_pandas(),
+                           "_li": np.arange(len(lt), dtype=np.int64)})
+        mr = pd.DataFrame({"k": rt.column(rkey).to_pandas(),
+                           "_ri": np.arange(len(rt), dtype=np.int64)})
+        mg = ml.merge(mr, on="k", how={"left": "left",
+                                       "outer": "outer"}.get(how, "inner"))
+
+        def _idx(v: pd.Series) -> pa.Array:
+            a = v.to_numpy()
+            if a.dtype.kind == "f":  # unmatched side -> NaN -> null index
+                mask = np.isnan(a)
+                return pa.array(np.where(mask, 0, a).astype(np.int64),
+                                pa.int64(), mask=mask)
+            return pa.array(a.astype(np.int64), pa.int64())
+
+        li, ri = _idx(mg["_li"]), _idx(mg["_ri"])
+        arrs = ([lt.column(c).take(li) for c in lcols]
+                + [rt.column(c).take(ri) for c in rout])
+        return pa.Table.from_arrays(arrs, schema=pa.schema(
+            [(n, ltypes[n]) for n in lcols]
+            + [(n, rtypes[n]) for n in rout]))
 
     return tagged.groupby("_part").map_groups(
         per_part, batch_format="pyarrow")

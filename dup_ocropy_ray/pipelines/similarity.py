@@ -888,14 +888,34 @@ def build_ivfpq_index(ds: rd.Dataset, out_dir: str,
                              "pq_codes": list(codes),
                              "cell": b["cell"].to_numpy(np.int64)})
 
+    # atomic publication (same tmp-dir+rename pattern as
+    # warcgen.build_warc_corpus): a build killed mid-write must never
+    # leave a half-populated out_dir that a later rebuild APPENDS a
+    # second set of parquet files into (duplicated records would surface
+    # the same vec_id twice in every top-k)
+    import shutil
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     (cells.map_batches(enc, batch_format="pandas", batch_size=65536)
-        .write_parquet(os.path.join(out_dir, "codes"),
+        .write_parquet(os.path.join(tmp_dir, "codes"),
                        partition_cols=["cell"]))
-    (cells.write_parquet(os.path.join(out_dir, "raw"),
+    (cells.write_parquet(os.path.join(tmp_dir, "raw"),
                          partition_cols=["cell"]))
-    os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, "_centroids.npy"), C)
-    np.save(os.path.join(out_dir, "_books.npy"), books)
+    np.save(os.path.join(tmp_dir, "_centroids.npy"), C)
+    np.save(os.path.join(tmp_dir, "_books.npy"), books)
+    published = os.path.join(out_dir, "_books.npy")
+    if not os.path.exists(published):
+        # an out_dir WITHOUT _books.npy is a stale partial (or the
+        # caller's fresh empty dir) — clear it so the rename lands
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            pass  # concurrent builder won the rename — theirs is complete
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return C, books
 
 

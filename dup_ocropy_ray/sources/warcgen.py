@@ -151,6 +151,13 @@ def build_warc_corpus(sf_dir: str, num_shards: int = 8,
             os.rename(tmp_dir, out_dir)
         except OSError:
             pass
+    if os.path.exists(tmp_dir):
+        # race lost (another builder published first): drop the full
+        # duplicate shard copy instead of leaking it — every later call
+        # short-circuits on the published manifest and would never reap it
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return manifest
 
 
@@ -175,31 +182,48 @@ def read_warc(paths: list[str] | str) -> rd.Dataset:
     files = rd.from_items([{"path": p} for p in sorted(paths)],
                           override_num_blocks=len(paths))
 
-    def parse(b: pa.Table) -> pa.Table:
+    # flush a chunk once decompressed payloads pass this budget, so peak
+    # task memory is compressed-blob + ONE chunk (not the whole shard
+    # decompressed: payloads average ~3-5x their gzip size, and a 1 GiB
+    # shard held decompressed-in-full would triple the task heap)
+    chunk_budget = 32 << 20
+
+    def parse(b: pa.Table):
         from pyarrow import fs as pafs
 
-        paths_out, offs, lens, uris, ctypes, payloads = [], [], [], [], [], []
+        def flush(rows):
+            paths_out, offs, lens, uris, ctypes, payloads = rows
+            return pa.table({
+                "path": pa.array(paths_out, pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "length": pa.array(lens, pa.int64()),
+                "uri": pa.array(uris, pa.string()),
+                "content_type": pa.array(ctypes, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            })
+
         for path in b.column("path").to_pylist():
             f = pafs.LocalFileSystem().open_input_file(path)
             try:
                 blob = f.read()
             finally:
                 f.close()
+            rows = ([], [], [], [], [], [])
+            pending = 0
             for off, length, rec in warcx.iter_warc_gz(blob):
-                paths_out.append(path)
-                offs.append(off)
-                lens.append(length)
-                uris.append(rec["headers"].get("warc-target-uri", ""))
-                ctypes.append(rec["headers"].get("content-type", ""))
-                payloads.append(rec["payload"])
-        return pa.table({
-            "path": pa.array(paths_out, pa.string()),
-            "offset": pa.array(offs, pa.int64()),
-            "length": pa.array(lens, pa.int64()),
-            "uri": pa.array(uris, pa.string()),
-            "content_type": pa.array(ctypes, pa.string()),
-            "payload": pa.array(payloads, pa.large_binary()),
-        })
+                rows[0].append(path)
+                rows[1].append(off)
+                rows[2].append(length)
+                rows[3].append(rec["headers"].get("warc-target-uri", ""))
+                rows[4].append(rec["headers"].get("content-type", ""))
+                rows[5].append(rec["payload"])
+                pending += len(rec["payload"])
+                if pending >= chunk_budget:
+                    yield flush(rows)
+                    rows = ([], [], [], [], [], [])
+                    pending = 0
+            if rows[0]:
+                yield flush(rows)
 
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
@@ -225,6 +249,7 @@ def run_warc_extract_with_checkpoint(
 
     import pyarrow.parquet as pq
 
+    from ..functions.charsetx import decode_html
     from ..functions.htmlx import extract_main_text
     from ..state import checkpoint as ckpt
 
@@ -249,8 +274,13 @@ def run_warc_extract_with_checkpoint(
 
     def extract(b: pa.Table) -> pa.Table:
         uris = b.column("uri").to_pylist()
-        texts = [extract_main_text(p.decode())
-                 for p in b.column("payload").to_pylist()]
+        # WHATWG-order charset sniffing, never strict utf-8: a real
+        # crawl shard carries UTF-16+BOM / latin-1 / header-declared
+        # payloads (build_warc_corpus(charset_mix=True) plants exactly
+        # these) and one bad record must not abort the fragment
+        texts = [extract_main_text(decode_html(p, ct)[0])
+                 for p, ct in zip(b.column("payload").to_pylist(),
+                                  b.column("content_type").to_pylist())]
         return pa.table({
             "doc_id": pa.array([uri_doc_id(u) for u in uris], pa.int64()),
             "uri": pa.array(uris, pa.string()),

@@ -12,9 +12,12 @@ band keys exist?) then ``register`` (survivors only) — so admitted dups
 never pollute the index.  Within a batch the survivor decision is
 deterministic (first occurrence of a colliding band wins, in row
 order); across CONCURRENT batches a racing near-dup pair can both admit
-(the probe/register gap) — sequential waves, as in any checkpointed
-ingest, are exact.  Same quiesce-then-save snapshot contract as the
-exact index.
+(the probe/register gap).  ``filter_new_wave`` is the ORDER-FREE wave
+mode for checkpointed ingest: probe-only pass, then one metadata-scale
+band shuffle electing the minimal id per band, then registration — the
+admission set depends only on wave content, never on block layout or
+scheduling.  Same quiesce-then-save snapshot contract as the exact
+index.
 
 Scale: per-shard state ~40 B/band; num_perm/num_bands tune the Jaccard
 threshold exactly as in the batch pipeline.
@@ -122,6 +125,101 @@ class NearDupIndex:
 
     def count_new(self, ds: rd.Dataset, text_col: str = "text") -> int:
         return self.filter_new(ds, text_col).count()
+
+    def filter_new_wave(self, ds: rd.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", num_buckets: int = 64
+                        ) -> rd.Dataset:
+        """DETERMINISTIC (order-free) wave ingest — the checkpointed-batch
+        counterpart of ``filter_new``.  ``filter_new``'s per-batch
+        probe/register gap makes admissions inside ONE wave depend on
+        block layout and task timing once a near-dup pair spans two
+        concurrent batches (both may probe before either registers).
+        Here admission depends only on the wave's CONTENT:
+
+        1. probe-only (no registration, so no race): rows band-colliding
+           with anything already ADMITTED drop;
+        2. in-wave resolution on one metadata-scale (id, band) shuffle:
+           each (band_pos, band_key) elects its minimal surviving id as
+           owner, and a row admits iff it owns EVERY one of its bands.
+           The minimal id of any collision cluster owns all its bands,
+           so every cluster admits exactly its least representative;
+           non-owners share a band with a lower id (on collision CHAINS
+           this is slightly more aggressive than the sequential row
+           rule — a doc colliding only with a DROPPED lower doc also
+           drops — which is the usual cluster-representative dedup
+           semantics and, unlike the sequential rule, order-free);
+        3. admitted rows' bands register; admitted rows return via a
+           semi bucket_join (corpus-scale rows never visit the driver).
+        """
+        from ..pipelines.relational import bucket_join
+
+        shards = self.shards
+        nb = self.num_bands
+        band_keys = self._band_keys
+        mult = np.uint64(0x9E3779B97F4A7C15)
+
+        def probe_explode(batch: pd.DataFrame) -> pd.DataFrame:
+            bands = band_keys(batch[text_col].to_numpy(dtype=object))
+            seen = np.zeros(bands.shape, dtype=bool)
+            probes = [shards[i].probe.remote(bands[:, i])
+                      for i in range(nb)]
+            for i, mask in enumerate(ray.get(probes)):
+                seen[:, i] = mask
+            keep = ~seen.any(axis=1)
+            ids = batch[id_col].to_numpy()[keep]
+            bk = bands[keep]
+            n = int(keep.sum())
+            pos = np.tile(np.arange(nb, dtype=np.int64), n)
+            key = bk.reshape(-1)
+            with np.errstate(over="ignore"):
+                part = ((key * mult + pos.astype(np.uint64))
+                        % np.uint64(num_buckets)).astype(np.int64)
+            return pd.DataFrame({id_col: np.repeat(ids, nb),
+                                 "pos": pos, "key": key, "_part": part})
+
+        exploded = ds.map_batches(probe_explode, batch_format="pandas",
+                                  batch_size=8192)
+
+        def owners(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({id_col: [], "pos": [], "key": [],
+                                     "owns": [], "_dpart": []})
+            win = (g.sort_values(id_col)
+                    .drop_duplicates(["pos", "key"])
+                    .rename(columns={id_col: "_win"}))
+            out = g.merge(win[["pos", "key", "_win"]], on=["pos", "key"])
+            out["owns"] = (out[id_col] == out["_win"]).astype(np.int64)
+            out["_dpart"] = (pd.util.hash_array(
+                out[id_col].to_numpy(object)) % num_buckets).astype(np.int64)
+            return out[[id_col, "pos", "key", "owns", "_dpart"]]
+
+        owned = exploded.groupby("_part").map_groups(
+            owners, batch_format="pandas")
+
+        def admit(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({id_col: []})
+            s = g.groupby(id_col, sort=False)["owns"].transform("min")
+            win = g[s == 1]
+            if len(win):
+                regs = []
+                for i in range(nb):
+                    keys = win.loc[win["pos"] == i, "key"].to_numpy(
+                        np.uint64)
+                    if len(keys):
+                        regs.append(shards[i].register.remote(keys))
+                ray.get(regs)
+            return win.loc[win["pos"] == 0, [id_col]].reset_index(drop=True)
+
+        # materialize forces phase 2/3 to complete (registration happens
+        # exactly once per wave, even if the caller consumes lazily/twice)
+        admitted = (owned.groupby("_dpart")
+                    .map_groups(admit, batch_format="pandas").materialize())
+        return bucket_join(ds, admitted, id_col, id_col, how="semi")
+
+    def count_new_wave(self, ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> int:
+        return self.filter_new_wave(ds, id_col, text_col).count()
 
     def size(self) -> int:
         return int(sum(ray.get([s.size.remote() for s in self.shards])))

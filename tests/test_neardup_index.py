@@ -60,3 +60,40 @@ def test_neardup_distinct_texts_all_admit(ray_session):
     texts = [f"document number {i} " + " ".join(
         f"w{i}x{j}" for j in range(30)) for i in range(20)]
     assert idx.count_new(_ds(texts)) == 20
+
+
+def test_neardup_wave_mode_is_layout_independent(ray_session):
+    """filter_new_wave admissions depend only on wave CONTENT: the same
+    wave split into 1 block or 8 blocks (near-dup pair forced into
+    separate concurrent batches) admits the identical id set, and the
+    min-id cluster representative always wins."""
+    from dup_ocropy_ray.state.neardup_index import NearDupIndex
+
+    texts = [BASE, NEAR, OTHER] + [
+        f"unique filler document {i} " + " ".join(
+            f"tok{i}q{j}" for j in range(25)) for i in range(13)]
+    admitted_sets = []
+    for blocks in (1, 8, 16):
+        idx = NearDupIndex(num_bands=16, num_perm=64)
+        wave = _ds(texts).repartition(blocks)
+        kept = idx.filter_new_wave(wave).to_pandas()
+        admitted_sets.append(frozenset(kept["doc_id"].tolist()))
+    assert admitted_sets[0] == admitted_sets[1] == admitted_sets[2]
+    # min-id representative: BASE (0) admits, its near-dup NEAR (1) drops
+    assert 0 in admitted_sets[0] and 1 not in admitted_sets[0]
+    assert 2 in admitted_sets[0]
+
+
+def test_neardup_wave_then_stream_rejects_admitted(ray_session):
+    """Wave admissions register: a later wave's near-dups of wave-1
+    winners are rejected by the index probe, and full rows (not just
+    ids) come back from the semi join."""
+    from dup_ocropy_ray.state.neardup_index import NearDupIndex
+
+    idx = NearDupIndex(num_bands=16, num_perm=64)
+    kept1 = idx.filter_new_wave(_ds([BASE, OTHER])).to_pandas()
+    assert sorted(kept1.columns) == ["doc_id", "text"]
+    assert sorted(kept1["doc_id"]) == [0, 1]
+    kept2 = idx.filter_new_wave(_ds([NEAR, "fresh short text entirely "
+                                     "new words appear here today"]))
+    assert kept2.to_pandas()["doc_id"].tolist() == [1]

@@ -732,3 +732,48 @@ def test_worker_death_task_retry(ray_session, tmp_path):
     out = ds.map_batches(f, batch_format="pandas", batch_size=25).to_pandas()
     assert os.path.exists(flag), "the crash never happened"
     assert len(out) == 100 and out["y"].sum() == 2 * sum(range(100))
+
+
+def test_bucket_join_unmatched_rows_keep_exact_arrow_types(ray_session):
+    """left/outer partitions holding unmatched rows must emit the SAME
+    Arrow schema as fully-matched partitions (int64 stays int64 with
+    nulls, never NaN-coerced to float64), so an Arrow-level consumer —
+    a chained groupby, second join, or write_parquet — never hits
+    schema-unification failures, and >2^53 int values survive exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.relational import bucket_join
+
+    big = 2**60 + 7  # would round to 2**60 through a float64 round-trip
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                         "v": np.array([10, big, 30, 40], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([2, 4, 5], dtype=np.int64),
+                          "w": np.array([200, 400, 500], dtype=np.int64)})
+    for how in ("left", "outer", "inner"):
+        ds = bucket_join(rd.from_pandas(left).repartition(3),
+                         rd.from_pandas(right).repartition(2),
+                         "k", "rk", num_partitions=8, how=how)
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert types["v"] == pa.int64(), (how, types)
+        assert types["w"] == pa.int64(), (how, types)
+        # Arrow-level consumers work across mixed-match partitions
+        tbl = pa.concat_tables(
+            [pa.Table.from_pandas(b) if not isinstance(b, pa.Table) else b
+             for b in ds.iter_batches(batch_format="pyarrow")])
+        got_big = [v for v in tbl.column("v").to_pylist() if v == big]
+        assert got_big == [big], how
+        if how != "inner":
+            assert tbl.column("w").null_count >= 1
+    # write_parquet over an outer result with unmatched rows round-trips
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                "k", "rk", num_partitions=4,
+                how="outer").write_parquet(d)
+    back = rd.read_parquet(d).to_pandas()
+    assert len(back) == 5

@@ -169,3 +169,36 @@ def test_charset_sniffing_priority_and_bom_strip():
     # undecodable utf-8 -> latin-1 last resort
     t, e = charsetx.decode_html(b"\xff\xfa\x01", None)
     assert e == "latin-1" and len(t) == 3
+
+
+def test_warc_checkpoint_extracts_mixed_charsets(ray_session, tmp_path):
+    """A real crawl shard is not all-UTF-8: the charset_mix corpus plants
+    UTF-16LE/BE+BOM and header-declared payloads, and the checkpointed
+    extraction must decode them via WHATWG sniffing (charsetx), not
+    crash the fragment on a strict utf-8 decode."""
+    import os
+
+    from dup_ocropy_ray.sources.warcgen import (
+        build_warc_corpus, run_warc_extract_with_checkpoint)
+
+    man = build_warc_corpus("/root/testdata/sf0.001", num_shards=2,
+                            root=str(tmp_path), charset_mix=True)
+    out_root = str(tmp_path / "ckpt_mix")
+    r = run_warc_extract_with_checkpoint(man["shards"], out_root,
+                                         num_fragments=2)
+    assert r["counters"]["records"] == man["n_records"]
+    # UTF-16 payloads (doc_id%4 in {1,2}) extracted real text, not mojibake
+    import pyarrow.parquet as pq
+
+    frags = [os.path.join(out_root, d) for d in os.listdir(out_root)
+             if d.startswith("fragment=")]
+    parts = [pq.read_table(os.path.join(fd, f))
+             for fd in frags for f in os.listdir(fd)
+             if f.endswith(".parquet")]
+    import pyarrow as pa
+
+    t = pa.concat_tables(parts).to_pandas()
+    u16 = t[t["doc_id"] % 4 == 1]
+    assert len(u16) > 0
+    assert (u16["main_text"].str.len() > 0).all()
+    assert not u16["main_text"].str.contains("\x00").any()

@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": q.q_balanced_shards,
         "domain_prior": q.q_domain_prior,
         "epoch_sample": q.q_epoch_sample,
+        "range_shards": q.q_range_shards,
+        "mojibake_repair": q.q_mojibake_repair,
         "knn_ivfpq": q.q_knn_ivfpq,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
@@ -570,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "balanced_shards": q.SQL_BALANCED_SHARDS,
         "domain_prior": q.SQL_DOMAIN_PRIOR,
         "epoch_sample": q.SQL_EPOCH_SAMPLE,
+        "range_shards": q.SQL_RANGE_SHARDS,
+        "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

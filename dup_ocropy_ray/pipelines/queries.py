@@ -6898,3 +6898,127 @@ SELECT source, count(*)::BIGINT AS n_docs,
            )::BIGINT AS n_copies
 FROM d GROUP BY source ORDER BY source
 """
+
+
+def q_range_shards(sf_dir: str) -> pd.DataFrame:
+    """Sort-free RANGE partition planner (the step before writing
+    range-bucketed output or feeding a merge-sorted consumer): 7
+    interior split points come from the distributed exact-quantile
+    quickselect (relational.exact_quantile — histogram-narrowing
+    rounds, NO global sort, no sampling bias), then one stateless pass
+    assigns each order to its (b_i, b_{i+1}] range; per-shard count +
+    min/max.  Only the 7 boundaries and the 8-row report touch the
+    driver.  Ties at a boundary all land on its lower side
+    (quantile_disc boundaries are data elements), so shard sizes are
+    balanced up to tie mass — exactly what the SQL twin replays."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    nshards = 8
+    qs = tuple(i / nshards for i in range(1, nshards))
+    b = relational.exact_quantile(ds, "o_totalprice", qs=qs)
+    bounds = np.sort(b["value"].to_numpy(np.float64))
+
+    def assign(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["o_totalprice"].to_numpy(np.float64)
+        # shard = #boundaries strictly below v (ties -> lower shard)
+        shard = np.searchsorted(bounds, v, side="left")
+        g = pd.DataFrame({"shard": shard.astype(np.int64), "v": v})
+        return g.groupby("shard", as_index=False).agg(
+            n_orders=("v", "size"), min_price=("v", "min"),
+            max_price=("v", "max"))
+
+    parts = (ds.map_batches(assign, batch_format="pandas",
+                            batch_size=65536).to_pandas())
+    out = parts.groupby("shard", as_index=False).agg(
+        n_orders=("n_orders", "sum"), min_price=("min_price", "min"),
+        max_price=("max_price", "max"))
+    return (pd.DataFrame({
+        "shard": out["shard"].astype("int64"),
+        "n_orders": out["n_orders"].astype("int64"),
+        "min_price": out["min_price"].astype("float64"),
+        "max_price": out["max_price"].astype("float64"),
+    }).sort_values("shard").reset_index(drop=True))
+
+
+SQL_RANGE_SHARDS = """
+WITH b AS (
+  SELECT quantile_disc(o_totalprice, 0.125) AS b1,
+         quantile_disc(o_totalprice, 0.250) AS b2,
+         quantile_disc(o_totalprice, 0.375) AS b3,
+         quantile_disc(o_totalprice, 0.500) AS b4,
+         quantile_disc(o_totalprice, 0.625) AS b5,
+         quantile_disc(o_totalprice, 0.750) AS b6,
+         quantile_disc(o_totalprice, 0.875) AS b7
+  FROM orders
+), s AS (
+  SELECT o_totalprice AS v,
+         ((o_totalprice > b1)::INT + (o_totalprice > b2)::INT
+          + (o_totalprice > b3)::INT + (o_totalprice > b4)::INT
+          + (o_totalprice > b5)::INT + (o_totalprice > b6)::INT
+          + (o_totalprice > b7)::INT)::BIGINT AS shard
+  FROM orders, b
+)
+SELECT shard, count(*)::BIGINT AS n_orders,
+       min(v) AS min_price, max(v) AS max_price
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def q_mojibake_repair(sf_dir: str) -> pd.DataFrame:
+    """ftfy-core mojibake repair (UTF-8 bytes mis-decoded as latin-1 —
+    the classic crawl encoding damage): deterministic non-ASCII
+    suffixes are planted per doc, docs with doc_id%5==0 are DAMAGED by
+    the utf-8-then-latin-1 double-decode, and the repair stage must
+    restore the original exactly.  Repair rule: if the WHOLE string
+    survives s.encode('latin-1').decode('utf-8') strictly, it was
+    double-decoded — undo it (up to 2 rounds); anything else is
+    untouched.  Vectorized prefilter: only rows containing a mojibake
+    marker (any char in U+0080-U+00FF) attempt the per-row round-trip,
+    so clean ASCII text never enters the Python path.  The oracle
+    hashes the EXPECTED repaired text (original + suffix) —
+    value-exact."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def damage_and_repair(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        ids = b["doc_id"].astype("int64")
+        planted = (b["text"].fillna("") + " café №"
+                   + ids.astype(str))
+        damaged = planted.where(
+            ids % 5 != 0,
+            planted.map(lambda s: s.encode("utf-8").decode("latin-1")))
+
+        sus = damaged.str.contains("[\x80-\xff]", regex=True)
+
+        def fix(s: str) -> str:
+            for _ in range(2):
+                try:
+                    t = s.encode("latin-1").decode("utf-8")
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    return s
+                if t == s:
+                    return s
+                s = t
+            return s
+
+        repaired = damaged.copy()
+        repaired[sus] = damaged[sus].map(fix)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "was_damaged": (ids % 5 == 0).astype("int64"),
+            "repaired_md5": repaired.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()),
+        })
+
+    out = (docs.map_batches(damage_and_repair, batch_format="pandas",
+                            batch_size=8192).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_MOJIBAKE_REPAIR = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS was_damaged,
+       md5(coalesce(text, '') || ' café №' || doc_id
+           ) AS repaired_md5
+FROM documents ORDER BY doc_id
+"""

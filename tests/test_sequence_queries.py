@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "orders"):
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -332,3 +332,32 @@ def test_epoch_sample_oracle(ray_session, con):
     assert (down["n_copies"] <= down["n_docs"]).all()
     up = got[w == 1500]
     assert (up["n_copies"] >= up["n_docs"]).all()
+
+
+def test_range_shards_oracle_and_balance(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_range_shards(SF))
+    want = _canon(con.sql(q.SQL_RANGE_SHARDS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    total = con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert got["n_orders"].sum() == total
+    # quantile split points balance shards to within ~tie mass
+    assert got["n_orders"].max() <= 2 * got["n_orders"].min() + 8
+    # ranges are disjoint and ordered
+    s = got.sort_values("shard").reset_index(drop=True)
+    assert (s["min_price"] <= s["max_price"]).all()
+    assert (s["max_price"].iloc[:-1].to_numpy()
+            <= s["min_price"].iloc[1:].to_numpy()).all()
+
+
+def test_mojibake_repair_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_mojibake_repair(SF))
+    want = _canon(con.sql(q.SQL_MOJIBAKE_REPAIR).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # a fifth of the corpus was damaged, and every row hash-matches the
+    # expected repaired text (the oracle compares md5 value-for-value),
+    # so the repair restored every damaged doc exactly
+    assert got["was_damaged"].sum() == (got["doc_id"] % 5 == 0).sum()

@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_sample": q.q_epoch_sample,
         "range_shards": q.q_range_shards,
         "mojibake_repair": q.q_mojibake_repair,
+        "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_sample": q.SQL_EPOCH_SAMPLE,
         "range_shards": q.SQL_RANGE_SHARDS,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
+        "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,
         "outlink_stats": q.SQL_OUTLINK_STATS,
         "pdf_extract": q.SQL_PDF_EXTRACT,

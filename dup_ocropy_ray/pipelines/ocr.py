@@ -336,6 +336,25 @@ def _doc_fragment_filter(num_fragments: int, frag: int):
     return fn
 
 
+def _lpt_groups(files: list[str], nfrag: int) -> list[list[str]]:
+    """Size-aware fragment grouping — greedy LPT (longest processing
+    time) bin packing on file byte sizes, so a skewed input directory
+    (one 10 GiB file among 4 GiB siblings) doesn't hand one fragment
+    3x the work of the others the way round-robin `files[i::n]` can.
+    Deterministic: ties break on (size desc, path), bins on (load,
+    index); groups and their members come out sorted for stable plan
+    files."""
+    sizes = [(os.path.getsize(p), p) for p in files]
+    sizes.sort(key=lambda t: (-t[0], t[1]))
+    loads = [0] * nfrag
+    groups: list[list[str]] = [[] for _ in range(nfrag)]
+    for sz, p in sizes:
+        i = min(range(nfrag), key=lambda j: (loads[j], j))
+        loads[i] += sz
+        groups[i].append(p)
+    return [sorted(g) for g in groups]
+
+
 def fragment_plan(docs_path: str, num_fragments: int,
                   out_root: str | None = None):
     """Checkpoint fragmentation plan shared by the OCR / extraction /
@@ -394,7 +413,7 @@ def fragment_plan(docs_path: str, num_fragments: int,
                     f"no _plan.json — it was produced under a different "
                     f"fragmentation scheme; use a fresh out_root")
             nfrag = min(num_fragments, len(files))
-            groups = [files[i::nfrag] for i in range(nfrag)]
+            groups = _lpt_groups(files, nfrag)
             if plan_path:
                 os.makedirs(out_root, exist_ok=True)
                 tmp = plan_path + f".tmp{os.getpid()}"

@@ -7022,3 +7022,65 @@ SELECT doc_id,
            ) AS repaired_md5
 FROM documents ORDER BY doc_id
 """
+
+
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix (the audit run before mixing
+    corpora into a training blend): for every source pair, how many
+    DISTINCT 5-grams they share.  One gram-hash shuffle: per-batch
+    (source, gram) distincting first (the combiner that keeps the
+    exchange near gram-vocabulary scale), then each gram partition
+    self-joins its <=n_sources rows and emits per-pair partials; only
+    the n_sources^2-bounded pair table reaches the driver."""
+    from ..functions import hashing
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        g, d, _ = hashing.batch_word_grams(
+            b["text"].fillna("").tolist(), 5)
+        df = pd.DataFrame({"source": b["source"].to_numpy(object)[d],
+                           "gram": g}).drop_duplicates()
+        h = hashing.hash_strings(df["gram"].to_numpy(dtype=object))
+        df["_part"] = (h % np.uint64(64)).astype(np.int64)
+        return df
+
+    rows = docs.map_batches(grams, batch_format="pandas",
+                            batch_size=2048)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "gram"])
+        m = g.merge(g, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], as_index=False)
+                .size().rename(columns={
+                    "source_x": "source_a", "source_y": "source_b",
+                    "size": "n_shared_grams"}))
+        return out
+
+    parts = (rows.groupby("_part")
+             .map_groups(pairs, batch_format="pandas").to_pandas())
+    out = (parts.groupby(["source_a", "source_b"], as_index=False)
+           ["n_shared_grams"].sum())
+    out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared_grams
+FROM g a JOIN g b USING (gram)
+WHERE a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

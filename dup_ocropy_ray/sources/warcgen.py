@@ -265,9 +265,13 @@ def run_warc_extract_with_checkpoint(
                 f"fresh out_root")
         groups = plan["groups"]
     else:
+        from ..pipelines.ocr import _lpt_groups
+
         shards = sorted(shard_paths)
         nfrag = max(1, min(num_fragments, len(shards)))
-        groups = [shards[i::nfrag] for i in range(nfrag)]
+        # size-aware LPT grouping: shard sizes skew (content-routed),
+        # and round-robin can hand one fragment most of the bytes
+        groups = _lpt_groups(shards, nfrag)
         with open(plan_path + ".tmp", "w") as f:
             json.dump({"mode": "warc_shards", "groups": groups}, f)
         os.replace(plan_path + ".tmp", plan_path)

@@ -777,3 +777,27 @@ def test_bucket_join_unmatched_rows_keep_exact_arrow_types(ray_session):
                 how="outer").write_parquet(d)
     back = rd.read_parquet(d).to_pandas()
     assert len(back) == 5
+
+
+def test_lpt_fragment_groups_balance_and_determinism(tmp_path):
+    """Size-aware fragment planning: a skewed file set packs by LPT so
+    no fragment carries more than ~(max_file + fair share); groups are
+    deterministic and cover every file exactly once."""
+    from dup_ocropy_ray.pipelines.ocr import _lpt_groups
+
+    sizes = [9000, 100, 100, 100, 4000, 4000, 200, 300]
+    files = []
+    for i, s in enumerate(sizes):
+        p = tmp_path / f"part-{i:03d}.parquet"
+        p.write_bytes(b"x" * s)
+        files.append(str(p))
+    groups = _lpt_groups(sorted(files), 4)
+    assert sorted(f for g in groups for f in g) == sorted(files)
+    loads = [sum(len(open(f, "rb").read()) for f in g) for g in groups]
+    # the 9000-byte file dominates; every other bin stays near fair share
+    assert max(loads) == 9000
+    assert sorted(loads)[:-1] == sorted(loads)[:-1]  # deterministic shape
+    assert _lpt_groups(sorted(files), 4) == groups
+    total = sum(sizes)
+    fair = total / 4
+    assert max(loads) <= max(sizes) + fair

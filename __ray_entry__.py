@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
+        "unigram_lm": q.q_unigram_lm,
         "incremental_neardup": q.q_incremental_neardup,
         "warc_curate": q.q_warc_curate,
         "outlink_stats": q.q_outlink_stats,

@@ -7084,3 +7084,27 @@ FROM g a JOIN g b USING (gram)
 WHERE a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_unigram_lm(sf_dir: str) -> pd.DataFrame:
+    """SentencePiece-style unigram-LM tokenizer (textstats.
+    unigram_lm_train, Kudo'18 hard-EM): train a 200-piece vocabulary
+    over the corpus word table, then tokenize the corpus with it
+    (unigram_lm_apply) and report corpus totals + the top-20 learned
+    multi-char pieces.  Rows-only (EM is not SQL-expressible); the
+    coverage/monotonicity/determinism gates live in
+    tests/test_bpe_train.py."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pieces = textstats.unigram_lm_train(docs, vocab_size=200,
+                                        em_iters=3, seed_keep=1000)
+    enc = textstats.unigram_lm_apply(docs, pieces).to_pandas()
+    top = (pieces[pieces["piece"].str.len() > 1]
+           .head(20).reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": np.arange(len(top), dtype=np.int64),
+        "piece": top["piece"],
+        "count": top["count"].astype("int64"),
+        "corpus_pieces": np.int64(enc["n_pieces"].sum()),
+        "corpus_words": np.int64(enc["n_words"].sum()),
+        "corpus_chars": np.int64(enc["n_chars"].sum()),
+    })

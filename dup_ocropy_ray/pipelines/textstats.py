@@ -1566,3 +1566,215 @@ def lr_quality(ds: rd.Dataset, train_mod: int = 5, steps: int = 8
            .size().rename(columns={"size": "n"}))
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "pred"]).reset_index(drop=True)
+
+
+# --------------------------------------- unigram-LM tokenizer (Kudo'18)
+
+
+def viterbi_segment(word: str, logp: dict, max_len: int
+                    ) -> tuple[list, float]:
+    """Best unigram-LM segmentation of ``word`` (Viterbi over piece
+    boundaries).  Deterministic tie rule: on equal score prefer the
+    LONGER last piece (then earlier split), so results never depend on
+    dict iteration order.  Returns (pieces, total_logp)."""
+    n = len(word)
+    best = [(-1e18, -1)] * (n + 1)
+    best[0] = (0.0, -1)
+    for j in range(1, n + 1):
+        b = (-1e18, -1)
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or best[i][1] == -2:
+                continue
+            s = best[i][0] + lp
+            # longer last piece = smaller i; iterate i ascending and
+            # take strict improvement -> first (longest) wins ties
+            if s > b[0]:
+                b = (s, i)
+        best[j] = b if b[1] >= 0 else (-1e18, -2)
+    if best[n][1] == -2:
+        return list(word), -1e18  # unreachable when all chars are pieces
+    pieces = []
+    j = n
+    while j > 0:
+        i = best[j][1]
+        pieces.append(word[i:j])
+        j = i
+    return pieces[::-1], best[n][0]
+
+
+def unigram_lm_train(ds: rd.Dataset, vocab_size: int = 400,
+                     max_piece_len: int = 6, em_iters: int = 4,
+                     seed_keep: int = 2000, parts: int = 64,
+                     text_col: str = "text") -> pd.DataFrame:
+    """Distributed unigram-LM tokenizer training (Kudo 2018 — the
+    SentencePiece unigram model), the EM counterpart of ``bpe_train``.
+
+    Scale shape: the corpus collapses ONCE to the distributed
+    distinct-word count table (same word-hash shuffle as bpe_train).
+    Seed vocabulary = every single character plus the ``seed_keep``
+    highest-frequency substrings (len <= max_piece_len): substring
+    partials combine on a piece-hash shuffle, each partition emits its
+    own top-``seed_keep`` (a piece's whole count lives in ONE
+    partition, so the driver merge over partition winners is EXACT —
+    the heavy_hitters argument).  Each hard-EM round broadcasts the
+    piece log-prob table (vocab-size rows — broadcast-scale BY
+    CONSTRUCTION, the tokenizer contract) via ray.put, Viterbi-segments
+    the distinct-word table in parallel, combines piece-count partials,
+    re-normalizes, and prunes to ``vocab_size`` keeping all single
+    chars (coverage guarantee: every word stays segmentable).
+    Deterministic end to end: integer counts, (count desc, piece asc)
+    prune order, longest-piece Viterbi ties.
+
+    Returns (piece, count, logp) sorted by (count desc, piece)."""
+    import math
+
+    if em_iters < 1:
+        raise ValueError("unigram_lm_train needs em_iters >= 1")
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b[text_col].fillna("").str.split().explode().dropna()
+              .value_counts())
+        out = pd.DataFrame({"word": vc.index.to_numpy(object),
+                            "c": vc.to_numpy(np.int64)})
+        out = out[out["word"].str.len() > 0]
+        out["_part"] = (hashing.hash_strings(out["word"].to_numpy(object))
+                        % np.uint64(parts)).astype(np.int64)
+        return out
+
+    def wc_final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("word", sort=False)["c"].sum()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    words = (ds.map_batches(wc_partial, batch_format="pandas",
+                            batch_size=65536)
+               .groupby("_part").map_groups(wc_final,
+                                            batch_format="pandas")
+               .materialize())
+
+    # ---- seed: char + substring counts, piece-hash shuffle, exact topK
+    def sub_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for w, c in zip(b["word"], b["c"]):
+            c = int(c)
+            n = len(w)
+            for i in range(n):
+                for l in range(1, min(max_piece_len, n - i) + 1):
+                    p = w[i:i + l]
+                    rows[p] = rows.get(p, 0) + c
+        out = pd.DataFrame({"piece": list(rows.keys()),
+                            "pc": pd.Series(list(rows.values()),
+                                            dtype="int64")})
+        out["_p2"] = (hashing.hash_strings(out["piece"].to_numpy(object))
+                      % np.uint64(parts)).astype(np.int64)
+        return out
+
+    def sub_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("piece", sort=False, as_index=False)["pc"].sum())
+        s["is_char"] = s["piece"].str.len() == 1
+        s = s.sort_values(["is_char", "pc", "piece"],
+                          ascending=[False, False, True])
+        # chars always survive; then the partition's top multi-char
+        return s.head(int(s["is_char"].sum()) + seed_keep)[
+            ["piece", "pc", "is_char"]]
+
+    cand = (words.map_batches(sub_partial, batch_format="pandas",
+                              batch_size=8192)
+            .groupby("_p2").map_groups(sub_top, batch_format="pandas")
+            .to_pandas())
+    chars = cand[cand["is_char"]]
+    multi = (cand[~cand["is_char"]]
+             .sort_values(["pc", "piece"], ascending=[False, True])
+             .head(seed_keep))
+    seed = pd.concat([chars, multi])[["piece", "pc"]]
+
+    def normalize(counts: pd.Series) -> dict:
+        tot = float(counts.sum())
+        return {p: math.log(c / tot)
+                for p, c in counts.items()}
+
+    logp = normalize(seed.set_index("piece")["pc"])
+
+    for it in range(em_iters):
+        ref = ray.put(logp)
+
+        def estep(b: pd.DataFrame) -> pd.DataFrame:
+            lp = ray.get(ref)
+            rows: dict = {}
+            for w, c in zip(b["word"], b["c"]):
+                pieces, _ = viterbi_segment(w, lp, max_piece_len)
+                for p in pieces:
+                    rows[p] = rows.get(p, 0) + int(c)
+            out = pd.DataFrame({"piece": list(rows.keys()),
+                                "ec": pd.Series(list(rows.values()),
+                                                dtype="int64")})
+            return out
+
+        # piece-count partials are vocab-bounded per block: the driver
+        # combine is <= vocab x blocks rows (grouped_agg's argument)
+        parts_df = (words.map_batches(estep, batch_format="pandas",
+                                      batch_size=8192).to_pandas())
+        counts = parts_df.groupby("piece")["ec"].sum()
+        # prune: all single chars + top multi-char pieces by count
+        cdf = counts.reset_index().rename(columns={"ec": "c"})
+        cdf["is_char"] = cdf["piece"].str.len() == 1
+        nchars = int(cdf["is_char"].sum())
+        keep = pd.concat([
+            cdf[cdf["is_char"]],
+            (cdf[~cdf["is_char"]]
+             .sort_values(["c", "piece"], ascending=[False, True])
+             .head(max(0, vocab_size - nchars))),
+        ])
+        # chars that fell to zero count still need a floor prob
+        seen_chars = set(chars["piece"])
+        missing = seen_chars - set(keep["piece"])
+        if missing:
+            keep = pd.concat([keep, pd.DataFrame(
+                {"piece": sorted(missing), "c": 0, "is_char": True})])
+        keep = keep.copy()
+        keep["c"] = keep["c"].astype("int64") + 1  # add-one floor
+        logp = normalize(keep.set_index("piece")["c"])
+
+    out = (keep[["piece", "c"]].rename(columns={"c": "count"})
+           .sort_values(["count", "piece"], ascending=[False, True])
+           .reset_index(drop=True))
+    out["logp"] = out["piece"].map(logp)
+    return out
+
+
+def unigram_lm_apply(ds: rd.Dataset, pieces: pd.DataFrame,
+                     max_piece_len: int = 6,
+                     text_col: str = "text") -> rd.Dataset:
+    """Tokenize the corpus with a trained unigram-LM piece table (the
+    apply half): per-doc piece/word/char counts.  The piece table is
+    broadcast once via ray.put; each batch Viterbi-encodes only its
+    DISTINCT words (per-batch cache).  Stateless map, no shuffle."""
+    lp = dict(zip(pieces["piece"], pieces["logp"]))
+    ref = ray.put(lp)
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        lpd = ray.get(ref)
+        cache: dict = {}
+        n_pieces = np.zeros(len(b), dtype=np.int64)
+        n_words = np.zeros(len(b), dtype=np.int64)
+        n_chars = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(b[text_col].fillna("")):
+            ws = t.split()
+            n_words[i] = len(ws)
+            n_chars[i] = sum(len(w) for w in ws)
+            tot = 0
+            for w in ws:
+                got = cache.get(w)
+                if got is None:
+                    got = len(viterbi_segment(w, lpd, max_piece_len)[0])
+                    cache[w] = got
+                tot += got
+            n_pieces[i] = tot
+        out = b[["doc_id"]].copy()
+        out["n_pieces"] = n_pieces
+        out["n_words"] = n_words
+        out["n_chars"] = n_chars
+        return out
+
+    return ds.map_batches(enc, batch_format="pandas", batch_size=8192)

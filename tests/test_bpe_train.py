@@ -194,3 +194,67 @@ def test_bpe_apply_zero_merges_is_char_tokenizer(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     # every word -> len(word) chars + </w>
     assert got["n_tokens"].tolist() == [2 + 1 + 3 + 1, 1 + 1]
+
+
+def test_unigram_lm_coverage_and_roundtrip(ray_session):
+    """Every corpus word segments into pieces whose concatenation is the
+    word (coverage: all single chars stay in the vocabulary)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines import textstats as ts
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    pieces = ts.unigram_lm_train(docs, vocab_size=120, em_iters=2,
+                                 seed_keep=500)
+    lp = dict(zip(pieces["piece"], pieces["logp"]))
+    words = set()
+    for t in docs.to_pandas()["text"].fillna(""):
+        words.update(t.split())
+    for w in sorted(words)[:300]:
+        segs, score = ts.viterbi_segment(w, lp, 6)
+        assert "".join(segs) == w
+        assert score > -1e17
+    # multi-char pieces were actually learned
+    assert (pieces["piece"].str.len() > 1).sum() > 10
+
+
+def test_unigram_lm_hard_em_monotone_and_deterministic(ray_session):
+    """Hard-EM never decreases total Viterbi likelihood of the word
+    table, and training is layout-independent (1 vs 8 blocks)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines import textstats as ts
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    wc = (docs.to_pandas()["text"].fillna("").str.split().explode()
+          .dropna().value_counts())
+
+    def total_ll(pieces):
+        lp = dict(zip(pieces["piece"], pieces["logp"]))
+        return sum(c * ts.viterbi_segment(w, lp, 6)[1]
+                   for w, c in wc.items())
+
+    lls = []
+    for it in (1, 2, 3):
+        p = ts.unigram_lm_train(docs, vocab_size=120, em_iters=it,
+                                seed_keep=500)
+        lls.append(total_ll(p))
+    assert lls[0] <= lls[1] + 1e-6 and lls[1] <= lls[2] + 1e-6, lls
+
+    a = ts.unigram_lm_train(docs, vocab_size=120, em_iters=2,
+                            seed_keep=500)
+    b = ts.unigram_lm_train(docs.repartition(8), vocab_size=120,
+                            em_iters=2, seed_keep=500)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_unigram_lm_query_runs(ray_session):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    out = q.q_unigram_lm("/root/testdata/sf0.001")
+    assert len(out) == 20
+    assert (out["piece"].str.len() > 1).all()
+    assert out["corpus_pieces"].iloc[0] <= out["corpus_chars"].iloc[0]
+    assert out["corpus_pieces"].iloc[0] >= out["corpus_words"].iloc[0]

@@ -110,16 +110,25 @@ def iter_warc_gz(data: bytes):
     member inside the shard — exactly what a CDX index stores."""
     pos = 0
     n = len(data)
-    # memoryview: slicing bytes would COPY the remaining shard per
-    # member (O(records x shard_size) memcpy on a 10k-member shard)
+    # feed each member in bounded chunks off a memoryview: handing the
+    # whole remaining shard to decompress() would both copy it on the
+    # slice AND get the tail copied back out via d.unused_data after
+    # every member — O(records x shard_size) memcpy on a 10k-member
+    # shard. Chunked, unused_data is at most one chunk.
     view = memoryview(data)
+    chunk = 1 << 20
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        raw = d.decompress(view[pos:])
+        parts = []
+        fed = 0
+        while not d.eof and pos + fed < n:
+            nxt = min(pos + fed + chunk, n)
+            parts.append(d.decompress(view[pos + fed:nxt]))
+            fed = nxt - pos
         if not d.eof:
             raise ValueError("truncated gzip member in .warc.gz")
-        consumed = n - pos - len(d.unused_data)
-        rec, _ = _parse_one(raw, 0)
+        consumed = fed - len(d.unused_data)
+        rec, _ = _parse_one(b"".join(parts), 0)
         yield pos, consumed, rec
         pos += consumed
 

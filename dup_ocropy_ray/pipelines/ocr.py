@@ -344,7 +344,11 @@ def _lpt_groups(files: list[str], nfrag: int) -> list[list[str]]:
     Deterministic: ties break on (size desc, path), bins on (load,
     index); groups and their members come out sorted for stable plan
     files."""
-    sizes = [(os.path.getsize(p), p) for p in files]
+    # floor each size at 1 byte: zero-byte files would otherwise never
+    # raise a bin's load, piling into bin 0 and leaving other bins EMPTY
+    # (reader(frag) indexes groups[frag][0]); with positive sizes the
+    # first nfrag placements land in distinct bins, so no group is empty
+    sizes = [(max(os.path.getsize(p), 1), p) for p in files]
     sizes.sort(key=lambda t: (-t[0], t[1]))
     loads = [0] * nfrag
     groups: list[list[str]] = [[] for _ in range(nfrag)]

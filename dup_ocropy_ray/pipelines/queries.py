@@ -6984,9 +6984,12 @@ def q_mojibake_repair(sf_dir: str) -> pd.DataFrame:
         ids = b["doc_id"].astype("int64")
         planted = (b["text"].fillna("") + " café №"
                    + ids.astype(str))
-        damaged = planted.where(
-            ids % 5 != 0,
-            planted.map(lambda s: s.encode("utf-8").decode("latin-1")))
+        damaged = planted.copy()
+        hit = (ids % 5 == 0).to_numpy()
+        # damage only the planted fifth — running the round-trip over
+        # every row and discarding 4/5 via where() is 5x the Python work
+        damaged[hit] = planted[hit].map(
+            lambda s: s.encode("utf-8").decode("latin-1"))
 
         sus = damaged.str.contains("[\x80-\xff]", regex=True)
 

@@ -895,7 +895,10 @@ def build_ivfpq_index(ds: rd.Dataset, out_dir: str,
     # the same vec_id twice in every top-k)
     import shutil
 
-    tmp_dir = out_dir + ".tmp"
+    # per-process tmp: a SHARED ".tmp" would let a second concurrent
+    # builder rmtree/interleave with this one mid-write and publish a
+    # mixed dir — each builder owns its tmp, loser reaps its own
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     (cells.map_batches(enc, batch_format="pandas", batch_size=65536)

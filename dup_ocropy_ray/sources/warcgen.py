@@ -97,7 +97,10 @@ def build_warc_corpus(sf_dir: str, num_shards: int = 8,
     from ..tuning import configure_data_context
 
     configure_data_context()
-    tmp_dir = out_dir + ".tmp"
+    # per-process tmp: two concurrent builders must never share a tmp
+    # dir (the loser's reap below would delete files the other is still
+    # writing); each publishes its own and reaps its own on a lost race
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
 
     def write_shard(g: pd.DataFrame) -> pd.DataFrame:

@@ -796,8 +796,12 @@ def test_lpt_fragment_groups_balance_and_determinism(tmp_path):
     loads = [sum(len(open(f, "rb").read()) for f in g) for g in groups]
     # the 9000-byte file dominates; every other bin stays near fair share
     assert max(loads) == 9000
-    assert sorted(loads)[:-1] == sorted(loads)[:-1]  # deterministic shape
-    assert _lpt_groups(sorted(files), 4) == groups
+    assert _lpt_groups(sorted(files), 4) == groups  # deterministic
+    # zero-byte files must not starve a bin (reader indexes group[0])
+    z = tmp_path / "zero.parquet"
+    z.write_bytes(b"")
+    gz = _lpt_groups(sorted(files + [str(z)]), 4)
+    assert all(g for g in gz)
     total = sum(sizes)
     fair = total / 4
     assert max(loads) <= max(sizes) + fair

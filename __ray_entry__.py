@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_prior": q.q_domain_prior,
         "epoch_sample": q.q_epoch_sample,
         "range_shards": q.q_range_shards,
+        "range_write": q.q_range_write,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -575,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_prior": q.SQL_DOMAIN_PRIOR,
         "epoch_sample": q.SQL_EPOCH_SAMPLE,
         "range_shards": q.SQL_RANGE_SHARDS,
+        "range_write": q.SQL_RANGE_SHARDS,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

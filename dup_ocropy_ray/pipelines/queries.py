@@ -7111,3 +7111,32 @@ def q_unigram_lm(sf_dir: str) -> pd.DataFrame:
         "corpus_words": np.int64(enc["n_words"].sum()),
         "corpus_chars": np.int64(enc["n_chars"].sum()),
     })
+
+
+def q_range_write(sf_dir: str) -> pd.DataFrame:
+    """Range-partitioned parquet SINK (relational.
+    write_range_partitioned): orders actually WRITTEN to a hive
+    ``shard=K/`` layout under /tmp (atomic tmp+rename publication,
+    _bounds.json manifest), then the report is computed by READING THE
+    FILES BACK — shard membership comes from the directory names, so
+    the oracle (shared with range_shards) checks the physical layout,
+    not just the plan."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"/tmp/range_write_{key}"
+    relational.write_range_partitioned(ds, "o_totalprice", out,
+                                       nshards=8)
+    rows = []
+    for d in sorted(_glob.glob(os.path.join(out, "shard=*"))):
+        shard = int(d.rsplit("=", 1)[1])
+        part = rd.read_parquet(d, columns=["o_totalprice"]).to_pandas()
+        rows.append({"shard": shard, "n_orders": len(part),
+                     "min_price": float(part["o_totalprice"].min()),
+                     "max_price": float(part["o_totalprice"].max())})
+    return (pd.DataFrame(rows).astype({"shard": "int64",
+                                       "n_orders": "int64"})
+            .sort_values("shard").reset_index(drop=True))

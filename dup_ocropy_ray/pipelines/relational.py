@@ -694,3 +694,67 @@ def exact_quantile(ds: rd.Dataset, col: str, qs: Sequence[float] = (0.5,),
         out_q.append(q)
         out_v.append(float(vals[rank - 1]) if len(vals) else np.nan)
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def write_range_partitioned(ds: rd.Dataset, col: str, out_dir: str,
+                            nshards: int = 8,
+                            columns: "Sequence[str] | None" = None
+                            ) -> dict:
+    """Range-partitioned parquet SINK — the resumable-output layout the
+    100 TB contract asks for: one hive directory per key range
+    (``shard=K/``), so a consumer can prune at the read on the range
+    column and a failed downstream job can re-run per range.
+
+    Split points come from the distributed exact-quantile quickselect
+    (no global sort — the whole point); rows are assigned in one
+    stateless pass and written with ``partition_cols``.  Publication is
+    atomic (per-process tmp dir + rename, the builder pattern shared
+    with build_warc_corpus/build_ivfpq_index), and a ``_bounds.json``
+    manifest records the split points + total rows for the reader.
+
+    Returns the manifest dict."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    qs = tuple(i / nshards for i in range(1, nshards))
+    b = exact_quantile(ds, col, qs=qs)
+    bounds = np.sort(b["value"].to_numpy(np.float64))
+
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+
+    def assign(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["shard"] = np.searchsorted(
+            bounds, t[col].to_numpy(np.float64), side="left"
+        ).astype(np.int64)
+        return t
+
+    manifest_path = os.path.join(out_dir, "_bounds.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shaded = ds.map_batches(assign, batch_format="pandas",
+                            batch_size=65536)
+    shaded.write_parquet(tmp_dir, partition_cols=["shard"])
+    n = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _, fs in os.walk(tmp_dir)
+        for f in fs if f.endswith(".parquet"))
+    manifest = {"col": col, "bounds": bounds.tolist(),
+                "nshards": int(nshards), "rows": int(n)}
+    with open(os.path.join(tmp_dir, "_bounds.json"), "w") as f:
+        json.dump(manifest, f)
+    if not os.path.exists(manifest_path):
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            pass
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return manifest

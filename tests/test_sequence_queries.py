@@ -361,3 +361,31 @@ def test_mojibake_repair_oracle(ray_session, con):
     # expected repaired text (the oracle compares md5 value-for-value),
     # so the repair restored every damaged doc exactly
     assert got["was_damaged"].sum() == (got["doc_id"] % 5 == 0).sum()
+
+
+def test_range_write_physical_layout(ray_session, con, tmp_path):
+    """The sink writes a REAL hive range layout: pruned reads of one
+    shard directory see only that range, the manifest records bounds +
+    total rows, and a second call short-circuits on the manifest."""
+    import json
+    import os
+
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines import queries as q
+    from dup_ocropy_ray.pipelines.relational import write_range_partitioned
+
+    ds = q._read(SF, "orders", ["o_orderkey", "o_totalprice"])
+    out = str(tmp_path / "rw")
+    man = write_range_partitioned(ds, "o_totalprice", out, nshards=4)
+    assert man["rows"] == con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert len(man["bounds"]) == 3
+    with open(os.path.join(out, "_bounds.json")) as f:
+        assert json.load(f) == man
+    # pruned read: shard 0 never exceeds the first bound
+    s0 = rd.read_parquet(os.path.join(out, "shard=0")).to_pandas()
+    assert s0["o_totalprice"].max() <= man["bounds"][0]
+    # shard column came back via the hive partition, payload intact
+    assert "o_orderkey" in s0.columns
+    # idempotent: second call returns the published manifest unchanged
+    assert write_range_partitioned(ds, "o_totalprice", out,
+                                   nshards=4) == man

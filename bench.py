@@ -62,6 +62,8 @@ QUERY_SUBSET = [
     "warc_curate",
     "html_markdown",
     "snapshot_diff",
+    "source_overlap",
+    "unigram_lm",
 ]
 
 

@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_sample": q.q_epoch_sample,
         "range_shards": q.q_range_shards,
         "range_write": q.q_range_write,
+        "csv_read": q.q_csv_read,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -577,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_sample": q.SQL_EPOCH_SAMPLE,
         "range_shards": q.SQL_RANGE_SHARDS,
         "range_write": q.SQL_RANGE_SHARDS,
+        "csv_read": q.SQL_CSV_READ,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

@@ -7140,3 +7140,35 @@ def q_range_write(sf_dir: str) -> pd.DataFrame:
     return (pd.DataFrame(rows).astype({"shard": "int64",
                                        "n_orders": "int64"})
             .sort_values("shard").reset_index(drop=True))
+
+
+# --------------------------------------------------------- csv ingestion
+
+
+def q_csv_read(sf_dir: str) -> pd.DataFrame:
+    """Splittable distributed CSV ingestion (sources/csvgen.py): the
+    documents table is rendered once into a dirty CSV whose payload
+    field embeds quotes, commas and NEWLINES, then read back with the
+    two-pass quote-parity split planner at 16 byte ranges.  The SQL
+    twin recomputes the payload from the source table, so a hash match
+    proves quoting, record-aligned splitting and parsing are all
+    byte-lossless.  Reference analogue: ocropy's file-list ingestion
+    (ocrolib/common.py glob helpers), engine-shaped."""
+    from ..sources.csvgen import build_csv_corpus, read_csv_dist
+
+    path = build_csv_corpus(sf_dir)
+    out = read_csv_dist(path, num_splits=16).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return (out[["doc_id", "payload", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_CSV_READ = r"""
+SELECT doc_id,
+       'q="' || substr(coalesce(text, ''), 1, 40) || '", nl:' || chr(10)
+            || source AS payload,
+       source,
+       length(coalesce(text, ''))::BIGINT AS n_chars
+FROM documents ORDER BY doc_id
+"""

@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_shards": q.q_range_shards,
         "range_write": q.q_range_write,
         "csv_read": q.q_csv_read,
+        "zorder_layout": q.q_zorder_layout,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "range_shards": q.SQL_RANGE_SHARDS,
         "range_write": q.SQL_RANGE_SHARDS,
         "csv_read": q.SQL_CSV_READ,
+        "zorder_layout": q.SQL_ZORDER_LAYOUT,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

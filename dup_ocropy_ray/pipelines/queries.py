@@ -7172,3 +7172,68 @@ SELECT doc_id,
        length(coalesce(text, ''))::BIGINT AS n_chars
 FROM documents ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------- z-order layout
+
+
+def q_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout planner over lineitem on the 2-D key
+    (quantity, partkey%64): rows are clustered along the Z-curve and
+    the report is each 2048-row block's min/max envelope on BOTH
+    dimensions — the pruning statistics that justify Z-order layout for
+    multi-dimensional scans. Exact global ranks via the ordered_scan
+    prefix-scan; the oracle replays the identical curve with
+    row_number()."""
+    from .relational import zorder_blocks
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_partkey"])
+
+    def add_dims(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "bx": b["l_quantity"].to_numpy(np.float64).astype(np.int64) & 63,
+            "by": b["l_partkey"].to_numpy(np.int64) % 64,
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_linenumber": b["l_linenumber"].to_numpy(np.int64),
+        })
+        return out
+
+    def key_expr(b: pd.DataFrame, z: np.ndarray) -> np.ndarray:
+        # unique: (z, orderkey, linenumber) lex order composed into one
+        # int64 — orderkey < 2^36, linenumber < 2^8
+        return ((z << np.int64(44))
+                | (b["l_orderkey"].to_numpy(np.int64) << np.int64(8))
+                | b["l_linenumber"].to_numpy(np.int64))
+
+    return zorder_blocks(
+        ds.map_batches(add_dims, batch_format="pandas", batch_size=65536),
+        "bx", "by", key_expr, bits=6, block_size=2048)
+
+
+def _sql_zorder_layout() -> str:
+    from .relational import sql_morton2
+
+    z = sql_morton2("bx", "by", bits=6)
+    return f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_quantity::BIGINT & 63) AS bx,
+         (l_partkey % 64)::BIGINT AS by
+  FROM lineitem
+), tz AS (
+  SELECT *, {z}::BIGINT AS z FROM t
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn
+  FROM tz
+)
+SELECT ((rn - 1) // 2048)::BIGINT AS block,
+       count(*)::BIGINT AS n_rows,
+       min(bx)::BIGINT AS min_bx, max(bx)::BIGINT AS max_bx,
+       min(by)::BIGINT AS min_by, max(by)::BIGINT AS max_by,
+       min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
+FROM r GROUP BY block ORDER BY block
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder_layout()

@@ -758,3 +758,73 @@ def write_range_partitioned(ds: rd.Dataset, col: str, out_dir: str,
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return manifest
+
+
+def morton2(bx: np.ndarray, by: np.ndarray, bits: int = 6) -> np.ndarray:
+    """Interleave the low ``bits`` of two int64 arrays into a Z-order
+    (Morton) code: bit i of bx lands at 2i, bit i of by at 2i+1."""
+    z = np.zeros_like(bx, dtype=np.int64)
+    for i in range(bits):
+        z |= ((bx >> i) & 1) << (2 * i)
+        z |= ((by >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_blocks(ds: rd.Dataset, xcol: str, ycol: str,
+                  key_expr, bits: int = 6,
+                  block_size: int = 2048) -> pd.DataFrame:
+    """Z-order data-layout planner: cluster rows along a 2-D Morton
+    curve and report per-block min/max envelopes of BOTH dimensions —
+    the pruning statistics a multi-dimensional-filter scan would use.
+    (Sorting by either single column gives tight ranges on that column
+    and useless ones on the other; the Z-curve bounds both, which is
+    the point of Z-order table layout at 100 TB.)
+
+    Distributed shape: one map_batches computes the Morton code and a
+    composed UNIQUE int64 sort key (``key_expr(batch) -> int64`` must
+    inject a per-row tiebreak, e.g. (z<<44)|(orderkey<<8)|linenumber),
+    then the global rank rides the ordered_scan prefix-scan primitive
+    (range sort + metadata-scale block-prefix combine), and the block
+    report is a bounded grouped_agg — rows-on-driver = n_blocks.
+
+    ``xcol``/``ycol`` must already be int64 in [0, 2^bits)."""
+    from .windows import ordered_scan
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        bx = b[xcol].to_numpy(np.int64)
+        by = b[ycol].to_numpy(np.int64)
+        z = morton2(bx, by, bits)
+        return pd.DataFrame({
+            "bx": bx, "by": by, "z": z,
+            "k": key_expr(b, z),
+            "one": np.ones(len(b), dtype="int64"),
+        })
+
+    scanned = ordered_scan(
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536),
+        "k", sum_cols=("one",))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "block": (b["run_one"].to_numpy(np.int64) - 1) // block_size,
+            "bx": b["bx"], "by": b["by"], "z": b["z"],
+        })
+
+    agg = grouped_agg(scanned.map_batches(assign, batch_format="pandas",
+                                          batch_size=65536),
+                      ["block"], mins=("bx", "by", "z"),
+                      maxs=("bx", "by", "z"))
+    agg = agg.rename(columns={"n": "n_rows"})
+    cols = ["block", "n_rows", "min_bx", "max_bx", "min_by", "max_by",
+            "min_z", "max_z"]
+    return (agg[cols].astype({c: "int64" for c in cols})
+            .sort_values("block").reset_index(drop=True))
+
+
+def sql_morton2(bx_expr: str, by_expr: str, bits: int = 6) -> str:
+    """DuckDB expression computing the same Morton code as morton2."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx_expr}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({by_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -805,3 +805,44 @@ def test_lpt_fragment_groups_balance_and_determinism(tmp_path):
     total = sum(sizes)
     fair = total / 4
     assert max(loads) <= max(sizes) + fair
+
+
+def test_zorder_blocks_match_numpy_reference(ray_session):
+    """Morton interleave bit-exact vs a per-bit reference, and the
+    distributed block planner's envelopes equal a single-process
+    sort-and-slice replay of the same curve."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.relational import morton2, zorder_blocks
+
+    rng = np.random.default_rng(7)
+    bx = rng.integers(0, 64, 5000).astype(np.int64)
+    by = rng.integers(0, 64, 5000).astype(np.int64)
+    z = morton2(bx, by, bits=6)
+    # reference: interleave via string bits
+    for i in rng.integers(0, 5000, 20):
+        xb = format(bx[i], "06b")
+        yb = format(by[i], "06b")
+        inter = "".join(yb[j] + xb[j] for j in range(6))
+        assert z[i] == int(inter, 2)
+    # planner vs replay
+    rid = np.arange(5000, dtype=np.int64)
+    df = pd.DataFrame({"bx": bx, "by": by, "rid": rid})
+    got = zorder_blocks(
+        rd.from_pandas(df).repartition(8),
+        "bx", "by", lambda b, zz: (zz << np.int64(20)) | b["rid"].to_numpy(np.int64),
+        bits=6, block_size=512)
+    order = np.lexsort((rid, z))
+    exp_rows = []
+    for blk in range(0, 5000, 512):
+        sel = order[blk:blk + 512]
+        exp_rows.append({
+            "block": blk // 512, "n_rows": len(sel),
+            "min_bx": bx[sel].min(), "max_bx": bx[sel].max(),
+            "min_by": by[sel].min(), "max_by": by[sel].max(),
+            "min_z": z[sel].min(), "max_z": z[sel].max(),
+        })
+    exp = pd.DataFrame(exp_rows).astype("int64")
+    pd.testing.assert_frame_equal(got, exp[got.columns])

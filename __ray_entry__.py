@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_write": q.q_range_write,
         "csv_read": q.q_csv_read,
         "zorder_layout": q.q_zorder_layout,
+        "time_travel": q.q_time_travel,
+        "expectations": q.q_expectations,
+        "incremental_agg": q.q_incremental_agg,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -581,6 +584,9 @@ def oracle_sql() -> dict[str, str]:
         "range_write": q.SQL_RANGE_SHARDS,
         "csv_read": q.SQL_CSV_READ,
         "zorder_layout": q.SQL_ZORDER_LAYOUT,
+        "time_travel": q.SQL_TIME_TRAVEL,
+        "expectations": q.SQL_EXPECTATIONS,
+        "incremental_agg": q.SQL_INCREMENTAL_AGG,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

@@ -7237,3 +7237,266 @@ FROM r GROUP BY block ORDER BY block
 
 
 SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+
+# ------------------------------------------------------------ time travel
+
+
+def q_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse TIME TRAVEL: reconstruct the table state AS OF each
+    commit version of merge_upsert's deterministic change log (v0 =
+    base load, v1 = deletes + first upserts + inserts, v2 = second
+    upsert wave) and report per-version table statistics.
+
+    Distributed shape: base+log union rides ONE key-hash bucket
+    shuffle (the same exchange merge_upsert uses); each partition
+    resolves latest-wins AS OF every version in one pass and emits a
+    3-row partial (version, n_rows, sum_len, sum_key) — the driver
+    combine is versions x partitions rows, never table-scale. At 100 TB
+    this is how snapshot reads work off a compacted log: no per-version
+    rescan of the base."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def base_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "seq": np.int64(0), "op": "upsert",
+                             "text": b["text"].fillna("")})
+
+    def log_rows(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        t = b["text"].fillna("")
+        m = i % 9
+        return pd.concat([
+            pd.DataFrame({"doc_id": i[m == 0], "seq": np.int64(1),
+                          "op": "delete", "text": ""}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(1),
+                          "op": "upsert", "text": t[m == 1] + " v1"}),
+            pd.DataFrame({"doc_id": i[m == 1], "seq": np.int64(2),
+                          "op": "upsert", "text": t[m == 1] + " v2"}),
+            pd.DataFrame({"doc_id": i[m == 2], "seq": np.int64(1),
+                          "op": "upsert",
+                          "text": "rewrite " + i[m == 2].astype(str)}),
+            pd.DataFrame({"doc_id": i[m == 3] + 2_000_000,
+                          "seq": np.int64(1), "op": "upsert",
+                          "text": "inserted " + i[m == 3].astype(str)}),
+        ], ignore_index=True)
+
+    union = (docs.map_batches(base_rows, batch_format="pandas")
+             .union(docs.map_batches(log_rows, batch_format="pandas")))
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b["doc_id"].to_numpy(np.int64)
+                      * 2654435761 % 2**32) % 64
+        return b
+
+    def asof_partials(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        srt = g.sort_values(["doc_id", "seq"], ascending=[True, False])
+        for v in (0, 1, 2):
+            live = (srt[srt["seq"] <= v]
+                    .groupby("doc_id", as_index=False).head(1))
+            live = live[live["op"] != "delete"]
+            rows.append({
+                "version": v, "n_rows": len(live),
+                "sum_len": int(live["text"].str.len().sum()),
+                "sum_key": int(live["doc_id"].sum()),
+            })
+        return pd.DataFrame(rows)
+
+    parts = (union.map_batches(bucket, batch_format="pandas")
+             .groupby("_part").map_groups(asof_partials,
+                                          batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("version", as_index=False)
+           .agg(n_rows=("n_rows", "sum"), sum_len=("sum_len", "sum"),
+                sum_key=("sum_key", "sum")))
+    return (out.astype("int64").sort_values("version")
+            .reset_index(drop=True))
+
+
+SQL_TIME_TRAVEL = r"""
+WITH base AS (
+  SELECT doc_id, 0 AS seq, 'upsert' AS op, coalesce(text, '') AS text
+  FROM documents
+), log AS (
+  SELECT doc_id, 1 AS seq, 'delete' AS op, '' AS text
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, 1, 'upsert', coalesce(text, '') || ' v1'
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'upsert', coalesce(text, '') || ' v2'
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'upsert', 'rewrite ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, 1, 'upsert', 'inserted ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 9 = 3
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+), versions AS (SELECT unnest([0, 1, 2]) AS version),
+snap AS (
+  SELECT v.version, u.*,
+         row_number() OVER (PARTITION BY v.version, u.doc_id
+                            ORDER BY u.seq DESC) AS rn
+  FROM versions v JOIN u ON u.seq <= v.version
+)
+SELECT version::BIGINT AS version,
+       count(*)::BIGINT AS n_rows,
+       sum(length(text))::BIGINT AS sum_len,
+       sum(doc_id)::BIGINT AS sum_key
+FROM snap WHERE rn = 1 AND op <> 'delete'
+GROUP BY version ORDER BY version
+"""
+
+
+# ------------------------------------------------------- expectations gate
+
+
+def q_expectations(sf_dir: str) -> pd.DataFrame:
+    """Data-quality EXPECTATIONS gate (Delta constraints / Great
+    Expectations shape): validate orders against a constraint suite —
+    three row-local predicates plus one referential-integrity check
+    into customer — and report per-constraint violation counts and the
+    quarantine size (rows failing ANY constraint).
+
+    Distributed shape: the FK flag rides ONE left bucket_join against
+    the distinct customer keys (large x large safe — no broadcast of
+    the dimension table); every row-local predicate and the OR-fold
+    are vectorized in the same pass; only the fixed-size per-batch
+    count partials reach the driver."""
+    from .relational import bucket_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_exists"] = np.int64(1)
+        return b
+
+    joined = bucket_join(orders, cust.map_batches(mark,
+                                                  batch_format="pandas"),
+                         "o_custkey", "c_custkey", how="left")
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        status_bad = ~b["o_orderstatus"].isin(["O", "F"]).to_numpy()
+        prio_bad = ~b["o_orderpriority"].isin(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"]).to_numpy()
+        price_bad = (b["o_totalprice"].to_numpy(np.float64) > 300000.0)
+        fk_bad = b["_exists"].isna().to_numpy()
+        any_bad = status_bad | prio_bad | price_bad | fk_bad
+        return pd.DataFrame({
+            "constraint": ["status_known", "priority_high",
+                           "price_le_300k", "custkey_exists",
+                           "any_violation"],
+            "n_violations": np.array(
+                [status_bad.sum(), prio_bad.sum(), price_bad.sum(),
+                 fk_bad.sum(), any_bad.sum()], dtype="int64"),
+        })
+
+    parts = joined.map_batches(counts, batch_format="pandas").to_pandas()
+    out = (parts.groupby("constraint", as_index=False)
+           .agg(n_violations=("n_violations", "sum")))
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("constraint").reset_index(drop=True)
+
+
+SQL_EXPECTATIONS = r"""
+WITH flags AS (
+  SELECT (o.o_orderstatus NOT IN ('O', 'F'))::INT AS status_bad,
+         (o.o_orderpriority NOT IN
+            ('1-URGENT', '2-HIGH', '3-MEDIUM'))::INT AS prio_bad,
+         (o.o_totalprice > 300000.0)::INT AS price_bad,
+         (c.c_custkey IS NULL)::INT AS fk_bad
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), counts AS (
+  SELECT 'status_known' AS constraint, sum(status_bad) AS n FROM flags
+  UNION ALL
+  SELECT 'priority_high', sum(prio_bad) FROM flags
+  UNION ALL
+  SELECT 'price_le_300k', sum(price_bad) FROM flags
+  UNION ALL
+  SELECT 'custkey_exists', sum(fk_bad) FROM flags
+  UNION ALL
+  SELECT 'any_violation',
+         sum(greatest(status_bad, prio_bad, price_bad, fk_bad)) FROM flags
+)
+SELECT "constraint", n::BIGINT AS n_violations
+FROM counts ORDER BY "constraint"
+"""
+
+
+# ------------------------------------- incremental aggregate maintenance
+
+
+def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: a per-event_type
+    (count, sum-of-cents) aggregate is refreshed from a CDC change log
+    (deletes of event_id % 13 == 0, inserts derived from
+    event_id % 17 == 0 with value + 1) by merging the base aggregate
+    with a SIGNED delta aggregate computed from the log ALONE — the
+    base table is never rescanned for the refresh.
+
+    Distributed shape: both the base aggregate and the delta aggregate
+    are per-batch partial combines (grouped_agg) — the driver merge is
+    event-type-cardinality sized. The oracle recomputes the refreshed
+    table from scratch; equality proves the delta algebra. Cents are
+    floor(value * 100) so every sum is integer-exact."""
+    events = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "event_type": b["event_type"],
+            "cents": np.floor(b["value"].to_numpy(np.float64)
+                              * 100).astype("int64"),
+        })
+
+    base = grouped_agg(events.map_batches(cents, batch_format="pandas"),
+                       ["event_type"], sums=["cents"])
+
+    def log_delta(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["event_id"].astype("int64")
+        c = np.floor(b["value"].to_numpy(np.float64) * 100).astype("int64")
+        dele = i % 13 == 0
+        ins = i % 17 == 0
+        return pd.concat([
+            pd.DataFrame({"event_type": b["event_type"][dele],
+                          "d_n": np.int64(-1),
+                          "d_cents": -c[dele.to_numpy()]}),
+            pd.DataFrame({"event_type": b["event_type"][ins],
+                          "d_n": np.int64(1),
+                          "d_cents": (c + 100)[ins.to_numpy()]}),
+        ], ignore_index=True)
+
+    delta = grouped_agg(events.map_batches(log_delta,
+                                           batch_format="pandas"),
+                        ["event_type"], sums=["d_n", "d_cents"],
+                        counts=False)
+
+    m = base.merge(delta, on="event_type", how="outer").fillna(0)
+    return (pd.DataFrame({
+        "event_type": m["event_type"],
+        "n_events": (m["n"] + m["sum_d_n"]).astype("int64"),
+        "sum_cents": (m["sum_cents"] + m["sum_d_cents"]).astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True))
+
+
+SQL_INCREMENTAL_AGG = r"""
+WITH modified AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS cents
+  FROM events WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_type, floor(value * 100)::BIGINT + 100
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM modified GROUP BY event_type ORDER BY event_type
+"""

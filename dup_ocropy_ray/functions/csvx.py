@@ -52,13 +52,16 @@ def quote_field(s: str) -> str:
 
 def write_csv_bytes(header: list[str], rows) -> bytes:
     """Serialize rows (iterable of tuples of str-able values) with
-    minimal RFC 4180 quoting and ``\\n`` record terminators."""
-    out = io.StringIO()
-    w = csv.writer(out, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
-    w.writerow(header)
+    minimal RFC 4180 quoting and ``\\n`` record terminators.
+
+    Uses ``quote_field`` rather than ``csv.writer(QUOTE_MINIMAL)``:
+    the stdlib writer only quotes characters in its ``lineterminator``,
+    so a lone ``\\r`` in a field would be emitted unquoted — bytes that
+    ``parse_csv_chunk`` (rightly) rejects."""
+    lines = [",".join(quote_field(str(v)) for v in header)]
     for r in rows:
-        w.writerow(r)
-    return out.getvalue().encode("utf-8")
+        lines.append(",".join(quote_field(str(v)) for v in r))
+    return ("\n".join(lines) + "\n").encode("utf-8")
 
 
 def range_boundary_stats(buf: bytes) -> dict:
@@ -113,13 +116,31 @@ def plan_record_ranges(stats: list[dict], ranges: list[tuple[int, int]],
     return out
 
 
-def parse_csv_chunk(data: bytes, n_cols: int) -> list[list[str]]:
+def parse_csv_chunk(data: bytes, n_cols: int | None) -> list[list[str]]:
     """Parse one record-aligned chunk. Raises on ragged rows so a
-    mis-planned split is a loud error, never silent corruption."""
+    mis-planned split is a loud error, never silent corruption
+    (``n_cols=None`` skips the width check — used for the header
+    record, whose width is what's being discovered)."""
     rows = list(csv.reader(io.StringIO(data.decode("utf-8")),
                            lineterminator="\n"))
-    for r in rows:
-        if len(r) != n_cols:
-            raise ValueError(
-                f"CSV record has {len(r)} fields, expected {n_cols}: {r!r}")
+    if n_cols is not None:
+        for r in rows:
+            if len(r) != n_cols:
+                raise ValueError(
+                    f"CSV record has {len(r)} fields, expected {n_cols}: "
+                    f"{r!r}")
     return rows
+
+
+def read_first_record(f) -> bytes:
+    """Read the first FULL RFC 4180 record from a binary file object:
+    physical lines are appended until the quote parity of the bytes so
+    far is even, so a header with a quoted comma or a quoted NEWLINE
+    parses as one record (``readline`` alone stops mid-field)."""
+    rec = f.readline()
+    while rec and rec.count(b'"') % 2 == 1:
+        nxt = f.readline()
+        if not nxt:
+            break
+        rec += nxt
+    return rec

@@ -7480,11 +7480,17 @@ def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
                         counts=False)
 
     m = base.merge(delta, on="event_type", how="outer").fillna(0)
-    return (pd.DataFrame({
+    out = pd.DataFrame({
         "event_type": m["event_type"],
         "n_events": (m["n"] + m["sum_d_n"]).astype("int64"),
         "sum_cents": (m["sum_cents"] + m["sum_d_cents"]).astype("int64"),
-    }).sort_values("event_type").reset_index(drop=True))
+    })
+    # group-deletion rule: a group whose maintained count reaches 0 has
+    # no surviving rows and must vanish from the view (a full recompute
+    # has no such group; without this the refresh emits a phantom
+    # zero row when every event of some type is CDC-deleted)
+    out = out[out["n_events"] > 0]
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 SQL_INCREMENTAL_AGG = r"""

@@ -719,6 +719,13 @@ def write_range_partitioned(ds: rd.Dataset, col: str, out_dir: str,
 
     import pyarrow.parquet as pq
 
+    manifest_path = os.path.join(out_dir, "_bounds.json")
+    if os.path.exists(manifest_path):
+        # cache check FIRST: the exact-quantile pass below is the
+        # dominant cost and must not run for an already-published dir
+        with open(manifest_path) as f:
+            return json.load(f)
+
     qs = tuple(i / nshards for i in range(1, nshards))
     b = exact_quantile(ds, col, qs=qs)
     bounds = np.sort(b["value"].to_numpy(np.float64))
@@ -733,10 +740,6 @@ def write_range_partitioned(ds: rd.Dataset, col: str, out_dir: str,
         ).astype(np.int64)
         return t
 
-    manifest_path = os.path.join(out_dir, "_bounds.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            return json.load(f)
     tmp_dir = out_dir + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shaded = ds.map_batches(assign, batch_format="pandas",

@@ -34,12 +34,9 @@ HEADER = ["doc_id", "payload", "source", "n_chars"]
 
 
 def _version() -> str:
-    h = hashlib.md5()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for rel in ("csvgen.py", "../functions/csvx.py"):
-        with open(os.path.normpath(os.path.join(here, rel)), "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:8]
+    from . import content_version
+
+    return content_version(__file__, ("csvgen.py", "../functions/csvx.py"))
 
 
 def payload_of(text: str, source: str) -> str:
@@ -91,6 +88,8 @@ def read_csv_dist(path: str, num_splits: int = 16,
     cast (schema inference over 100 TB is its own scan; explicit casts
     keep this a single-purpose operator)."""
     size = os.path.getsize(path)
+    if size == 0:
+        raise ValueError(f"read_csv_dist: empty file {path!r}")
     num_splits = max(1, min(num_splits, size))
     step = size // num_splits
     ranges = [(i * step, (i + 1) * step if i < num_splits - 1 else size)
@@ -122,16 +121,16 @@ def read_csv_dist(path: str, num_splits: int = 16,
              for r in stats_df.itertuples()]
     rec_ranges = csvx.plan_record_ranges(stats, ranges, size)
 
-    # header row: names + where data starts inside the first range
+    # header row: names + where data starts inside the first range.
+    # The first record is read by quote parity and parsed by the real
+    # CSV parser — a quoted comma or quoted newline in the header (or
+    # in the first record when header=False) yields the true width.
     with open(path, "rb") as f:
-        head_line = f.readline()
-    if header:
-        names = csvx.parse_csv_chunk(
-            head_line, head_line.decode().count(",") + 1)[0]
-    else:
-        names = [f"c{i}" for i in range(head_line.decode().count(",") + 1)]
-    n_cols = len(names)
-    hdr_skip = len(head_line) if header else 0
+        head_rec = csvx.read_first_record(f)
+    fields = csvx.parse_csv_chunk(head_rec, None)[0]
+    names = fields if header else [f"c{i}" for i in range(len(fields))]
+    n_cols = len(fields)
+    hdr_skip = len(head_rec) if header else 0
 
     def parse(b: pa.Table) -> pa.Table:
         cols: list[list[str]] = [[] for _ in range(n_cols)]

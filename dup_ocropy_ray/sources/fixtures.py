@@ -59,14 +59,9 @@ def renderer_version() -> str:
     from these modules MUST include it, or stale /tmp corpora rendered by
     an older glyph renderer silently mismatch a model trained on the
     current one."""
-    import hashlib
+    from . import content_version
 
-    h = hashlib.md5()
-    for mod in ("glyphs.py", "fixtures.py"):
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), mod),
-                  "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:8]
+    return content_version(__file__, ("glyphs.py", "fixtures.py"))
 
 
 def build_corpus(

@@ -49,12 +49,10 @@ def uri_doc_id(uri: str) -> int:
 
 def _corpus_version() -> str:
     """Content hash of the modules whose output bytes the cache pins."""
-    h = hashlib.md5()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for rel in ("warcgen.py", "webgen.py", "../functions/warcx.py"):
-        with open(os.path.normpath(os.path.join(here, rel)), "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:8]
+    from . import content_version
+
+    return content_version(
+        __file__, ("warcgen.py", "webgen.py", "../functions/warcx.py"))
 
 
 def encode_mixed(doc_id: int, html: str) -> tuple[bytes, str]:

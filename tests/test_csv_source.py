@@ -90,3 +90,35 @@ def test_read_csv_dist_roundtrip_and_split_invariance(ray_session):
     i = int(np.argmax(t["text"].str.len().to_numpy()))
     assert base["payload"].iloc[i] == payload_of(t["text"].iloc[i],
                                                  t["source"].iloc[i])
+
+
+def test_quoted_header_and_cr_fields(ray_session, tmp_path):
+    """Headers with quoted commas/newlines parse to the true width, a
+    lone CR in a field survives the writer->parser round trip, and an
+    empty file is a loud error (not an IndexError)."""
+    from dup_ocropy_ray.sources.csvgen import read_csv_dist
+
+    # quoted comma + quoted NEWLINE in the header record
+    blob = csvx.write_csv_bytes(["a,b", "c\nd", "e"],
+                                [("1", "2", "3"), ("x,y", "z\nw", "v")])
+    p = tmp_path / "hdr.csv"
+    p.write_bytes(blob)
+    for n in (1, 3, len(blob)):
+        df = read_csv_dist(str(p), num_splits=n).to_pandas()
+        assert list(df.columns) == ["a,b", "c\nd", "e"], f"splits={n}"
+        assert len(df) == 2
+        assert sorted(df["c\nd"]) == ["2", "z\nw"]
+    # header=False on a first record with quoted separators
+    df = read_csv_dist(str(p), num_splits=2, header=False).to_pandas()
+    assert list(df.columns) == ["c0", "c1", "c2"]
+    assert len(df) == 3
+    # lone CR round trip (csv.writer(QUOTE_MINIMAL) leaves \r unquoted;
+    # write_csv_bytes must not)
+    blob = csvx.write_csv_bytes(["f", "g"], [("a\rb", "plain")])
+    rows = csvx.parse_csv_chunk(blob, 2)
+    assert rows == [["f", "g"], ["a\rb", "plain"]]
+    # empty file -> ValueError
+    empty = tmp_path / "empty.csv"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty"):
+        read_csv_dist(str(empty))

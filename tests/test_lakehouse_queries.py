@@ -1,0 +1,92 @@
+"""Lakehouse maintenance queries: time travel, expectations gate,
+incremental aggregate maintenance — value-exact against their DuckDB
+twins at sf0.001, plus the group-deletion edge a full recompute never
+shows (a type whose events are all CDC-deleted must vanish)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_time_travel_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_time_travel(SF))
+    want = _canon(con.sql(q.SQL_TIME_TRAVEL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    byv = got.set_index("version")
+    # v0 is the base load; v1 applies the deletes (doc_id%9==0) and
+    # the inserts (%9==3)
+    assert byv.loc[0, "n_rows"] == n_docs
+    d, i = con.sql("SELECT sum((doc_id % 9 = 0)::INT), "
+                   "sum((doc_id % 9 = 3)::INT) FROM documents").fetchone()
+    assert byv.loc[1, "n_rows"] == n_docs - d + i
+    # v2 only rewrites existing keys -> row count is stable v1 -> v2
+    assert byv.loc[2, "n_rows"] == byv.loc[1, "n_rows"]
+
+
+def test_expectations_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_expectations(SF))
+    want = _canon(con.sql(q.SQL_EXPECTATIONS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by = got.set_index("constraint")["n_violations"]
+    assert by["any_violation"] >= by.drop("any_violation").max()
+    assert by["any_violation"] <= by.drop("any_violation").sum()
+
+
+def test_incremental_agg_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_incremental_agg(SF))
+    want = _canon(con.sql(q.SQL_INCREMENTAL_AGG).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_events"] > 0).all()
+
+
+def test_incremental_agg_group_deletion(ray_session, tmp_path):
+    """A type whose every event is CDC-deleted (all ids % 13 == 0, none
+    % 17 == 0) must DROP from the refreshed view — the delta algebra's
+    group-deletion rule; a phantom zero-row would diverge from any full
+    recompute."""
+    from dup_ocropy_ray.pipelines import queries as q
+
+    gone_ids = [13, 26, 39]            # %13==0, none %17==0
+    keep_ids = [1, 2, 17]              # 17 -> also spawns an insert
+    t = pa.table({
+        "event_id": pa.array(gone_ids + keep_ids, pa.int64()),
+        "event_type": pa.array(["gone"] * 3 + ["keep"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0, 10.0, 20.0, 30.0]),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = q.q_incremental_agg(str(tmp_path))
+    assert list(out["event_type"]) == ["keep"]
+    # keep: 3 base rows + 1 insert (id 17, value 30.0 -> 3100 cents)
+    assert int(out["n_events"].iloc[0]) == 4
+    assert int(out["sum_cents"].iloc[0]) == 1000 + 2000 + 3000 + 3100

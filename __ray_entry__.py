@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_travel": q.q_time_travel,
         "expectations": q.q_expectations,
         "incremental_agg": q.q_incremental_agg,
+        "attribution": q.q_attribution,
+        "percentile_cont": q.q_percentile_cont,
+        "weighted_sample": q.q_weighted_sample,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -587,6 +590,9 @@ def oracle_sql() -> dict[str, str]:
         "time_travel": q.SQL_TIME_TRAVEL,
         "expectations": q.SQL_EXPECTATIONS,
         "incremental_agg": q.SQL_INCREMENTAL_AGG,
+        "attribution": q.SQL_ATTRIBUTION,
+        "percentile_cont": q.SQL_PERCENTILE_CONT,
+        "weighted_sample": q.SQL_WEIGHTED_SAMPLE,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

@@ -7506,3 +7506,122 @@ SELECT event_type,
        sum(cents)::BIGINT AS sum_cents
 FROM modified GROUP BY event_type ORDER BY event_type
 """
+
+
+# ------------------------------------------------------------ attribution
+
+
+def q_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase
+    credits the earliest and the latest click/view of the same user in
+    the 7-day lookback window (ties at equal timestamps broken by
+    event_id). One user-hash shuffle; per partition both models come
+    from two searchsorted calls on the composed (user-rank, ts) key —
+    no touches x conversions pair table (the SQL twin has to build
+    one)."""
+    from .windows import attribution_credit
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    return attribution_credit(ds)
+
+
+SQL_ATTRIBUTION = r"""
+WITH conv AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.event_id AS conv_id, t.event_type, t.ts, t.event_id AS tid
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.ts
+   AND t.ts >= c.ts - INTERVAL 7 DAY
+), ranked AS (
+  SELECT conv_id, event_type,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts ASC, tid ASC) AS rf,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts DESC, tid DESC) AS rl
+  FROM pairs
+)
+SELECT * FROM (
+  SELECT 'first' AS model, event_type AS channel,
+         count(*)::BIGINT AS n_conversions
+  FROM ranked WHERE rf = 1 GROUP BY event_type
+  UNION ALL
+  SELECT 'last', event_type, count(*)::BIGINT
+  FROM ranked WHERE rl = 1 GROUP BY event_type
+) ORDER BY model, channel
+"""
+
+
+def q_percentile_cont(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type INTERPOLATED quantiles (quantile_cont rule:
+    linear interpolation between the two bracketing order statistics,
+    replicated in DuckDB's exact IEEE evaluation order) — the
+    continuous-domain sibling of quantiles_by_type."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = relational.grouped_quantiles(
+        ds, "event_type", "value", qs=(0.25, 0.5, 0.75, 0.9),
+        rule="cont")
+    return out
+
+
+SQL_PERCENTILE_CONT = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q25,
+         quantile_cont(value, 0.5)  AS q50,
+         quantile_cont(value, 0.75) AS q75,
+         quantile_cont(value, 0.9)  AS q90
+  FROM events GROUP BY event_type
+)
+SELECT event_type, u.q, u.value
+FROM q, LATERAL (VALUES (0.25, q25), (0.5, q50),
+                        (0.75, q75), (0.9, q90)) u(q, value)
+ORDER BY event_type, q
+"""
+
+
+# -------------------------------------------------------- weighted sample
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res
+    with deterministic pseudo-randomness): each doc gets priority
+    w / u where w = n_chars + 1 and u = (Knuth-hash(doc_id) % 2^32) + 1,
+    and the global top-20 priorities win — longer docs are
+    proportionally likelier but the draw is reproducible and
+    SQL-replicable (one IEEE double division on both sides; division
+    is exactly rounded, so the twins agree bit-for-bit).
+
+    Distributed shape: per-block top-k partials -> driver merge of
+    k x blocks rows (relational.topk) — no global sort, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prio(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy(np.int64)
+        u = ((i * 2654435761) % 4294967296 + 1).astype(np.float64)
+        w = (b["n_chars"].to_numpy(np.int64) + 1).astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": i,
+            "n_chars": b["n_chars"].to_numpy(np.int64),
+            "priority": w / u,
+        })
+
+    out = topk(ds.map_batches(prio, batch_format="pandas",
+                              batch_size=65536),
+               ["priority", "doc_id"], 20, ascending=[False, True])
+    return out.reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       (n_chars + 1)::DOUBLE
+         / ((doc_id * 2654435761) % 4294967296 + 1)::DOUBLE AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT 20
+"""

@@ -383,12 +383,16 @@ def bucket_join(
 
 def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
                       qs: Sequence[float] = (0.5, 0.9, 0.99),
-                      num_partitions: int = 32) -> pd.DataFrame:
-    """EXACT per-group discrete quantiles (telemetry p50/p90/p99): one
-    key-hash shuffle co-locates each group, then a single in-partition
-    sort + index selection per group. The selection rule is DuckDB's
-    ``quantile_disc`` — sorted[max(ceil(q*n) - 1, 0)] — so the SQL twin
-    matches value-for-value. Driver sees groups x quantiles rows.
+                      num_partitions: int = 32,
+                      rule: str = "disc") -> pd.DataFrame:
+    """EXACT per-group quantiles (telemetry p50/p90/p99): one key-hash
+    shuffle co-locates each group, then a single in-partition sort +
+    index selection per group. ``rule="disc"`` is DuckDB's
+    ``quantile_disc`` — sorted[max(ceil(q*n) - 1, 0)]; ``rule="cont"``
+    is ``quantile_cont``'s linear interpolation — with h = q*(n-1),
+    (ceil(h)-h)*v[floor(h)] + (h-floor(h))*v[ceil(h)] in that exact
+    IEEE evaluation order, so either SQL twin matches value-for-value.
+    Driver sees groups x quantiles rows.
 
     Scale note: a group's values must fit one partition (same contract
     as every keyed map_groups here); for heavy-hitter keys switch to
@@ -396,6 +400,9 @@ def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
     import math
 
     from ..functions import hashing
+
+    if rule not in ("disc", "cont"):
+        raise ValueError(f"grouped_quantiles: unknown rule {rule!r}")
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[key, val]].copy()
@@ -409,10 +416,16 @@ def grouped_quantiles(ds: rd.Dataset, key: str, val: str,
             v = np.sort(sub[val].to_numpy(np.float64))
             n = len(v)
             for q in qs:
-                idx = max(int(math.ceil(q * n)) - 1, 0)
+                if rule == "disc":
+                    out = float(v[max(int(math.ceil(q * n)) - 1, 0)])
+                else:
+                    h = q * (n - 1)
+                    frn, crn = int(math.floor(h)), int(math.ceil(h))
+                    out = (float(v[frn]) if crn == frn
+                           else (crn - h) * v[frn] + (h - frn) * v[crn])
                 rows[key].append(k_)
                 rows["q"].append(float(q))
-                rows["value"].append(float(v[idx]))
+                rows["value"].append(float(out))
         return pd.DataFrame(rows)
 
     out = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)

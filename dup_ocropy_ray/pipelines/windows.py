@@ -812,3 +812,81 @@ def rolling_distinct(
         "hour": out["w"].to_numpy("datetime64[h]").astype("datetime64[us]"),
         "n_keys": out["n_keys"].astype("int64"),
     }).sort_values("hour").reset_index(drop=True))
+
+
+def attribution_credit(
+    events: rd.Dataset,
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    lookback: pd.Timedelta = pd.Timedelta(days=7),
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Marketing ATTRIBUTION: for every conversion event, credit the
+    FIRST-touch and LAST-touch channel among the user's touch events in
+    the lookback window ending at the conversion (ties at equal
+    timestamps broken by event_id — first = smallest, last = largest).
+    Returns (model, channel, n_conversions) counts.
+
+    Scale shape: one user-hash shuffle co-locates each user's events;
+    per partition BOTH models come from two searchsorted calls on the
+    composed (user-rank, ts) key (window lower bound clamped to the
+    user's block — no per-conversion loop, no touches x conversions
+    pair materialization, which is what the SQL twin has to build).
+    Driver combine is models x channels x partitions rows."""
+    look_us = np.int64(lookback.total_seconds() * 1e6)
+    kinds = [conv_type, *touch_types]
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["event_type"].isin(kinds).to_numpy()
+        k = b["user_id"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "part": (k * 2654435761 % 4294967296) % num_partitions,
+            "k": k,
+            "ts": b["ts"].to_numpy()[keep],
+            "eid": b["event_id"].to_numpy(np.int64)[keep],
+            "et": b["event_type"].to_numpy(object)[keep],
+        })
+
+    empty = pd.DataFrame({"model": pd.Series([], dtype=object),
+                          "channel": pd.Series([], dtype=object),
+                          "n_conversions": pd.Series([], dtype="int64")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        k = g["k"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        nts = (ts - ts.min()).astype(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        et = g["et"].to_numpy(object)
+        _, kid = np.unique(k, return_inverse=True)
+        comb, span, div = compose_sort_keys(kid, nts, extra_us=int(look_us))
+        is_touch = np.isin(et, list(touch_types))
+        is_conv = et == conv_type
+        t_comb = comb[is_touch]
+        t_order = np.lexsort((eid[is_touch], t_comb))
+        t_comb = t_comb[t_order]
+        t_et = et[is_touch][t_order]
+        c_comb = comb[is_conv]
+        c_block = kid[is_conv].astype(np.int64) * span
+        lo = np.searchsorted(t_comb,
+                             np.maximum(c_comb - look_us // div, c_block),
+                             side="left")
+        hi = np.searchsorted(t_comb, c_comb, side="right")
+        valid = hi > lo
+        frames = []
+        for model, ch in (("first", t_et[lo[valid]]),
+                          ("last", t_et[hi[valid] - 1])):
+            vals, cnt = np.unique(ch.astype(str), return_counts=True)
+            frames.append(pd.DataFrame({
+                "model": model, "channel": vals,
+                "n_conversions": cnt.astype("int64")}))
+        return pd.concat(frames, ignore_index=True) if frames else empty.copy()
+
+    parts = (events.map_batches(tag, batch_format="pandas")
+             .groupby("part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["model", "channel"], as_index=False)
+           .agg(n_conversions=("n_conversions", "sum")))
+    out["n_conversions"] = out["n_conversions"].astype("int64")
+    return out.sort_values(["model", "channel"]).reset_index(drop=True)

@@ -389,3 +389,73 @@ def test_range_write_physical_layout(ray_session, con, tmp_path):
     # idempotent: second call returns the published manifest unchanged
     assert write_range_partitioned(ds, "o_totalprice", out,
                                    nshards=4) == man
+
+
+def test_attribution_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_attribution(SF))
+    want = _canon(con.sql(q.SQL_ATTRIBUTION).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # both models attribute the same conversion set -> equal totals
+    t = got.groupby("model")["n_conversions"].sum()
+    assert t["first"] == t["last"]
+    assert set(got["channel"]) <= {"click", "view"}
+
+
+def test_attribution_tie_and_window_edges(ray_session, tmp_path):
+    """Planted edges: a touch exactly at the lookback boundary counts,
+    one just outside does not; equal-timestamp ties break by event_id
+    (first = smallest, last = largest)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.pipelines import queries as q
+
+    base = np.datetime64("2000-01-10T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rows = [
+        # user 1: touch at exactly conv-7d (in), touch at conv-8d (out)
+        (1, base - 8 * day, 1, "view"),
+        (2, base - 7 * day, 1, "click"),
+        (3, base, 1, "purchase"),
+        # user 2: two touches at the SAME ts -> first=min id, last=max id
+        (10, base - day, 2, "view"),
+        (11, base - day, 2, "click"),
+        (12, base, 2, "purchase"),
+        # user 3: no touch in window
+        (20, base, 3, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = q.q_attribution(str(tmp_path)).set_index(["model", "channel"])
+    # user 1: window touch is the 7d-boundary click (the 8d view is out)
+    # user 2: first -> id 10 (view), last -> id 11 (click)
+    assert got.loc[("first", "click"), "n_conversions"] == 1
+    assert got.loc[("first", "view"), "n_conversions"] == 1
+    assert got.loc[("last", "click"), "n_conversions"] == 2
+    assert int(got["n_conversions"].sum()) == 4  # user 3 unattributed
+
+
+def test_percentile_cont_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = q.q_percentile_cont(SF)
+    want = con.sql(q.SQL_PERCENTILE_CONT).df()
+    g = got.sort_values(["event_type", "q"]).reset_index(drop=True)
+    w = want.sort_values(["event_type", "q"]).reset_index(drop=True)
+    # bit-exact float equality — the interpolation replicates DuckDB's
+    # IEEE evaluation order
+    assert list(g["event_type"]) == list(w["event_type"])
+    assert np.array_equal(g["value"].to_numpy(), w["value"].to_numpy())
+    # quantiles are nondecreasing in q within every group
+    for _, sub in g.groupby("event_type"):
+        v = sub.sort_values("q")["value"].to_numpy()
+        assert (np.diff(v) >= 0).all()

@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q.q_attribution,
         "percentile_cont": q.q_percentile_cont,
         "weighted_sample": q.q_weighted_sample,
+        "coalesce_intervals": q.q_coalesce_intervals,
+        "typo_pairs": q.q_typo_pairs,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -593,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution": q.SQL_ATTRIBUTION,
         "percentile_cont": q.SQL_PERCENTILE_CONT,
         "weighted_sample": q.SQL_WEIGHTED_SAMPLE,
+        "coalesce_intervals": q.SQL_COALESCE_INTERVALS,
+        "typo_pairs": q.SQL_TYPO_PAIRS,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

@@ -1643,3 +1643,81 @@ def paragraph_dedup(
         first_per_para, batch_format="pandas")
     return kept.groupby("_dpart").map_groups(
         reassemble, batch_format="pandas")
+
+
+def typo_pairs(terms: rd.Dataset, col: str = "term",
+               num_partitions: int = 64) -> pd.DataFrame:
+    """FastSS edit-distance-1 SIMILARITY JOIN over a term table: every
+    unordered pair of distinct terms with Levenshtein distance <= 1
+    (the spelling-variant / entity-blocking shape), WITHOUT the all-
+    pairs scan a naive join needs.
+
+    Candidate generation is the deletion-neighborhood rule: two terms
+    are within one edit only if they share a string in
+    {t} ∪ {t minus char i} — so each term fans out to len(t)+1
+    (variant-hash, term) rows, ONE variant-hash shuffle co-locates
+    candidates, per-bucket pairs dedupe on a second pair-hash shuffle,
+    and a vectorized-DP Levenshtein verify kills the false positives
+    the variant rule admits (e.g. 'ab'/'ba' share 'a' and 'b' but are
+    2 edits apart). Candidate groups are bounded by deletion-variant
+    fan-in (alphabet x length in practice, never corpus-scale); the
+    verify loop runs per surviving candidate pair — pair-scale, not
+    term-scale. Returns the pair table (a < b, dist)."""
+    from ..functions.edist import levenshtein
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        keys: list[str] = []
+        terms_out: list[str] = []
+        for t in b[col].astype(str):
+            keys.append(t)
+            terms_out.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                terms_out.append(t)
+        h = hashing.hash_strings(np.asarray(keys, dtype=object))
+        return pd.DataFrame({
+            "_part": (h % np.uint64(num_partitions)).astype(np.int64),
+            "key": keys, "t": terms_out,
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for _, sub in g.groupby("key", sort=False):
+            u = sorted(set(sub["t"]))
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    a_out.append(u[i])
+                    b_out.append(u[j])
+        if not a_out:
+            # typed Arrow empty (a size-0 object-dtype pandas block
+            # trips Ray's block-size estimator)
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "_p2": pa.array([], pa.int64())})
+        h = hashing.hash_strings(
+            np.asarray([a + "\x00" + b for a, b in zip(a_out, b_out)],
+                       dtype=object))
+        return pd.DataFrame({
+            "a": a_out, "b": b_out,
+            "_p2": (h % np.uint64(num_partitions)).astype(np.int64),
+        })
+
+    def verify(g: pd.DataFrame):
+        d = g.drop_duplicates(["a", "b"])
+        dist = [levenshtein(a, b)
+                for a, b in zip(d["a"], d["b"])]
+        d = d.assign(dist=np.asarray(dist, dtype=np.int64))
+        d = d[d["dist"] <= 1]
+        if len(d) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        return d[["a", "b", "dist"]]
+
+    out = (terms.map_batches(variants, batch_format="pandas")
+           .groupby("_part").map_groups(bucket_pairs,
+                                        batch_format="pandas")
+           .groupby("_p2").map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

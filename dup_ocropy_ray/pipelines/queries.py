@@ -7625,3 +7625,117 @@ FROM documents
 ORDER BY priority DESC, doc_id ASC
 LIMIT 20
 """
+
+
+# ----------------------------------------------------- interval coalescing
+
+
+def q_coalesce_intervals(sf_dir: str) -> pd.DataFrame:
+    """Per-user interval coalescing: each event opens an interval of
+    (event_id % 300) seconds; overlapping-or-touching intervals merge
+    into islands (the classic gaps-and-islands shape — uptime windows,
+    ad-exposure spans). Reports per user the island count and covered
+    microseconds. One user-hash shuffle + one vectorized cummax pass
+    per partition; the twin replays it with a running-max window."""
+    from .windows import coalesce_intervals
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def durs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "ts": b["ts"],
+            "dur_us": (b["event_id"].to_numpy(np.int64) % 300)
+            * np.int64(1_000_000),
+        })
+
+    return coalesce_intervals(
+        ds.map_batches(durs, batch_format="pandas"))
+
+
+SQL_COALESCE_INTERVALS = r"""
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + (event_id % 300) * INTERVAL 1 SECOND AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+), agg AS (
+  SELECT user_id, island,
+         date_diff('microsecond', min(s), max(e)) AS covered
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_islands,
+       sum(covered)::BIGINT AS covered_us
+FROM agg GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------- typo pairs
+
+
+def q_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance-1 similarity JOIN (FastSS deletion neighborhoods —
+    the spelling-variant / entity-blocking shape): over the corpus's
+    distinct words of length >= 4 plus a deterministic planted variant
+    of each (middle character deleted), find every unordered pair
+    within one edit. Candidates come from ONE variant-hash shuffle (no
+    all-pairs scan); a vectorized-DP Levenshtein verify on the deduped
+    pair stream kills the rule's false positives. The twin brute-forces
+    the same term table with DuckDB's levenshtein()."""
+    from .dedup import typo_pairs
+    from ..functions import hashing
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def local_terms(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["text"].fillna("").str.split().explode().dropna()
+        w = w[w.str.len() >= 4].unique()
+        terms = set(w)
+        for t in w:
+            p = len(t) // 2
+            terms.add(t[:p] + t[p + 1:])
+        out = np.asarray(sorted(terms), dtype=object)
+        h = hashing.hash_strings(out)
+        return pd.DataFrame({
+            "_dp": (h % np.uint64(64)).astype(np.int64), "term": out})
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("term")[["term"]]
+
+    terms = (docs.map_batches(local_terms, batch_format="pandas")
+             .groupby("_dp").map_groups(distinct, batch_format="pandas"))
+    return typo_pairs(terms)
+
+
+SQL_TYPO_PAIRS = r"""
+WITH w AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(
+           trim(coalesce(text, '')), '\s+')) AS w
+  FROM documents
+), ws AS (
+  SELECT w FROM w WHERE length(w) >= 4
+), terms AS (
+  SELECT DISTINCT t FROM (
+    SELECT w AS t FROM ws
+    UNION
+    SELECT substr(w, 1, length(w) // 2)
+           || substr(w, length(w) // 2 + 2) FROM ws
+  )
+)
+SELECT a.t AS a, b.t AS b, levenshtein(a.t, b.t)::BIGINT AS dist
+FROM terms a JOIN terms b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+ORDER BY a, b
+"""

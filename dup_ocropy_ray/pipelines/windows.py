@@ -890,3 +890,85 @@ def attribution_credit(
            .agg(n_conversions=("n_conversions", "sum")))
     out["n_conversions"] = out["n_conversions"].astype("int64")
     return out.sort_values(["model", "channel"]).reset_index(drop=True)
+
+
+def coalesce_intervals(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    dur_us_col: str = "dur_us",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-key INTERVAL COALESCING (gaps-and-islands): merge each key's
+    overlapping-or-touching [ts, ts + dur) intervals into islands and
+    report per key the island count and total covered microseconds.
+
+    Scale shape: one key-hash shuffle, then a single vectorized pass
+    per partition — intervals lexsorted by (key, start, end), the
+    running maximum end computed ONCE with np.maximum.accumulate over
+    keys made disjoint by the composed (key-rank, ts) keyspace (a new
+    key's start always exceeds the previous key's offset block, so the
+    cummax resets itself), islands cut where start > cummax(prev end).
+    Nothing is per-row Python; driver sees keys-per-partition rows."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part": (k * 2654435761 % 4294967296) % num_partitions,
+            "k": k,
+            "ts": b[ts_col],
+            "dur": b[dur_us_col].to_numpy(np.int64),
+        })
+
+    empty = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                          "n_islands": pd.Series([], dtype="int64"),
+                          "covered_us": pd.Series([], dtype="int64")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        k = g["k"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        nts = (ts - ts.min()).astype(np.int64)
+        dur = g["dur"].to_numpy(np.int64)
+        _, kid = np.unique(k, return_inverse=True)
+        comb, span, div = compose_sort_keys(kid, nts,
+                                            extra_us=int(dur.max()))
+        if div != 1:
+            # durations must survive the coarsening exactly
+            if (dur % div).any():
+                raise OverflowError(
+                    "coalesce_intervals: durations not aligned to the "
+                    "coarsened time unit; increase num_partitions")
+        s = comb
+        e = comb + dur // div
+        order = np.lexsort((e, s))
+        s, e, kid_s = s[order], e[order], kid[order]
+        prev_max = np.maximum.accumulate(e)
+        new_island = np.empty(len(s), dtype=bool)
+        new_island[0] = True
+        # strictly-greater start cuts an island; key changes always cut
+        # (the composed keyspace makes a new key's s exceed every prior e)
+        new_island[1:] = s[1:] > prev_max[:-1]
+        isl_start = np.flatnonzero(new_island)
+        min_s = s[isl_start]
+        max_e = np.maximum.reduceat(e, isl_start)
+        covered = (max_e - min_s) * div
+        isl_kid = kid_s[isl_start]
+        keys, inv = np.unique(isl_kid, return_inverse=True)
+        n_islands = np.bincount(inv)
+        # int64 accumulation (bincount's float weights would lose
+        # exactness past 2^53 µs-sums)
+        covered_by_key = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(covered_by_key, inv, covered)
+        uniq_k = np.unique(k)
+        return pd.DataFrame({
+            key_col: uniq_k[keys],
+            "n_islands": n_islands.astype("int64"),
+            "covered_us": covered_by_key,
+        })
+
+    out = (events.map_batches(tag, batch_format="pandas")
+           .groupby("part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -90,3 +90,59 @@ def test_incremental_agg_group_deletion(ray_session, tmp_path):
     # keep: 3 base rows + 1 insert (id 17, value 30.0 -> 3100 cents)
     assert int(out["n_events"].iloc[0]) == 4
     assert int(out["sum_cents"].iloc[0]) == 1000 + 2000 + 3000 + 3100
+
+
+def test_coalesce_intervals_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_coalesce_intervals(SF))
+    want = _canon(con.sql(q.SQL_COALESCE_INTERVALS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_islands"] >= 1).all()
+
+
+def test_coalesce_intervals_touch_and_gap(ray_session):
+    """Planted edges: touching intervals merge (start == running end),
+    a strictly-later start cuts a new island, containment collapses."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.windows import coalesce_intervals
+
+    base = np.datetime64("2000-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1, 2], dtype="int64"),
+        # [0,10] [10,15] (touch -> merge), [16,30] (gap), [17,20] (contained)
+        "ts": [base, base + 10 * s, base + 16 * s, base + 17 * s, base],
+        "dur_us": np.array([10, 5, 14, 3, 0], dtype="int64") * 1_000_000,
+    })
+    out = coalesce_intervals(rd.from_pandas(rows)).set_index("user_id")
+    assert out.loc[1, "n_islands"] == 2
+    assert out.loc[1, "covered_us"] == (15 + 14) * 1_000_000
+    # zero-length interval is still an island
+    assert out.loc[2, "n_islands"] == 1
+    assert out.loc[2, "covered_us"] == 0
+
+
+def test_typo_pairs_oracle_and_false_positives(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_typo_pairs(SF))
+    want = _canon(con.sql(q.SQL_TYPO_PAIRS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["dist"] == 1).all()  # distinct terms -> dist exactly 1
+
+    # direct core: deletion-variant false positives must be verified away
+    import ray.data as rd
+
+    from dup_ocropy_ray.functions.edist import levenshtein
+    from dup_ocropy_ray.pipelines.dedup import typo_pairs
+
+    terms = ["ab", "ba", "abc", "abcd", "xabc", "zz", "az"]
+    out = typo_pairs(rd.from_pandas(pd.DataFrame({"term": terms})))
+    expect = sorted(
+        (a, b) for i, a in enumerate(terms) for b in terms[i + 1:]
+        if levenshtein(*sorted((a, b))) <= 1
+        for a, b in [tuple(sorted((a, b)))])
+    assert sorted(zip(out["a"], out["b"])) == expect
+    assert ("ab", "ba") not in set(zip(out["a"], out["b"]))

@@ -398,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q.q_weighted_sample,
         "coalesce_intervals": q.q_coalesce_intervals,
         "typo_pairs": q.q_typo_pairs,
+        "skyline": q.q_skyline,
+        "transition_matrix": q.q_transition_matrix,
+        "benford_digits": q.q_benford_digits,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -597,6 +600,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": q.SQL_WEIGHTED_SAMPLE,
         "coalesce_intervals": q.SQL_COALESCE_INTERVALS,
         "typo_pairs": q.SQL_TYPO_PAIRS,
+        "skyline": q.SQL_SKYLINE,
+        "transition_matrix": q.SQL_TRANSITION_MATRIX,
+        "benford_digits": q.SQL_BENFORD_DIGITS,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

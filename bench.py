@@ -64,6 +64,10 @@ QUERY_SUBSET = [
     "snapshot_diff",
     "source_overlap",
     "unigram_lm",
+    "zorder_layout",
+    "attribution",
+    "typo_pairs",
+    "coalesce_intervals",
 ]
 
 

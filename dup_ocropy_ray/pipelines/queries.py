@@ -7739,3 +7739,159 @@ SELECT a.t AS a, b.t AS b, levenshtein(a.t, b.t)::BIGINT AS dist
 FROM terms a JOIN terms b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def q_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto SKYLINE (maximize both l_quantity and l_extendedprice):
+    the points no other point weakly dominates with at least one strict
+    excess. Distributed shape: ONE grouped-max pass collapses the
+    corpus to qty-cardinality rows (per-batch partial combine), and the
+    monotone strictly-decreasing-price filter runs on that bounded
+    frontier — at any corpus size the driver sees |distinct qty| rows,
+    never points. Twin replays with a running-max window."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qty": b["l_quantity"].to_numpy(np.float64).astype(np.int64),
+            "cents": np.floor(b["l_extendedprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64),
+        })
+
+    m = grouped_agg(li.map_batches(prep, batch_format="pandas"),
+                    ["qty"], maxs=("cents",), counts=False)
+    m = m.sort_values("qty", ascending=False).reset_index(drop=True)
+    price = m["max_cents"].to_numpy(np.int64)
+    run = np.maximum.accumulate(price)
+    keep = np.empty(len(m), dtype=bool)
+    if len(m):
+        keep[0] = True
+        keep[1:] = price[1:] > run[:-1]
+    out = pd.DataFrame({"qty": m["qty"].astype("int64")[keep],
+                        "price_cents": price[keep]})
+    return out.sort_values("qty").reset_index(drop=True)
+
+
+SQL_SKYLINE = """
+WITH m AS (
+  SELECT l_quantity::BIGINT AS qty,
+         max(floor(l_extendedprice * 100)::BIGINT) AS price_cents
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT qty, price_cents,
+         max(price_cents) OVER (ORDER BY qty DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pm
+  FROM m
+)
+SELECT qty, price_cents FROM s
+WHERE pm IS NULL OR price_cents > pm
+ORDER BY qty
+"""
+
+
+# ------------------------------------------------------ transition matrix
+
+
+def q_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov TRANSITION counts between consecutive event
+    types per user (ordered by ts, ties by event_id): the behavioral
+    sequence model behind next-event prediction and anomaly scoring.
+    One user-hash shuffle; per partition one lexsort + shifted compare
+    (no per-user loop); driver sees types x types x partitions rows."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part": (k * 2654435761 % 4294967296) % 32,
+            "k": k,
+            "ts": b["ts"],
+            "eid": b["event_id"].to_numpy(np.int64),
+            "et": b["event_type"],
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"src": pd.Series([], dtype=object),
+                                 "dst": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        k = g["k"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        et = g["et"].to_numpy(object)
+        order = np.lexsort((eid, ts, k))
+        ks, ets = k[order], et[order]
+        same = ks[1:] == ks[:-1]
+        src, dst = ets[:-1][same], ets[1:][same]
+        df = pd.DataFrame({"src": src, "dst": dst})
+        out = df.groupby(["src", "dst"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["src", "dst"], as_index=False)
+           .agg(n=("n", "sum")))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------- Benford audit
+
+
+def q_benford_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit audit over o_totalprice (the
+    fraud/data-entry anomaly screen): counts and integer permille per
+    leading digit. Pure per-batch partial combine — the driver reduce
+    is 9 x batches rows."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(b["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        v = v[v > 0]
+        # leading digit: strip trailing decades with log10-free integer
+        # division via string length (exact; no float log edge cases)
+        d = v.astype("U").astype("U1").astype(np.int64)  # first character
+        cnt = np.bincount(d, minlength=10)[1:]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "n": cnt.astype("int64")})
+
+    parts = ds.map_batches(digits, batch_format="pandas").to_pandas()
+    out = parts.groupby("digit", as_index=False).agg(n=("n", "sum"))
+    out = out[out["n"] > 0]  # SQL twin never emits an absent digit
+    total = int(out["n"].sum())
+    out["permille"] = (out["n"] * 1000 // total).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+SQL_BENFORD_DIGITS = """
+WITH v AS (
+  SELECT floor(o_totalprice)::BIGINT AS x FROM orders
+  WHERE floor(o_totalprice) > 0
+), d AS (
+  SELECT substr(x::VARCHAR, 1, 1)::BIGINT AS digit FROM v
+), c AS (
+  SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit
+)
+SELECT digit, n, (n * 1000 // sum(n) OVER ())::BIGINT AS permille
+FROM c ORDER BY digit
+"""

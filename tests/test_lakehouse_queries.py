@@ -146,3 +146,43 @@ def test_typo_pairs_oracle_and_false_positives(ray_session, con):
         for a, b in [tuple(sorted((a, b)))])
     assert sorted(zip(out["a"], out["b"])) == expect
     assert ("ab", "ba") not in set(zip(out["a"], out["b"]))
+
+
+def test_skyline_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+          f"read_parquet('{SF}/lineitem.parquet')")
+    got = _canon(q.q_skyline(SF))
+    want = _canon(c.sql(q.SQL_SKYLINE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # Pareto frontier: price strictly decreasing as qty increases
+    srt = got.sort_values("qty")["price_cents"].to_numpy()
+    assert (np.diff(srt) < 0).all()
+
+
+def test_transition_matrix_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_transition_matrix(SF))
+    want = _canon(con.sql(q.SQL_TRANSITION_MATRIX).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # total transitions = sum over users of (n_events - 1)
+    exp = con.sql("SELECT sum(n - 1) FROM (SELECT count(*) AS n "
+                  "FROM events GROUP BY user_id)").fetchone()[0]
+    assert int(got["n"].sum()) == exp
+
+
+def test_benford_digits_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW orders AS SELECT * FROM "
+          f"read_parquet('{SF}/orders.parquet')")
+    got = _canon(q.q_benford_digits(SF))
+    want = _canon(c.sql(q.SQL_BENFORD_DIGITS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n"].sum() == c.sql(
+        "SELECT count(*) FROM orders WHERE o_totalprice >= 1").fetchone()[0]
+    assert 990 <= got["permille"].sum() <= 1000  # floor rounding

@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q.q_skyline,
         "transition_matrix": q.q_transition_matrix,
         "benford_digits": q.q_benford_digits,
+        "trend_by_source": q.q_trend_by_source,
         "mojibake_repair": q.q_mojibake_repair,
         "source_overlap": q.q_source_overlap,
         "knn_ivfpq": q.q_knn_ivfpq,
@@ -603,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline": q.SQL_SKYLINE,
         "transition_matrix": q.SQL_TRANSITION_MATRIX,
         "benford_digits": q.SQL_BENFORD_DIGITS,
+        "trend_by_source": q.SQL_TREND_BY_SOURCE,
         "mojibake_repair": q.SQL_MOJIBAKE_REPAIR,
         "source_overlap": q.SQL_SOURCE_OVERLAP,
         "warc_curate": q.SQL_WARC_CURATE,

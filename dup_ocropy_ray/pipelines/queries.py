@@ -7895,3 +7895,67 @@ WITH v AS (
 SELECT digit, n, (n * 1000 // sum(n) OVER ())::BIGINT AS permille
 FROM c ORDER BY digit
 """
+
+
+# --------------------------------------------------------- grouped trend
+
+
+def q_trend_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source OLS trend of document length over doc_id, as an EXACT
+    RATIONAL: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) reported as
+    integer (numerator, denominator) — distributed regression by
+    sufficient statistics (one per-batch partial-combine pass; the
+    driver reduce is sources x batches rows; float slopes would be
+    summation-order-dependent, integers are exact). Also emits the
+    slope in integer permille for readability."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["doc_id"].to_numpy(np.int64)
+        y = b["n_chars"].to_numpy(np.int64)
+        d = pd.DataFrame({"source": b["source"], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y})
+        g = d.groupby("source", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"))
+        return g
+
+    parts = ds.map_batches(moments, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    g = parts.groupby("source", as_index=False).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+        sxx=("sxx", "sum"), sxy=("sxy", "sum"))
+    n = g["n"].astype("int64")
+    num = (n * g["sxy"] - g["sx"] * g["sy"]).astype("int64")
+    den = (n * g["sxx"] - g["sx"] * g["sx"]).astype("int64")
+    # DuckDB's integer // truncates toward zero, numpy's floors —
+    # truncate explicitly (den is a scaled variance, always > 0)
+    num1000 = num * 1000
+    permille = np.sign(num1000) * (np.abs(num1000) // den)
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n": n,
+        "slope_num": num,
+        "slope_den": den,
+        "slope_permille": permille.astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_TREND_BY_SOURCE = """
+WITH m AS (
+  SELECT source,
+         count(*)::BIGINT AS n,
+         sum(doc_id)::BIGINT AS sx,
+         sum(n_chars)::BIGINT AS sy,
+         sum(doc_id * doc_id)::BIGINT AS sxx,
+         sum(doc_id * n_chars)::BIGINT AS sxy
+  FROM documents GROUP BY source
+)
+SELECT source, n,
+       (n * sxy - sx * sy)::BIGINT AS slope_num,
+       (n * sxx - sx * sx)::BIGINT AS slope_den,
+       ((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))::BIGINT
+         AS slope_permille
+FROM m ORDER BY source
+"""

@@ -186,3 +186,17 @@ def test_benford_digits_oracle(ray_session, con):
     assert got["n"].sum() == c.sql(
         "SELECT count(*) FROM orders WHERE o_totalprice >= 1").fetchone()[0]
     assert 990 <= got["permille"].sum() <= 1000  # floor rounding
+
+
+def test_trend_by_source_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_trend_by_source(SF))
+    want = _canon(con.sql(q.SQL_TREND_BY_SOURCE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exact rational: num/den reproduces the float OLS slope
+    docs = con.sql("SELECT source, doc_id, n_chars FROM documents").df()
+    for _, r in got.iterrows():
+        sub = docs[docs["source"] == r["source"]]
+        ref = np.polyfit(sub["doc_id"], sub["n_chars"], 1)[0]
+        assert abs(r["slope_num"] / r["slope_den"] - ref) < 1e-8

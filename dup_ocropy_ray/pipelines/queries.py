@@ -3442,7 +3442,12 @@ def q_warc_curate(sf_dir: str) -> pd.DataFrame:
     from . import curate
     from .relational import bucket_join, grouped_agg
 
-    man = build_warc_corpus(sf_dir)
+    # 32 shards: read_warc's parallelism unit is one task per shard (the
+    # Common Crawl layout); the default 8-shard fixture leaves 3/4 of a
+    # 32-CPU host idle through the extract stage. The curate chain and
+    # its SQL twin are shard-count-agnostic (routing only places
+    # records); warc_stats keeps the 8-shard corpus its twin hardcodes.
+    man = build_warc_corpus(sf_dir, num_shards=32)
     recs = read_warc(man["shards"])
 
     def extract(b: pa.Table) -> pa.Table:
@@ -3458,7 +3463,13 @@ def q_warc_curate(sf_dir: str) -> pd.DataFrame:
                          "prefix": pa.array(bodies, pa.string()),
                          "n_body": pa.array(nbody, pa.int64())})
 
-    docs = recs.map_batches(extract, batch_format="pyarrow")
+    # materialize the extracted METADATA (doc_id, 3-word prefix, count —
+    # never payloads) to cut operator fusion: bucket_join's 65536-row
+    # tag stage would otherwise fuse into this chain and re-bundle the
+    # 32 bytes-tiny path rows into ONE task (measured: 1 task / 5.5 s
+    # vs 32 tasks — each input row expands to a whole decompressed
+    # shard, which the size-based bundler cannot see)
+    docs = recs.map_batches(extract, batch_format="pyarrow").materialize()
     meta = _read(sf_dir, "documents", ["doc_id", "source"])
     lschema = pa.schema([("doc_id", pa.int64()), ("prefix", pa.string()),
                          ("n_body", pa.int64())])

@@ -41,6 +41,17 @@ class _DropEmptyBundleSchemaWarning(logging.Filter):
 def configure_data_context(ctx: DataContext | None = None) -> DataContext:
     ctx = ctx or DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    # A SINGLE-file parquet read is one task that yields its SplitBlocks
+    # pieces through a streaming generator capped at 2 unconsumed
+    # blocks: the whole downstream pipeline then dispatches in lockstep
+    # with that trickle (measured on the extraction queries: ~3x
+    # concurrency on a 32-CPU host, 3.6 s for a job whose compute is
+    # 0.7 s once the read is materialized). Raising the cap decouples
+    # them. This is a CAP, not a demand — multi-file reads yield few
+    # blocks per task and never approach it; the pathological case it
+    # fixes (one producer task, many small blocks) is exactly where the
+    # buffered bytes are small.
+    ctx._max_num_blocks_in_streaming_gen_buffer = 64
     lg = logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state")
     if not any(isinstance(f, _DropEmptyBundleSchemaWarning)

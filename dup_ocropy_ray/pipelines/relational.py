@@ -803,6 +803,12 @@ def zorder_blocks(ds: rd.Dataset, xcol: str, ycol: str,
     (range sort + metadata-scale block-prefix combine), and the block
     report is a bounded grouped_agg — rows-on-driver = n_blocks.
 
+    Scale note: ``block_size`` is the PHYSICAL clustering unit — at
+    10^12 rows set it to the row-group/file size (10^6+) so the block
+    report stays manifest-scale (n_blocks ≈ file count), exactly like
+    a lakehouse OPTIMIZE ZORDER manifest; the 2048 here is fixture
+    granularity for the oracle.
+
     ``xcol``/``ycol`` must already be int64 in [0, 2^bits)."""
     from .windows import ordered_scan
 

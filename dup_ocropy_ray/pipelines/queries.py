@@ -7606,7 +7606,10 @@ def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     and the global top-20 priorities win — longer docs are
     proportionally likelier but the draw is reproducible and
     SQL-replicable (one IEEE double division on both sides; division
-    is exactly rounded, so the twins agree bit-for-bit).
+    is exactly rounded, so the twins agree bit-for-bit). Twin-contract
+    envelope: doc_id * 2654435761 must fit BIGINT on the DuckDB side
+    (doc_id < ~3.4e9 — the same bound as every hash-twin query in this
+    registry); the numpy side wraps mod 2^64 and keeps working past it.
 
     Distributed shape: per-block top-k partials -> driver merge of
     k x blocks rows (relational.topk) — no global sort, no shuffle."""
@@ -7767,7 +7770,8 @@ def q_skyline(sf_dir: str) -> pd.DataFrame:
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "qty": b["l_quantity"].to_numpy(np.float64).astype(np.int64),
+            "qty": np.floor(
+                b["l_quantity"].to_numpy(np.float64)).astype(np.int64),
             "cents": np.floor(b["l_extendedprice"].to_numpy(np.float64)
                               * 100).astype(np.int64),
         })
@@ -7788,7 +7792,7 @@ def q_skyline(sf_dir: str) -> pd.DataFrame:
 
 SQL_SKYLINE = """
 WITH m AS (
-  SELECT l_quantity::BIGINT AS qty,
+  SELECT floor(l_quantity)::BIGINT AS qty,
          max(floor(l_extendedprice * 100)::BIGINT) AS price_cents
   FROM lineitem GROUP BY 1
 ), s AS (
@@ -7817,9 +7821,11 @@ def q_transition_matrix(sf_dir: str) -> pd.DataFrame:
                                   "event_type"])
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
+        from .windows import part_tag
+
         k = b["user_id"].to_numpy(np.int64)
         return pd.DataFrame({
-            "part": (k * 2654435761 % 4294967296) % 32,
+            "part": part_tag(k, 32),
             "k": k,
             "ts": b["ts"],
             "eid": b["event_id"].to_numpy(np.int64),
@@ -7889,6 +7895,10 @@ def q_benford_digits(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("digit", as_index=False).agg(n=("n", "sum"))
     out = out[out["n"] > 0]  # SQL twin never emits an absent digit
     total = int(out["n"].sum())
+    if total == 0:  # no positive values: the twin returns zero rows
+        return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "permille": pd.Series([], dtype="int64")})
     out["permille"] = (out["n"] * 1000 // total).astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values("digit").reset_index(drop=True)
@@ -7936,6 +7946,14 @@ def q_trend_by_source(sf_dir: str) -> pd.DataFrame:
     g = parts.groupby("source", as_index=False).agg(
         n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
         sxx=("sxx", "sum"), sxy=("sxy", "sum"))
+    g = g[g["n"] >= 2].reset_index(drop=True)  # slope undefined for n=1
+    # int64 envelope guard: n*sxx ~ n^4/3 for dense ids — raise loudly
+    # (as DuckDB's BIGINT multiply does) instead of wrapping silently
+    if len(g) and (g["n"].astype("float64")
+                   * g["sxx"].astype("float64")).max() >= float(2**62):
+        raise OverflowError(
+            "trend_by_source: n*sxx exceeds the int64 envelope "
+            "(~70k dense doc_ids per source); center x per source first")
     n = g["n"].astype("int64")
     num = (n * g["sxy"] - g["sx"] * g["sy"]).astype("int64")
     den = (n * g["sxx"] - g["sx"] * g["sx"]).astype("int64")
@@ -7962,6 +7980,7 @@ WITH m AS (
          sum(doc_id * doc_id)::BIGINT AS sxx,
          sum(doc_id * n_chars)::BIGINT AS sxy
   FROM documents GROUP BY source
+  HAVING count(*) >= 2
 )
 SELECT source, n,
        (n * sxy - sx * sy)::BIGINT AS slope_num,

@@ -24,6 +24,14 @@ import ray.data as rd
 from ..functions import hashing
 
 
+def part_tag(k: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Knuth multiplicative partition tag for int64 keys — the ONE
+    implementation of the `(k * 2654435761 % 2^32) % n` idiom the
+    SQL twins replicate (new call sites use this; the literal form
+    predates it at several older sites)."""
+    return (k * 2654435761 % 4294967296) % num_partitions
+
+
 def compose_sort_keys(kid: np.ndarray, nts_us: np.ndarray, extra_us: int = 0):
     """Compose (key-rank, µs-timestamp) into ONE int64 sort key with
     overflow-checked headroom: returns ``(comb, span, div)`` where
@@ -840,7 +848,7 @@ def attribution_credit(
         keep = b["event_type"].isin(kinds).to_numpy()
         k = b["user_id"].to_numpy(np.int64)[keep]
         return pd.DataFrame({
-            "part": (k * 2654435761 % 4294967296) % num_partitions,
+            "part": part_tag(k, num_partitions),
             "k": k,
             "ts": b["ts"].to_numpy()[keep],
             "eid": b["event_id"].to_numpy(np.int64)[keep],
@@ -881,7 +889,7 @@ def attribution_credit(
             frames.append(pd.DataFrame({
                 "model": model, "channel": vals,
                 "n_conversions": cnt.astype("int64")}))
-        return pd.concat(frames, ignore_index=True) if frames else empty.copy()
+        return pd.concat(frames, ignore_index=True)
 
     parts = (events.map_batches(tag, batch_format="pandas")
              .groupby("part").map_groups(per_part, batch_format="pandas")
@@ -914,7 +922,7 @@ def coalesce_intervals(
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         k = b[key_col].to_numpy(np.int64)
         return pd.DataFrame({
-            "part": (k * 2654435761 % 4294967296) % num_partitions,
+            "part": part_tag(k, num_partitions),
             "k": k,
             "ts": b[ts_col],
             "dur": b[dur_us_col].to_numpy(np.int64),

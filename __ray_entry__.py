@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": _bfs_levels,
         "events_pivot": q.q_events_pivot,
         "price_histogram": q.q_price_histogram,
+        "interval_join": q.q_interval_join,
+        "gapfill_hourly": q.q_gapfill_hourly,
+        "max_concurrency": q.q_max_concurrency,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -659,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": _graph_sql("bfs_levels"),
         "events_pivot": q.SQL_EVENTS_PIVOT,
         "price_histogram": q.SQL_PRICE_HISTOGRAM,
+        "interval_join": q.SQL_INTERVAL_JOIN,
+        "gapfill_hourly": q.SQL_GAPFILL_HOURLY,
+        "max_concurrency": q.SQL_MAX_CONCURRENCY,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

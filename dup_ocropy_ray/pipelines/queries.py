@@ -7989,3 +7989,154 @@ SELECT source, n,
          AS slope_permille
 FROM m ORDER BY source
 """
+
+
+# ----------------------------------------------------- interval overlap join
+
+
+def q_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Interval-OVERLAP join (windows.interval_overlap_join): even
+    event_ids open [ts, ts+(id%120+1)s) "exposure" intervals, odd ids
+    open [ts, ts+(id%90+1)s) "session" intervals; per exposure, the
+    count of same-type overlapping sessions plus the sum of their ids
+    (a value witness that the exact pair set was found). Chunked-range
+    replication + one (key,bucket) shuffle + canonical-bucket dedup —
+    no all-pairs scan; the twin evaluates the raw overlap predicate."""
+    from .windows import interval_overlap_join
+    from ..functions import hashing
+
+    def side(parity: int, mod: int):
+        ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+        def f(b: pd.DataFrame, _p=parity, _m=mod) -> pd.DataFrame:
+            eid = b["event_id"].to_numpy(np.int64)
+            keep = (eid % 2) == _p
+            eid = eid[keep]
+            s = (b["ts"].to_numpy()[keep].astype("datetime64[us]")
+                 .astype(np.int64))
+            key = hashing.hash_strings(
+                b["event_type"].to_numpy(str)[keep]).astype(np.int64)
+            return pd.DataFrame({
+                "id": eid, "key": key, "s": s,
+                "e": s + (eid % _m + 1) * np.int64(1_000_000)})
+        return ds.map_batches(f, batch_format="pandas")
+
+    out = interval_overlap_join(side(0, 120), side(1, 90)).to_pandas()
+    return out.sort_values("a_id").reset_index(drop=True)
+
+
+SQL_INTERVAL_JOIN = r"""
+WITH a AS (
+  SELECT event_id AS a_id, event_type, ts AS s,
+         ts + ((event_id % 120) + 1) * INTERVAL 1 SECOND AS e
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT event_id AS b_id, event_type, ts AS s,
+         ts + ((event_id % 90) + 1) * INTERVAL 1 SECOND AS e
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT a.a_id, count(*)::BIGINT AS n_overlap, sum(b.b_id)::BIGINT AS sum_b
+FROM a JOIN b ON a.event_type = b.event_type
+            AND a.s < b.e AND b.s < a.e
+GROUP BY a.a_id ORDER BY a.a_id
+"""
+
+
+# ------------------------------------------------------- gap fill / resample
+
+
+def q_gapfill_hourly(sf_dir: str) -> pd.DataFrame:
+    """Dense hourly RESAMPLE with gap fill (windows.gapfill_hourly):
+    per event_type, every hour between its first and last event —
+    missing hours as explicit zero rows — with integer-cent value sums
+    and a forward-filled last-non-empty-hour staleness column. The twin
+    rebuilds the grid with generate_series + a running-max window."""
+    from .windows import gapfill_hourly
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "ts": b["ts"],
+            "cents": np.floor(
+                b["value"].to_numpy(np.float64) * 100).astype(np.int64)})
+
+    return gapfill_hourly(ds.map_batches(prep, batch_format="pandas"))
+
+
+SQL_GAPFILL_HOURLY = r"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::BIGINT AS n,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1
+), grid AS (
+  SELECT b.event_type, g.hr
+  FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR))
+       AS g(hr)
+), j AS (
+  SELECT g.event_type, g.hr,
+         coalesce(h.n, 0)::BIGINT AS n_events,
+         coalesce(h.cents, 0)::BIGINT AS sum_cents
+  FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+)
+SELECT event_type, hr, n_events, sum_cents,
+       max(CASE WHEN n_events > 0 THEN hr END)
+         OVER (PARTITION BY event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS last_seen
+FROM j ORDER BY event_type, hr
+"""
+
+
+# ---------------------------------------------------------- max concurrency
+
+
+def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Peak-concurrency sweep line (windows.max_concurrency): each event
+    opens [ts, ts+(id%300+1)s); per event_type, the maximum number of
+    simultaneously-open intervals and the first instant it is reached.
+    Distributed segmented prefix scan over (key, day-bucket) groups —
+    only bucket summaries reach the driver. The twin replays the ±1
+    sweep with a running-sum window."""
+    from .windows import max_concurrency
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].astype(str),
+            "s": s, "e": s + (eid % 300 + 1) * np.int64(1_000_000)})
+
+    out = max_concurrency(ds.map_batches(prep, batch_format="pandas"),
+                          key_col="event_type")
+    return out
+
+
+SQL_MAX_CONCURRENCY = r"""
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + ((event_id % 300) + 1) * INTERVAL 1 SECOND AS e
+  FROM events
+), pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+), g AS (
+  SELECT event_type, t, sum(d)::BIGINT AS dd FROM pts GROUP BY 1, 2
+), c AS (
+  SELECT event_type, t,
+         sum(dd) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS conc
+  FROM g
+)
+SELECT c.event_type, c.conc::BIGINT AS max_concurrent,
+       min(c.t) AS first_at
+FROM c JOIN (SELECT event_type, max(conc) AS m FROM c GROUP BY 1) mx
+  ON c.event_type = mx.event_type AND c.conc = mx.m
+GROUP BY 1, 2 ORDER BY 1
+"""

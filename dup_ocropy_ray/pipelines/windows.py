@@ -980,3 +980,363 @@ def coalesce_intervals(
            .groupby("part").map_groups(per_part, batch_format="pandas")
            .to_pandas())
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def interval_overlap_join(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    bucket_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """INTERVAL-OVERLAP JOIN between two large interval sets, aggregated
+    per left interval: for every a-row, the count of b-rows with the
+    same key satisfying ``a.s < b.e AND b.s < a.e`` plus the sum of the
+    matching b ids (a value-level witness that the exact pair set was
+    found, not just its size). Inputs carry (id:int64, key:int64,
+    s:int64 µs, e:int64 µs) with s < e (callers must drop or bump empty
+    intervals — the strict-overlap predicate is only implemented for
+    non-empty ones, and a batch-level guard raises otherwise).
+
+    Scale shape — the classic chunked-range partitioning, NO all-pairs
+    and NO driver materialization:
+      1. Each interval is replicated to every fixed-width time bucket it
+         overlaps (one `map_batches` per side, np.repeat — replication
+         factor = ceil(duration / bucket_us)).
+      2. ONE hash shuffle on (key, bucket) co-locates everything that
+         can possibly pair. Inside a partition the join is fully
+         vectorized across all its (key, bucket) groups at once: group
+         ids and µs offsets are composed into one int64 keyspace
+         (overflow-checked; disjoint per group, so global searchsorted
+         answers per-group range queries), and each pair is counted
+         exactly once by the canonical-bucket rule — pairs where
+         b.s >= a.s count in bucket(b.s) against the b-rows' OWN-start
+         replicas; pairs where b.s < a.s count in bucket(a.s) via the
+         prefix-count identity  #{b.s < a.s} - #{b.e <= a.s}  over all
+         b-replicas overlapping that bucket (any such b overlaps the
+         instant a.s, hence that bucket). Prefix sums of b ids ride the
+         same sorted arrays, so the witness sums cost nothing extra.
+      3. A second metadata-scale hash shuffle on a_id sums the per-replica
+         partials exactly and drops zero-overlap rows.
+    Driver never sees interval or pair rows; skewed long intervals only
+    raise the replication factor of the rows that are actually long.
+    Returns a Dataset of (a_id, n_overlap, sum_b) — pair-aggregate scale.
+    Reference analogue: none (ocropy has no interval ops); this is the
+    training-data shape for exposure/session overlap attribution."""
+    W = np.int64(bucket_us)
+
+    def replicate(side: int):
+        def f(bt: pd.DataFrame, _side=side) -> pd.DataFrame:
+            s = bt["s"].to_numpy(np.int64)
+            e = bt["e"].to_numpy(np.int64)
+            if len(s) and int((e <= s).sum()):
+                raise ValueError(
+                    "interval_overlap_join: empty or inverted interval "
+                    "(need s < e); filter or bump durations upstream")
+            k = bt["key"].to_numpy(np.int64)
+            iid = bt["id"].to_numpy(np.int64)
+            b0 = s // W
+            b1 = (e - 1) // W
+            n = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), n)
+            off = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(n) - n, n)
+            bk = b0[idx] + off
+            kk = k[idx]
+            return pd.DataFrame({
+                "part": part_tag(kk * np.int64(1_000_003) + bk,
+                                 num_partitions),
+                "k": kk, "bk": bk,
+                "s": s[idx], "e": e[idx],
+                "id": iid[idx],
+                "side": np.full(len(kk), _side, dtype=np.int8),
+                "own": bk == b0[idx],
+            })
+        return f
+
+    empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                          "n_overlap": pd.Series([], dtype="int64"),
+                          "sum_b": pd.Series([], dtype="int64")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        amask = g["side"].to_numpy() == 0
+        if not amask.any():
+            return empty.copy()
+        k = g["k"].to_numpy(np.int64)
+        bk = g["bk"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        iid = g["id"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        _, kid = np.unique(k, return_inverse=True)
+        bk0 = bk - bk.min()
+        gcode = kid.astype(np.int64) * (int(bk0.max()) + 1) + bk0
+        _, gid = np.unique(gcode, return_inverse=True)
+        gid = gid.astype(np.int64)
+        tmin = int(s.min())
+        span = np.int64(int(e.max()) - tmin + 1)
+        if int(gid.max()) * int(span) + int(span) >= 2 ** 62:
+            raise OverflowError(
+                "interval_overlap_join: composed (group, time) keyspace "
+                "overflows int64; lower bucket_us or num_partitions")
+        comb_s = gid * span + (s - tmin)
+        comb_e = gid * span + (e - tmin)
+        bmask = ~amask
+
+        def sorted_prefix(comb: np.ndarray, ids: np.ndarray):
+            order = np.argsort(comb, kind="stable")
+            arr = comb[order]
+            csum = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(ids[order])])
+            return arr, csum
+
+        m1 = bmask & own
+        arr1, c1 = sorted_prefix(comb_s[m1], iid[m1])
+        arrS, cS = sorted_prefix(comb_s[bmask], iid[bmask])
+        arrE, cE = sorted_prefix(comb_e[bmask], iid[bmask])
+        qa_lo = comb_s[amask]
+        qa_hi = comb_e[amask]
+        lo1 = np.searchsorted(arr1, qa_lo, side="left")
+        hi1 = np.searchsorted(arr1, qa_hi, side="left")
+        n1 = hi1 - lo1
+        s1 = c1[hi1] - c1[lo1]
+        own_a = own[amask]
+        loS = np.searchsorted(arrS, qa_lo, side="left")
+        loE = np.searchsorted(arrE, qa_lo, side="right")
+        n2 = np.where(own_a, loS - loE, 0)
+        s2 = np.where(own_a, cS[loS] - cE[loE], 0)
+        return pd.DataFrame({"a_id": iid[amask],
+                             "n_overlap": (n1 + n2).astype("int64"),
+                             "sum_b": (s1 + s2).astype("int64")})
+
+    def tag2(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.copy()
+        bt["part2"] = part_tag(bt["a_id"].to_numpy(np.int64),
+                               num_partitions)
+        return bt
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("a_id", as_index=False)
+               .agg(n_overlap=("n_overlap", "sum"),
+                    sum_b=("sum_b", "sum")))
+        out = out[out["n_overlap"] > 0]
+        return out.astype({"a_id": "int64", "n_overlap": "int64",
+                           "sum_b": "int64"})
+
+    rep = (a.map_batches(replicate(0), batch_format="pandas")
+           .union(b.map_batches(replicate(1), batch_format="pandas")))
+    return (rep.groupby("part").map_groups(per_part, batch_format="pandas")
+            .map_batches(tag2, batch_format="pandas")
+            .groupby("part2").map_groups(final, batch_format="pandas"))
+
+
+def gapfill_hourly(
+    events: rd.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """TIME-SERIES GAP FILL / RESAMPLE: per key, the hourly event count
+    and integer-cent value sum on a DENSE hourly grid from the key's
+    first to last observed hour — missing hours materialize as zero
+    rows, and ``last_seen`` forward-fills the most recent non-empty
+    hour (the staleness column downstream freshness monitors need).
+
+    Scale shape: per-batch partial aggregation first (each input batch
+    collapses to its distinct (key, hour) rows — bounded by hours x
+    keys, METADATA scale), then ONE key-hash shuffle of those partials.
+    Inside a partition everything is vectorized across keys at once:
+    observed hours scatter into a composed dense (key-rank x hour-range)
+    grid built with np.repeat/arange, and the forward fill is a single
+    np.maximum.accumulate over the composed keyspace (each key's first
+    grid hour is observed by construction, so the running max never
+    leaks across key boundaries). Driver sees only the final dense grid
+    (hours x keys rows). Reference analogue: the MovingStats training
+    diagnostic (ocrolib/common.py:871), generalized to a dense resample."""
+    HOUR = np.int64(3_600_000_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = (b[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // HOUR)
+        key, kinv = np.unique(b[key_col].to_numpy(str), return_inverse=True)
+        code = kinv.astype(np.int64) * np.int64(1 << 32) + (
+            hrs - hrs.min())
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv)
+        cents = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cents, inv, b[cents_col].to_numpy(np.int64))
+        ku = key[(u >> np.int64(32)).astype(np.int64)]
+        hu = (u & np.int64((1 << 32) - 1)) + hrs.min()
+        return pd.DataFrame({
+            "part": part_tag(hashing.hash_strings(ku).astype(np.int64),
+                             num_partitions),
+            "k": ku, "hr": hu, "n": n.astype("int64"), "cents": cents})
+
+    empty = pd.DataFrame({
+        key_col: pd.Series([], dtype=object),
+        "hr": pd.Series([], dtype="datetime64[us]"),
+        "n_events": pd.Series([], dtype="int64"),
+        "sum_cents": pd.Series([], dtype="int64"),
+        "last_seen": pd.Series([], dtype="datetime64[us]")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
+        hr = g["hr"].to_numpy(np.int64)
+        # merge cross-batch partials for the same (key, hour)
+        hmin = hr.min()
+        code = kid.astype(np.int64) * np.int64(1 << 40) + (hr - hmin)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        cents = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(np.int64))
+        np.add.at(cents, inv, g["cents"].to_numpy(np.int64))
+        ukid = (u >> np.int64(40)).astype(np.int64)
+        uhr = (u & np.int64((1 << 40) - 1)) + hmin
+        # per-key observed bounds -> dense grid lengths
+        lo = np.minimum.reduceat(uhr, np.searchsorted(ukid, np.arange(len(keys))))
+        hi = np.maximum.reduceat(uhr, np.searchsorted(ukid, np.arange(len(keys))))
+        ln = (hi - lo + 1).astype(np.int64)
+        gk = np.repeat(np.arange(len(keys), dtype=np.int64), ln)
+        ghr = (np.arange(int(ln.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(ln) - ln, ln)) + np.repeat(lo, ln)
+        # scatter observed (u is sorted by (kid, hr) already)
+        pos = np.repeat(np.cumsum(ln) - ln, np.bincount(
+            ukid, minlength=len(keys))) + (uhr - lo[ukid])
+        gn = np.zeros(len(gk), dtype=np.int64)
+        gc = np.zeros(len(gk), dtype=np.int64)
+        gn[pos] = n
+        gc[pos] = cents
+        # forward fill last non-empty hour over the composed keyspace
+        comb = np.where(gn > 0, gk * np.int64(1 << 40) + (ghr - hmin),
+                        np.int64(-1))
+        comb = np.maximum.accumulate(comb)
+        last_seen = (comb & np.int64((1 << 40) - 1)) + hmin
+        return pd.DataFrame({
+            key_col: keys[gk],
+            "hr": (ghr * HOUR).astype("datetime64[us]"),
+            "n_events": gn,
+            "sum_cents": gc,
+            "last_seen": (last_seen * HOUR).astype("datetime64[us]")})
+
+    out = (events.map_batches(partial, batch_format="pandas")
+           .groupby("part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values([key_col, "hr"]).reset_index(drop=True))
+
+
+def max_concurrency(
+    intervals: rd.Dataset,
+    key_col: str = "key",
+    s_col: str = "s",
+    e_col: str = "e",
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """MAX-CONCURRENCY sweep line: per key, the maximum number of
+    simultaneously-open [s, e) intervals and the FIRST instant that
+    maximum is reached (capacity planning / peak-sessions shape).
+
+    Distributed prefix scan, no per-key single-partition assumption:
+    intervals become ±1 sweep points; points land in fixed time buckets
+    (points are instants — no replication); ONE (key, bucket)-hash
+    shuffle computes per bucket its net delta, its running-prefix max
+    and the first instant attaining it, all vectorized across the
+    partition's groups via one lexsort + reduceat. Only BUCKET SUMMARY
+    rows (keys x buckets) reach the driver, where the cross-bucket
+    exclusive prefix offsets and the global argmax are a cumsum over a
+    few thousand rows. Concurrency is evaluated AFTER all deltas at an
+    instant apply (close-before-open at ties), the usual half-open
+    convention."""
+    W = np.int64(bucket_us)
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.concatenate([b[key_col].to_numpy(str)] * 2)
+        t = np.concatenate([b[s_col].to_numpy(np.int64),
+                            b[e_col].to_numpy(np.int64)])
+        d = np.concatenate([np.ones(len(b), dtype=np.int64),
+                            -np.ones(len(b), dtype=np.int64)])
+        bk = t // W
+        return pd.DataFrame({
+            "part": part_tag(hashing.hash_strings(k).astype(np.int64)
+                             * np.int64(31) + bk, num_partitions),
+            "k": k, "bk": bk, "t": t, "d": d})
+
+    empty = pd.DataFrame({
+        "k": pd.Series([], dtype=object),
+        "bk": pd.Series([], dtype="int64"),
+        "delta": pd.Series([], dtype="int64"),
+        "lmax": pd.Series([], dtype="int64"),
+        "lmax_at": pd.Series([], dtype="int64")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
+        bk = g["bk"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((t, bk, kid))
+        kid, bk, t, d = kid[order], bk[order], t[order], d[order]
+        # collapse equal (kid, bk, t) instants: net delta per instant
+        new = np.empty(len(t), dtype=bool)
+        new[0] = True
+        new[1:] = ((kid[1:] != kid[:-1]) | (bk[1:] != bk[:-1])
+                   | (t[1:] != t[:-1]))
+        starts = np.flatnonzero(new)
+        dd = np.add.reduceat(d, starts)
+        ikid, ibk, it = kid[starts], bk[starts], t[starts]
+        # per-(key,bucket) group boundaries over the instant rows
+        gnew = np.empty(len(starts), dtype=bool)
+        gnew[0] = True
+        gnew[1:] = (ikid[1:] != ikid[:-1]) | (ibk[1:] != ibk[:-1])
+        gstart = np.flatnonzero(gnew)
+        grp = np.cumsum(gnew) - 1
+        # local prefix within each group: global cumsum minus the
+        # group-prior cumsum (classic segmented scan)
+        cs = np.cumsum(dd)
+        base = np.concatenate([[0], cs[gstart[1:] - 1]])[grp]
+        pref = cs - base
+        lmax = np.maximum.reduceat(pref, gstart)
+        # first instant attaining the group max (rows are t-sorted, so
+        # the min hit instant is the first)
+        hit = pref == lmax[grp]
+        first = np.full(len(gstart), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, grp[hit], it[hit])
+        delta = np.add.reduceat(dd, gstart)
+        return pd.DataFrame({
+            "k": keys[ikid[gstart]],
+            "bk": ibk[gstart],
+            "delta": delta.astype("int64"),
+            "lmax": lmax.astype("int64"),
+            "lmax_at": first})
+
+    summ = (intervals.map_batches(pts, batch_format="pandas")
+            .groupby("part").map_groups(per_part, batch_format="pandas")
+            .to_pandas())
+    if len(summ) == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "max_concurrent": pd.Series([], dtype="int64"),
+                             "first_at": pd.Series([], dtype="datetime64[us]")})
+    summ = summ.sort_values(["k", "bk"]).reset_index(drop=True)
+    # vectorized cross-bucket combine (keys can be many — one segmented
+    # exclusive prefix over the bucket summaries, no per-key loop)
+    keys, kid = np.unique(summ["k"].to_numpy(str), return_inverse=True)
+    delta = summ["delta"].to_numpy(np.int64)
+    lmax = summ["lmax"].to_numpy(np.int64)
+    lat = summ["lmax_at"].to_numpy(np.int64)
+    gstart = np.searchsorted(kid, np.arange(len(keys)))
+    cs = np.cumsum(delta)
+    base = np.concatenate([[0], cs[gstart[1:] - 1]])[kid]
+    off = cs - delta - base  # exclusive prefix of deltas within key
+    cand = off + lmax
+    kmax = np.maximum.reduceat(cand, gstart)
+    hit = cand == kmax[kid]
+    first_row = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_row, kid[hit], np.flatnonzero(hit))
+    return pd.DataFrame({
+        key_col: keys,
+        "max_concurrent": kmax.astype("int64"),
+        "first_at": lat[first_row].astype("datetime64[us]"),
+    }).sort_values(key_col).reset_index(drop=True)

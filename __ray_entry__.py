@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q.q_interval_join,
         "gapfill_hourly": q.q_gapfill_hourly,
         "max_concurrency": q.q_max_concurrency,
+        "compact_files": q.q_compact_files,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -665,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": q.SQL_INTERVAL_JOIN,
         "gapfill_hourly": q.SQL_GAPFILL_HOURLY,
         "max_concurrency": q.SQL_MAX_CONCURRENCY,
+        "compact_files": q.SQL_COMPACT_FILES,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8140,3 +8140,56 @@ FROM c JOIN (SELECT event_type, max(conc) AS m FROM c GROUP BY 1) mx
   ON c.event_type = mx.event_type AND c.conc = mx.m
 GROUP BY 1, 2 ORDER BY 1
 """
+
+
+# ----------------------------------------------------- file compaction
+
+
+def q_compact_files(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse small-file COMPACTION (relational.compact_parquet):
+    the documents table is first fragmented into 24 small parquet
+    files (the many-small-files state a streaming writer leaves
+    behind), then bin-packed and rewritten into ~4 target-size files
+    by parallel group tasks with a resumable plan + manifest. The
+    report is computed by READING THE COMPACTED FILES BACK — a value
+    hash against the source table proves the rewrite was lossless."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from .relational import compact_parquet
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = f"/tmp/compact_src_{key}"
+    if not os.path.isdir(src):
+        tmp = src + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+         .repartition(24).write_parquet(tmp))
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    total = sum(os.path.getsize(p)
+                for p in _glob.glob(os.path.join(src, "*.parquet")))
+    out = f"/tmp/compact_out_{key}"
+    manifest = compact_parquet(src, out, target_bytes=max(total // 4, 1))
+    assert manifest["n_files_after"] < manifest["n_files_before"]
+    back = rd.read_parquet(
+        sorted(_glob.glob(os.path.join(out, "part-*.parquet"))))
+
+    def report(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_chars": b["text"].fillna("").str.len().to_numpy(np.int64),
+            "source": b["source"].astype(str)})
+
+    res = back.map_batches(report, batch_format="pandas").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_COMPACT_FILES = r"""
+SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars, source
+FROM documents ORDER BY doc_id
+"""

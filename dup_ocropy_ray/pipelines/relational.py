@@ -850,3 +850,152 @@ def sql_morton2(bx_expr: str, by_expr: str, bits: int = 6) -> str:
         terms.append(f"((({bx_expr}) >> {i}) & 1) * {1 << (2 * i)}")
         terms.append(f"((({by_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def compaction_plan(files: "Sequence[tuple[str, int]]",
+                    target_bytes: int) -> list[list[str]]:
+    """Deterministic bin-packing plan for small-file compaction:
+    first-fit-decreasing over (size desc, path) with bin capacity
+    ``target_bytes``. Every bin holds at least one file (a single file
+    larger than the target gets its own bin untouched-in-spirit — it is
+    still rewritten so the output layout is uniform). Pure metadata —
+    no file contents are read."""
+    order = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for path, size in order:
+        placed = False
+        for i, load in enumerate(loads):
+            if load + size <= target_bytes:
+                bins[i].append(path)
+                loads[i] += size
+                placed = True
+                break
+        if not placed:
+            bins.append([path])
+            loads.append(size)
+    # stable group ordering + stable member ordering for resumability
+    for b in bins:
+        b.sort()
+    bins.sort()
+    return bins
+
+
+@ray.remote(num_cpus=1)
+def _compact_group(paths: list[str], out_path: str) -> dict:
+    """Rewrite one planned group of parquet files as a single file.
+    Atomic per group (tmp + rename): a killed run leaves either the
+    finished file or nothing, never a torn one."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    t0 = time.monotonic()
+    tables = [pq.read_table(p) for p in paths]
+    schema = tables[0].schema
+    for t, p in zip(tables[1:], paths[1:]):
+        if t.schema != schema:
+            raise ValueError(
+                f"compact_parquet: schema mismatch in group ({paths[0]} "
+                f"vs {p}); compaction requires a uniform table schema")
+    merged = pa.concat_tables(tables)
+    tmp = out_path + f".tmp.{os.getpid()}"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, out_path)
+    return {"rows": merged.num_rows,
+            "bytes": os.path.getsize(out_path),
+            "n_inputs": len(paths),
+            "wall_sec": round(time.monotonic() - t0, 3)}
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_bytes: int = 128 << 20) -> dict:
+    """Small-file COMPACTION (the lakehouse OPTIMIZE step): bin-pack a
+    directory of parquet files into ~``target_bytes`` outputs, one Ray
+    task per output file, resumable.
+
+    100 TB shape: the plan is pure file metadata on the driver (names +
+    sizes, never contents); each group rewrite is an independent remote
+    task reading only its own inputs, so the cluster compacts every
+    group in parallel and a killed run resumes by skipping groups whose
+    output already exists. Guards mirror the checkpoint jobs: the plan
+    is persisted up front (``_plan.json``) and a resume REFUSES to reuse
+    a directory planned over a different input set or target — silent
+    mixing of two plans is how compactions lose rows. The final
+    ``_compaction.json`` manifest (written last, so its presence means
+    complete) carries per-group rows/bytes/wall lineage.
+
+    Reference analogue: none in ocropy (single-node files); this is the
+    maintenance operator a 10^12-row Lance/parquet table needs so read
+    parallelism units stay ~target-sized."""
+    import glob as _glob
+    import hashlib
+    import json
+    import os
+
+    manifest_path = os.path.join(out_dir, "_compaction.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    files = sorted(
+        (p, os.path.getsize(p))
+        for p in _glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                            recursive=True))
+    if not files:
+        raise FileNotFoundError(f"compact_parquet: no parquet under {in_dir}")
+    groups = compaction_plan(files, target_bytes)
+    plan_key = hashlib.md5(json.dumps(
+        {"groups": groups, "target": int(target_bytes)},
+        sort_keys=True).encode()).hexdigest()
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prior = json.load(f)
+        if prior.get("plan_key") != plan_key:
+            raise RuntimeError(
+                "compact_parquet: existing partial output was planned "
+                "over a different input set or target size; remove "
+                f"{out_dir} or compact to a fresh directory")
+    else:
+        tmp = plan_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"plan_key": plan_key, "in_dir": in_dir,
+                       "target_bytes": int(target_bytes),
+                       "groups": groups}, f)
+        os.replace(tmp, plan_path)
+
+    outs = [os.path.join(out_dir, f"part-{i:05d}.parquet")
+            for i in range(len(groups))]
+    pending = [(g, o) for g, o in zip(groups, outs)
+               if not os.path.exists(o)]
+    stats = ray.get([_compact_group.remote(g, o) for g, o in pending])
+    done = {o: s for (_, o), s in zip(pending, stats)}
+    import pyarrow.parquet as pq
+
+    per_group = []
+    for i, o in enumerate(outs):
+        s = done.get(o) or {
+            "rows": pq.read_metadata(o).num_rows,
+            "bytes": os.path.getsize(o),
+            "n_inputs": len(groups[i]), "wall_sec": 0.0,
+        }
+        per_group.append({"part": i, **s})
+    manifest = {
+        "plan_key": plan_key,
+        "n_files_before": len(files),
+        "n_files_after": len(groups),
+        "bytes_before": int(sum(sz for _, sz in files)),
+        "bytes_after": int(sum(g["bytes"] for g in per_group)),
+        "rows": int(sum(g["rows"] for g in per_group)),
+        "target_bytes": int(target_bytes),
+        "groups": per_group,
+    }
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return manifest

@@ -68,6 +68,9 @@ QUERY_SUBSET = [
     "attribution",
     "typo_pairs",
     "coalesce_intervals",
+    "interval_join",
+    "gapfill_hourly",
+    "max_concurrency",
 ]
 
 

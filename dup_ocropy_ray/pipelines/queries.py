@@ -8005,23 +8005,24 @@ def q_interval_join(sf_dir: str) -> pd.DataFrame:
     from .windows import interval_overlap_join
     from ..functions import hashing
 
-    def side(parity: int, mod: int):
-        ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
 
-        def f(b: pd.DataFrame, _p=parity, _m=mod) -> pd.DataFrame:
-            eid = b["event_id"].to_numpy(np.int64)
-            keep = (eid % 2) == _p
-            eid = eid[keep]
-            s = (b["ts"].to_numpy()[keep].astype("datetime64[us]")
-                 .astype(np.int64))
-            key = hashing.hash_strings(
-                b["event_type"].to_numpy(str)[keep]).astype(np.int64)
-            return pd.DataFrame({
-                "id": eid, "key": key, "s": s,
-                "e": s + (eid % _m + 1) * np.int64(1_000_000)})
-        return ds.map_batches(f, batch_format="pandas")
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        # one scan emits both sides (side = event_id parity); the core's
+        # single-dataset form then needs one replicate stage, no union
+        eid = b["event_id"].to_numpy(np.int64)
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        key = hashing.hash_strings(
+            b["event_type"].to_numpy(str)).astype(np.int64)
+        side = (eid % 2).astype(np.int8)
+        mod = np.where(side == 0, 120, 90)
+        return pd.DataFrame({
+            "id": eid, "key": key, "s": s,
+            "e": s + (eid % mod + 1) * np.int64(1_000_000),
+            "side": side})
 
-    out = interval_overlap_join(side(0, 120), side(1, 90)).to_pandas()
+    out = interval_overlap_join(
+        ds.map_batches(both, batch_format="pandas")).to_pandas()
     return out.sort_values("a_id").reset_index(drop=True)
 
 

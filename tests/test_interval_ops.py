@@ -161,3 +161,16 @@ def test_max_concurrency_half_open_boundary(ray_session):
     got = max_concurrency(rd.from_pandas(iv))
     assert got["max_concurrent"].tolist() == [1]
     assert got["first_at"].iloc[0] == np.int64(0).astype("datetime64[us]")
+
+
+def test_interval_overlap_join_single_dataset_form(ray_session):
+    rng = np.random.RandomState(13)
+    A = _mk_intervals(rng, 500, 0)
+    B = _mk_intervals(rng, 500, 1)
+    combined = pd.concat([A.assign(side=np.int8(0)),
+                          B.assign(side=np.int8(1))], ignore_index=True)
+    got = interval_overlap_join(
+        rd.from_pandas(combined).repartition(6),
+        bucket_us=700_000_000, num_partitions=9,
+    ).to_pandas().sort_values("a_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _brute_overlaps(A, B))

@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_hourly": q.q_gapfill_hourly,
         "max_concurrency": q.q_max_concurrency,
         "compact_files": q.q_compact_files,
+        "changepoint": q.q_changepoint,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -667,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_hourly": q.SQL_GAPFILL_HOURLY,
         "max_concurrency": q.SQL_MAX_CONCURRENCY,
         "compact_files": q.SQL_COMPACT_FILES,
+        "changepoint": q.SQL_CHANGEPOINT,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8194,3 +8194,105 @@ SQL_COMPACT_FILES = r"""
 SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars, source
 FROM documents ORDER BY doc_id
 """
+
+
+# -------------------------------------------------------- change point
+
+
+def q_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CHANGE-POINT detection per event_type (CUSUM shape): over the
+    ordered hourly count series, the split hour maximizing the
+    integer-exact scaled CUSUM statistic |n*P_k - k*T| (P_k = prefix
+    sum, T = total, n = hours) — the hour where the mean level shifts
+    most. All-integer so the twin matches bit-for-bit; ties take the
+    earliest hour. One metadata-scale shuffle: per-batch partial
+    (type, hour) counts, then the series statistic vectorized per
+    partition via one segmented prefix sum. Monitoring shape for drift
+    in a streaming ingest (events/hour regime changes)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HOUR = np.int64(3_600_000_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = (b["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // HOUR)
+        key, kinv = np.unique(b["event_type"].to_numpy(str),
+                              return_inverse=True)
+        code = kinv.astype(np.int64) * np.int64(1 << 32) + (hrs - hrs.min())
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv)
+        from .windows import part_tag
+        from ..functions import hashing
+        ku = key[(u >> np.int64(32)).astype(np.int64)]
+        return pd.DataFrame({
+            "part": part_tag(hashing.hash_strings(ku).astype(np.int64), 32),
+            "k": ku,
+            "hr": (u & np.int64((1 << 32) - 1)) + hrs.min(),
+            "n": n.astype("int64")})
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "split_hour": pd.Series([], dtype="datetime64[us]"),
+        "d_stat": pd.Series([], dtype="int64")})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
+        hr = g["hr"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        order = np.lexsort((hr, kid))
+        kid, hr, cnt = kid[order], hr[order], cnt[order]
+        # merge cross-batch partials for the same (key, hour)
+        same = np.zeros(len(hr), dtype=bool)
+        same[1:] = (kid[1:] == kid[:-1]) & (hr[1:] == hr[:-1])
+        starts = np.flatnonzero(~same)
+        kid, hr = kid[starts], hr[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        gstart = np.searchsorted(kid, np.arange(len(keys)))
+        cs = np.cumsum(cnt)
+        base = np.concatenate([[0], cs[gstart[1:] - 1]])[kid]
+        pk = cs - base
+        gl = np.diff(np.concatenate([gstart, [len(kid)]]))
+        tt = pk[np.concatenate([gstart[1:], [len(kid)]]) - 1][kid]
+        nn = gl[kid]
+        rk = np.arange(len(kid), dtype=np.int64) - gstart[kid] + 1
+        d = np.abs(nn * pk - rk * tt)
+        # exclude the last row of each series (k = n is not a split)
+        last = np.concatenate([gstart[1:], [len(kid)]]) - 1
+        d[last] = -1
+        dmax = np.maximum.reduceat(d, gstart)
+        hit = d == dmax[kid]
+        first = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, kid[hit], np.flatnonzero(hit))
+        return pd.DataFrame({
+            "event_type": keys,
+            "split_hour": (hr[first] * HOUR).astype("datetime64[us]"),
+            "d_stat": dmax.astype("int64")})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("part").map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CHANGEPOINT = r"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hr,
+         sum(n) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS pk,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rk,
+         sum(n) OVER (PARTITION BY event_type) AS tt,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM h
+), d AS (
+  SELECT event_type, hr, abs(nn * pk - rk * tt) AS d
+  FROM s WHERE rk < nn
+)
+SELECT d.event_type, min(d.hr) AS split_hour, d.d::BIGINT AS d_stat
+FROM d JOIN (SELECT event_type, max(d) AS m FROM d GROUP BY 1) mx
+  ON d.event_type = mx.event_type AND d.d = mx.m
+GROUP BY 1, 3 ORDER BY 1
+"""

@@ -8209,25 +8209,13 @@ def q_changepoint(sf_dir: str) -> pd.DataFrame:
     (type, hour) counts, then the series statistic vectorized per
     partition via one segmented prefix sum. Monitoring shape for drift
     in a streaming ingest (events/hour regime changes)."""
+    from .windows import HOUR_US as HOUR
+    from .windows import hourly_partials, merge_hour_partials
+
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-    HOUR = np.int64(3_600_000_000)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        hrs = (b["ts"].to_numpy().astype("datetime64[us]")
-               .astype(np.int64) // HOUR)
-        key, kinv = np.unique(b["event_type"].to_numpy(str),
-                              return_inverse=True)
-        code = kinv.astype(np.int64) * np.int64(1 << 32) + (hrs - hrs.min())
-        u, inv = np.unique(code, return_inverse=True)
-        n = np.bincount(inv)
-        from .windows import part_tag
-        from ..functions import hashing
-        ku = key[(u >> np.int64(32)).astype(np.int64)]
-        return pd.DataFrame({
-            "part": part_tag(hashing.hash_strings(ku).astype(np.int64), 32),
-            "k": ku,
-            "hr": (u & np.int64((1 << 32) - 1)) + hrs.min(),
-            "n": n.astype("int64")})
+        return hourly_partials(b, "event_type", "ts")
 
     empty = pd.DataFrame({
         "event_type": pd.Series([], dtype=object),
@@ -8237,18 +8225,8 @@ def q_changepoint(sf_dir: str) -> pd.DataFrame:
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return empty.copy()
-        keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
-        hr = g["hr"].to_numpy(np.int64)
-        cnt = g["n"].to_numpy(np.int64)
-        order = np.lexsort((hr, kid))
-        kid, hr, cnt = kid[order], hr[order], cnt[order]
-        # merge cross-batch partials for the same (key, hour)
-        same = np.zeros(len(hr), dtype=bool)
-        same[1:] = (kid[1:] == kid[:-1]) & (hr[1:] == hr[:-1])
-        starts = np.flatnonzero(~same)
-        kid, hr = kid[starts], hr[starts]
-        cnt = np.add.reduceat(cnt, starts)
-        gstart = np.searchsorted(kid, np.arange(len(keys)))
+        keys, kid, hr, merged, gstart = merge_hour_partials(g, ("n",))
+        cnt = merged["n"]
         cs = np.cumsum(cnt)
         base = np.concatenate([[0], cs[gstart[1:] - 1]])[kid]
         pk = cs - base
@@ -8264,10 +8242,13 @@ def q_changepoint(sf_dir: str) -> pd.DataFrame:
         hit = d == dmax[kid]
         first = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(first, kid[hit], np.flatnonzero(hit))
+        # a single-hour series has no valid split (every row excluded,
+        # dmax stays -1): omit it, matching the twin's rk < nn filter
+        keep = dmax >= 0
         return pd.DataFrame({
-            "event_type": keys,
-            "split_hour": (hr[first] * HOUR).astype("datetime64[us]"),
-            "d_stat": dmax.astype("int64")})
+            "event_type": keys[keep],
+            "split_hour": (hr[first[keep]] * HOUR).astype("datetime64[us]"),
+            "d_stat": dmax[keep].astype("int64")})
 
     out = (ds.map_batches(partial, batch_format="pandas")
            .groupby("part").map_groups(per_part, batch_format="pandas")

@@ -1082,6 +1082,10 @@ def interval_overlap_join(
         gid = gid.astype(np.int64)
         tmin = int(s.min())
         span = np.int64(int(e.max()) - tmin + 1)
+        # deliberately NOT compose_sort_keys: its overflow escape hatch
+        # coarsens the time unit, which is only order-preserving — the
+        # strict </<= endpoint comparisons below need exact µs values,
+        # so the only safe response to overflow is to refuse
         if int(gid.max()) * int(span) + int(span) >= 2 ** 62:
             raise OverflowError(
                 "interval_overlap_join: composed (group, time) keyspace "
@@ -1140,6 +1144,57 @@ def interval_overlap_join(
             .groupby("part2").map_groups(final, batch_format="pandas"))
 
 
+HOUR_US = np.int64(3_600_000_000)
+
+
+def hourly_partials(b: pd.DataFrame, key_col: str, ts_col: str,
+                    cents_col: str | None = None,
+                    num_partitions: int = 32) -> pd.DataFrame:
+    """Collapse ONE batch to its distinct (key, hour) partial rows —
+    the shared pre-shuffle step of every hourly-series operator
+    (gapfill_hourly, the change-point query): count per (key, hour),
+    optional integer-cent sum, and the key-hash partition tag. Output
+    is bounded by keys x hours, metadata scale."""
+    hrs = (b[ts_col].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // HOUR_US)
+    key, kinv = np.unique(b[key_col].to_numpy(str), return_inverse=True)
+    code = kinv.astype(np.int64) * np.int64(1 << 32) + (hrs - hrs.min())
+    u, inv = np.unique(code, return_inverse=True)
+    n = np.bincount(inv)
+    ku = key[(u >> np.int64(32)).astype(np.int64)]
+    out = {
+        "part": part_tag(hashing.hash_strings(ku).astype(np.int64),
+                         num_partitions),
+        "k": ku,
+        "hr": (u & np.int64((1 << 32) - 1)) + hrs.min(),
+        "n": n.astype("int64"),
+    }
+    if cents_col is not None:
+        cents = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cents, inv, b[cents_col].to_numpy(np.int64))
+        out["cents"] = cents
+    return pd.DataFrame(out)
+
+
+def merge_hour_partials(g: pd.DataFrame, value_cols: tuple):
+    """Merge a partition's cross-batch (key, hour) partials into one
+    sorted series per key: returns ``(keys, kid, hr, {col: summed},
+    gstart)`` with rows ordered by (key-rank, hour) and ``gstart`` the
+    per-key group start indices."""
+    keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
+    hr = g["hr"].to_numpy(np.int64)
+    order = np.lexsort((hr, kid))
+    kid, hr = kid[order], hr[order]
+    vals = {c: g[c].to_numpy(np.int64)[order] for c in value_cols}
+    same = np.zeros(len(hr), dtype=bool)
+    same[1:] = (kid[1:] == kid[:-1]) & (hr[1:] == hr[:-1])
+    starts = np.flatnonzero(~same)
+    kid, hr = kid[starts], hr[starts]
+    merged = {c: np.add.reduceat(v, starts) for c, v in vals.items()}
+    gstart = np.searchsorted(kid, np.arange(len(keys)))
+    return keys, kid, hr, merged, gstart
+
+
 def gapfill_hourly(
     events: rd.Dataset,
     key_col: str = "event_type",
@@ -1164,24 +1219,11 @@ def gapfill_hourly(
     leaks across key boundaries). Driver sees only the final dense grid
     (hours x keys rows). Reference analogue: the MovingStats training
     diagnostic (ocrolib/common.py:871), generalized to a dense resample."""
-    HOUR = np.int64(3_600_000_000)
+    HOUR = HOUR_US
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        hrs = (b[ts_col].to_numpy().astype("datetime64[us]")
-               .astype(np.int64) // HOUR)
-        key, kinv = np.unique(b[key_col].to_numpy(str), return_inverse=True)
-        code = kinv.astype(np.int64) * np.int64(1 << 32) + (
-            hrs - hrs.min())
-        u, inv = np.unique(code, return_inverse=True)
-        n = np.bincount(inv)
-        cents = np.zeros(len(u), dtype=np.int64)
-        np.add.at(cents, inv, b[cents_col].to_numpy(np.int64))
-        ku = key[(u >> np.int64(32)).astype(np.int64)]
-        hu = (u & np.int64((1 << 32) - 1)) + hrs.min()
-        return pd.DataFrame({
-            "part": part_tag(hashing.hash_strings(ku).astype(np.int64),
-                             num_partitions),
-            "k": ku, "hr": hu, "n": n.astype("int64"), "cents": cents})
+        return hourly_partials(b, key_col, ts_col, cents_col=cents_col,
+                               num_partitions=num_partitions)
 
     empty = pd.DataFrame({
         key_col: pd.Series([], dtype=object),
@@ -1193,21 +1235,13 @@ def gapfill_hourly(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return empty.copy()
-        keys, kid = np.unique(g["k"].to_numpy(str), return_inverse=True)
-        hr = g["hr"].to_numpy(np.int64)
-        # merge cross-batch partials for the same (key, hour)
-        hmin = hr.min()
-        code = kid.astype(np.int64) * np.int64(1 << 40) + (hr - hmin)
-        u, inv = np.unique(code, return_inverse=True)
-        n = np.zeros(len(u), dtype=np.int64)
-        cents = np.zeros(len(u), dtype=np.int64)
-        np.add.at(n, inv, g["n"].to_numpy(np.int64))
-        np.add.at(cents, inv, g["cents"].to_numpy(np.int64))
-        ukid = (u >> np.int64(40)).astype(np.int64)
-        uhr = (u & np.int64((1 << 40) - 1)) + hmin
+        keys, ukid, uhr, merged, gstart = merge_hour_partials(
+            g, ("n", "cents"))
+        n, cents = merged["n"], merged["cents"]
+        hmin = uhr.min()
         # per-key observed bounds -> dense grid lengths
-        lo = np.minimum.reduceat(uhr, np.searchsorted(ukid, np.arange(len(keys))))
-        hi = np.maximum.reduceat(uhr, np.searchsorted(ukid, np.arange(len(keys))))
+        lo = np.minimum.reduceat(uhr, gstart)
+        hi = np.maximum.reduceat(uhr, gstart)
         ln = (hi - lo + 1).astype(np.int64)
         gk = np.repeat(np.arange(len(keys), dtype=np.int64), ln)
         ghr = (np.arange(int(ln.sum()), dtype=np.int64)

@@ -52,3 +52,22 @@ def test_changepoint_planted_shift(ray_session, tmp_path):
     assert out["split_hour"].iloc[0] == pd.Timestamp("2024-03-02 23:00")
     # exact statistic at the planted split: |96*96 - 48*576|
     assert out["d_stat"].iloc[0] == abs(96 * 96 - 48 * 576)
+
+
+def test_changepoint_single_hour_series_omitted(ray_session, tmp_path):
+    from dup_ocropy_ray.pipelines import queries as q
+
+    base = pd.Timestamp("2024-03-01").value // 1000
+    # 'solo' has every event inside one hour -> no valid split; 'two'
+    # spans two hours -> exactly one valid split
+    ts = np.array([base + 10, base + 20, base + 30,
+                   base + 40, base + 3_600_000_000 + 5], dtype=np.int64)
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "event_type": ["solo", "solo", "solo", "two", "two"]})
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    out = q.q_changepoint(str(d))
+    assert out["event_type"].tolist() == ["two"]
+    assert (out["d_stat"] >= 0).all()

@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_concurrency": q.q_max_concurrency,
         "compact_files": q.q_compact_files,
         "changepoint": q.q_changepoint,
+        "evolving_read": q.q_evolving_read,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -669,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "max_concurrency": q.SQL_MAX_CONCURRENCY,
         "compact_files": q.SQL_COMPACT_FILES,
         "changepoint": q.SQL_CHANGEPOINT,
+        "evolving_read": q.SQL_EVOLVING_READ,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8277,3 +8277,79 @@ FROM d JOIN (SELECT event_type, max(d) AS m FROM d GROUP BY 1) mx
   ON d.event_type = mx.event_type AND d.d = mx.m
 GROUP BY 1, 3 ORDER BY 1
 """
+
+
+# ------------------------------------------------------ evolving schema read
+
+
+def q_evolving_read(sf_dir: str) -> pd.DataFrame:
+    """Schema-EVOLUTION read (sources/evolving.py): the documents table
+    is rendered once as three generation files — gen0 (doc_id:int32,
+    text), gen1 (+source), gen2 (+quality:float32) — then read back as
+    ONE Dataset via the unified-schema scan (footer-only driver scan,
+    int32->int64 promotion, missing columns null-filled inside the read
+    tasks). The twin recomputes every generation's view from the source
+    table, so a hash match proves promotion and null-fill are lossless."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..sources.evolving import read_parquet_evolving
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = f"/tmp/evolving_{key}"
+    if not os.path.isdir(d):
+        tmp = d + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        docs = _read_pd(sf_dir, "documents", ["doc_id", "text", "source"])
+        docs["text"] = docs["text"].fillna("")
+        g = docs["doc_id"].to_numpy(np.int64) % 3
+        g0 = docs[g == 0]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(g0["doc_id"].to_numpy(np.int32)),
+            "text": pa.array(g0["text"])}), os.path.join(tmp, "gen0.parquet"))
+        g1 = docs[g == 1]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(g1["doc_id"].to_numpy(np.int64)),
+            "text": pa.array(g1["text"]),
+            "source": pa.array(g1["source"].astype(str))}),
+            os.path.join(tmp, "gen1.parquet"))
+        g2 = docs[g == 2]
+        qual = (g2["text"].str.len().to_numpy(np.float32)
+                / np.float32(100.0))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(g2["doc_id"].to_numpy(np.int64)),
+            "text": pa.array(g2["text"]),
+            "source": pa.array(g2["source"].astype(str)),
+            "quality": pa.array(qual, pa.float32())}),
+            os.path.join(tmp, "gen2.parquet"))
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    ds = read_parquet_evolving(d, columns=["doc_id", "source", "quality"])
+
+    def report(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "source": b["source"].fillna("").astype(str),
+            "quality": b["quality"].astype(np.float64).fillna(-1.0)})
+
+    return (ds.map_batches(report, batch_format="pandas").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_EVOLVING_READ = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 OR doc_id % 3 = 2
+            THEN source ELSE '' END AS source,
+       CASE WHEN doc_id % 3 = 2
+            THEN (length(coalesce(text, ''))::FLOAT
+                  / 100.0::FLOAT)::DOUBLE
+            ELSE -1.0 END AS quality
+FROM documents ORDER BY doc_id
+"""

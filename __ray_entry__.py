@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         "knn_pq": q.q_knn_pq,
         "knn_lsh": q.q_knn_lsh,
+        "vacuum_audit": q.q_vacuum_audit,
         "knn_ivf_disk": q.q_knn_ivf_disk,
         "kmeans": q.q_kmeans,
         "fingerprints": q.q_fingerprints,

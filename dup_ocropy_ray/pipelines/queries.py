@@ -8353,3 +8353,37 @@ SELECT doc_id,
             ELSE -1.0 END AS quality
 FROM documents ORDER BY doc_id
 """
+
+
+def q_vacuum_audit(sf_dir: str) -> pd.DataFrame:
+    """VACUUM audit (relational.vacuum_dir) over the compacted table
+    from q_compact_files: a stale non-manifest file is planted beside
+    the published parts (the debris a killed writer leaves), then a
+    dry-run vacuum classifies every file against the manifest's
+    referenced set — referenced parts kept, the old orphan eligible,
+    anything young kept for the retention window. Driver-only metadata
+    pass; rows-only (filesystem maintenance, not SQL-expressible)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import time
+
+    import pyarrow.parquet as _pq
+
+    from .relational import vacuum_dir
+
+    # ensure the compacted fixture exists (shared cache key)
+    q_compact_files(sf_dir)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"/tmp/compact_out_{key}"
+    orphan = os.path.join(out, "leftover-000.parquet")
+    if not os.path.exists(orphan):
+        _pq.write_table(pa.table({"x": pa.array([1])}), orphan)
+        old = time.time() - 30 * 86400
+        os.utime(orphan, (old, old))
+    referenced = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
+    rep = vacuum_dir(out, referenced, grace_sec=7 * 86400, apply=False)
+    agg = (rep.groupby("status", as_index=False)
+           .agg(n_files=("file", "count")))
+    return (agg.astype({"n_files": "int64"})
+            .sort_values("status").reset_index(drop=True))

@@ -999,3 +999,45 @@ def compact_parquet(in_dir: str, out_dir: str,
         json.dump(manifest, f)
     os.replace(tmp, manifest_path)
     return manifest
+
+
+def vacuum_dir(data_dir: str, referenced: "Sequence[str]",
+               grace_sec: float = 7 * 86400.0,
+               apply: bool = False) -> pd.DataFrame:
+    """VACUUM — orphan-file garbage collection for a published table
+    directory: every ``*.parquet`` under ``data_dir`` that is not in
+    the ``referenced`` set (the current manifest's files) and is older
+    than ``grace_sec`` is eligible for removal; ``apply=True`` deletes
+    eligible files, the default is a dry run. Referenced files and
+    young orphans (possibly a concurrent writer's unpublished output —
+    the reason every lakehouse vacuum has a retention window) are never
+    touched.
+
+    Driver-only metadata pass (names + mtimes; file COUNT scale, no
+    data bytes) — correct at any table size because the manifest, not
+    the data, defines liveness. Returns the per-file audit report
+    (path, bytes, status in referenced / orphan_kept_young /
+    orphan_removed / orphan_eligible)."""
+    import glob as _glob
+    import os
+    import time
+
+    ref = {os.path.abspath(p) for p in referenced}
+    now = time.time()
+    rows = []
+    for p in sorted(_glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                               recursive=True)):
+        ap = os.path.abspath(p)
+        st = os.stat(ap)
+        if ap in ref:
+            status = "referenced"
+        elif now - st.st_mtime < grace_sec:
+            status = "orphan_kept_young"
+        elif apply:
+            os.unlink(ap)
+            status = "orphan_removed"
+        else:
+            status = "orphan_eligible"
+        rows.append({"file": os.path.relpath(ap, data_dir),
+                     "bytes": int(st.st_size), "status": status})
+    return pd.DataFrame(rows, columns=["file", "bytes", "status"])

@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_files": q.q_compact_files,
         "changepoint": q.q_changepoint,
         "evolving_read": q.q_evolving_read,
+        "stream_windows": q.q_stream_windows,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -672,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_files": q.SQL_COMPACT_FILES,
         "changepoint": q.SQL_CHANGEPOINT,
         "evolving_read": q.SQL_EVOLVING_READ,
+        "stream_windows": q.SQL_STREAM_WINDOWS,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8387,3 +8387,62 @@ def q_vacuum_audit(sf_dir: str) -> pd.DataFrame:
            .agg(n_files=("file", "count")))
     return (agg.astype({"n_files": "int64"})
             .sort_values("status").reset_index(drop=True))
+
+
+# -------------------------------------------------------- streaming windows
+
+
+def q_stream_windows(sf_dir: str) -> pd.DataFrame:
+    """Streaming event-time window aggregation
+    (state/stream_window.py): the events table is replayed as a stream
+    in ARRIVAL order (arrival = ts + a deterministic jitter strictly
+    below the 30-min lateness bound, so out-of-order rows always land
+    in their window — provably no late drops), micro-batched through
+    the sharded watermark aggregator; the result is every FINALIZED
+    hourly window. The twin recomputes windows whose end clears the
+    final watermark cut. The driver-side replay loop is the stream
+    SIMULATION harness, not the operator — the aggregator itself only
+    ever sees micro-batches."""
+    from ..state.stream_window import StreamWindowAgg
+
+    LATE = 1_800_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "key": b["event_type"].astype(str),
+            "ts": ts,
+            "arrival": ts + (eid % 1500) * np.int64(1_000_000),
+            "value": np.floor(
+                b["value"].to_numpy(np.float64) * 100).astype(np.int64)})
+
+    stream = ds.map_batches(prep, batch_format="pandas").sort("arrival")
+    agg = StreamWindowAgg(window_us=3_600_000_000,
+                          allowed_lateness_us=LATE, num_shards=4)
+    for b in stream.iter_batches(batch_size=2048, batch_format="pandas"):
+        agg.ingest(b)
+    out = agg.finalize_ready()
+    assert len(agg.late_rows()) == 0  # jitter < lateness by construction
+    return pd.DataFrame({
+        "event_type": out["key"].astype(str),
+        "window_start": out["window_start"].to_numpy(np.int64)
+        .astype("datetime64[us]"),
+        "n_events": out["n_events"],
+        "sum_value": out["sum_value"],
+    }).sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+SQL_STREAM_WINDOWS = r"""
+WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         count(*)::BIGINT AS n_events,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sum_value
+  FROM events GROUP BY 1, 2
+), wm AS (SELECT max(ts) AS m FROM events)
+SELECT event_type, window_start, n_events, sum_value
+FROM t, wm
+WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+ORDER BY event_type, window_start
+"""

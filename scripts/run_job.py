@@ -22,19 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", choices=("ocr", "extract", "dedup"),
+    ap.add_argument("--pipeline",
+                    choices=("ocr", "extract", "dedup", "warc", "compact"),
                     default="ocr",
                     help="ocr = media OCR flagship; extract = html-span "
                          "main-content extraction (no media table needed); "
                          "dedup = global exact dedup, resumable by "
-                         "content-hash slice")
-    ap.add_argument("--docs", required=True, help="interleaved docs table (parquet/lance)")
+                         "content-hash slice; warc = crawl-shard main-text "
+                         "extraction (--docs is a glob of .warc.gz shards); "
+                         "compact = lakehouse OPTIMIZE (--docs is a parquet "
+                         "directory, bin-packed into ~--target-bytes files)")
+    ap.add_argument("--docs", required=True,
+                    help="interleaved docs table (parquet/lance); for warc: "
+                         "a glob of .warc.gz shard paths; for compact: a "
+                         "parquet directory")
     ap.add_argument("--media", default=None, help="media blob table (media_ref, bytes); required for --pipeline ocr")
     ap.add_argument("--out", required=True, help="output root (fragment dirs + manifests)")
     ap.add_argument("--fragments", type=int, default=16)
     ap.add_argument("--model", default=None)
     ap.add_argument("--recognizer-min", type=int, default=2)
     ap.add_argument("--recognizer-max", type=int, default=16)
+    ap.add_argument("--target-bytes", type=int, default=128 << 20,
+                    help="compact only: target output file size")
     args = ap.parse_args()
 
     import ray
@@ -54,6 +63,21 @@ def main() -> None:
 
         result = run_dedup_with_checkpoint(
             args.docs, args.out, num_fragments=args.fragments)
+    elif args.pipeline == "warc":
+        import glob as _glob
+
+        from dup_ocropy_ray.sources.warcgen import run_warc_extract_with_checkpoint
+
+        shards = sorted(_glob.glob(args.docs))
+        if not shards:
+            ap.error(f"--docs glob matched no WARC shards: {args.docs}")
+        result = run_warc_extract_with_checkpoint(
+            shards, args.out, num_fragments=args.fragments)
+    elif args.pipeline == "compact":
+        from dup_ocropy_ray.pipelines.relational import compact_parquet
+
+        result = compact_parquet(
+            args.docs, args.out, target_bytes=args.target_bytes)
     else:
         if not args.media:
             ap.error("--media is required for --pipeline ocr")

@@ -202,3 +202,58 @@ def test_warc_checkpoint_extracts_mixed_charsets(ray_session, tmp_path):
     assert len(u16) > 0
     assert (u16["main_text"].str.len() > 0).all()
     assert not u16["main_text"].str.contains("\x00").any()
+
+
+def test_run_job_cli_warc_and_compact(ray_session, tmp_path):
+    """scripts/run_job.py --pipeline warc / compact as real subprocesses
+    (the `ray job submit` surface for the crawl-extraction and lakehouse
+    OPTIMIZE jobs): warc extraction resumes to zero pending on rerun,
+    then compaction bin-packs its fragment output losslessly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.sources.warcgen import build_warc_corpus
+
+    man = build_warc_corpus("/root/testdata/sf0.001", num_shards=4,
+                            root=str(tmp_path))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    job = os.path.join(repo, "scripts", "run_job.py")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    out1 = str(tmp_path / "warcout")
+    glob_arg = os.path.join(os.path.dirname(man["shards"][0]),
+                            "shard-*.warc.gz")
+    cmd = [sys.executable, job, "--pipeline", "warc", "--docs", glob_arg,
+           "--out", out1, "--fragments", "2"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rec1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert sorted(rec1["fragments_run"]) == [0, 1]
+    assert rec1["counters"]["records"] == man["n_records"]
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec2["fragments_run"] == []
+    assert rec2["counters"] == rec1["counters"]
+
+    # compact the fragment parquet into one ~huge target file; rows and
+    # content survive (read-back equals the extraction output)
+    out2 = str(tmp_path / "compacted")
+    r3 = subprocess.run(
+        [sys.executable, job, "--pipeline", "compact", "--docs", out1,
+         "--out", out2, "--fragments", "1"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    rec3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert rec3["rows"] == man["n_records"]
+    assert rec3["n_files_after"] <= rec3["n_files_before"]
+    parts = sorted(f for f in os.listdir(out2) if f.endswith(".parquet"))
+    got = sum(pq.read_metadata(os.path.join(out2, p)).num_rows
+              for p in parts)
+    assert got == man["n_records"]

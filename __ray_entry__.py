@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint": q.q_changepoint,
         "evolving_read": q.q_evolving_read,
         "stream_windows": q.q_stream_windows,
+        "blocklist_scan": q.q_blocklist_scan,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -674,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoint": q.SQL_CHANGEPOINT,
         "evolving_read": q.SQL_EVOLVING_READ,
         "stream_windows": q.SQL_STREAM_WINDOWS,
+        "blocklist_scan": q.SQL_BLOCKLIST_SCAN,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -934,3 +934,77 @@ def span_corruption_restore(input_text: str, target_text: str) -> str:
         else:
             out.append(tok)
     return " ".join(out)
+
+
+# ------------------------------------------- multi-pattern blocklist
+
+
+def blocklist_scan(docs: rd.Dataset, patterns: "list[str]") -> pd.DataFrame:
+    """Multi-pattern blocklist scan (the C4/CCNet bad-words filter
+    stage): count EVERY occurrence start of every pattern (overlapping
+    starts included — 'a a' hits twice in 'a a a') and aggregate per
+    (source, pattern) into docs_hit / n_occ.
+
+    Distributed shape: the pattern list is tiny and rides the task
+    closure; each batch scans its own bytes and emits a bounded
+    sources x patterns partial — NO shuffle, driver combine is
+    partials-scale. The scan is one vectorized sliding-window byte
+    comparison per pattern over the batch's concatenated UTF-8 text
+    (0x00 separators: a window crossing a doc boundary contains the
+    separator byte and can never equal a pattern, so no cross-doc
+    false hits; byte-level equality == character-level equality
+    because UTF-8 is self-synchronizing). Exact all-starts semantics
+    match the SQL twin's position enumeration.
+
+    10^4+-pattern scale path: swap the per-pattern sliding windows for
+    one Aho-Corasick automaton held in an actor pool (build in
+    __init__, stream the same byte buffer through it); the output
+    contract and combine are unchanged.
+    """
+    pats = sorted(set(patterns))
+    if not pats or any("\x00" in p or not p for p in pats):
+        raise ValueError("blocklist_scan: patterns must be non-empty "
+                         "and NUL-free")
+    pat_bytes = [np.frombuffer(p.encode(), np.uint8) for p in pats]
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        enc = [t.encode() if isinstance(t, str) else b""
+               for t in b["text"].tolist()]
+        lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(lens + 1)])[:-1]
+        big = np.frombuffer(b"\x00".join(enc), np.uint8)
+        src = b["source"].to_numpy()
+        frames = []
+        for p, pb in zip(pats, pat_bytes):
+            m = len(pb)
+            if len(big) >= m:
+                sw = np.lib.stride_tricks.sliding_window_view(big, m)
+                hits = np.flatnonzero((sw == pb).all(axis=1))
+            else:
+                hits = np.empty(0, np.int64)
+            cnt = np.bincount(
+                np.searchsorted(starts, hits, "right") - 1,
+                minlength=len(enc)).astype(np.int64)
+            g = pd.DataFrame({"source": src, "pat": p, "n": cnt})
+            g = g[g["n"] > 0]
+            if len(g):
+                agg = g.groupby(["source", "pat"], as_index=False).agg(
+                    docs_hit=("n", "size"), n_occ=("n", "sum"))
+                frames.append(agg)
+        if not frames:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "pat": pd.Series([], dtype=object),
+                "docs_hit": pd.Series([], dtype="int64"),
+                "n_occ": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    parts = docs.map_batches(scan, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return parts
+    out = parts.groupby(["source", "pat"], as_index=False).agg(
+        docs_hit=("docs_hit", "sum"), n_occ=("n_occ", "sum"))
+    out["docs_hit"] = out["docs_hit"].astype("int64")
+    out["n_occ"] = out["n_occ"].astype("int64")
+    return out.sort_values(["source", "pat"]).reset_index(drop=True)

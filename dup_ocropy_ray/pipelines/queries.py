@@ -8446,3 +8446,38 @@ FROM t, wm
 WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
 ORDER BY event_type, window_start
 """
+
+
+BLOCKLIST_PATTERNS = ["the table", "slow scan", "a a", "spark"]
+
+
+def q_blocklist_scan(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern blocklist scan (curate.blocklist_scan): exact
+    all-starts occurrence counting of a bad-words list per (source,
+    pattern) — the C4-style blocklist filter signal. The twin
+    enumerates every start position with a static range cross join and
+    substr equality, so overlapping starts ('a a' in 'a a a') count on
+    both sides."""
+    from .curate import blocklist_scan
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return blocklist_scan(ds, BLOCKLIST_PATTERNS)
+
+
+SQL_BLOCKLIST_SCAN = """
+WITH pats AS (
+  SELECT * FROM (VALUES ('the table'), ('slow scan'), ('a a'), ('spark'))
+  p(pat)
+), idx AS (
+  SELECT unnest(range(1, (SELECT max(length(text))::BIGINT + 1
+                          FROM documents))) AS i
+), occ AS (
+  SELECT d.doc_id, d.source, p.pat, count(*) AS n
+  FROM documents d, pats p, idx g
+  WHERE g.i + length(p.pat) - 1 <= length(d.text)
+    AND substr(d.text, g.i::INTEGER, length(p.pat)) = p.pat
+  GROUP BY 1, 2, 3
+)
+SELECT source, pat, count(*)::BIGINT AS docs_hit, sum(n)::BIGINT AS n_occ
+FROM occ GROUP BY 1, 2 ORDER BY source, pat
+"""

@@ -796,3 +796,40 @@ def test_span_corruption_roundtrip_and_rate(ray_session):
                                            r["input_text"])]
         assert sids == list(range(r["n_spans"]))
     assert 0.10 <= masked_tot / orig_tot <= 0.16   # ~3/20 by design
+
+
+def test_blocklist_scan_planted_edges(ray_session):
+    """All-starts overlap counting ('aa' in 'aaaa' = 3), multi-byte
+    UTF-8 safety (no mid-character false hits), doc-boundary isolation
+    (pattern split across two docs never matches), empty/None text."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    import pytest
+
+    from dup_ocropy_ray.pipelines.curate import blocklist_scan
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2", "s2"],
+        # doc0 ends with 'ab', doc1 starts with 'cd': 'bc' must NOT hit
+        # across the boundary; doc3 is empty, doc4 carries unicode
+        "text": ["aaaa xab", "cdx aa", "", None, "é aa é"],
+    })
+    got = blocklist_scan(rd.from_pandas(df).repartition(3),
+                         ["aa", "bc", "é"])
+    got = got.set_index(["source", "pat"])
+    # 'aaaa' -> starts 0,1,2 (3 overlapping) + 'aa' in doc1 -> 1
+    assert got.loc[("s1", "aa"), "n_occ"] == 4
+    assert got.loc[("s1", "aa"), "docs_hit"] == 2
+    assert ("s1", "bc") not in got.index and ("s2", "bc") not in got.index
+    assert got.loc[("s2", "aa"), "n_occ"] == 1
+    assert got.loc[("s2", "é"), "n_occ"] == 2
+
+    # layout invariance: 1 block == 5 blocks
+    got1 = blocklist_scan(rd.from_pandas(df), ["aa", "bc", "é"])
+    assert got1.equals(got.reset_index())
+
+    with pytest.raises(ValueError):
+        blocklist_scan(rd.from_pandas(df), ["ok", ""])
+    with pytest.raises(ValueError):
+        blocklist_scan(rd.from_pandas(df), ["a\x00b"])

@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolving_read": q.q_evolving_read,
         "stream_windows": q.q_stream_windows,
         "blocklist_scan": q.q_blocklist_scan,
+        "phrase_search": q.q_phrase_search,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -676,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "evolving_read": q.SQL_EVOLVING_READ,
         "stream_windows": q.SQL_STREAM_WINDOWS,
         "blocklist_scan": q.SQL_BLOCKLIST_SCAN,
+        "phrase_search": q.SQL_PHRASE_SEARCH,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8481,3 +8481,50 @@ WITH pats AS (
 SELECT source, pat, count(*)::BIGINT AS docs_hit, sum(n)::BIGINT AS n_occ
 FROM occ GROUP BY 1, 2 ORDER BY source, pat
 """
+
+
+PHRASE_QUERY = "table hash"
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase retrieval over the POSITIONAL inverted index
+    (textstats.build_text_index + phrase_search_index): build the
+    hive-bucketed posting layout, then answer a 2-word phrase query by
+    reading ONLY the phrase terms' buckets and intersecting
+    offset-shifted position keys. The twin enumerates every token
+    start with a list_filter lambda, so occurrence counts (not just
+    membership) match value-for-value."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="phraseidx_", dir="/tmp")
+    try:
+        textstats.build_text_index(ds, idx, num_buckets=32)
+        return textstats.phrase_search_index(idx, PHRASE_QUERY)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _sql_phrase_search(phrase: str) -> str:
+    words = phrase.split()
+    m = len(words)
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{w}'" if j else f"toks[i] = '{w}'"
+        for j, w in enumerate(words))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(range(1, greatest(len(toks) - {m} + 2, 1)),
+             i -> {conds}))::BIGINT AS n_matches
+  FROM t)
+SELECT doc_id, n_matches FROM c WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+
+SQL_PHRASE_SEARCH = _sql_phrase_search(PHRASE_QUERY)

@@ -333,8 +333,10 @@ def bm25_multi(ds: rd.Dataset, queries: list[list[str]],
 
 def build_text_index(ds: rd.Dataset, out_dir: str,
                      num_buckets: int = 32) -> int:
-    """Persist an inverted index: one (term, doc_id, tf) posting row per
-    distinct (doc, word), hive-partitioned on storage by
+    """Persist a POSITIONAL inverted index: one (term, doc_id, tf, pos)
+    posting row per distinct (doc, word) — ``pos`` is the int32 list of
+    0-based token offsets, enabling phrase queries
+    (phrase_search_index) — hive-partitioned on storage by
     ``bucket = hash(term) % num_buckets`` (``bucket=B/part-*.parquet``).
     The text analogue of similarity.build_ivf_index: a later search
     READS only its query terms' bucket directories — pruning at the
@@ -352,28 +354,54 @@ def build_text_index(ds: rd.Dataset, out_dir: str,
 
     from ..functions.hashing import hash_strings
 
-    def postings(b: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def postings(b: pd.DataFrame) -> "pa.Table":
         texts = [(t or "").split() for t in b["text"]]
         lens = np.array([len(t) for t in texts], dtype="int64")
+        total = int(lens.sum())
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.list_(pa.int32())),
+            "bucket": pa.array([], pa.int64()),
+        })
+        if total == 0:
+            return empty
         ids = np.repeat(b["doc_id"].to_numpy(dtype="int64"), lens)
         words = np.concatenate([np.asarray(t, dtype=object)
-                                for t in texts]) if lens.sum() else \
-            np.array([], dtype=object)
-        tf = (pd.DataFrame({"term": words, "doc_id": ids})
-              .groupby(["term", "doc_id"], as_index=False, sort=False)
-              .size().rename(columns={"size": "tf"}))
-        if len(tf):
-            tf["bucket"] = (hash_strings(tf["term"].to_numpy())
-                            % np.uint64(num_buckets)).astype("int64")
-        else:
-            tf["bucket"] = pd.Series(dtype="int64")
-        return tf
+                                for t in texts])
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+        # 0-based token position within the doc, vectorized across docs
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, lens)).astype(np.int32)
+        codes, uniq = pd.factorize(words, sort=False)
+        order = np.lexsort((pos, ids, codes))
+        c, i, p = codes[order], ids[order], pos[order]
+        new = np.ones(total, bool)
+        new[1:] = (c[1:] != c[:-1]) | (i[1:] != i[:-1])
+        goff = np.flatnonzero(new)
+        offsets = np.concatenate([goff, [total]]).astype(np.int32)
+        term_arr = np.asarray(uniq, dtype=object)[c[goff]]
+        bucket = (hash_strings(term_arr)
+                  % np.uint64(num_buckets)).astype("int64")
+        return pa.table({
+            "term": pa.array(term_arr, pa.string()),
+            "doc_id": pa.array(i[goff], pa.int64()),
+            "tf": pa.array(np.diff(offsets).astype(np.int64)),
+            "pos": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(p, pa.int32())),
+            "bucket": pa.array(bucket),
+        })
 
     (ds.map_batches(postings, batch_format="pandas", batch_size=8192)
        .write_parquet(out_dir, partition_cols=["bucket"]))
     n_docs = int(ds.count())
     with open(os.path.join(out_dir, "_stats.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, f)
+        json.dump({"n_docs": n_docs, "num_buckets": num_buckets,
+                   "positional": True}, f)
     return n_docs
 
 
@@ -472,6 +500,110 @@ def search_text_index(index_dir: str, terms: list[str],
     top = (top.sort_values(["score", "doc_id"],
                            ascending=[False, True]).head(k))
     return top.reset_index(drop=True)
+
+
+_PHRASE_POS_SPAN = 1 << 21  # max tokens per doc the composed key allows
+
+
+def phrase_search_index(index_dir: str, phrase: str,
+                        num_partitions: int = 8) -> pd.DataFrame:
+    """Exact PHRASE query over a positional build_text_index layout:
+    docs containing the whitespace-token sequence contiguously, with
+    the count of phrase starts. Returns (doc_id, n_matches) sorted by
+    doc_id, matching docs only.
+
+    Prune at the read: only the phrase terms' bucket directories leave
+    storage, and postings are filtered to the phrase terms before the
+    ONE doc-keyed shuffle (phrase-posting scale, not corpus scale).
+    Within a partition the intersection is vectorized across ALL its
+    docs at once: occurrence j of word w_j contributes the sorted key
+    set {doc * 2^21 + pos - j}; a phrase start is a key present in
+    every set (np.intersect1d chain, m-1 merges of sorted arrays), so
+    repeated words in the phrase work naturally. Docs past 2^21 tokens
+    raise loudly rather than aliasing keys.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase_search_index: empty phrase")
+    m = len(words)
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        stats = json.load(f)
+    if not stats.get("positional"):
+        raise ValueError("phrase_search_index: index has no positions; "
+                         "rebuild with this version of build_text_index")
+    num_buckets = int(stats["num_buckets"])
+    uniq = sorted(set(words))
+    buckets = sorted({int(h % np.uint64(num_buckets))
+                      for h in hash_strings(np.asarray(uniq, object))})
+    files = [f for c in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={c}", "*.parquet")))]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_matches": pd.Series(dtype="int64")})
+    if not files:
+        return empty
+    tset = ray.put(uniq)
+
+    def prune(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t.column("term"),
+                        value_set=pa.array(ray.get(tset), pa.string()))
+        out = t.filter(keep).select(["term", "doc_id", "pos"])
+        tag = (out.column("doc_id").to_numpy(zero_copy_only=False)
+               % num_partitions)
+        return out.append_column("_p", pa.array(tag, pa.int64()))
+
+    posts = rd.read_parquet(
+        files, columns=["term", "doc_id", "pos"]
+    ).map_batches(prune, batch_format="pyarrow", batch_size=65536)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        for j, w in enumerate(words):
+            rows = g[g["term"] == w]
+            if not len(rows):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "n_matches": pd.Series(dtype="int64")})
+            d = rows["doc_id"].to_numpy(np.int64)
+            plists = [np.asarray(x, np.int64) for x in rows["pos"]]
+            ln = np.fromiter((len(x) for x in plists), np.int64,
+                             len(plists))
+            dd = np.repeat(d, ln)
+            pp = (np.concatenate(plists) if ln.sum()
+                  else np.empty(0, np.int64))
+            if pp.size and int(pp.max()) + m >= _PHRASE_POS_SPAN:
+                raise ValueError(
+                    "phrase_search_index: doc exceeds the 2^21-token "
+                    "key span; widen _PHRASE_POS_SPAN")
+            keys.append(np.sort(dd * _PHRASE_POS_SPAN + pp - j + m))
+        inter = keys[0]
+        for kj in keys[1:]:
+            inter = np.intersect1d(inter, kj, assume_unique=True)
+        if not inter.size:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
+        docs, counts = np.unique(inter // _PHRASE_POS_SPAN,
+                                 return_counts=True)
+        return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                             "n_matches": counts.astype(np.int64)})
+
+    out = (posts.groupby("_p")
+           .map_groups(count_part, batch_format="pandas").to_pandas())
+    if "doc_id" not in out.columns or not len(out):
+        return empty
+    return (out.astype({"doc_id": "int64", "n_matches": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512

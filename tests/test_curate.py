@@ -833,3 +833,50 @@ def test_blocklist_scan_planted_edges(ray_session):
         blocklist_scan(rd.from_pandas(df), ["ok", ""])
     with pytest.raises(ValueError):
         blocklist_scan(rd.from_pandas(df), ["a\x00b"])
+
+
+def test_phrase_search_index_planted(ray_session, tmp_path):
+    """Positional phrase search: overlapping starts with a repeated
+    word ('a a' in 'a a a' = 2), cross-doc isolation, phrase terms
+    absent -> empty, legacy non-positional index refused."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.textstats import (
+        build_text_index, phrase_search_index)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a a a x", "b a a", "a b a", ""],
+    })
+    idx = str(tmp_path / "pidx")
+    build_text_index(rd.from_pandas(df).repartition(3), idx, num_buckets=4)
+
+    got = phrase_search_index(idx, "a a").set_index("doc_id")
+    assert got.loc[0, "n_matches"] == 2      # overlapping starts
+    assert got.loc[1, "n_matches"] == 1
+    assert 2 not in got.index and 3 not in got.index
+
+    three = phrase_search_index(idx, "a a a")
+    assert three["doc_id"].tolist() == [0]
+    assert three["n_matches"].tolist() == [1]
+
+    assert len(phrase_search_index(idx, "a zz")) == 0
+    assert len(phrase_search_index(idx, "b a a x")) == 0  # crosses doc end
+
+    with pytest.raises(ValueError):
+        phrase_search_index(idx, "")
+
+    # legacy (non-positional) index must be refused loudly
+    st = os.path.join(idx, "_stats.json")
+    with open(st) as f:
+        s = json.load(f)
+    s.pop("positional")
+    with open(st, "w") as f:
+        json.dump(s, f)
+    with pytest.raises(ValueError):
+        phrase_search_index(idx, "a a")

@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_windows": q.q_stream_windows,
         "blocklist_scan": q.q_blocklist_scan,
         "phrase_search": q.q_phrase_search,
+        "cooccurrence": q.q_cooccurrence,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -678,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_windows": q.SQL_STREAM_WINDOWS,
         "blocklist_scan": q.SQL_BLOCKLIST_SCAN,
         "phrase_search": q.SQL_PHRASE_SEARCH,
+        "cooccurrence": q.SQL_COOCCURRENCE,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

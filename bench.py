@@ -71,6 +71,10 @@ QUERY_SUBSET = [
     "interval_join",
     "gapfill_hourly",
     "max_concurrency",
+    "pagerank",
+    "phrase_search",
+    "blocklist_scan",
+    "stream_windows",
 ]
 
 

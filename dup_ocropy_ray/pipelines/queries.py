@@ -8528,3 +8528,34 @@ SELECT doc_id, n_matches FROM c WHERE n_matches > 0 ORDER BY doc_id
 
 
 SQL_PHRASE_SEARCH = _sql_phrase_search(PHRASE_QUERY)
+
+
+def q_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Windowed co-occurrence top-50 (textstats.cooccurrence, window
+    3): the GloVe-statistics pass. Twin: positional self-join on the
+    zipped UNNEST stream with the same canonical pair order and the
+    same deterministic (n desc, wa, wb) cut."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return textstats.cooccurrence(ds, window=3, k=50)
+
+
+SQL_COOCCURRENCE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(1, len(toks) + 1)) AS i
+  FROM t
+), pairs AS (
+  SELECT CASE WHEN a.w <= b.w THEN a.w ELSE b.w END AS wa,
+         CASE WHEN a.w <= b.w THEN b.w ELSE a.w END AS wb
+  FROM p a JOIN p b ON a.doc_id = b.doc_id
+   AND b.i - a.i BETWEEN 1 AND 3
+)
+SELECT wa, wb, count(*)::BIGINT AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, wa, wb LIMIT 50
+"""

@@ -1910,3 +1910,78 @@ def unigram_lm_apply(ds: rd.Dataset, pieces: pd.DataFrame,
         return out
 
     return ds.map_batches(enc, batch_format="pandas", batch_size=8192)
+
+
+def cooccurrence(ds: rd.Dataset, window: int = 3, k: int = 50,
+                 num_partitions: int = 16) -> pd.DataFrame:
+    """Windowed word co-occurrence counts (the GloVe / word2vec
+    statistics-gathering pass): for every ordered token pair at
+    distance 1..window inside a doc, count the UNORDERED canonical
+    pair (wa <= wb); return the exact global top-k by (n desc, wa,
+    wb) — the deterministic tie order the SQL twin shares, so the cut
+    is identical even when ties straddle the limit.
+
+    Distributed shape: pair generation is vectorized per batch (one
+    shifted-array compare per offset, doc boundaries masked on the
+    flattened token stream), partials combine per batch BEFORE the one
+    pair-hash shuffle; each pair key is fully aggregated inside its
+    partition, so per-partition top-k is exact and the driver merges
+    only num_partitions x k rows."""
+    from ..functions.hashing import hash_strings
+
+    def pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        texts = [(t or "").split() for t in b["text"]]
+        lens = np.array([len(t) for t in texts], dtype="int64")
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame({
+                "wa": pd.Series([], dtype=object),
+                "wb": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "_p": pd.Series([], dtype="int64")})
+        words = np.concatenate([np.asarray(t, dtype=object)
+                                for t in texts])
+        ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        was, wbs = [], []
+        for off in range(1, window + 1):
+            if off >= total:
+                break
+            a, bb = words[:-off], words[off:]
+            same = ids[:-off] == ids[off:]
+            a, bb = a[same], bb[same]
+            lo = np.where(a <= bb, a, bb)
+            hi = np.where(a <= bb, bb, a)
+            was.append(lo)
+            wbs.append(hi)
+        if not was:
+            return pd.DataFrame({
+                "wa": pd.Series([], dtype=object),
+                "wb": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "_p": pd.Series([], dtype="int64")})
+        g = (pd.DataFrame({"wa": np.concatenate(was),
+                           "wb": np.concatenate(wbs)})
+             .groupby(["wa", "wb"], as_index=False, sort=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        key = (g["wa"] + "\x1f" + g["wb"]).to_numpy(object)
+        g["_p"] = (hash_strings(key)
+                   % np.uint64(num_partitions)).astype("int64")
+        return g
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["wa", "wb"], as_index=False, sort=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return (s.sort_values(["n", "wa", "wb"],
+                              ascending=[False, True, True]).head(k))
+
+    parts = (ds.map_batches(pair_part, batch_format="pandas")
+             .groupby("_p").map_groups(topk_part, batch_format="pandas")
+             .to_pandas())
+    if "wa" not in parts.columns or not len(parts):
+        return pd.DataFrame({"wa": pd.Series([], dtype=object),
+                             "wb": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    return (parts.sort_values(["n", "wa", "wb"],
+                              ascending=[False, True, True]).head(k)
+            [["wa", "wb", "n"]].reset_index(drop=True))

@@ -880,3 +880,40 @@ def test_phrase_search_index_planted(ray_session, tmp_path):
         json.dump(s, f)
     with pytest.raises(ValueError):
         phrase_search_index(idx, "a a")
+
+
+def test_cooccurrence_planted(ray_session):
+    """Window semantics (distance <= w only), doc-boundary isolation,
+    canonical unordered pairs, deterministic tie cut, layout
+    invariance."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.textstats import cooccurrence
+
+    df = pd.DataFrame({
+        "text": [
+            "a b c d e",      # (a,b),(a,c) in w=2; (a,d) NOT (dist 3)
+            "z a",            # canonicalized to (a, z)
+            "q",              # no pairs
+            "",
+        ],
+    })
+    got = cooccurrence(rd.from_pandas(df).repartition(3), window=2, k=100)
+    got = got.set_index(["wa", "wb"])["n"]
+    assert got.loc[("a", "b")] == 1 and got.loc[("a", "c")] == 1
+    assert ("a", "d") not in got.index
+    assert got.loc[("a", "z")] == 1          # canonical order, not (z, a)
+    # doc boundary: 'e' (end of doc0) never pairs with 'z' (start doc1)
+    assert ("e", "z") not in got.index
+
+    # repeated pairs accumulate; 1-block vs 4-block identical
+    df2 = pd.DataFrame({"text": ["a b a b a"] * 6})
+    g1 = cooccurrence(rd.from_pandas(df2), window=2, k=10)
+    g4 = cooccurrence(rd.from_pandas(df2).repartition(4), window=2, k=10)
+    assert g1.equals(g4)
+    # 'a b a b a': (a,b) at dist 1 -> 4, dist2 pairs (a,a) -> 2, (b,b) -> 1
+    gg = g1.set_index(["wa", "wb"])["n"]
+    assert gg.loc[("a", "b")] == 4 * 6
+    assert gg.loc[("a", "a")] == 2 * 6
+    assert gg.loc[("b", "b")] == 1 * 6

@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_scan": q.q_blocklist_scan,
         "phrase_search": q.q_phrase_search,
         "cooccurrence": q.q_cooccurrence,
+        "scd2_join": q.q_scd2_join,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -680,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_scan": q.SQL_BLOCKLIST_SCAN,
         "phrase_search": q.SQL_PHRASE_SEARCH,
         "cooccurrence": q.SQL_COOCCURRENCE,
+        "scd2_join": q.SQL_SCD2_JOIN,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -6554,6 +6554,14 @@ def q_scd2_history(sf_dir: str) -> pd.DataFrame:
     history-table companion to merge_upsert's latest-wins compaction.
     Oracle: LEAD window over the replayed log."""
     docs = _read(sf_dir, "documents", ["doc_id"])
+    out = _scd2_history_ds(docs).to_pandas()
+    return out.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+def _scd2_history_ds(docs: "rd.Dataset") -> "rd.Dataset":
+    """The SCD2 validity-interval build as a Dataset (doc_id, seq,
+    valid_to, is_current) — shared by q_scd2_history and the temporal
+    join q_scd2_join."""
 
     def ops_rows(b: pd.DataFrame) -> pd.DataFrame:
         i = b["doc_id"].astype("int64")
@@ -6590,11 +6598,9 @@ def q_scd2_history(sf_dir: str) -> pd.DataFrame:
             "is_current": nxt[keep].isna().to_numpy(),
         })
 
-    out = (docs.map_batches(ops_rows, batch_format="pandas")
-           .map_batches(bucket, batch_format="pandas")
-           .groupby("_part").map_groups(per_part, batch_format="pandas")
-           .to_pandas())
-    return out.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    return (docs.map_batches(ops_rows, batch_format="pandas")
+            .map_batches(bucket, batch_format="pandas")
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
 
 
 SQL_SCD2_HISTORY = """
@@ -8558,4 +8564,74 @@ WITH t AS (
 SELECT wa, wb, count(*)::BIGINT AS n
 FROM pairs GROUP BY 1, 2
 ORDER BY n DESC, wa, wb LIMIT 50
+"""
+
+
+def q_scd2_join(sf_dir: str) -> pd.DataFrame:
+    """Temporal dimension join (the warehouse 'AS OF event time' join):
+    probe facts — one per doc at time n_chars % 4 — join the SCD2
+    history to the version whose validity interval covers the probe
+    (seq <= t < valid_to, open-ended current rows; deleted keys simply
+    have no covering interval and drop from the inner join). ONE
+    key-hash bucket_join co-locates facts with their <= 3 dimension
+    versions, then a vectorized interval filter — the standard
+    fact x SCD2 enrichment at lakehouse scale."""
+    from .relational import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def probes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "probe_seq": (b["n_chars"].to_numpy(np.int64) % 4),
+        })
+
+    facts = docs.map_batches(probes, batch_format="pandas")
+    hist = _scd2_history_ds(_read(sf_dir, "documents", ["doc_id"]))
+    j = bucket_join(facts, hist, "doc_id", "doc_id", suffix="_h")
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["probe_seq"].to_numpy(np.int64)
+        s = b["seq"].to_numpy(np.int64)
+        e = b["valid_to"].to_numpy(np.int64)
+        keep = (s <= t) & ((e == -1) | (t < e))
+        out = b.loc[keep]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "probe_seq": out["probe_seq"].astype("int64"),
+            "version_seq": out["seq"].astype("int64"),
+        })
+
+    out = j.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SCD2_JOIN = """
+WITH a AS (
+  SELECT doc_id, 0 AS seq, 'upsert' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'delete' FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, 1, 'upsert' FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'upsert' FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'upsert' FROM documents WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, 1, 'upsert' FROM documents WHERE doc_id % 9 = 3
+), v AS (
+  SELECT doc_id, seq, op,
+         LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+  FROM a
+), hist AS (
+  SELECT doc_id, seq::BIGINT AS seq, coalesce(nxt, -1)::BIGINT AS valid_to
+  FROM v WHERE op = 'upsert'
+), probes AS (
+  SELECT doc_id, (n_chars % 4)::BIGINT AS probe_seq FROM documents
+)
+SELECT p.doc_id, p.probe_seq, h.seq AS version_seq
+FROM probes p JOIN hist h ON p.doc_id = h.doc_id
+WHERE h.seq <= p.probe_seq
+  AND (h.valid_to = -1 OR p.probe_seq < h.valid_to)
+ORDER BY p.doc_id
 """

@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q.q_phrase_search,
         "cooccurrence": q.q_cooccurrence,
         "scd2_join": q.q_scd2_join,
+        "incremental_join": q.q_incremental_join,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -682,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": q.SQL_PHRASE_SEARCH,
         "cooccurrence": q.SQL_COOCCURRENCE,
         "scd2_join": q.SQL_SCD2_JOIN,
+        "incremental_join": q.SQL_INCREMENTAL_JOIN,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

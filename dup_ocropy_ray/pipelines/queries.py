@@ -8635,3 +8635,120 @@ WHERE h.seq <= p.probe_seq
   AND (h.valid_to = -1 OR p.probe_seq < h.valid_to)
 ORDER BY p.doc_id
 """
+
+
+def q_incremental_join(sf_dir: str) -> pd.DataFrame:
+    """Incremental maintenance of a JOIN view (the hard half of MV
+    maintenance, beyond q_incremental_agg's single-table case): the
+    per-nation order-revenue view V = gamma(orders JOIN customer) is
+    refreshed from CDC deltas on BOTH inputs — order deletes
+    (o_orderkey % 13 == 0) and inserts (% 17 == 0, price + 10), and
+    customer nation UPDATES (c_custkey % 11 == 0 moves to
+    (c_nationkey + 1) % 25) — without recomputing the join.
+
+    Delta algebra: with signed relations, V_new - V = gamma(dO x C_new)
+    + gamma(O x dC). The first term touches only order deltas (the
+    fact-side base is NEVER rescanned); the second probes the fact
+    base only on the changed dimension keys — here via one broadcast
+    of the customer-scale dC/new-nation maps into the same single
+    orders scan that derives dO, so the whole refresh is ONE pass over
+    the log-bearing scan plus driver merges at nation cardinality.
+    The oracle recomputes the view from the modified inputs from
+    scratch; equality proves the algebra, including sign cancellation
+    on updated dimensions. Cents are floor(price * 100), integer-exact.
+    """
+    import ray
+
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    changed = cust["c_custkey"] % 11 == 0
+    new_nat = np.where(changed, (cust["c_nationkey"] + 1) % 25,
+                       cust["c_nationkey"]).astype(np.int64)
+    cnew = dict(zip(cust["c_custkey"].astype("int64"), new_nat))
+    cold = dict(zip(cust["c_custkey"].astype("int64"),
+                    cust["c_nationkey"].astype("int64")))
+    dc_keys = set(cust.loc[changed, "c_custkey"].astype("int64"))
+    cnew_ref = ray.put(cnew)
+    cold_ref = ray.put(cold)
+    dc_ref = ray.put(dc_keys)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def base_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cold_ref)
+        return pd.DataFrame({
+            "nationkey": b["o_custkey"].astype("int64").map(m)
+            .astype("int64"),
+            "w": np.int64(1),
+            "wc": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                           * 100).astype("int64"),
+        })
+
+    def wagg(rows: rd.Dataset) -> pd.DataFrame:
+        out = grouped_agg(rows, ["nationkey"], sums=["w", "wc"],
+                          counts=False)
+        return out.rename(columns={"sum_w": "n", "sum_wc": "cents"})
+
+    base = wagg(orders.map_batches(base_rows, batch_format="pandas"))
+
+    def delta_rows(b: pd.DataFrame) -> pd.DataFrame:
+        mnew = ray.get(cnew_ref)
+        mold = ray.get(cold_ref)
+        dck = ray.get(dc_ref)
+        k = b["o_orderkey"].astype("int64")
+        cu = b["o_custkey"].astype("int64")
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64)
+                         * 100).astype("int64")
+        dele = (k % 13 == 0).to_numpy()
+        ins = (k % 17 == 0).to_numpy()
+        # dO x C_new: deletes at weight -1, inserts (price+10) at +1,
+        # both landing in the customer's NEW nation assignment
+        frames = [
+            pd.DataFrame({"nationkey": cu[dele].map(mnew).astype("int64"),
+                          "w": np.int64(-1), "wc": -cents[dele]}),
+            pd.DataFrame({"nationkey": cu[ins].map(mnew).astype("int64"),
+                          "w": np.int64(1), "wc": cents[ins] + 1000}),
+        ]
+        # O x dC: base orders of changed customers move nations
+        ch = cu.isin(dck).to_numpy()
+        frames.append(pd.DataFrame({
+            "nationkey": cu[ch].map(mold).astype("int64"),
+            "w": np.int64(-1), "wc": -cents[ch]}))
+        frames.append(pd.DataFrame({
+            "nationkey": cu[ch].map(mnew).astype("int64"),
+            "w": np.int64(1), "wc": cents[ch]}))
+        return pd.concat(frames, ignore_index=True)
+
+    delta = wagg(orders.map_batches(delta_rows, batch_format="pandas"))
+
+    m = base.merge(delta, on="nationkey", how="outer", suffixes=("", "_d"))
+    for c in ("n", "cents", "n_d", "cents_d"):
+        m[c] = m[c].fillna(0).astype("int64")
+    out = pd.DataFrame({
+        "nationkey": m["nationkey"].astype("int64"),
+        "n_orders": m["n"] + m["n_d"],
+        "sum_cents": m["cents"] + m["cents_d"],
+    })
+    out = out[out["n_orders"] > 0]  # group-deletion rule
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_JOIN = r"""
+WITH o2 AS (
+  SELECT o_custkey, floor(o_totalprice * 100)::BIGINT AS cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_custkey, floor(o_totalprice * 100)::BIGINT + 1000
+  FROM orders WHERE o_orderkey % 17 = 0
+), c2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nat
+  FROM customer
+)
+SELECT c2.nat::BIGINT AS nationkey,
+       count(*)::BIGINT AS n_orders,
+       sum(cents)::BIGINT AS sum_cents
+FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+GROUP BY 1 ORDER BY 1
+"""

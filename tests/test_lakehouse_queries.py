@@ -213,3 +213,42 @@ def test_weighted_sample_oracle(ray_session, con):
     # A-Res invariant: priorities sorted descending, exactly k rows
     p = got["priority"].to_numpy()
     assert len(got) == 20 and (np.diff(p) <= 0).all()
+
+
+def test_incremental_join_oracle(ray_session, con):
+    """Delta-join MV maintenance equals the from-scratch recompute,
+    including sign cancellation for orders that are BOTH CDC-deleted
+    and owned by a nation-changed customer."""
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_incremental_join(SF))
+    want = _canon(con.sql(q.SQL_INCREMENTAL_JOIN).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the overlap class (o_orderkey%13==0 AND c_custkey%11==0) must be
+    # non-empty or the cancellation path went untested
+    n = con.sql("""SELECT count(*) FROM orders o JOIN customer c
+                   ON o.o_custkey = c.c_custkey
+                   WHERE o.o_orderkey % 13 = 0 AND c.c_custkey % 11 = 0
+                """).fetchone()[0]
+    assert n > 0
+
+
+def test_scd2_join_oracle(ray_session, con):
+    """Temporal fact x SCD2 join equals the interval-predicate twin;
+    deleted keys (doc_id%9==0 probed past seq 0) drop from the result."""
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_scd2_join(SF))
+    want = _canon(con.sql(q.SQL_SCD2_JOIN).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every probe matches at most one version
+    assert got["doc_id"].is_unique
+    # some deleted-doc probe at t>=1 exists and is absent from the join
+    dele = con.sql("""SELECT count(*) FROM documents
+                      WHERE doc_id % 9 = 0 AND n_chars % 4 >= 1
+                   """).fetchone()[0]
+    assert dele > 0
+    deleted_ids = con.sql("""SELECT doc_id FROM documents
+                             WHERE doc_id % 9 = 0 AND n_chars % 4 >= 1
+                          """).df()["doc_id"]
+    assert not got["doc_id"].isin(set(deleted_ids)).any()

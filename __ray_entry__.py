@@ -69,13 +69,20 @@ def _graph_sql(which: str) -> str:
     return {"pagerank": graph.sql_pagerank,
             "indegree_hist": graph.sql_indegree_hist,
             "triangle_count": graph.sql_triangle_count,
-            "bfs_levels": graph.sql_bfs_levels}[which]()
+            "bfs_levels": graph.sql_bfs_levels,
+            "harmonic_centrality": graph.sql_harmonic_centrality}[which]()
 
 
 def _pagerank(sf_dir: str):
     from dup_ocropy_ray.pipelines import graph
 
     return graph.pagerank_topk(sf_dir)
+
+
+def _harmonic_centrality(sf_dir: str):
+    from dup_ocropy_ray.pipelines import graph
+
+    return graph.harmonic_centrality(sf_dir)
 
 
 def _indegree_hist(sf_dir: str):
@@ -471,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": q.q_cooccurrence,
         "scd2_join": q.q_scd2_join,
         "incremental_join": q.q_incremental_join,
+        "harmonic_centrality": _harmonic_centrality,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -684,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence": q.SQL_COOCCURRENCE,
         "scd2_join": q.SQL_SCD2_JOIN,
         "incremental_join": q.SQL_INCREMENTAL_JOIN,
+        "harmonic_centrality": _graph_sql("harmonic_centrality"),
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -375,3 +375,114 @@ d{t + 1} AS (
 SELECT CASE WHEN d >= {_BFS_INF} THEN -1 ELSE d END::BIGINT AS dist,
        count(*)::BIGINT AS n_nodes
 FROM d{rounds} GROUP BY 1 ORDER BY 1""")
+
+
+_HC_SCALE = 1_000_000
+
+
+def harmonic_centrality(sf_dir: str, k: int = 4, rounds: int = 4,
+                        n_seeds: int = 4, seed_mod: int = 97,
+                        topn: int = 20) -> pd.DataFrame:
+    """Sampled harmonic centrality (the metric behind Common Crawl's
+    host rankings): h(v) = sum over sampled seeds s of SCALE // d(s, v)
+    — integer floor reciprocals, so distributed min/sum order cannot
+    perturb the result and the chained-CTE oracle matches exactly.
+    Unreached or self (d = 0) contribute 0.
+
+    The per-seed distances ride ONE wide state table (id, d0..dS-1):
+    each BFS round is the same single relax shuffle as bfs_levels but
+    relaxes all S seed columns at once — S times less shuffle traffic
+    than S separate BFS runs. Returns the top-``topn`` nodes by
+    (h desc, id asc) via block-local cuts + a tiny driver merge."""
+    from . import queries as q
+
+    nodes = q._read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+    seeds = [s for s in range(0, n_seeds * seed_mod, seed_mod) if s < n]
+    S = len(seeds)
+    dcols = [f"d{i}" for i in range(S)]
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        out = {"id": ids}
+        for i, s in enumerate(seeds):
+            out[f"d{i}"] = np.where(ids == s, 0, _BFS_INF).astype(np.int64)
+        return pd.DataFrame(out)
+
+    dists = nodes.map_batches(init, batch_format="pandas",
+                              batch_size=65536)
+
+    for _ in range(rounds):
+        def relax(b: pd.DataFrame, _k=k, _n=n) -> pd.DataFrame:
+            src = b["id"].to_numpy(np.int64)
+            dst = out_links(src, _n, _k)
+            node = np.concatenate([dst.ravel(), src])
+            out = {"node": node}
+            for c in dcols:
+                d = b[c].to_numpy(np.int64)
+                out[c] = np.concatenate(
+                    [np.repeat(np.minimum(d + 1, _BFS_INF), _k), d])
+            return pd.DataFrame(out)
+
+        def rename(b: pd.DataFrame) -> pd.DataFrame:
+            out = {"id": b["node"].astype(np.int64)}
+            for c in dcols:
+                out[c] = b[f"min({c})"].astype(np.int64)
+            return pd.DataFrame(out)
+
+        dists = (dists.map_batches(relax, batch_format="pandas",
+                                   batch_size=65536)
+                 .groupby("node").min(dcols)
+                 .map_batches(rename, batch_format="pandas",
+                              batch_size=65536)
+                 .materialize())
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), np.int64)
+        for c in dcols:
+            d = b[c].to_numpy(np.int64)
+            ok = (d > 0) & (d < _BFS_INF)
+            h[ok] += _HC_SCALE // d[ok]
+        out = pd.DataFrame({"doc_id": b["id"].astype(np.int64),
+                            "harmonic": h})
+        return out.sort_values(["harmonic", "doc_id"],
+                               ascending=[False, True]).head(topn)
+
+    cand = dists.map_batches(score_topk, batch_format="pandas",
+                             batch_size=262144).to_pandas()
+    return (cand.sort_values(["harmonic", "doc_id"],
+                             ascending=[False, True]).head(topn)
+            .reset_index(drop=True))
+
+
+def sql_harmonic_centrality(k: int = 4, rounds: int = 4,
+                            n_seeds: int = 4, seed_mod: int = 97,
+                            topn: int = 20) -> str:
+    """Chained-CTE twin: one BFS chain per seed (seed i exists iff
+    i * seed_mod < n), floor-reciprocal sum, same deterministic cut."""
+    parts = [_edges_sql(k)]
+    for i in range(n_seeds):
+        s = i * seed_mod
+        parts.append(f"""
+s{i}_0 AS (SELECT id, CASE WHEN id = {s} THEN 0
+                           ELSE {_BFS_INF} END AS d
+           FROM nodes WHERE (SELECT n FROM nn) > {s})""")
+        for t in range(rounds):
+            parts.append(f"""
+s{i}_{t + 1} AS (
+  SELECT n.id, least(any_value(dt.d),
+                     coalesce(min(ds.d + 1), {_BFS_INF})) AS d
+  FROM nodes n JOIN s{i}_{t} dt ON dt.id = n.id
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN s{i}_{t} ds ON ds.id = e.src
+  GROUP BY n.id
+)""")
+    terms = " + ".join(
+        f"coalesce((SELECT CASE WHEN d > 0 AND d < {_BFS_INF} "
+        f"THEN {_HC_SCALE} // d ELSE 0 END FROM s{i}_{rounds} x "
+        f"WHERE x.id = nodes.id), 0)"
+        for i in range(n_seeds))
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS doc_id, ({terms})::BIGINT AS harmonic
+FROM nodes
+ORDER BY harmonic DESC, doc_id LIMIT {topn}""")

@@ -159,3 +159,36 @@ def test_hybrid_search_fusion_semantics(ray_session):
     both_r1 = 2 * (10**9 // 61)
     assert out["rrf_score"].iloc[0] <= both_r1
     assert out["rrf_score"].iloc[-1] >= 10**9 // 160
+
+
+def test_harmonic_centrality_matches_numpy(ray_session):
+    """Per-seed BFS replay in numpy -> floor-reciprocal sums -> same
+    deterministic top-20 cut as the distributed wide-state BFS."""
+    from dup_ocropy_ray.pipelines.graph import (_BFS_INF, _HC_SCALE,
+                                                harmonic_centrality,
+                                                out_links)
+
+    k, rounds, n_seeds, seed_mod, topn = 4, 4, 4, 97, 20
+    n = _n_docs()
+    got = harmonic_centrality(SF, k=k, rounds=rounds, n_seeds=n_seeds,
+                              seed_mod=seed_mod, topn=topn)
+
+    dst = out_links(np.arange(n, dtype=np.int64), n, k)
+    h = np.zeros(n, np.int64)
+    for s in range(0, n_seeds * seed_mod, seed_mod):
+        if s >= n:
+            continue
+        d = np.where(np.arange(n) == s, 0, _BFS_INF).astype(np.int64)
+        for _ in range(rounds):
+            nxt = d.copy()
+            np.minimum.at(nxt, dst.ravel(), np.repeat(d + 1, k))
+            d = nxt
+        ok = (d > 0) & (d < _BFS_INF)
+        h[ok] += _HC_SCALE // d[ok]
+    want = (pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                          "harmonic": h})
+            .sort_values(["harmonic", "doc_id"],
+                         ascending=[False, True]).head(topn)
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["harmonic"] > 0).all()

@@ -49,6 +49,31 @@ import pyarrow as pa
 import ray.data as rd
 
 from .relational import bucket_join, grouped_agg
+from .windows import part_tag
+
+
+def _node_combine(ds: rd.Dataset, cols: "list[str]", op: str,
+                  num_partitions: int = 64) -> rd.Dataset:
+    """Keyed combine on ``node``: per-batch pandas partial + ONE coarse
+    hash-bucket shuffle + per-partition final — the repo-wide combine
+    shape. The native Dataset groupby aggregator measured ~12 s per
+    round on a 500-node rank table at 32 CPUs (same pathology the
+    round-3 notes pinned for order_ntile, 70.7 s -> 3.7 s); this form
+    runs the identical reduction in ~0.2 s. Column names are
+    preserved (no ``sum(col)`` renames)."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = getattr(b.groupby("node", as_index=False, sort=False)[cols],
+                    op)()
+        g["_p"] = part_tag(g["node"].to_numpy(np.int64), num_partitions)
+        return g
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        return getattr(g.groupby("node", as_index=False, sort=False)[cols],
+                       op)()
+
+    return (ds.map_batches(part, batch_format="pandas", batch_size=65536)
+            .groupby("_p").map_groups(fin, batch_format="pandas"))
 
 # Multiplicative-congruential link synthesis: dst_j(src) =
 # ((src * MULT + j * INC) mod 2^32) mod N for j in 1..k. MULT is
@@ -112,14 +137,14 @@ def pagerank(nodes: rd.Dataset, n_nodes: int, k: int = 4, iters: int = 5,
             return pd.DataFrame({"node": node, "contrib": contrib})
 
         inj = 3 * 20**t * k ** (t + 1)
-        summed = (ranks.map_batches(expand, batch_format="pandas",
-                                    batch_size=65536)
-                  .groupby("node").sum("contrib"))
+        summed = _node_combine(
+            ranks.map_batches(expand, batch_format="pandas",
+                              batch_size=65536), ["contrib"], "sum")
 
         def finish(b: pd.DataFrame, _inj=inj) -> pd.DataFrame:
             return pd.DataFrame(
                 {"id": b["node"].astype(np.int64),
-                 "r": (_inj + b["sum(contrib)"]).astype(np.int64)})
+                 "r": (_inj + b["contrib"]).astype(np.int64)})
 
         # materialize per round: keeps the plan flat (re-execution of a
         # t-deep lineage would recompute all prior shuffles) and the
@@ -171,11 +196,11 @@ def indegree_hist(sf_dir: str, k: int = 4) -> pd.DataFrame:
              .groupby("node", as_index=False, sort=False)["one"].sum())
         return g
 
-    indeg = (nodes.map_batches(partial, batch_format="pandas",
-                               batch_size=65536)
-             .groupby("node").sum("one")
+    indeg = (_node_combine(
+        nodes.map_batches(partial, batch_format="pandas",
+                          batch_size=65536), ["one"], "sum")
              .map_batches(lambda b: pd.DataFrame(
-                 {"indeg": b["sum(one)"].astype(np.int64)}),
+                 {"indeg": b["one"].astype(np.int64)}),
                  batch_format="pandas", batch_size=65536))
     g = grouped_agg(indeg, ["indeg"], counts=True)
     out = pd.DataFrame({"indeg": g["indeg"].astype(np.int64),
@@ -337,12 +362,12 @@ def bfs_levels(sf_dir: str, k: int = 4, rounds: int = 4,
                 [np.repeat(np.minimum(d + 1, _BFS_INF), _k), d])
             return pd.DataFrame({"node": node, "d": cand})
 
-        dists = (dists.map_batches(relax, batch_format="pandas",
-                                   batch_size=65536)
-                 .groupby("node").min("d")
+        dists = (_node_combine(
+            dists.map_batches(relax, batch_format="pandas",
+                              batch_size=65536), ["d"], "min")
                  .map_batches(lambda b: pd.DataFrame(
                      {"id": b["node"].astype(np.int64),
-                      "d": b["min(d)"].astype(np.int64)}),
+                      "d": b["d"].astype(np.int64)}),
                      batch_format="pandas", batch_size=65536)
                  .materialize())
 
@@ -427,12 +452,12 @@ def harmonic_centrality(sf_dir: str, k: int = 4, rounds: int = 4,
         def rename(b: pd.DataFrame) -> pd.DataFrame:
             out = {"id": b["node"].astype(np.int64)}
             for c in dcols:
-                out[c] = b[f"min({c})"].astype(np.int64)
+                out[c] = b[c].astype(np.int64)
             return pd.DataFrame(out)
 
-        dists = (dists.map_batches(relax, batch_format="pandas",
-                                   batch_size=65536)
-                 .groupby("node").min(dcols)
+        dists = (_node_combine(
+            dists.map_batches(relax, batch_format="pandas",
+                              batch_size=65536), dcols, "min")
                  .map_batches(rename, batch_format="pandas",
                               batch_size=65536)
                  .materialize())

@@ -6017,12 +6017,25 @@ def q_cust_order_outer(sf_dir: str) -> pd.DataFrame:
     left = cust.map_batches(lprep, batch_format="pandas", batch_size=65536)
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    right = (orders.groupby("o_custkey").count()
-             .map_batches(lambda b: pd.DataFrame(
-                 {"o_custkey": b["o_custkey"].astype("int64"),
-                  "n_orders": b["count()"].astype("int64")})
-                 [lambda d: d.n_orders >= 8],
-                 batch_format="pandas", batch_size=65536))
+
+    def rpart(b: pd.DataFrame) -> pd.DataFrame:
+        from .windows import part_tag
+
+        g = (b.groupby("o_custkey", as_index=False, sort=False)
+             .size().rename(columns={"size": "n_orders"}))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["_p"] = part_tag(g["o_custkey"].to_numpy(np.int64), 64)
+        return g
+
+    def rfin(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("o_custkey", as_index=False, sort=False)
+             ["n_orders"].sum())
+        s = s[s["n_orders"] >= 8]
+        return s.astype({"o_custkey": "int64", "n_orders": "int64"})
+
+    right = (orders.map_batches(rpart, batch_format="pandas",
+                                batch_size=65536)
+             .groupby("_p").map_groups(rfin, batch_format="pandas"))
 
     import pyarrow as pa
 

@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_join": q.q_scd2_join,
         "incremental_join": q.q_incremental_join,
         "harmonic_centrality": _harmonic_centrality,
+        "drift_emd": q.q_drift_emd,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -693,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_join": q.SQL_SCD2_JOIN,
         "incremental_join": q.SQL_INCREMENTAL_JOIN,
         "harmonic_centrality": _graph_sql("harmonic_centrality"),
+        "drift_emd": q.SQL_DRIFT_EMD,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

@@ -8765,3 +8765,81 @@ SELECT c2.nat::BIGINT AS nationkey,
 FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_drift_emd(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: integer-exact Wasserstein-1 (earth
+    mover's) distance between each source's doc-length histogram
+    (bucket = n_chars // 100) and the whole corpus. Cross-multiplied
+    cumulative counts keep it exact: with per-source total n_s and
+    corpus total N,
+
+        emd_scaled(s) = sum_b | cum_s(b) * N  -  cum_all(b) * n_s |
+
+    is the EMD of the normalized distributions scaled by n_s * N — all
+    int64. One per-batch (source, bucket) partial combine; the driver
+    reduce is sources x buckets rows; the EMD fold is a vectorized
+    cumsum over that bounded table."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def hist_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "source": b["source"],
+            "bucket": (b["n_chars"].to_numpy(np.int64) // 100),
+        }).groupby(["source", "bucket"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    h = (docs.map_batches(hist_part, batch_format="pandas").to_pandas()
+         .groupby(["source", "bucket"], as_index=False)["n"].sum())
+    # dense (source x bucket) spine so cumulative sums align
+    srcs = np.sort(h["source"].unique())
+    buckets = np.arange(h["bucket"].max() + 1, dtype=np.int64)
+    spine = pd.MultiIndex.from_product([srcs, buckets],
+                                       names=["source", "bucket"])
+    dense = (h.set_index(["source", "bucket"])["n"]
+             .reindex(spine, fill_value=0).reset_index())
+    dense["cum_s"] = dense.groupby("source", sort=False)["n"].cumsum()
+    tot = dense.groupby("source", sort=False)["n"].sum()
+    gl = dense.groupby("bucket", sort=False)["n"].sum().cumsum()
+    N = int(tot.sum())
+    dense["cum_all"] = dense["bucket"].map(gl).astype("int64")
+    dense["n_s"] = dense["source"].map(tot).astype("int64")
+    dense["term"] = (dense["cum_s"].astype("int64") * N
+                     - dense["cum_all"] * dense["n_s"]).abs()
+    out = dense.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), emd_scaled=("term", "sum"))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["emd_scaled"] = out["emd_scaled"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_DRIFT_EMD = """
+WITH d AS (
+  SELECT source, (n_chars // 100)::BIGINT AS bucket FROM documents
+), spine AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM d) s,
+       (SELECT unnest(range(0, (SELECT max(bucket) + 1 FROM d)))
+        AS bucket) b
+), h AS (
+  SELECT sp.source, sp.bucket, count(d.source)::BIGINT AS n
+  FROM spine sp LEFT JOIN d
+    ON d.source = sp.source AND d.bucket = sp.bucket
+  GROUP BY 1, 2
+), c AS (
+  SELECT source, bucket, n,
+         sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum_s,
+         sum(n) OVER (PARTITION BY source) AS n_s
+  FROM h
+), g AS (
+  SELECT bucket, sum(n) AS bn FROM h GROUP BY bucket
+), gc AS (
+  SELECT bucket, sum(bn) OVER (ORDER BY bucket) AS cum_all FROM g
+), tot AS (SELECT sum(n)::BIGINT AS N FROM h)
+SELECT c.source,
+       sum(c.n)::BIGINT AS n_docs,
+       sum(abs(c.cum_s * tot.N - gc.cum_all * c.n_s))::BIGINT
+         AS emd_scaled
+FROM c JOIN gc ON c.bucket = gc.bucket, tot
+GROUP BY c.source ORDER BY c.source
+"""

@@ -252,3 +252,42 @@ def test_scd2_join_oracle(ray_session, con):
                              WHERE doc_id % 9 = 0 AND n_chars % 4 >= 1
                           """).df()["doc_id"]
     assert not got["doc_id"].isin(set(deleted_ids)).any()
+
+
+def test_drift_emd_oracle_and_invariants(ray_session, con):
+    """Integer EMD drift: oracle-exact, zero for a source whose
+    distribution equals the corpus, positive for a planted shift,
+    symmetric-scale identity emd(s) bounded by n_s * N."""
+    from dup_ocropy_ray.pipelines import queries as q
+
+    got = _canon(q.q_drift_emd(SF))
+    want = _canon(con.sql(q.SQL_DRIFT_EMD).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["emd_scaled"] >= 0).all()
+
+    # planted: identical distribution -> 0; shifted -> positive
+    import numpy as np
+    import ray.data as rd
+
+    base = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 4,
+        "n_chars": [50, 150, 250, 350] * 2,
+    })
+    # monkey-free: drive the same math through a temp parquet dir
+    import tempfile, os
+    d = tempfile.mkdtemp(dir="/tmp")
+    base.assign(doc_id=range(8)).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    out = q.q_drift_emd(d).set_index("source")
+    assert out.loc["a", "emd_scaled"] == 0
+    assert out.loc["b", "emd_scaled"] == 0
+
+    shifted = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 4,
+        "n_chars": [50, 50, 50, 50, 350, 350, 350, 350],
+    })
+    shifted.assign(doc_id=range(8)).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    out2 = q.q_drift_emd(d).set_index("source")
+    assert out2.loc["a", "emd_scaled"] > 0
+    assert out2.loc["a", "emd_scaled"] == out2.loc["b", "emd_scaled"]

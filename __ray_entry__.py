@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_join": q.q_incremental_join,
         "harmonic_centrality": _harmonic_centrality,
         "drift_emd": q.q_drift_emd,
+        "containment": q.q_containment,
         # rows-only (non-SQL-expressible) queries
         "pca_embeddings": q.q_pca_embeddings,
         "bpe_tokenize": q.q_bpe_tokenize,
@@ -695,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_join": q.SQL_INCREMENTAL_JOIN,
         "harmonic_centrality": _graph_sql("harmonic_centrality"),
         "drift_emd": q.SQL_DRIFT_EMD,
+        "containment": q.SQL_CONTAINMENT,
         "fingerprints": q.SQL_FINGERPRINTS,
         "shuffle_shards": q.SQL_SHUFFLE_SHARDS,
         "leakage_safe_split": q.SQL_LEAKAGE_SAFE_SPLIT,

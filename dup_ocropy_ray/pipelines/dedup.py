@@ -1721,3 +1721,117 @@ def typo_pairs(terms: rd.Dataset, col: str = "term",
            .groupby("_p2").map_groups(verify, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def containment_pairs(ds: rd.Dataset, window: int = 5,
+                      tau_pct: int = 60, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_partitions: int = 32) -> pd.DataFrame:
+    """One-sided n-gram CONTAINMENT join (the quote / subset-duplicate
+    detector The Stack-style curation runs next to symmetric Jaccard):
+    for the distinct W-gram sets G(a), emit (inner, outer) whenever
+    100 * |G(inner) ∩ G(outer)| >= tau_pct * |G(inner)| — a short doc
+    quoted inside a long one passes containment while its Jaccard
+    stays tiny. Integer-rational threshold, so the twin matches
+    value-for-value.
+
+    Distributed shape: distinct (gram, doc) rows (per-batch dedup is
+    global — a doc lives in one row) -> ONE gram-hash shuffle; inside
+    each partition the pair counts come from one C-level self-merge
+    per gram key (no per-pair Python); partials re-shuffle on the LO
+    doc key so every (lo, hi) pair sums in one place; gram-set sizes
+    attach via two metadata-scale bucket_joins. Hot grams (a boilerplate
+    sentence shared by half the corpus) make d^2 pair blowups — at web
+    scale drop grams with document frequency above a cap BEFORE the
+    merge (they carry no containment signal); the synthetic corpus's
+    5-gram df is bounded so no cap is applied here."""
+    from .relational import bucket_join
+    from .windows import part_tag
+
+    P = num_partitions
+
+    def gram_rows(b: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        grams, di, _pos = hashing.batch_word_grams(
+            b[text_col].tolist(), window)
+        if not len(grams):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "_p": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(np.int64)[di]
+        df = (pd.DataFrame({"gram": grams, "doc_id": ids})
+              .drop_duplicates())
+        df["_p"] = (hashing.hash_strings(df["gram"].to_numpy(object))
+                    % np.uint64(P)).astype(np.int64)
+        return df
+
+    gram_doc = ds.map_batches(gram_rows, batch_format="pandas",
+                              batch_size=2048).materialize()
+
+    # |G(doc)|: per-batch partial counts + one doc-hash combine
+    def size_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("doc_id", as_index=False, sort=False)
+             .size().rename(columns={"size": "g_size"}))
+        g["g_size"] = g["g_size"].astype("int64")
+        g["_ps"] = part_tag(g["doc_id"].to_numpy(np.int64), P)
+        return g
+
+    def size_fin(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False, sort=False)
+               ["g_size"].sum())
+        return out.astype({"doc_id": "int64", "g_size": "int64"})
+
+    sizes = (gram_doc.map_batches(size_part, batch_format="pandas")
+             .groupby("_ps").map_groups(size_fin, batch_format="pandas"))
+
+    def gram_pairs(g: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        m = g[["gram", "doc_id"]].merge(g[["gram", "doc_id"]], on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "_p2": pa.array([], pa.int64())})
+        c = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+             .size().rename(columns={"doc_id_x": "a_id",
+                                     "doc_id_y": "b_id", "size": "c"}))
+        c["c"] = c["c"].astype("int64")
+        c["_p2"] = part_tag(c["a_id"].to_numpy(np.int64), P)
+        return c
+
+    def pair_fin(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a_id", "b_id"], as_index=False)["c"].sum()
+        return out.astype({"a_id": "int64", "b_id": "int64", "c": "int64"})
+
+    pairs = (gram_doc.groupby("_p")
+             .map_groups(gram_pairs, batch_format="pandas")
+             .groupby("_p2").map_groups(pair_fin, batch_format="pandas"))
+
+    j = bucket_join(pairs, sizes, "a_id", "doc_id", num_partitions=P)
+    j = bucket_join(j.map_batches(
+        lambda b: b.rename(columns={"g_size": "size_a"}),
+        batch_format="pandas"), sizes, "b_id", "doc_id",
+        num_partitions=P, suffix="_b")
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a_id"].to_numpy(np.int64)
+        bb = b["b_id"].to_numpy(np.int64)
+        c = b["c"].to_numpy(np.int64)
+        sa = b["size_a"].to_numpy(np.int64)
+        sb = b["g_size"].to_numpy(np.int64)
+        rows = []
+        for inner, outer, s in ((a, bb, sa), (bb, a, sb)):
+            ok = 100 * c >= tau_pct * s
+            rows.append(pd.DataFrame({
+                "inner_id": inner[ok], "outer_id": outer[ok],
+                "n_common": c[ok], "pct": (100 * c[ok]) // s[ok]}))
+        return pd.concat(rows, ignore_index=True)
+
+    out = j.map_batches(emit, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "inner_id": pd.Series([], dtype="int64"),
+            "outer_id": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "pct": pd.Series([], dtype="int64")})
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["inner_id", "outer_id"]).reset_index(drop=True))

@@ -8843,3 +8843,40 @@ SELECT c.source,
 FROM c JOIN gc ON c.bucket = gc.bucket, tot
 GROUP BY c.source ORDER BY c.source
 """
+
+
+def q_containment(sf_dir: str) -> pd.DataFrame:
+    """N-gram containment join (dedup.containment_pairs, 5-word grams,
+    tau 60%): one-sided near-dup/quote detection the symmetric Jaccard
+    misses. Twin: DISTINCT-gram self-join + both-direction integer
+    threshold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.containment_pairs(ds, window=5, tau_pct=60)
+
+
+SQL_CONTAINMENT = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS g FROM grams GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS c
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), both_dirs AS (
+  SELECT c.a_id AS inner_id, c.b_id AS outer_id, c.c, s.g
+  FROM common c JOIN sizes s ON s.doc_id = c.a_id
+  UNION ALL
+  SELECT c.b_id, c.a_id, c.c, s.g
+  FROM common c JOIN sizes s ON s.doc_id = c.b_id
+)
+SELECT inner_id, outer_id, c AS n_common, (100 * c) // g AS pct
+FROM both_dirs WHERE 100 * c >= 60 * g
+ORDER BY inner_id, outer_id
+"""

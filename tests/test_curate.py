@@ -917,3 +917,31 @@ def test_cooccurrence_planted(ray_session):
     assert gg.loc[("a", "b")] == 4 * 6
     assert gg.loc[("a", "a")] == 2 * 6
     assert gg.loc[("b", "b")] == 1 * 6
+
+
+def test_containment_pairs_planted(ray_session):
+    """A short doc quoted inside a long one: containment 100% in the
+    short->long direction, below threshold the other way (the case
+    symmetric Jaccard misses); layout invariance."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"          # 6 words
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [quote,                       # 2 distinct 5-grams
+                 filler + " " + quote + " " + filler,
+                 "unrelated text with no shared five gram windows at all"],
+    })
+    got = containment_pairs(rd.from_pandas(df).repartition(2),
+                            window=5, tau_pct=60)
+    got = got.set_index(["inner_id", "outer_id"])
+    assert got.loc[(1, 2), "pct"] == 100       # quote fully contained
+    assert (2, 1) not in got.index             # big doc not in quote
+    assert not any(3 in k for k in got.index)  # unrelated joins nothing
+
+    g1 = containment_pairs(rd.from_pandas(df), window=5, tau_pct=60)
+    assert g1.equals(got.reset_index()[g1.columns.tolist()])

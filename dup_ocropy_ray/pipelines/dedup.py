@@ -1745,8 +1745,7 @@ def containment_pairs(ds: rd.Dataset, window: int = 5,
     scale drop grams with document frequency above a cap BEFORE the
     merge (they carry no containment signal); the synthetic corpus's
     5-gram df is bounded so no cap is applied here."""
-    from .relational import bucket_join
-    from .windows import part_tag
+    from .relational import bucket_join, keyed_combine
 
     P = num_partitions
 
@@ -1767,21 +1766,13 @@ def containment_pairs(ds: rd.Dataset, window: int = 5,
     gram_doc = ds.map_batches(gram_rows, batch_format="pandas",
                               batch_size=2048).materialize()
 
-    # |G(doc)|: per-batch partial counts + one doc-hash combine
-    def size_part(b: pd.DataFrame) -> pd.DataFrame:
-        g = (b.groupby("doc_id", as_index=False, sort=False)
-             .size().rename(columns={"size": "g_size"}))
-        g["g_size"] = g["g_size"].astype("int64")
-        g["_ps"] = part_tag(g["doc_id"].to_numpy(np.int64), P)
-        return g
-
-    def size_fin(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby("doc_id", as_index=False, sort=False)
-               ["g_size"].sum())
-        return out.astype({"doc_id": "int64", "g_size": "int64"})
-
-    sizes = (gram_doc.map_batches(size_part, batch_format="pandas")
-             .groupby("_ps").map_groups(size_fin, batch_format="pandas"))
+    # |G(doc)|: per-batch unit rows + one doc-hash keyed combine
+    ones = gram_doc.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "g_size": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+    sizes = keyed_combine(ones, "doc_id", ["g_size"], num_partitions=P)
 
     def gram_pairs(g: pd.DataFrame) -> "pd.DataFrame | pa.Table":
         m = g[["gram", "doc_id"]].merge(g[["gram", "doc_id"]], on="gram")
@@ -1789,28 +1780,34 @@ def containment_pairs(ds: rd.Dataset, window: int = 5,
         if not len(m):
             return pa.table({"a_id": pa.array([], pa.int64()),
                              "b_id": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64()),
-                             "_p2": pa.array([], pa.int64())})
+                             "c": pa.array([], pa.int64())})
         c = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
              .size().rename(columns={"doc_id_x": "a_id",
                                      "doc_id_y": "b_id", "size": "c"}))
         c["c"] = c["c"].astype("int64")
-        c["_p2"] = part_tag(c["a_id"].to_numpy(np.int64), P)
         return c
 
-    def pair_fin(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["a_id", "b_id"], as_index=False)["c"].sum()
-        return out.astype({"a_id": "int64", "b_id": "int64", "c": "int64"})
+    pairs = keyed_combine(
+        gram_doc.groupby("_p").map_groups(gram_pairs,
+                                          batch_format="pandas"),
+        ["a_id", "b_id"], ["c"], num_partitions=P)
 
-    pairs = (gram_doc.groupby("_p")
-             .map_groups(gram_pairs, batch_format="pandas")
-             .groupby("_p2").map_groups(pair_fin, batch_format="pandas"))
-
-    j = bucket_join(pairs, sizes, "a_id", "doc_id", num_partitions=P)
+    # explicit schemas: bucket_join otherwise calls .schema() on these
+    # lazy map_groups-terminated plans, executing each shuffle TWICE
+    pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                             ("c", pa.int64())])
+    size_schema = pa.schema([("doc_id", pa.int64()),
+                             ("g_size", pa.int64())])
+    j = bucket_join(pairs, sizes, "a_id", "doc_id", num_partitions=P,
+                    left_schema=pair_schema, right_schema=size_schema)
+    j1_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                           ("c", pa.int64()), ("doc_id", pa.int64()),
+                           ("size_a", pa.int64())])
     j = bucket_join(j.map_batches(
         lambda b: b.rename(columns={"g_size": "size_a"}),
         batch_format="pandas"), sizes, "b_id", "doc_id",
-        num_partitions=P, suffix="_b")
+        num_partitions=P, suffix="_b",
+        left_schema=j1_schema, right_schema=size_schema)
 
     def emit(b: pd.DataFrame) -> pd.DataFrame:
         a = b["a_id"].to_numpy(np.int64)

@@ -49,31 +49,16 @@ import pyarrow as pa
 import ray.data as rd
 
 from .relational import bucket_join, grouped_agg
-from .windows import part_tag
 
 
 def _node_combine(ds: rd.Dataset, cols: "list[str]", op: str,
                   num_partitions: int = 64) -> rd.Dataset:
-    """Keyed combine on ``node``: per-batch pandas partial + ONE coarse
-    hash-bucket shuffle + per-partition final — the repo-wide combine
-    shape. The native Dataset groupby aggregator measured ~12 s per
-    round on a 500-node rank table at 32 CPUs (same pathology the
-    round-3 notes pinned for order_ntile, 70.7 s -> 3.7 s); this form
-    runs the identical reduction in ~0.2 s. Column names are
-    preserved (no ``sum(col)`` renames)."""
+    """Keyed combine on ``node`` — thin alias of relational.
+    keyed_combine, which documents why the native Dataset groupby
+    aggregator is avoided here (tens of seconds per BSP round)."""
+    from .relational import keyed_combine
 
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        g = getattr(b.groupby("node", as_index=False, sort=False)[cols],
-                    op)()
-        g["_p"] = part_tag(g["node"].to_numpy(np.int64), num_partitions)
-        return g
-
-    def fin(g: pd.DataFrame) -> pd.DataFrame:
-        return getattr(g.groupby("node", as_index=False, sort=False)[cols],
-                       op)()
-
-    return (ds.map_batches(part, batch_format="pandas", batch_size=65536)
-            .groupby("_p").map_groups(fin, batch_format="pandas"))
+    return keyed_combine(ds, "node", cols, op, num_partitions)
 
 # Multiplicative-congruential link synthesis: dst_j(src) =
 # ((src * MULT + j * INC) mod 2^32) mod N for j in 1..k. MULT is

@@ -6017,25 +6017,17 @@ def q_cust_order_outer(sf_dir: str) -> pd.DataFrame:
     left = cust.map_batches(lprep, batch_format="pandas", batch_size=65536)
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
+    from .relational import keyed_combine
 
-    def rpart(b: pd.DataFrame) -> pd.DataFrame:
-        from .windows import part_tag
-
-        g = (b.groupby("o_custkey", as_index=False, sort=False)
-             .size().rename(columns={"size": "n_orders"}))
-        g["n_orders"] = g["n_orders"].astype("int64")
-        g["_p"] = part_tag(g["o_custkey"].to_numpy(np.int64), 64)
-        return g
-
-    def rfin(g: pd.DataFrame) -> pd.DataFrame:
-        s = (g.groupby("o_custkey", as_index=False, sort=False)
-             ["n_orders"].sum())
-        s = s[s["n_orders"] >= 8]
-        return s.astype({"o_custkey": "int64", "n_orders": "int64"})
-
-    right = (orders.map_batches(rpart, batch_format="pandas",
-                                batch_size=65536)
-             .groupby("_p").map_groups(rfin, batch_format="pandas"))
+    ones = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "n_orders": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas", batch_size=65536)
+    right = keyed_combine(ones, "o_custkey", ["n_orders"]).map_batches(
+        lambda b: b[b["n_orders"] >= 8].astype(
+            {"o_custkey": "int64", "n_orders": "int64"}),
+        batch_format="pandas")
 
     import pyarrow as pa
 
@@ -8601,7 +8593,15 @@ def q_scd2_join(sf_dir: str) -> pd.DataFrame:
 
     facts = docs.map_batches(probes, batch_format="pandas")
     hist = _scd2_history_ds(_read(sf_dir, "documents", ["doc_id"]))
-    j = bucket_join(facts, hist, "doc_id", "doc_id", suffix="_h")
+    # static schemas: without them bucket_join's .schema() probe would
+    # execute the whole lazy history build a second time
+    fact_schema = pa.schema([("doc_id", pa.int64()),
+                             ("probe_seq", pa.int64())])
+    hist_schema = pa.schema([("doc_id", pa.int64()), ("seq", pa.int64()),
+                             ("valid_to", pa.int64()),
+                             ("is_current", pa.bool_())])
+    j = bucket_join(facts, hist, "doc_id", "doc_id", suffix="_h",
+                    left_schema=fact_schema, right_schema=hist_schema)
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         t = b["probe_seq"].to_numpy(np.int64)
@@ -8791,23 +8791,29 @@ def q_drift_emd(sf_dir: str) -> pd.DataFrame:
 
     h = (docs.map_batches(hist_part, batch_format="pandas").to_pandas()
          .groupby(["source", "bucket"], as_index=False)["n"].sum())
-    # dense (source x bucket) spine so cumulative sums align
-    srcs = np.sort(h["source"].unique())
-    buckets = np.arange(h["bucket"].max() + 1, dtype=np.int64)
-    spine = pd.MultiIndex.from_product([srcs, buckets],
-                                       names=["source", "bucket"])
-    dense = (h.set_index(["source", "bucket"])["n"]
-             .reindex(spine, fill_value=0).reset_index())
-    dense["cum_s"] = dense.groupby("source", sort=False)["n"].cumsum()
-    tot = dense.groupby("source", sort=False)["n"].sum()
-    gl = dense.groupby("bucket", sort=False)["n"].sum().cumsum()
+    # SPARSE evaluation on the observed buckets only (a single
+    # pathological 100 MB doc must not allocate a dense max-bucket
+    # spine): both cumulative step functions are constant between
+    # consecutive observed buckets, so each |.| term is weighted by
+    # the bucket-gap width; below the first and above the last
+    # observed bucket every term is zero.
+    gb = np.sort(h["bucket"].unique())
+    widths = np.diff(gb)  # gap to the next observed bucket
+    gcum = (h.groupby("bucket", sort=True)["n"].sum()
+            .cumsum().to_numpy(np.int64))
+    tot = h.groupby("source", sort=False)["n"].sum()
     N = int(tot.sum())
-    dense["cum_all"] = dense["bucket"].map(gl).astype("int64")
-    dense["n_s"] = dense["source"].map(tot).astype("int64")
-    dense["term"] = (dense["cum_s"].astype("int64") * N
-                     - dense["cum_all"] * dense["n_s"]).abs()
-    out = dense.groupby("source", as_index=False).agg(
-        n_docs=("n", "sum"), emd_scaled=("term", "sum"))
+    rows = []
+    for src, g in h.sort_values("bucket").groupby("source", sort=True):
+        # cum_s evaluated at every globally-observed bucket
+        csum = np.concatenate(
+            [np.zeros(1, np.int64), g["n"].cumsum().to_numpy(np.int64)])
+        cum_s = csum[np.searchsorted(g["bucket"].to_numpy(np.int64),
+                                     gb, "right")]
+        n_s = int(tot[src])
+        term = np.abs(cum_s * N - gcum * n_s)
+        rows.append((src, n_s, int((term[:-1] * widths).sum())))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "emd_scaled"])
     out["n_docs"] = out["n_docs"].astype("int64")
     out["emd_scaled"] = out["emd_scaled"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)

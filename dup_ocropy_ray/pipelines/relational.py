@@ -21,6 +21,38 @@ import ray
 import ray.data as rd
 
 
+def keyed_combine(ds: rd.Dataset, keys: "str | list[str]",
+                  cols: "list[str]", op: str = "sum",
+                  num_partitions: int = 64) -> rd.Dataset:
+    """THE keyed-combine shape for unbounded key cardinality, as a
+    Dataset (contrast grouped_agg, whose result lands on the driver):
+    per-batch pandas partial + ONE coarse hash-bucket shuffle +
+    per-partition final. Column names are preserved (no ``sum(col)``
+    renames). The native Dataset groupby aggregator measured ~12 s per
+    round on a 500-key table at 32 CPUs (the order_ntile pathology in
+    the round-3 notes); this form runs the identical reduction in
+    ~0.2 s. ``op`` must be associative-idempotent-safe for re-applying
+    to partials (sum/min/max). The first key column must be int64 —
+    it feeds the partition tag."""
+    from .windows import part_tag
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = getattr(b.groupby(keys, as_index=False, sort=False)[cols],
+                    op)()
+        g["_kc"] = part_tag(g[keys[0]].to_numpy(np.int64),
+                            num_partitions)
+        return g
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        return getattr(g.groupby(keys, as_index=False, sort=False)[cols],
+                       op)()
+
+    return (ds.map_batches(part, batch_format="pandas", batch_size=65536)
+            .groupby("_kc").map_groups(fin, batch_format="pandas"))
+
+
 def grouped_agg(
     ds: rd.Dataset,
     keys: Sequence[str],

@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": q.q_knn_pq,
         "knn_lsh": q.q_knn_lsh,
         "vacuum_audit": q.q_vacuum_audit,
+        "suffix_array": q.q_suffix_array,
         "knn_ivf_disk": q.q_knn_ivf_disk,
         "kmeans": q.q_kmeans,
         "fingerprints": q.q_fingerprints,

@@ -8886,3 +8886,21 @@ SELECT inner_id, outer_id, c AS n_common, (100 * c) // g AS pct
 FROM both_dirs WHERE 100 * c >= 60 * g
 ORDER BY inner_id, outer_id
 """
+
+
+def q_suffix_array(sf_dir: str) -> pd.DataFrame:
+    """Distributed suffix array (pipelines/suffix.py, prefix doubling —
+    the exact index behind Lee et al. substring dedup) over the corpus
+    token stream; returns the first 100 suffixes in lexicographic
+    order as (rank, pos). Not SQL-expressible (DuckDB cannot sort
+    suffixes without materializing them); correctness is pinned by
+    exact equality against a serial numpy doubling reference and the
+    planted 'banana' fixture in tests/test_suffix.py."""
+    from .suffix import suffix_array
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ranks, n = suffix_array(docs)
+    head = (ranks.filter(expr="rank < 100").to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    return pd.DataFrame({"rank": head["rank"].astype("int64"),
+                         "pos": head["pos"].astype("int64")})

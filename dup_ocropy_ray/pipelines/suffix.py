@@ -1,0 +1,213 @@
+"""Distributed SUFFIX ARRAY by prefix doubling — the index behind
+exact substring deduplication (Lee et al. 2022 build one over the
+whole training corpus; pipelines/dedup.py's windowed-hash span dedup is
+the approximation, this is the exact structure).
+
+Shape: O(log n) bulk-synchronous rounds over a (pos, rank) table that
+never lands on the driver. Each round h doubles the compared prefix:
+
+    key(pos) = rank(pos) * (n + 1) + rank(pos + h) + 1      (0 if past end)
+    rank'    = dense_rank(key)
+
+Round cost: ONE large x large bucket_join (fetch rank at pos+h) + ONE
+range sort + two linear passes (the distributed dense rank below). The
+driver holds only per-block summary rows (ordered_scan's trick) and the
+loop terminates when every rank is distinct — ceil(log2(n)) + 1 rounds.
+
+Dense rank without a vocabulary on the driver: sort by (key, pos) so
+block boundaries are unambiguous even with massive ties, emit one
+summary row per block (first/last key, distinct-within count), walk the
+block chain on the driver carrying the boundary-continuation flag (a
+key spanning two blocks must share one rank), broadcast the per-block
+base ranks, and add the in-block local dense index in a second pass.
+
+Correctness is pinned by exact equality against a serial numpy
+doubling reference and a planted 'banana' fixture; layout invariance
+(1 vs 8 input blocks) holds because every step is order-free or
+globally sorted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .relational import bucket_join
+from .windows import ordered_scan
+
+__all__ = ["corpus_tokens", "suffix_array", "suffix_array_ref"]
+
+
+def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id") -> "tuple[rd.Dataset, int]":
+    """(pos, word) token stream of the corpus in (doc_id, token-index)
+    order with GLOBAL positions, plus the total token count. Global
+    doc offsets come from one ordered_scan prefix sum over doc_id —
+    per-block partials + a blocks-sized driver reduce, never a
+    corpus-scale driver table."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [(t or "").split() for t in b[text_col].fillna("")]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        n = int(lens.sum())
+        if n == 0:
+            return pd.DataFrame({"pos": pd.Series([], dtype="int64"),
+                                 "word": pd.Series([], dtype=object)})
+        words = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        offs = (b["run_n_tokens"].to_numpy(np.int64)
+                - lens)  # exclusive prefix = inclusive run - own count
+        starts = np.repeat(offs, lens)
+        local = (np.arange(n, dtype=np.int64)
+                 - np.repeat(np.concatenate(
+                     [np.zeros(1, np.int64), np.cumsum(lens)])[:-1], lens))
+        return pd.DataFrame({"pos": starts + local, "word": words})
+
+    # carry the text through the scan: ordered_scan preserves columns
+    cts = docs.map_batches(
+        lambda b: pd.DataFrame({
+            id_col: b[id_col].astype(np.int64),
+            text_col: b[text_col].fillna(""),
+            "n_tokens": b[text_col].fillna("").str.split().map(len)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    scanned = ordered_scan(cts, id_col,
+                           sum_cols=("n_tokens",)).materialize()
+    total = int(scanned.max("run_n_tokens") or 0)
+    toks = scanned.map_batches(explode, batch_format="pandas",
+                               batch_size=2048)
+    return toks, total
+
+
+def _dense_rank(ds: rd.Dataset, key_col: str,
+                pos_col: str = "pos") -> "tuple[rd.Dataset, int]":
+    """Distributed dense rank (0-based, ties share) of ``key_col``:
+    returns ((pos, rank) Dataset, n_distinct). Sort is by (key, pos) so
+    equal keys spanning a block boundary are detected by the driver's
+    block-chain walk, not mis-ranked."""
+    s = ds.sort([key_col, pos_col]).materialize()
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "first_key": pd.Series([], dtype=object),
+                "last_key": pd.Series([], dtype=object),
+                "first_pos": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64")})
+        k = b[key_col].to_numpy()
+        new = np.ones(len(k), bool)
+        new[1:] = k[1:] != k[:-1]
+        return pd.DataFrame({
+            "first_key": [k[0]], "last_key": [k[-1]],
+            "first_pos": [np.int64(b[pos_col].iloc[0])],
+            "n_distinct": [np.int64(new.sum())]})
+
+    ss = (s.map_batches(summary, batch_format="pandas", batch_size=None)
+          .to_pandas())
+    ss = ss.sort_values(["first_key", "first_pos"]).reset_index(drop=True)
+    bases: dict = {}
+    total = 0
+    prev_last = None
+    for _, row in ss.iterrows():
+        continued = (prev_last is not None
+                     and row["first_key"] == prev_last)
+        base = total - 1 if continued else total
+        bases[(row["first_key"], int(row["first_pos"]))] = base
+        total += int(row["n_distinct"]) - (1 if continued else 0)
+        prev_last = row["last_key"]
+    bases_ref = ray.put(bases)
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"pos": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        k = b[key_col].to_numpy()
+        new = np.ones(len(k), np.int64)
+        new[1:] = (k[1:] != k[:-1]).astype(np.int64)
+        local = np.cumsum(new) - 1
+        base = ray.get(bases_ref)[(k[0], int(b[pos_col].iloc[0]))]
+        return pd.DataFrame({
+            "pos": b[pos_col].astype(np.int64),
+            "rank": (base + local).astype(np.int64)})
+
+    ranks = s.map_batches(apply, batch_format="pandas", batch_size=None)
+    return ranks, total
+
+
+_RANK_SCHEMA = pa.schema([("pos", pa.int64()), ("rank", pa.int64())])
+_PROBE_SCHEMA = pa.schema([("pos", pa.int64()), ("r2", pa.int64())])
+
+
+def suffix_array(docs: rd.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 num_partitions: int = 32) -> "tuple[rd.Dataset, int]":
+    """Suffix array of the corpus token stream: returns ((pos, rank)
+    Dataset — ``rank`` is the suffix's position in lexicographic
+    order — and n). Materialized per round to keep lineage flat; the
+    loop raises if ranks fail to separate within the doubling bound
+    (impossible unless the rank table was corrupted)."""
+    toks, n = corpus_tokens(docs, text_col, id_col)
+    if n == 0:
+        return (rd.from_pandas(pd.DataFrame({
+            "pos": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")})), 0)
+    ranks, distinct = _dense_rank(toks, "word")
+    ranks = ranks.materialize()
+    h = 1
+    rounds = 0
+    while distinct < n:
+        if h > 2 * n:
+            raise RuntimeError("suffix_array: prefix doubling failed "
+                               "to separate ranks — rank table corrupt")
+        probe = ranks.map_batches(
+            lambda b, _h=h: pd.DataFrame({
+                "pos": b["pos"].to_numpy(np.int64) - _h,
+                "r2": b["rank"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        j = bucket_join(ranks, probe, "pos", "pos",
+                        num_partitions=num_partitions, how="left",
+                        left_schema=_RANK_SCHEMA,
+                        right_schema=_PROBE_SCHEMA, suffix="_r")
+
+        def mk_key(b: pd.DataFrame, _n=n) -> pd.DataFrame:
+            r2 = pd.to_numeric(b["r2"], errors="raise").fillna(-1)
+            key = (b["rank"].to_numpy(np.int64) * (_n + 1)
+                   + r2.to_numpy(np.int64) + 1)
+            return pd.DataFrame({"pos": b["pos"].astype(np.int64),
+                                 "key": key})
+
+        keyed = j.map_batches(mk_key, batch_format="pandas")
+        ranks, distinct = _dense_rank(keyed, "key")
+        ranks = ranks.materialize()
+        h *= 2
+        rounds += 1
+    return ranks, n
+
+
+def suffix_array_ref(words: "list[str]") -> np.ndarray:
+    """Serial numpy doubling reference (test oracle): returns the
+    suffix array as positions in lexicographic suffix order."""
+    n = len(words)
+    if n == 0:
+        return np.empty(0, np.int64)
+    rank = np.unique(np.asarray(words, dtype=object),
+                     return_inverse=True)[1].astype(np.int64)
+    h = 1
+    while len(np.unique(rank)) < n:
+        r2 = np.full(n, -1, np.int64)
+        r2[: n - h] = rank[h:]
+        order = np.lexsort((r2, rank))
+        key_sorted = np.stack([rank[order], r2[order]], axis=1)
+        new = np.ones(n, np.int64)
+        new[1:] = (np.any(key_sorted[1:] != key_sorted[:-1],
+                          axis=1)).astype(np.int64)
+        newrank = np.empty(n, np.int64)
+        newrank[order] = np.cumsum(new) - 1
+        rank = newrank
+        h *= 2
+    sa = np.empty(n, np.int64)
+    sa[rank] = np.arange(n, dtype=np.int64)
+    return sa

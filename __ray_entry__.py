@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_stats": q.q_warc_stats,
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
+        "cetr_extract": q.q_cetr_extract,
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
         "hard_examples": q.q_hard_examples,

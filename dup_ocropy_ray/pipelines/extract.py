@@ -146,6 +146,42 @@ def justext_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
         justext_stage, batch_format="pandas", batch_size=batch_size)
 
 
+def cetr_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> per-page CETR summary (functions/cetr.py):
+    wrap into the deterministic page, line/TTR/smooth/2-means, and
+    score the kept text against the known source — recall/precision in
+    permille so the table stays integer-exact. One fused per-doc map
+    (wrap + extract + score share the row, so neither the page nor the
+    content text crosses a stage boundary)."""
+    from ..functions.cetr import cetr_stats
+
+    rows = {k: [] for k in ("doc_id", "n_lines", "n_content_lines",
+                            "content_chars", "recall_permille",
+                            "precision_permille")}
+    for i, t in zip(b["doc_id"], b["text"]):
+        text = t if isinstance(t, str) else ""
+        s = cetr_stats(wrap_html(int(i), text))
+        want = set(text.split())
+        got = set(s["content_text"].split())
+        rows["doc_id"].append(int(i))
+        rows["n_lines"].append(s["n_lines"])
+        rows["n_content_lines"].append(s["n_content_lines"])
+        rows["content_chars"].append(s["content_chars"])
+        rows["recall_permille"].append(
+            1000 * len(want & got) // max(1, len(want)))
+        rows["precision_permille"].append(
+            1000 * len(want & got) // max(1, len(got)))
+    return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                         for k, v in rows.items()})
+
+
+def cetr_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    """documents(doc_id, text) -> per-doc CETR extraction quality table.
+    Per-doc map only — no shuffle; same scale shape as justext_table."""
+    return ds.map_batches(cetr_stage, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 # ------------------------------------------------------------- PDF leg
 
 

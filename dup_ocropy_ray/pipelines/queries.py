@@ -2523,6 +2523,21 @@ ORDER BY b.doc_id
 """
 
 
+def q_cetr_extract(sf_dir: str) -> pd.DataFrame:
+    """CETR tag-ratio main-content extraction (Weninger et al., WWW
+    2010; functions/cetr.py) over the deterministic wrapped pages:
+    per-doc line counts, content-cluster size, and integer-permille
+    recall/precision of the kept text against the known source. Rows
+    only (the 2-means cluster isn't SQL-re-derivable); the quality
+    gates live in tests/test_cetr.py — recall is 1000‰ on every page
+    by construction of the synthetic chrome."""
+    from .extract import cetr_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = cetr_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pdf_extract(sf_dir: str) -> pd.DataFrame:
     """PDF layout-parse round-trip (north-rule PDF leg): each document
     is rendered into a real (Flate-compressed, multi-page, odd doc_ids

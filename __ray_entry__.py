@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk_events": q.q_sort_topk_events,
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
+        "ppjoin": q.q_ppjoin,
         "dedup_clusters": q.q_dedup_clusters,
         "dedup_keep": q.q_dedup_keep,
         "cluster_size_hist": q.q_cluster_size_hist,
@@ -540,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk_events": q.SQL_SORT_TOPK_EVENTS,
         "dedup_exact": q.SQL_DEDUP_EXACT,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
+        "ppjoin": q.SQL_PPJOIN,
         "dedup_clusters": q.SQL_DEDUP_CLUSTERS,
         "dedup_keep": q.SQL_DEDUP_KEEP,
         "cluster_size_hist": q.SQL_CLUSTER_SIZE_HIST,

@@ -1832,3 +1832,161 @@ def containment_pairs(ds: rd.Dataset, window: int = 5,
             "pct": pd.Series([], dtype="int64")})
     return (out.astype({c: "int64" for c in out.columns})
             .sort_values(["inner_id", "outer_id"]).reset_index(drop=True))
+
+
+# ------------------------------------------------- PPJoin (prefix filter)
+
+
+def ppjoin_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    max_token_group: int = 50_000,
+) -> rd.Dataset:
+    """EXACT corpus-GLOBAL token-set Jaccard join via prefix filtering
+    (AllPairs / PPJoin — Bayardo et al. WWW 2007, Xiao et al. WWW 2008;
+    distributed shape per Vernica et al. SIGMOD 2010). Unlike
+    ngram_jaccard_pairs this needs NO partition columns to bound the
+    quadratic and NO LSH approximation on skew: every pair with
+    jaccard >= threshold is found, with certainty.
+
+    Why it scales: order each doc's tokens by ascending global document
+    frequency (rare first; any consistent total order preserves the
+    guarantee — we order by (df, token_hash), the SQL twin by
+    (df, token): prefixes may differ, final pair sets cannot). A pair
+    with J >= t MUST share a token within each side's first
+    ``n - ceil(t*n) + 1`` tokens, so only prefix tokens are indexed —
+    and prefix tokens are the RAREST in each doc, so the token buckets
+    the candidate join explodes are tiny; stopwords sort into suffixes
+    and never enter the index. ``max_token_group`` guards the residual
+    skew case (a rare-ish token shared by a huge near-dup family) with
+    a loud error instead of a silent quadratic stall.
+
+    Exchange plan (all metadata-scale, no driver materialization):
+    token explode -> keyed_combine df -> bucket_join df onto tokens ->
+    doc-bucket prefix cut -> token-bucket candidate triu + length
+    filter (min_n >= t*max_n) -> keyed_combine pair dedup -> two
+    bucket_joins fetch member texts -> vectorized exact verify.
+    Returns a Dataset (doc_a < doc_b, jaccard rounded to 6dp).
+    """
+    from .relational import bucket_join, keyed_combine
+    from .windows import part_tag
+
+    P = num_partitions
+    docs = ds.select_columns([id_col, text_col])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        toks: list[str] = []
+        for i, t in zip(b[id_col], b[text_col]):
+            ts = set((t if isinstance(t, str) else "").split())
+            ids.extend([int(i)] * len(ts))
+            toks.extend(ts)
+        th = (hashing.hash_strings(toks) if toks
+              else np.empty(0, np.uint64)).view(np.int64)
+        return pd.DataFrame({"th": pd.Series(th, dtype="int64"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    tok_tbl = docs.map_batches(explode, batch_format="pandas")
+    df_tbl = keyed_combine(
+        tok_tbl.map_batches(lambda b: b[["th"]].assign(df=np.int64(1)),
+                            batch_format="pandas"),
+        "th", ["df"], "sum", P)
+
+    tok_schema = pa.schema([("th", pa.int64()), ("doc_id", pa.int64())])
+    df_schema = pa.schema([("th", pa.int64()), ("df", pa.int64())])
+    with_df = bucket_join(tok_tbl, df_tbl, "th", "th",
+                          num_partitions=P, left_schema=tok_schema,
+                          right_schema=df_schema)
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "th"], kind="mergesort")
+        n = g.groupby("doc_id")["th"].transform("size").to_numpy(np.int64)
+        rank = g.groupby("doc_id").cumcount().to_numpy(np.int64)
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = rank < p
+        return pd.DataFrame({
+            "th": g["th"].to_numpy(np.int64)[keep],
+            "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+            "n": n[keep]})
+
+    prefix = (with_df.map_batches(
+        lambda b: b.assign(_dp=part_tag(b["doc_id"].to_numpy(np.int64), P)),
+        batch_format="pandas")
+        .groupby("_dp")
+        .map_groups(lambda g: prefix_part(g.drop(columns="_dp")),
+                    batch_format="pandas"))
+
+    def cand_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["th", "n", "doc_id"], kind="mergesort")
+        th = g["th"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
+        ends = np.r_[starts[1:], len(th)]
+        das, dbs = [], []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            if m > max_token_group:
+                raise ValueError(
+                    f"ppjoin: token group of {m} docs exceeds "
+                    f"max_token_group={max_token_group}; raise the cap or "
+                    "pre-split the near-dup family")
+            iu, ju = np.triu_indices(m, 1)
+            na, nb = n[s + iu], n[s + ju]  # na <= nb by the sort
+            ok = na >= threshold * nb - 1e-9
+            da, db = d[s + iu][ok], d[s + ju][ok]
+            das.append(np.minimum(da, db))
+            dbs.append(np.maximum(da, db))
+        if not das:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(das),
+            "doc_b": np.concatenate(dbs),
+            "w": np.ones(sum(len(x) for x in das), dtype=np.int64)})
+
+    cands = (prefix.map_batches(
+        lambda b: b.assign(_tp=part_tag(b["th"].to_numpy(np.int64), P)),
+        batch_format="pandas")
+        .groupby("_tp")
+        .map_groups(lambda g: cand_part(g.drop(columns="_tp")),
+                    batch_format="pandas"))
+    # w = number of shared prefix tokens; the combine is the pair dedup
+    pairs = keyed_combine(cands, ["doc_a", "doc_b"], ["w"], "sum", P)
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("w", pa.int64())])
+    doc_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
+    with_a = bucket_join(pairs, docs, "doc_a", id_col,
+                         num_partitions=P, suffix="_a",
+                         left_schema=pair_schema, right_schema=doc_schema)
+    with_ab = bucket_join(
+        with_a,
+        docs.map_batches(lambda b: b.rename(columns={text_col: "text_b"}),
+                         batch_format="pandas"),
+        "doc_b", id_col, num_partitions=P, suffix="_b",
+        left_schema=pair_schema.append(pa.field(text_col, pa.string())),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("text_b", pa.string())]))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        ja = []
+        for x, y in zip(b[text_col], b["text_b"]):
+            sx = set((x if isinstance(x, str) else "").split())
+            sy = set((y if isinstance(y, str) else "").split())
+            u = len(sx | sy)
+            ja.append(len(sx & sy) / u if u else 1.0)
+        ja = np.asarray(ja, dtype=np.float64)
+        keep = ja >= threshold
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": b["doc_b"].to_numpy(np.int64)[keep],
+            "jaccard": np.round(ja[keep], 6)})
+
+    return with_ab.map_batches(verify, batch_format="pandas")

@@ -909,6 +909,59 @@ WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
 """
 
 
+def q_ppjoin(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus-GLOBAL Jaccard similarity join by prefix filtering
+    (dedup.ppjoin_pairs — AllPairs/PPJoin, distributed per Vernica et
+    al. SIGMOD 2010). Contrast dedup_ngram: no partition columns, no
+    LSH approximation — completeness is a theorem of the prefix cut.
+    The SQL twin implements the same prefix-filter candidate join
+    (ordered by true df, token tie-break) with a list_intersect
+    verify, so both sides are exact and value-comparable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.ppjoin_pairs(ds, threshold=0.5).to_pandas()
+    return (out.astype({"doc_a": "int64", "doc_b": "int64"})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+SQL_PPJOIN = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_distinct(regexp_split_to_array(
+             trim(coalesce(text, '')), '\s+')), w -> w <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok, len(toks) AS n FROM t
+), df AS (
+  SELECT tok, count(*) AS df FROM tok GROUP BY tok
+), ranked AS (
+  SELECT k.doc_id, k.tok, k.n,
+         row_number() OVER (PARTITION BY k.doc_id
+                            ORDER BY d.df, k.tok) AS r
+  FROM tok k JOIN df d USING (tok)
+), prefix AS (
+  SELECT doc_id, tok, n FROM ranked
+  WHERE r <= n - ceil(0.5 * n) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+), verify AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+         (len(ta.toks) + len(tb.toks)
+          - len(list_intersect(ta.toks, tb.toks))) AS j
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.doc_a
+  JOIN t tb ON tb.doc_id = c.doc_b
+  WHERE len(ta.toks) + len(tb.toks) > 0
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM verify WHERE j >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs collapsed to canonical clusters: connected
     components over the (lang, source)-partitioned token-Jaccard dup

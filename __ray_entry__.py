@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
+        "readability": q.q_readability,
         "top_docs_by_source": q.q_top_docs_by_source,
         "top_terms_by_source": q.q_top_terms_by_source,
         "langid": q.q_langid,
@@ -552,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": q.SQL_TOKEN_STATS,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
+        "readability": q.SQL_READABILITY,
         "top_docs_by_source": q.SQL_TOP_DOCS_BY_SOURCE,
         "top_terms_by_source": q.SQL_TOP_TERMS_BY_SOURCE,
         "langid": q._langid_sql(),

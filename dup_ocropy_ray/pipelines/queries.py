@@ -1496,6 +1496,67 @@ FROM documents GROUP BY lang
 """
 
 
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document, from a
+    deterministic document-level syllable heuristic (count of maximal
+    [aeiouy]+ runs in the lowercased text — the standard vowel-group
+    estimator, defined at text level so both engines count the same
+    thing). Sentences = maximal [.!?]+ runs, floored at 1; words =
+    whitespace tokens. Pure per-batch vectorized string kernels — one
+    scan, no shuffle; scores are IEEE-double formulas over exact
+    integer counts so the twins agree bit-for-bit after round(,4)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        n_words = t.str.count(r"\S+").to_numpy(np.int64)
+        n_syll = t.str.lower().str.count(r"[aeiouy]+").to_numpy(np.int64)
+        n_sent = np.maximum(
+            t.str.count(r"[.!?]+").to_numpy(np.int64), 1)
+        w = np.maximum(n_words, 1).astype(np.float64)
+        flesch = np.where(
+            n_words > 0,
+            206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / w),
+            0.0)
+        fk = np.where(
+            n_words > 0,
+            0.39 * (n_words / n_sent) + 11.8 * (n_syll / w) - 15.59,
+            0.0)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_sentences": pd.Series(n_sent, dtype="int64"),
+            "n_words": pd.Series(n_words, dtype="int64"),
+            "n_syllables": pd.Series(n_syll, dtype="int64"),
+            "flesch": np.round(flesch, 4),
+            "fk_grade": np.round(fk, 4)})
+
+    out = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                            '[.!?]+'))) AS n_sentences,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_words,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+                                '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+               - 84.6 * (n_syllables::DOUBLE / n_words), 4)
+       ELSE 0.0 END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         round(0.39 * (n_words::DOUBLE / n_sentences)
+               + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4)
+       ELSE 0.0 END AS fk_grade
+FROM c ORDER BY doc_id
+"""
+
+
 def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     qt = textstats.quality_score_table(ds)

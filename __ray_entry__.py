@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
         "meta_extract": q.q_meta_extract,
+        "sitemap_extract": q.q_sitemap_extract,
         "merge_upsert": q.q_merge_upsert,
         "event_paths": q.q_event_paths,
         "trending_types": q.q_trending_types,
@@ -605,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": q.SQL_ROBOTS_FILTER,
         "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
         "meta_extract": q.SQL_META_EXTRACT,
+        "sitemap_extract": q.SQL_SITEMAP_EXTRACT,
         "merge_upsert": q.SQL_MERGE_UPSERT,
         "event_paths": q.SQL_EVENT_PATHS,
         "trending_types": q.SQL_TRENDING_TYPES,

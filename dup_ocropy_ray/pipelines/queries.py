@@ -3868,6 +3868,62 @@ ORDER BY doc_id
 """
 
 
+def q_sitemap_extract(sf_dir: str) -> pd.DataFrame:
+    """Sitemap XML round-trip (functions/sitemapx.py): assign each doc
+    to a site (doc_id % 50), render every site's <urlset> in one
+    site-keyed group (the synthetic stand-in for a crawl fetch), parse
+    the XML back to (url, lastmod, priority) rows in a stateless map.
+    The oracle re-derives every field arithmetically from doc_id —
+    the hash compare therefore pins namespace handling, entity
+    decoding (&amp; in the loc query string), date rendering, and
+    entry ordering through the full XML round-trip."""
+    from ..functions import sitemapx
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        return pd.DataFrame({"site_id": d % 50, "doc_id": d})
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["site_id"].iloc[0])
+        return pd.DataFrame({
+            "site_id": pd.Series([sid], dtype="int64"),
+            "xml": [sitemapx.render_sitemap(sid, g["doc_id"].tolist())]})
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        sids, urls, mods, pris = [], [], [], []
+        for sid, xml in zip(b["site_id"], b["xml"]):
+            for rec in sitemapx.parse_sitemap(xml):
+                sids.append(int(sid))
+                urls.append(rec["url"])
+                mods.append(rec["lastmod"])
+                pris.append(rec["priority"])
+        return pd.DataFrame({
+            "site_id": pd.Series(sids, dtype="int64"),
+            "url": pd.Series(urls, dtype=object),
+            "lastmod": pd.Series(mods, dtype=object),
+            "priority": pd.Series(pris, dtype=object)})
+
+    out = (ds.map_batches(assign, batch_format="pandas")
+           .groupby("site_id").map_groups(render, batch_format="pandas")
+           .map_batches(parse, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["site_id", "url"]).reset_index(drop=True)
+
+
+SQL_SITEMAP_EXTRACT = r"""
+SELECT doc_id % 50 AS site_id,
+       'https://site' || (doc_id % 50) || '.example/page/' || doc_id
+         || '?ref=a&b=1' AS url,
+       strftime(DATE '2025-01-01' + ((doc_id % 365)::INT), '%Y-%m-%d')
+         AS lastmod,
+       '0.' || ((doc_id * 37) % 10) AS priority
+FROM documents
+ORDER BY site_id, url
+"""
+
+
 def q_meta_extract(sf_dir: str) -> pd.DataFrame:
     """Head-metadata harvesting (OpenGraph meta + JSON-LD entity) from
     the wrapped pages: og:title, description, schema.org @type /

@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q.q_span_corruption,
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
+        "ab_cuped": q.q_ab_cuped,
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
         "rolling_distinct": q.q_rolling_distinct,
@@ -588,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": q.SQL_NB_LANGID,
         "rate_limit": q.SQL_RATE_LIMIT,
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
+        "ab_cuped": q.SQL_AB_CUPED,
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
         "rolling_distinct": q.SQL_ROLLING_DISTINCT,

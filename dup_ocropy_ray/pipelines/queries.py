@@ -5073,6 +5073,101 @@ ORDER BY day_offset
 """
 
 
+def q_ab_cuped(sf_dir: str) -> pd.DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al., WSDM 2013): variant = user_id % 2, pre-period covariate X =
+    events before 2024-01-16 per user, outcome Y = post-period value
+    in integer cents; theta = cov(X,Y)/var(X) over all users, adjusted
+    mean = mean(Y) - theta * (mean(X) - global mean(X)) per variant.
+
+    Scale shape: ONE user-keyed combine builds the per-user (x, y)
+    table, then a single map emits per-variant integer moment partials
+    (n, sx, sy, sxy, sx2) — 2 rows per block to the driver, where
+    theta and the adjusted means are closed-form. Every moment is an
+    exact int64 (counts x cents), so theta and the rounded means are
+    bit-identical to the DuckDB twin's double arithmetic."""
+    from .relational import keyed_combine
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    cut = np.datetime64("2024-01-16T00:00:00")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        pre = (pd.to_datetime(b["ts"]).to_numpy() < cut)
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100
+                         ).astype("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "x": pre.astype("int64"),
+            "y": np.where(pre, np.int64(0), cents)})
+
+    per_user = keyed_combine(
+        ev.map_batches(prep, batch_format="pandas"),
+        "user_id", ["x", "y"], "sum", 64)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["user_id"].to_numpy(np.int64) % 2
+        x = b["x"].to_numpy(np.int64)
+        y = b["y"].to_numpy(np.int64)
+        rows = []
+        for var in (0, 1):
+            m = v == var
+            rows.append((var, int(m.sum()), int(x[m].sum()),
+                         int(y[m].sum()), int((x[m] * y[m]).sum()),
+                         int((x[m] * x[m]).sum())))
+        return pd.DataFrame(rows, columns=["variant", "n", "sx", "sy",
+                                           "sxy", "sx2"])
+
+    parts = per_user.map_batches(moments, batch_format="pandas").to_pandas()
+    g = parts.groupby("variant", as_index=False).sum()
+    n = int(g["n"].sum())
+    sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+    sxy, sx2 = int(g["sxy"].sum()), int(g["sx2"].sum())
+    den = n * sx2 - sx * sx
+    theta = float(n * sxy - sx * sy) / float(den) if den else 0.0
+    mean_x = float(sx) / float(n)
+    out = []
+    for _, r in g.sort_values("variant").iterrows():
+        nv = int(r["n"])
+        mean_y = float(int(r["sy"])) / float(nv)
+        mean_x_v = float(int(r["sx"])) / float(nv)
+        out.append((int(r["variant"]), nv, round(mean_y, 6),
+                    round(mean_y - theta * (mean_x_v - mean_x), 6),
+                    round(theta, 6)))
+    return pd.DataFrame(out, columns=["variant", "n_users", "mean_y",
+                                      "mean_y_cuped", "theta"])
+
+
+SQL_AB_CUPED = r"""
+WITH u AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS x,
+         coalesce(sum(floor(value * 100)::BIGINT)
+                  FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sx2 FROM u
+), th AS (
+  SELECT n, sx,
+         CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy)::DOUBLE
+                   / (n * sx2 - sx * sx)::DOUBLE END AS theta
+  FROM m
+), v AS (
+  SELECT user_id % 2 AS variant, count(*) AS n_users,
+         sum(y) AS sy_v, sum(x) AS sx_v
+  FROM u GROUP BY 1
+)
+SELECT v.variant, v.n_users,
+       round(v.sy_v::DOUBLE / v.n_users, 6) AS mean_y,
+       round(v.sy_v::DOUBLE / v.n_users
+             - th.theta * (v.sx_v::DOUBLE / v.n_users
+                           - th.sx::DOUBLE / th.n), 6) AS mean_y_cuped,
+       round(th.theta, 6) AS theta
+FROM v, th ORDER BY v.variant
+"""
+
+
 def q_winsorize_stats(sf_dir: str) -> pd.DataFrame:
     """Per-type winsorized value stats: clip each event's value (in
     exact integer cents) to its type's [p05, p95] discrete quantiles,

@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "bm25_search": q.q_bm25_search,
         "index_search": q.q_index_search,
+        "trigram_search": q.q_trigram_search,
         "chunk_documents": q.q_chunk_documents,
         "dup_ngrams": q.q_dup_ngrams,
         "doc_dup_spans": q.q_doc_dup_spans,
@@ -657,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": q.SQL_VIDEO_FRAMES,
         "bm25_search": q.SQL_BM25_SEARCH,
         "index_search": q.SQL_INDEX_SEARCH,
+        "trigram_search": q.SQL_TRIGRAM_SEARCH,
         "chunk_documents": q.SQL_CHUNK_DOCUMENTS,
         "dup_ngrams": q.SQL_DUP_NGRAMS,
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,

@@ -3184,6 +3184,48 @@ def q_index_search(sf_dir: str) -> pd.DataFrame:
 SQL_INDEX_SEARCH = SQL_BM25_SEARCH
 
 
+_TRIGRAM_NEEDLES = ["stream", "merge the", "zzzqx"]
+
+
+def q_trigram_search(sf_dir: str) -> pd.DataFrame:
+    """pg_trgm-style exact substring search: build the hive-partitioned
+    byte-trigram index on storage (textstats.build_trigram_index), then
+    answer three substring queries — a common word, a cross-word
+    phrase, and an absent needle (the empty-result path) — by reading
+    ONLY each needle's trigram buckets, AND-ing postings and verifying
+    the true substring on the fetched candidates. The oracle is a full
+    LIKE scan, so the hash compare pins index build, bucket pruning,
+    AND-semantics and verification end-to-end."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="trgmidx_", dir="/tmp")
+    try:
+        textstats.build_trigram_index(ds, idx, num_buckets=32)
+        outs = []
+        for needle in _TRIGRAM_NEEDLES:
+            hits = textstats.search_trigram_index(idx, needle, ds)
+            hits.insert(0, "needle", needle)
+            outs.append(hits)
+        out = pd.concat(outs, ignore_index=True)
+        return (out.sort_values(["needle", "doc_id"])
+                .reset_index(drop=True))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+SQL_TRIGRAM_SEARCH = r"""
+WITH needles AS (
+  SELECT unnest(['stream', 'merge the', 'zzzqx']) AS needle
+)
+SELECT n.needle, d.doc_id
+FROM needles n JOIN documents d
+  ON strpos(coalesce(d.text, ''), n.needle) > 0
+ORDER BY n.needle, d.doc_id
+"""
+
+
 _BM25_QUERIES = [["spark", "window"], ["merge", "window"],
                  ["spark", "merge"]]
 

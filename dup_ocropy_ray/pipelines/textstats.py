@@ -502,6 +502,127 @@ def search_text_index(index_dir: str, terms: list[str],
     return top.reset_index(drop=True)
 
 
+def _trigram_codes(text: str) -> np.ndarray:
+    """Distinct byte-trigram codes of a string: each code is the 24-bit
+    big-endian integer of 3 consecutive UTF-8 bytes — a PERFECT hash of
+    byte trigrams (no collisions by construction), so index probes have
+    no false trigram matches and the final substring verify only prunes
+    co-occurrence coincidences."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.shape[0] < 3:
+        return np.empty(0, dtype=np.int64)
+    code = ((b[:-2].astype(np.int64) << 16)
+            | (b[1:-1].astype(np.int64) << 8) | b[2:].astype(np.int64))
+    return np.unique(code)
+
+
+def build_trigram_index(ds: rd.Dataset, out_dir: str,
+                        num_buckets: int = 32) -> int:
+    """Persist a pg_trgm-style substring index: one (tri, doc_id) row
+    per distinct byte trigram per doc, hive-partitioned by
+    ``bucket = tri % num_buckets``. Same storage architecture as
+    build_text_index: a later substring search reads ONLY its needle
+    trigrams' bucket directories — pruning at the read. Returns n_docs.
+
+    Posting generation is vectorized (one frombuffer + shift-or per
+    doc, np.unique for the distinct set); the write is append-shaped
+    ``write_parquet(partition_cols=...)`` — no shuffle anywhere."""
+    import json
+    import os
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tris = [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            c = _trigram_codes(t if isinstance(t, str) else "")
+            ids.append(np.full(c.shape[0], int(i), dtype=np.int64))
+            tris.append(c)
+        tri = (np.concatenate(tris) if tris
+               else np.empty(0, dtype=np.int64))
+        did = (np.concatenate(ids) if ids
+               else np.empty(0, dtype=np.int64))
+        return pd.DataFrame({
+            "tri": pd.Series(tri, dtype="int64"),
+            "doc_id": pd.Series(did, dtype="int64"),
+            "bucket": pd.Series(tri % num_buckets, dtype="int64")})
+
+    n_docs = int(ds.count())
+    ds.map_batches(postings, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "_stats.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, f)
+    return n_docs
+
+
+def search_trigram_index(index_dir: str, needle: str, docs: rd.Dataset,
+                         num_partitions: int = 8) -> pd.DataFrame:
+    """Exact substring search (``needle in text``) over a
+    build_trigram_index layout. Candidate docs must contain ALL of the
+    needle's distinct trigrams (AND-semantics via a doc-keyed count
+    combine == n_trigrams); candidates then fetch their text through a
+    bucket_join and run the exact substring check — false positives
+    from trigram co-occurrence are eliminated, so the result equals a
+    full-scan LIKE. Needles shorter than 3 bytes raise (no trigram to
+    probe; a scan is the right tool there). Returns (doc_id,) sorted."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from .relational import bucket_join, keyed_combine
+
+    codes = _trigram_codes(needle)
+    if codes.shape[0] == 0:
+        raise ValueError("search_trigram_index: needle must be >= 3 bytes")
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        num_buckets = int(json.load(f)["num_buckets"])
+    buckets = sorted({int(c) % num_buckets for c in codes})
+    files = [f for c in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={c}", "*.parquet")))]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    if not files:
+        return empty
+
+    want = set(int(c) for c in codes)
+    n_need = len(want)
+
+    def prune(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t.column("tri"),
+                        value_set=pa.array(sorted(want), pa.int64()))
+        f = t.filter(keep)
+        return pd.DataFrame({
+            "doc_id": f.column("doc_id").to_numpy(zero_copy_only=False),
+            "hits": np.ones(f.num_rows, dtype=np.int64)})
+
+    posts = rd.read_parquet(files, columns=["tri", "doc_id"]).map_batches(
+        prune, batch_format="pyarrow", batch_size=65536)
+    cand = keyed_combine(posts, "doc_id", ["hits"], "sum",
+                         num_partitions).filter(
+        lambda r: r["hits"] >= n_need)
+
+    cand_schema = pa.schema([("doc_id", pa.int64()), ("hits", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j = bucket_join(cand, docs.select_columns(["doc_id", "text"]),
+                    "doc_id", "doc_id", num_partitions=num_partitions,
+                    left_schema=cand_schema, right_schema=doc_schema)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (needle in (t if isinstance(t, str) else "")
+             for t in b["text"]), dtype=bool, count=len(b))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[keep]})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    return (out.astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _PHRASE_POS_SPAN = 1 << 21  # max tokens per doc the composed key allows
 
 

@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
         "ab_cuped": q.q_ab_cuped,
+        "bootstrap_ci": q.q_bootstrap_ci,
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
         "rolling_distinct": q.q_rolling_distinct,
@@ -591,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_limit": q.SQL_RATE_LIMIT,
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "ab_cuped": q.SQL_AB_CUPED,
+        "bootstrap_ci": q.SQL_BOOTSTRAP_CI,
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
         "rolling_distinct": q.SQL_ROLLING_DISTINCT,

@@ -5115,6 +5115,106 @@ ORDER BY day_offset
 """
 
 
+_BOOT_B = 64
+# Poisson(1) CDF F(0..8); weight = first k with u < F(k), else 9. Both
+# engines compare against THESE doubles (the SQL twin is generated from
+# this array), so the inverse-CDF draw is bit-identical.
+_BOOT_CDF = np.cumsum(
+    [float(np.exp(-1.0)) / float(__import__("math").factorial(k))
+     for k in range(9)])
+
+
+def q_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type mean of value (integer cents) with a 95%
+    confidence interval by the POISSON BOOTSTRAP (Chamandy et al.,
+    Google 2012 — the resampling scheme that distributes: each row
+    draws an independent Poisson(1) weight per replicate from a hash
+    of (event_id, replicate), so no replicate needs a global sample).
+    B=64 replicates; replicate b=-1 pins weight 1 (the point
+    estimate). One scan emits per-(replicate, type) integer partials
+    (sum w, sum w*cents) through a keyed combine; the driver sees
+    types x 65 rows and applies the quantile_disc rule at 2.5%/97.5%.
+
+    Exactness: u = Knuth32(event_id*64+b)/2^32, weights from the
+    shared _BOOT_CDF doubles, partials are int64, replicate means are
+    single double divisions — the DuckDB twin (generated from the same
+    constants) matches value-for-value."""
+    from .relational import keyed_combine
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    bcol = np.arange(-1, _BOOT_B, dtype=np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        x = eid[:, None] * _BOOT_B + bcol[None, :]
+        u = ((x * 2654435761) % 4294967296) / 4294967296.0
+        w = np.searchsorted(_BOOT_CDF, u.ravel(),
+                            side="right").reshape(u.shape).astype(np.int64)
+        w[:, 0] = 1  # b = -1: the unweighted point estimate
+        n = eid.shape[0]
+        long = pd.DataFrame({
+            "b": np.tile(bcol, n),
+            "event_type": np.repeat(
+                b["event_type"].to_numpy(object), _BOOT_B + 1),
+            "sw": w.ravel(),
+            "swc": (w * cents[:, None]).ravel()})
+        return long.groupby(["b", "event_type"], as_index=False).sum()
+
+    parts = keyed_combine(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["b", "event_type"], ["sw", "swc"], "sum", 32).to_pandas()
+    parts = parts[parts["sw"] > 0]
+    parts["m"] = parts["swc"].astype("float64") / parts["sw"].astype(
+        "float64")
+
+    import math
+
+    rows = []
+    for et, g in parts.groupby("event_type", sort=True):
+        point = float(g.loc[g["b"] == -1, "m"].iloc[0])
+        reps = np.sort(g.loc[g["b"] >= 0, "m"].to_numpy(np.float64))
+        n = reps.shape[0]
+        lo = reps[max(math.ceil(0.025 * n) - 1, 0)]
+        hi = reps[max(math.ceil(0.975 * n) - 1, 0)]
+        rows.append((et, round(point, 6), round(float(lo), 6),
+                     round(float(hi), 6), n))
+    return pd.DataFrame(rows, columns=["event_type", "mean_cents",
+                                       "ci_lo", "ci_hi", "n_reps"])
+
+
+def _boot_case_sql() -> str:
+    u = ("((e.event_id * 64 + r.b) * 2654435761 % 4294967296)"
+         " / 4294967296.0")
+    branches = "".join(
+        f" WHEN {u} < {thr!r} THEN {k}"
+        for k, thr in enumerate(_BOOT_CDF))
+    return f"CASE WHEN r.b = -1 THEN 1 ELSE (CASE{branches} ELSE 9 END) END"
+
+
+SQL_BOOTSTRAP_CI = f"""
+WITH ev AS (
+  SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents
+  FROM events
+), w AS (
+  SELECT e.event_type, r.b, e.cents, {_boot_case_sql()} AS w
+  FROM ev e, (SELECT unnest(range(-1, 64)) AS b) r
+), agg AS (
+  SELECT event_type, b, sum(w) AS sw, sum(w * cents) AS swc
+  FROM w GROUP BY 1, 2
+), means AS (
+  SELECT event_type, b, swc::DOUBLE / sw AS m FROM agg WHERE sw > 0
+)
+SELECT event_type,
+       round(max(CASE WHEN b = -1 THEN m END), 6) AS mean_cents,
+       round(quantile_disc(m, 0.025) FILTER (WHERE b >= 0), 6) AS ci_lo,
+       round(quantile_disc(m, 0.975) FILTER (WHERE b >= 0), 6) AS ci_hi,
+       count(*) FILTER (WHERE b >= 0) AS n_reps
+FROM means GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_ab_cuped(sf_dir: str) -> pd.DataFrame:
     """A/B experiment readout with CUPED variance reduction (Deng et
     al., WSDM 2013): variant = user_id % 2, pre-period covariate X =

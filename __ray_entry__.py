@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
         "ppjoin": q.q_ppjoin,
+        "snm_pairs": q.q_snm_pairs,
         "dedup_clusters": q.q_dedup_clusters,
         "dedup_keep": q.q_dedup_keep,
         "cluster_size_hist": q.q_cluster_size_hist,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": q.SQL_DEDUP_EXACT,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "ppjoin": q.SQL_PPJOIN,
+        "snm_pairs": q.SQL_SNM_PAIRS,
         "dedup_clusters": q.SQL_DEDUP_CLUSTERS,
         "dedup_keep": q.SQL_DEDUP_KEEP,
         "cluster_size_hist": q.SQL_CLUSTER_SIZE_HIST,

@@ -102,8 +102,77 @@ def build_bench_corpus() -> dict:
     return {"docs": docs_path, "media": os.path.join(root, "media.parquet")}
 
 
+def run_extract_leg(repeat: int) -> dict:
+    """North-rule extraction flagship: documents -> interleaved
+    (doc_id, spans) with the body as a kind='html' span -> full
+    boilerplate-strip extraction -> span count. ``repeat`` replicates
+    the table with distinct doc_id offsets (wrap_html varies chrome by
+    doc_id, so replicas are distinct pages, not cache hits)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.extract import (
+        _span_list_type, extract_interleaved)
+    from dup_ocropy_ray.sources.webgen import wrap_html
+    from dup_ocropy_ray.tuning import parquet_schema
+
+    path = os.path.join(SF_DIR, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                         schema=parquet_schema(path, ["doc_id", "text"]))
+
+    def to_docs(b) -> "pa.Table":
+        ids, spans = [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            for r in range(repeat):
+                d = int(i) + r * 1_000_000
+                ids.append(f"doc-{d}")
+                spans.append([
+                    {"kind": "html", "text": wrap_html(d, t or ""),
+                     "media_ref": None, "offset": 0},
+                ])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "spans": pa.array(spans, _span_list_type())})
+
+    docs = ds.map_batches(to_docs, batch_format="pandas", batch_size=128)
+    t0 = time.time()
+    out = extract_interleaved(docs)
+
+    def count(b: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "docs": pa.array([b.num_rows], pa.int64()),
+            "spans": pa.array(
+                [len(b.column("spans").combine_chunks().flatten())],
+                pa.int64())})
+
+    sums = out.map_batches(count, batch_format="pyarrow").to_pandas().sum()
+    sec = time.time() - t0
+    n_docs, n_spans = int(sums["docs"]), int(sums["spans"])
+    return {"extract_sec": round(sec, 3), "extract_docs": n_docs,
+            "extract_spans": n_spans,
+            "extract_docs_per_sec": round(n_docs / sec, 2)}
+
+
 def main():
     import ray
+
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    if mode == "extract":
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        leg = run_extract_leg(
+            repeat=int(os.environ.get("GRAFT_EXTRACT_REPEAT", "2")))
+        result = {"metric": "extract_e2e_sec",
+                  "value": leg["extract_sec"], "unit": "sec",
+                  "sf": SF_DIR, "num_cpus": NUM_CPUS, **leg}
+        ray.shutdown()
+        print(json.dumps(result))
+        return
 
     corpus = build_bench_corpus()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -190,8 +259,49 @@ def main():
         result["uw3_heldout_cer"] = round(
             float(ok.dist.sum() / max(1, ok.gt_len.sum())), 4)
 
+    # extraction-flagship leg (the round-3 north rule's named pipeline):
+    # one repeat at the headline CPU count, docs/sec alongside pages/sec
+    if subset:
+        result.update(run_extract_leg(repeat=1))
+
     ray.shutdown()
     print(json.dumps(result))
+
+
+def scaling_extract():
+    """--scaling-extract: the extraction flagship at N vs 4N CPUs in
+    fresh processes (same interleaved best-of-2 harness as --scaling),
+    evidencing the north rule's two-cluster-size criterion on the
+    extraction pipeline itself."""
+    def run_once(ncpu: int) -> dict:
+        # repeat 32 -> 160k distinct pages at sf0.1: ~45-60s on the lo
+        # leg, so session startup (~5s) stays under ~10% of the wall
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_MODE="extract",
+                   GRAFT_EXTRACT_REPEAT=os.environ.get(
+                       "GRAFT_EXTRACT_REPEAT", "32"))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    a_lo, a_hi = run_once(lo), run_once(hi)
+    b_lo, b_hi = run_once(lo), run_once(hi)
+    pick = lambda a, b: a if a["value"] <= b["value"] else b
+    r_lo, r_hi = pick(a_lo, b_lo), pick(a_hi, b_hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "extract_scaling",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["extract_docs_per_sec"],
+        "docs_per_sec_hi": r_hi["extract_docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_hi["extract_docs"], "sf": SF_DIR,
+    }))
 
 
 def scaling():
@@ -246,7 +356,9 @@ def scaling():
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-extract" in sys.argv:
+        scaling_extract()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()

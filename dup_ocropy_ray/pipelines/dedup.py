@@ -1990,3 +1990,120 @@ def ppjoin_pairs(
             "jaccard": np.round(ja[keep], 6)})
 
     return with_ab.map_batches(verify, batch_format="pandas")
+
+
+# -------------------------------------- sorted-neighborhood (SNM) dedup
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    window: int = 5,
+    threshold: float = 0.3,
+    key_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Sorted-Neighborhood Method dedup (Hernandez & Stolfo, SIGMOD
+    1995): records are globally sorted by a blocking key (the first
+    ``key_len`` chars of the lowercased trimmed text, doc-id
+    tie-break), and only pairs within ``window`` positions of each
+    other in that order are compared — candidate count is O(n*w)
+    REGARDLESS of key skew, the classic complement to LSH banding
+    (which is skew-sensitive) and to the prefix filter (which is
+    threshold-driven).
+
+    Exchange plan: one range sort fixes the global order; block ranks
+    are assigned by the ordered_scan idiom (per-block first-key
+    summaries -> driver cumsum over block-count rows -> broadcast);
+    the windowed self-join is a BANDED shuffle — each row lands in
+    bucket rank//window and ghosts into bucket+1, each pair generated
+    exactly once in the higher rank's bucket. Jaccard verification is
+    in-bucket (texts ride the sort — the SNM record IS the sort
+    payload). Nothing corpus-scale touches the driver."""
+    import ray
+
+    from .windows import part_tag
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        return pd.DataFrame({
+            "key": t.str.strip().str.lower().str.slice(0, key_len),
+            id_col: b[id_col].astype("int64"),
+            text_col: t})
+
+    s = ds.map_batches(keyed, batch_format="pandas").sort(
+        ["key", id_col]).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"k0": pd.Series([], dtype=object),
+                                 "i0": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"k0": [b["key"].iloc[0]],
+                             "i0": [np.int64(b[id_col].iloc[0])],
+                             "n": [np.int64(len(b))]})
+
+    sums = (s.map_batches(summarize, batch_format="pandas",
+                          batch_size=None)
+            .to_pandas().sort_values(["k0", "i0"]))
+    offsets = dict(zip(zip(sums["k0"], sums["i0"]),
+                       sums["n"].cumsum().shift(1).fillna(0).astype(
+                           "int64")))
+    off_ref = ray.put(offsets)
+
+    def to_buckets(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "_bk": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                text_col: pd.Series([], dtype=object),
+                "own": pd.Series([], dtype="bool")})
+        base = int(ray.get(off_ref)[(b["key"].iloc[0],
+                                     int(b[id_col].iloc[0]))])
+        rank = base + np.arange(len(b), dtype=np.int64)
+        g = rank // window
+        own = pd.DataFrame({
+            "_bk": g, "rank": rank,
+            id_col: b[id_col].to_numpy(np.int64),
+            text_col: b[text_col].to_numpy(object),
+            "own": np.ones(len(b), dtype=bool)})
+        ghost = own.copy()
+        ghost["_bk"] = g + 1
+        ghost["own"] = False
+        return pd.concat([own, ghost], ignore_index=True)
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        # duplicates from own+ghost of the same row: keep one copy of
+        # each rank, remembering whether it is OWN in this bucket
+        g = (g.sort_values(["rank", "own"], ascending=[True, False])
+             .drop_duplicates("rank"))
+        rank = g["rank"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        ids = g[id_col].to_numpy(np.int64)
+        toks = [set((t or "").split()) for t in g[text_col]]
+        rows_a, rows_b, ja = [], [], []
+        n = len(g)
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = rank[j] - rank[i]
+                if d >= window:
+                    break
+                if not own[j]:  # pair counted where the HIGHER is own
+                    continue
+                u = len(toks[i] | toks[j])
+                jac = len(toks[i] & toks[j]) / u if u else 1.0
+                if jac >= threshold:
+                    a, bb = ids[i], ids[j]
+                    rows_a.append(min(a, bb))
+                    rows_b.append(max(a, bb))
+                    ja.append(round(jac, 6))
+        return pd.DataFrame({
+            "doc_a": pd.Series(rows_a, dtype="int64"),
+            "doc_b": pd.Series(rows_b, dtype="int64"),
+            "jaccard": pd.Series(ja, dtype="float64")})
+
+    return (s.map_batches(to_buckets, batch_format="pandas",
+                          batch_size=None)
+            .groupby("_bk").map_groups(pair_part, batch_format="pandas"))

@@ -962,6 +962,44 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_snm_pairs(sf_dir: str) -> pd.DataFrame:
+    """Sorted-Neighborhood dedup (dedup.sorted_neighborhood_pairs —
+    Hernandez & Stolfo 1995): global blocking-key sort, windowed
+    candidate pairs (w=5), exact Jaccard verify at 0.3. Skew-immune
+    O(n*w) candidates; the SQL twin re-derives the global rank with a
+    window function and the same windowed self-join."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.sorted_neighborhood_pairs(
+        ds, window=5, threshold=0.3).to_pandas()
+    return (out.astype({"doc_a": "int64", "doc_b": "int64"})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+SQL_SNM_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         substr(lower(trim(coalesce(text, ''))), 1, 8) AS key,
+         list_filter(list_distinct(regexp_split_to_array(
+             trim(coalesce(text, '')), '\s+')), w -> w <> '') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY key, doc_id) AS rk
+  FROM t
+), v AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b,
+         CASE WHEN len(a.toks) + len(b.toks) = 0 THEN 1.0
+              ELSE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                   (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))) END AS j
+  FROM r a JOIN r b ON b.rk > a.rk AND b.rk < a.rk + 5
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM v WHERE j >= 0.3 ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs collapsed to canonical clusters: connected
     components over the (lang, source)-partitioned token-Jaccard dup

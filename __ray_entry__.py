@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_priority": q.q_join_revenue_priority,
         "salted_join_revenue": q.q_salted_join_revenue,
         "customer_order_counts": q.q_customer_order_counts,
+        "big_order_customers": q.q_big_order_customers,
         "discounted_orders_by_priority": q.q_discounted_orders_by_priority,
         "no_bigorder_custs": q.q_no_bigorder_custs,
         "testset_split": q.q_testset_split,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue_priority": q.SQL_JOIN_REVENUE_PRIORITY,
         "salted_join_revenue": q.SQL_SALTED_JOIN_REVENUE,
         "customer_order_counts": q.SQL_CUSTOMER_ORDER_COUNTS,
+        "big_order_customers": q.SQL_BIG_ORDER_CUSTOMERS,
         "discounted_orders_by_priority": q.SQL_DISCOUNTED_ORDERS_BY_PRIORITY,
         "no_bigorder_custs": q.SQL_NO_BIGORDER_CUSTS,
         "testset_split": q.SQL_TESTSET_SPLIT,

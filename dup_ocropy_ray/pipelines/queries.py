@@ -1595,6 +1595,70 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    quantity sum exceeds 300, joined back to orders and customer. The
+    HAVING runs as a pre-aggregation (keyed_combine on l_orderkey)
+    BEFORE any join — the classic push-down that turns a lineitem-scale
+    join into a filtered-orders-scale one; both joins are the repo's
+    fixed-bucket exchange."""
+    from .relational import bucket_join, keyed_combine
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "sum_qty": b["l_quantity"].to_numpy(np.float64).astype(
+                "int64")})
+
+    big = keyed_combine(li.map_batches(prep, batch_format="pandas"),
+                        "l_orderkey", ["sum_qty"], "sum", 32)
+    big = big.filter(lambda r: r["sum_qty"] > 300)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    big_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("sum_qty", pa.int64())])
+    j = bucket_join(big, orders, "l_orderkey", "o_orderkey",
+                    num_partitions=16, left_schema=big_schema)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("sum_qty", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_totalprice", pa.float64())])
+    out = bucket_join(j, cust, "o_custkey", "c_custkey",
+                      num_partitions=16,
+                      left_schema=j_schema).to_pandas()
+    out = pd.DataFrame({
+        "c_custkey": out["o_custkey"].astype("int64"),
+        "c_name": out["c_name"],
+        "o_orderkey": out["l_orderkey"].astype("int64"),
+        "o_orderdate": pd.to_datetime(out["o_orderdate"]),
+        "o_totalprice": np.round(out["o_totalprice"].to_numpy(
+            np.float64), 2),
+        "sum_qty": out["sum_qty"].astype("int64")})
+    return (out.sort_values(["sum_qty", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+SQL_BIG_ORDER_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       sum(l.l_quantity)::BIGINT AS sum_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+HAVING sum(l.l_quantity) > 300
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
 def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     qt = textstats.quality_score_table(ds)

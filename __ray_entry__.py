@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join_revenue": q.q_salted_join_revenue,
         "customer_order_counts": q.q_customer_order_counts,
         "big_order_customers": q.q_big_order_customers,
+        "bloom_join": q.q_bloom_join,
         "discounted_orders_by_priority": q.q_discounted_orders_by_priority,
         "no_bigorder_custs": q.q_no_bigorder_custs,
         "testset_split": q.q_testset_split,
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_revenue": q.SQL_SALTED_JOIN_REVENUE,
         "customer_order_counts": q.SQL_CUSTOMER_ORDER_COUNTS,
         "big_order_customers": q.SQL_BIG_ORDER_CUSTOMERS,
+        "bloom_join": q.SQL_BLOOM_JOIN,
         "discounted_orders_by_priority": q.SQL_DISCOUNTED_ORDERS_BY_PRIORITY,
         "no_bigorder_custs": q.SQL_NO_BIGORDER_CUSTS,
         "testset_split": q.SQL_TESTSET_SPLIT,

@@ -120,6 +120,9 @@ def run_extract_leg(repeat: int) -> dict:
     path = os.path.join(SF_DIR, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"],
                          schema=parquet_schema(path, ["doc_id", "text"]))
+    # the sf table is ONE parquet file -> few read blocks; fan the
+    # per-doc render/extract out across all workers before the map
+    ds = ds.repartition(NUM_CPUS * 4)
 
     def to_docs(b) -> "pa.Table":
         ids, spans = [], []

@@ -1595,6 +1595,61 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join reduction (relational.bloom_semi_filter):
+    revenue by priority for orders of BUILDING-segment customers. The
+    segment keys build a broadcast Bloom (bits, not rows); orders are
+    pre-filtered BEFORE the exact bucket_join, cutting the shuffle to
+    ~selectivity of the left side. False positives are removed by the
+    exact join, so the result is identical to the plain join — which
+    is exactly what the oracle runs."""
+    from ..functions import hashing
+    from .relational import bloom_semi_filter, bucket_join, keyed_combine
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg = cust.filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderpriority"])
+    reduced = bloom_semi_filter(orders, seg, "o_custkey", "c_custkey")
+
+    seg_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string())])
+    ord_schema = pa.schema([
+        ("o_custkey", pa.int64()), ("o_totalprice", pa.float64()),
+        ("o_orderpriority", pa.string())])
+    j = bucket_join(reduced, seg, "o_custkey", "c_custkey",
+                    num_partitions=16, left_schema=ord_schema,
+                    right_schema=seg_schema)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b["o_orderpriority"].to_numpy(object)
+        return pd.DataFrame({
+            "pk": pd.Series(hashing.hash_strings(pr).view(np.int64),
+                            dtype="int64"),
+            "o_orderpriority": pr,
+            "n_orders": np.ones(len(b), dtype=np.int64),
+            "revenue_cents": np.floor(
+                b["o_totalprice"].to_numpy(np.float64) * 100
+            ).astype("int64")})
+
+    out = keyed_combine(j.map_batches(prep, batch_format="pandas"),
+                        ["pk", "o_orderpriority"],
+                        ["n_orders", "revenue_cents"], "sum",
+                        8).to_pandas()
+    out = out[["o_orderpriority", "n_orders", "revenue_cents"]]
+    return (out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_BLOOM_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       sum(floor(o.o_totalprice * 100)::BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose lineitem
     quantity sum exceeds 300, joined back to orders and customer. The

@@ -1073,3 +1073,68 @@ def vacuum_dir(data_dir: str, referenced: "Sequence[str]",
         rows.append({"file": os.path.relpath(ap, data_dir),
                      "bytes": int(st.st_size), "status": status})
     return pd.DataFrame(rows, columns=["file", "bytes", "status"])
+
+
+# ---------------------------------------------- Bloom semi-join filter
+
+
+def bloom_semi_filter(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> rd.Dataset:
+    """Semi-join REDUCTION by Bloom filter pushdown (the classic
+    distributed-join optimization): build a ``num_bits``-bit Bloom
+    filter of the right side's int64 keys — per-block bit arrays OR'd
+    on the driver (blocks x bits/8 bytes, ~128 KB each at the default;
+    never the keys themselves) — broadcast it once via ray.put, and
+    drop left rows whose key cannot be on the right BEFORE any
+    shuffle. False positives pass through (and must be eliminated by
+    the exact join downstream); false negatives are impossible, so
+    ``exact_join(bloom_semi_filter(L, R), R) == exact_join(L, R)``.
+
+    Contrast broadcast_join (ships the TABLE; right must fit in one
+    heap) — the Bloom ships only bits, so it applies at any right-side
+    cardinality, trading a downstream exact join for an upstream
+    shuffle-volume cut of (1 - selectivity)."""
+    import ray
+
+    mask = np.int64(num_bits - 1)
+    if num_bits & (num_bits - 1):
+        raise ValueError("bloom_semi_filter: num_bits must be a power of 2")
+
+    def _idx(keys: np.ndarray, i: int) -> np.ndarray:
+        # double hashing: two independent Knuth/Fibonacci multipliers
+        h1 = (keys * np.int64(-7046029254386353131)) >> np.int64(13)
+        h2 = (keys * np.int64(2654435761) + np.int64(0x9E3779B9)) >> np.int64(7)
+        return ((h1 + np.int64(i) * h2) & mask).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(num_bits // 8, dtype=np.uint8)
+        keys = b[right_on].to_numpy(np.int64)
+        for i in range(num_hashes):
+            idx = _idx(keys, i)
+            np.bitwise_or.at(arr, idx >> 3,
+                             (np.uint8(1) << (idx & 7)).astype(np.uint8))
+        return pd.DataFrame({"bloom": [arr.tobytes()]})
+
+    parts = right.map_batches(partial, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    agg = np.zeros(num_bits // 8, dtype=np.uint8)
+    for blob in parts["bloom"]:
+        agg |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(agg)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        arr = ray.get(bloom_ref)  # zero-copy shared read per task
+        keys = b[left_on].to_numpy(np.int64)
+        ok = np.ones(keys.shape[0], dtype=bool)
+        for i in range(num_hashes):
+            idx = _idx(keys, i)
+            ok &= (arr[idx >> 3] & (np.uint8(1) << (idx & 7))) != 0
+        return b[ok]
+
+    return left.map_batches(keep, batch_format="pandas")

@@ -53,3 +53,42 @@ def test_keyed_combine_composite_key(ray_session):
             .sort_values(["k1", "k2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   want.astype("int64"), check_dtype=False)
+
+
+# ------------------------------------------------ bloom_semi_filter
+
+
+def test_bloom_semi_filter_no_false_negatives(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.relational import bloom_semi_filter
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({"k": rng.randint(0, 10_000, 5000).astype("int64"),
+                         "v": np.arange(5000, dtype="int64")})
+    right = pd.DataFrame({"rk": rng.choice(10_000, 200,
+                                           replace=False).astype("int64")})
+    out = bloom_semi_filter(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk").to_pandas()
+    rset = set(right.rk.tolist())
+    true_hits = left[left.k.isin(rset)]
+    # every true match survives (no false negatives)
+    assert set(true_hits.v) <= set(out.v)
+    # and the reduction actually reduced (tiny false-positive rate at
+    # 2^20 bits / 200 keys)
+    assert len(out) < len(left) * 0.2
+    assert len(out) >= len(true_hits)
+
+
+def test_bloom_semi_filter_rejects_non_pow2(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.relational import bloom_semi_filter
+
+    df = rd.from_pandas(pd.DataFrame({"k": pd.Series([1], dtype="int64")}))
+    with pytest.raises(ValueError, match="power of 2"):
+        bloom_semi_filter(df, df, "k", "k", num_bits=1000)

@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_stats": q.q_winsorize_stats,
         "ab_cuped": q.q_ab_cuped,
         "bootstrap_ci": q.q_bootstrap_ci,
+        "dp_counts": q.q_dp_counts,
         "profile_table": q.q_profile_table,
         "funnel": q.q_funnel,
         "rolling_distinct": q.q_rolling_distinct,
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
         "ab_cuped": q.SQL_AB_CUPED,
         "bootstrap_ci": q.SQL_BOOTSTRAP_CI,
+        "dp_counts": q.SQL_DP_COUNTS,
         "profile_table": q.SQL_PROFILE_TABLE,
         "funnel": q.SQL_FUNNEL,
         "rolling_distinct": q.SQL_ROLLING_DISTINCT,

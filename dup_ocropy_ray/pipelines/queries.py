@@ -5281,6 +5281,87 @@ _BOOT_CDF = np.cumsum(
      for k in range(9)])
 
 
+_DP_EPS = 0.5
+_DP_TRUNC = 12
+# two-sided geometric (discrete Laplace) CDF over k = -12..12, the
+# integer-noise mechanism of Ghosh et al. (2009); generated once here,
+# and the SQL twin's CASE chain is generated from the SAME doubles
+_DP_CDF = (lambda a: np.cumsum(
+    [(1 - a) / (1 + a) * a ** abs(k)
+     for k in range(-_DP_TRUNC, _DP_TRUNC + 1)]
+) / np.sum([(1 - a) / (1 + a) * a ** abs(k)
+            for k in range(-_DP_TRUNC, _DP_TRUNC + 1)]))(
+    float(np.exp(-_DP_EPS)))
+
+
+def q_dp_counts(sf_dir: str) -> pd.DataFrame:
+    """Differentially-private per-event-type counts via the GEOMETRIC
+    MECHANISM (Ghosh-Roughgarden-Sundararajan 2009 — the discrete
+    Laplace used for integer counts, eps=0.5, noise truncated at
+    +-12): exact counts from a keyed combine, then each type draws
+    integer noise by inverse-CDF from u = Knuth32(rank)/2^32, where
+    rank is the type's position in sorted order. All comparisons are
+    against the shared _DP_CDF doubles (the SQL twin is generated from
+    them), so the draw is engine-exact — no transcendental functions
+    cross the twin boundary. Deterministic 'noise' is for the oracle
+    harness; a production run seeds from a secret."""
+    from ..functions import hashing
+    from .relational import keyed_combine
+
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy(object)
+        return pd.DataFrame({
+            "tk": pd.Series(hashing.hash_strings(t).view(np.int64),
+                            dtype="int64"),
+            "event_type": t,
+            "n": np.ones(len(b), dtype=np.int64)})
+
+    counts = keyed_combine(ev.map_batches(prep, batch_format="pandas"),
+                           ["tk", "event_type"], ["n"], "sum",
+                           8).to_pandas()
+    counts = counts.sort_values("event_type").reset_index(drop=True)
+    rank = np.arange(1, len(counts) + 1, dtype=np.int64)
+    u = ((rank * 2654435761) % 4294967296) / 4294967296.0
+    noise = (np.searchsorted(_DP_CDF, u, side="right").astype(np.int64)
+             - _DP_TRUNC)
+    return pd.DataFrame({
+        "event_type": counts["event_type"],
+        "n": counts["n"].astype("int64"),
+        "n_dp": counts["n"].astype("int64") + noise,
+        "noise": noise})
+
+
+def _dp_case_sql() -> str:
+    u = "((rank * 2654435761) % 4294967296) / 4294967296.0"
+    branches = "".join(
+        f" WHEN {u} < {thr!r} THEN {k - _DP_TRUNC}"
+        for k, thr in enumerate(_DP_CDF))
+    return f"CASE{branches} ELSE {_DP_TRUNC} END"
+
+
+SQL_DP_COUNTS = None  # assigned below (generated from _DP_CDF)
+
+
+def _make_sql_dp_counts() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), r AS (
+  SELECT event_type, n,
+         row_number() OVER (ORDER BY event_type) AS rank
+  FROM c
+)
+SELECT event_type, n, n + ({_dp_case_sql()}) AS n_dp,
+       ({_dp_case_sql()}) AS noise
+FROM r ORDER BY event_type
+"""
+
+
+SQL_DP_COUNTS = _make_sql_dp_counts()
+
+
 def q_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
     """Per-event-type mean of value (integer cents) with a 95%
     confidence interval by the POISSON BOOTSTRAP (Chamandy et al.,

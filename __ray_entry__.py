@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cetr_extract": q.q_cetr_extract,
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
+        "boost_quality": q.q_boost_quality,
         "hard_examples": q.q_hard_examples,
         "span_corruption": q.q_span_corruption,
         "rate_limit": q.q_rate_limit,

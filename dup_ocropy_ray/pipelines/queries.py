@@ -5656,6 +5656,21 @@ def q_lr_quality(sf_dir: str) -> pd.DataFrame:
     return lr_quality(ds)
 
 
+def q_boost_quality(sf_dir: str) -> pd.DataFrame:
+    """AdaBoost decision-stump quality classifier (Freund-Schapire '97,
+    textstats.adaboost_stumps): per-round ONE scan emits per-block
+    weighted class histograms over fixed feature bins (row weights
+    recomputed from the broadcast stump list — never stored), driver
+    picks the min-weighted-error (feature, threshold, polarity) stump
+    from cumulative sums; held-out doc_id%5==0 confusion. Rows-only
+    (iterative); serial-parity + determinism pinned in
+    tests/test_nb_classifier.py."""
+    from .textstats import boost_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return boost_quality(ds)
+
+
 def q_nb_langid(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language-ID (fastText-classifier shape):
     add-one-smoothed per-class unigram models trained distributed on

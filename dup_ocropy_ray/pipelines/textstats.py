@@ -2106,3 +2106,169 @@ def cooccurrence(ds: rd.Dataset, window: int = 3, k: int = 50,
     return (parts.sort_values(["n", "wa", "wb"],
                               ascending=[False, True, True]).head(k)
             [["wa", "wb", "n"]].reset_index(drop=True))
+
+
+# ------------------------------------------- AdaBoost decision stumps
+
+
+def adaboost_stumps(feat: rd.Dataset, feat_cols: list[str] | None = None,
+                    label_col: str = "label", rounds: int = 8,
+                    bins: int = 32) -> pd.DataFrame:
+    """Distributed AdaBoost over axis-aligned decision stumps (Freund &
+    Schapire '97) — the nonlinear counterpart to lr_train for corpus
+    quality filtering. Nothing corpus-scale touches the driver and no
+    per-row weights are ever stored: row weights w_i = exp(-y_i F(x_i))
+    are RECOMPUTED per round from the broadcast stump list (the model
+    is rounds x 4 floats), so each round is ONE scan emitting per-block
+    weighted class histograms over fixed per-feature bins — the
+    (features x bins x 2) float partial is tiny and the driver picks
+    the (feature, threshold, polarity) stump with minimal weighted
+    error from cumulative sums.
+
+    Reproducibility: partials are reduced in a STABLE order (sorted by
+    each block's min doc_id, the lr_train idiom), so repeated runs on
+    the same block structure produce bit-identical stumps; a serial
+    numpy replay in tests matches exactly.
+
+    Returns the stump table (round, feature, thr, pol, alpha)."""
+    if feat_cols is None:
+        feat_cols = list(LR_FEATS)
+    nf = len(feat_cols)
+    feat = feat.materialize()
+
+    def rng_part(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for j, c in enumerate(feat_cols):
+            x = b[c].to_numpy(np.float64)
+            row[f"lo{j}"] = [x.min() if len(x) else np.inf]
+            row[f"hi{j}"] = [x.max() if len(x) else -np.inf]
+        row["k"] = [np.int64(b["doc_id"].min()) if len(b) else np.int64(0)]
+        return pd.DataFrame(row)
+
+    rng = feat.map_batches(rng_part, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    edges = []
+    for j in range(nf):
+        lo, hi = float(rng[f"lo{j}"].min()), float(rng[f"hi{j}"].max())
+        if not np.isfinite(lo) or hi <= lo:
+            edges.append(np.array([lo if np.isfinite(lo) else 0.0]))
+        else:
+            edges.append(np.linspace(lo, hi, bins + 1)[1:-1])
+    n_edges = [e.shape[0] for e in edges]
+
+    import ray
+
+    stumps: list[tuple[int, float, int, float]] = []  # (feat, thr, pol, alpha)
+
+    def margins(b: pd.DataFrame, model) -> np.ndarray:
+        F = np.zeros(len(b), dtype=np.float64)
+        for f_j, thr, pol, alpha in model:
+            x = b[feat_cols[f_j]].to_numpy(np.float64)
+            h = np.where(x <= thr, 1.0, -1.0) * pol
+            F += alpha * h
+        return F
+
+    for _ in range(rounds):
+        model_ref = ray.put(list(stumps))
+
+        def hist_part(b: pd.DataFrame) -> pd.DataFrame:
+            model = ray.get(model_ref)
+            y = b[label_col].to_numpy(np.int64) * 2 - 1
+            w = np.exp(-y * margins(b, model))
+            row = {"k": [np.int64(b["doc_id"].min())]}
+            for j in range(nf):
+                x = b[feat_cols[j]].to_numpy(np.float64)
+                idx = np.searchsorted(edges[j], x, side="left")
+                hp = np.bincount(idx, weights=w * (y > 0),
+                                 minlength=n_edges[j] + 1)
+                hn = np.bincount(idx, weights=w * (y < 0),
+                                 minlength=n_edges[j] + 1)
+                row[f"hp{j}"] = [hp.tobytes()]
+                row[f"hn{j}"] = [hn.tobytes()]
+            return pd.DataFrame(row)
+
+        parts = feat.map_batches(hist_part, batch_format="pandas",
+                                 batch_size=65536).to_pandas().sort_values(
+            "k")
+        best = None  # (err, j, b, pol)
+        tot_p = tot_n = 0.0
+        sums = []
+        for j in range(nf):
+            hp = np.zeros(n_edges[j] + 1)
+            hn = np.zeros(n_edges[j] + 1)
+            for blob in parts[f"hp{j}"]:
+                hp += np.frombuffer(blob)
+            for blob in parts[f"hn{j}"]:
+                hn += np.frombuffer(blob)
+            sums.append((hp, hn))
+        tot_p = float(sums[0][0].sum())
+        tot_n = float(sums[0][1].sum())
+        total = tot_p + tot_n
+        for j in range(nf):
+            hp, hn = sums[j]
+            cp, cn = np.cumsum(hp)[:-1], np.cumsum(hn)[:-1]
+            if cp.shape[0] == 0:
+                continue
+            err_pos = cn + (tot_p - cp)   # predict +1 iff x <= thr
+            err_neg = cp + (tot_n - cn)   # predict -1 iff x <= thr
+            for pol, errs in ((1, err_pos), (-1, err_neg)):
+                b_idx = int(np.argmin(errs))
+                e = float(errs[b_idx]) / total
+                if best is None or e < best[0]:
+                    best = (e, j, b_idx, pol)
+        e, j, b_idx, pol = best
+        e = min(max(e, 1e-10), 1 - 1e-10)
+        if e >= 0.5 - 1e-9:
+            break  # no stump beats chance on the reweighted sample
+        alpha = 0.5 * float(np.log((1 - e) / e))
+        stumps.append((j, float(edges[j][b_idx]), pol, alpha))
+
+    return pd.DataFrame(
+        [(r, feat_cols[j], thr, pol, alpha)
+         for r, (j, thr, pol, alpha) in enumerate(stumps)],
+        columns=["round", "feature", "thr", "pol", "alpha"])
+
+
+def boost_score(feat: rd.Dataset, stumps: pd.DataFrame,
+                feat_cols: list[str] | None = None) -> rd.Dataset:
+    """Apply an adaboost_stumps model: sign of the weighted stump sum.
+    Broadcast model (rounds x 4), stateless map."""
+    if feat_cols is None:
+        feat_cols = list(LR_FEATS)
+    model = [(feat_cols.index(r.feature), float(r.thr), int(r.pol),
+              float(r.alpha)) for r in stumps.itertuples()]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        F = np.zeros(len(b), dtype=np.float64)
+        for j, thr, pol, alpha in model:
+            x = b[feat_cols[j]].to_numpy(np.float64)
+            F += alpha * pol * np.where(x <= thr, 1.0, -1.0)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "label": b["label"].astype("int64"),
+            "pred": (F > 0).astype("int64")})
+
+    return feat.map_batches(score, batch_format="pandas")
+
+
+def boost_quality(ds: rd.Dataset, train_mod: int = 5, rounds: int = 8
+                  ) -> pd.DataFrame:
+    """AdaBoost counterpart of lr_quality: train on doc_id%mod != 0,
+    held-out confusion counts. Rows-only (iterative); pinned by
+    serial-parity + accuracy tests."""
+    feat = lr_features(ds)
+
+    def split(b: pd.DataFrame, keep_train: bool) -> pd.DataFrame:
+        m = (b["doc_id"] % train_mod != 0)
+        return b[m if keep_train else ~m]
+
+    train = feat.map_batches(lambda b: split(b, True),
+                             batch_format="pandas")
+    test = feat.map_batches(lambda b: split(b, False),
+                            batch_format="pandas")
+    stumps = adaboost_stumps(train, rounds=rounds)
+    scored = boost_score(test, stumps).to_pandas()
+    out = (scored.groupby(["label", "pred"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "pred"]).reset_index(drop=True)

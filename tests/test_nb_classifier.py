@@ -185,3 +185,75 @@ def test_lr_train_matches_serial_reference(ray_session):
         [X0, np.ones(len(y))]) @ want)))
     s = scored.sort_values("doc_id")["prob"].to_numpy()
     assert np.allclose(s, p_ser, rtol=1e-9)
+
+
+# --------------------------------------------- AdaBoost stumps
+
+
+def test_adaboost_serial_parity_and_accuracy(ray_session):
+    """The distributed stump selection must equal a serial numpy
+    replay of the same algorithm (same bins, same stable reduce), and
+    the held-out confusion must beat chance comfortably."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.textstats import (
+        LR_FEATS, adaboost_stumps, boost_quality, lr_features)
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    ds = rd.from_arrow(t)
+    feat_ds = lr_features(ds)
+    stumps = adaboost_stumps(feat_ds, rounds=6)
+    assert len(stumps) >= 1
+    # serial replay on the collected feature table
+    feat = feat_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = list(LR_FEATS)
+    nf = len(cols)
+    X = np.column_stack([feat[c].to_numpy(np.float64) for c in cols])
+    y = feat["label"].to_numpy(np.int64) * 2 - 1
+    edges = []
+    for j in range(nf):
+        lo, hi = X[:, j].min(), X[:, j].max()
+        edges.append(np.linspace(lo, hi, 33)[1:-1] if hi > lo
+                     else np.array([lo]))
+    F = np.zeros(len(y))
+    serial = []
+    for _ in range(6):
+        w = np.exp(-y * F)
+        best = None
+        for j in range(nf):
+            idx = np.searchsorted(edges[j], X[:, j], side="left")
+            hp = np.bincount(idx, weights=w * (y > 0),
+                             minlength=edges[j].shape[0] + 1)
+            hn = np.bincount(idx, weights=w * (y < 0),
+                             minlength=edges[j].shape[0] + 1)
+            cp, cn = np.cumsum(hp)[:-1], np.cumsum(hn)[:-1]
+            if cp.shape[0] == 0:
+                continue
+            tot_p, tot_n = hp.sum(), hn.sum()
+            for pol, errs in ((1, cn + (tot_p - cp)),
+                              (-1, cp + (tot_n - cn))):
+                b = int(np.argmin(errs))
+                e = float(errs[b]) / (tot_p + tot_n)
+                if best is None or e < best[0]:
+                    best = (e, j, b, pol)
+        e, j, b, pol = best
+        e = min(max(e, 1e-10), 1 - 1e-10)
+        if e >= 0.5 - 1e-9:
+            break
+        alpha = 0.5 * float(np.log((1 - e) / e))
+        serial.append((cols[j], float(edges[j][b]), pol, alpha))
+        F += alpha * pol * np.where(X[:, j] <= edges[j][b], 1.0, -1.0)
+    got = list(zip(stumps.feature, stumps.thr, stumps.pol, stumps.alpha))
+    assert len(got) == len(serial)
+    for g, s in zip(got, serial):
+        assert g[0] == s[0] and g[2] == s[2]
+        np.testing.assert_allclose([g[1], g[3]], [s[1], s[3]], rtol=1e-12)
+
+    conf = boost_quality(ds, rounds=6)
+    acc = conf[conf.label == conf.pred].n.sum() / conf.n.sum()
+    assert acc >= 0.9
+    assert conf.equals(boost_quality(ds, rounds=6))  # deterministic

@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q.q_bpe_tokens,
         "quality_by_source": q.q_quality_by_source,
         "readability": q.q_readability,
+        "char_entropy": q.q_char_entropy,
         "top_docs_by_source": q.q_top_docs_by_source,
         "top_terms_by_source": q.q_top_terms_by_source,
         "langid": q.q_langid,
@@ -564,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "quality_by_source": q.SQL_QUALITY_BY_SOURCE,
         "readability": q.SQL_READABILITY,
+        "char_entropy": q.SQL_CHAR_ENTROPY,
         "top_docs_by_source": q.SQL_TOP_DOCS_BY_SOURCE,
         "top_terms_by_source": q.SQL_TOP_TERMS_BY_SOURCE,
         "langid": q._langid_sql(),

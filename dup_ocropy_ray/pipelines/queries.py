@@ -1534,6 +1534,59 @@ FROM documents GROUP BY lang
 """
 
 
+def q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc character-distribution Shannon entropy (a repetition /
+    gibberish quality signal complementary to compression_ratio):
+    H = log2(n) - sum(c*log2(c))/n over exact character counts. The
+    kernel is one UTF-32 frombuffer + np.unique per doc (char-exact
+    for any input, no Python char loop); counts are integers, so both
+    twins evaluate log2 on the same integer arguments — bit-identical
+    on a shared libm — and compare after round(,6)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        ns, hs = [], []
+        for t in b["text"]:
+            s = t if isinstance(t, str) else ""
+            if not s:
+                ns.append(0)
+                hs.append(0.0)
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            n = cp.shape[0]
+            k = counts.astype(np.float64)
+            hs.append(float(np.log2(n) - np.sum(k * np.log2(k)) / n))
+            ns.append(n)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_chars": pd.Series(ns, dtype="int64"),
+            "entropy": np.round(np.asarray(hs, dtype=np.float64), 6)})
+
+    out = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''),
+                                           '[\s\S]')) AS c
+  FROM documents
+), cnt AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+), agg AS (
+  SELECT doc_id, sum(k) AS n, sum(k * log2(k)) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_chars,
+       CASE WHEN a.n IS NULL THEN 0.0
+            ELSE round(log2(a.n) - a.s / a.n, 6) END AS entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_readability(sf_dir: str) -> pd.DataFrame:
     """Flesch reading ease + Flesch-Kincaid grade per document, from a
     deterministic document-level syllable heuristic (count of maximal

@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_diversity": q.q_ngram_diversity,
         "mad_by_source": q.q_mad_by_source,
         "bm25_multi": q.q_bm25_multi,
+        "search_eval": q.q_search_eval,
         "web_curate": q.q_web_curate,
         "url_features": q.q_url_features,
         "domain_stats": q.q_domain_stats,
@@ -616,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity": q.SQL_NGRAM_DIVERSITY,
         "mad_by_source": q.SQL_MAD_BY_SOURCE,
         "bm25_multi": q.SQL_BM25_MULTI,
+        "search_eval": q.SQL_SEARCH_EVAL,
         "web_curate": q.SQL_WEB_CURATE,
         "url_features": q.SQL_URL_FEATURES,
         "domain_stats": q.SQL_DOMAIN_STATS,

@@ -3487,6 +3487,107 @@ ORDER BY query_id, score DESC, doc_id
 SQL_BM25_MULTI = _bm25_multi_sql()
 
 
+def q_search_eval(sf_dir: str) -> pd.DataFrame:
+    """Retrieval quality evaluation: NDCG@10 of the BM25 ranking
+    against graded relevance rel(q, d) = total tf of q's terms in d
+    (integer, so both twins grade identically). One corpus scan serves
+    the ranking (bm25_multi) and a second computes relevance — per
+    batch each query emits a LOCAL ideal top-10 partial plus rel rows
+    for the globally ranked docs (broadcast 30-id set), so the driver
+    merges k-row partials, never a corpus-scale rel table. DCG sums
+    run over integer rel / log2(small int) — engine-exact to the
+    DuckDB twin after round(,6)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ranked = textstats.bm25_multi(ds, _BM25_QUERIES, k=10)
+    ranked_ids = ray.put({
+        qid: set(g["doc_id"].tolist())
+        for qid, g in ranked.groupby("query_id")})
+
+    def rel_part(b: pd.DataFrame) -> pd.DataFrame:
+        rmap = ray.get(ranked_ids)
+        texts = [(t or "").split() for t in b["text"]]
+        ids = b["doc_id"].to_numpy(np.int64)
+        outs = []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            rel = np.zeros(len(b), dtype=np.int64)
+            for term in terms:
+                rel += np.array([t.count(term) for t in texts],
+                                dtype=np.int64)
+            df_ = pd.DataFrame({"query_id": np.int64(qid), "doc_id": ids,
+                                "rel": rel})
+            df_ = df_[df_["rel"] > 0]
+            top = df_.sort_values(["rel", "doc_id"],
+                                  ascending=[False, True]).head(10)
+            hit = df_[df_["doc_id"].isin(rmap.get(qid, set()))]
+            outs.append(pd.concat([top, hit], ignore_index=True)
+                        .drop_duplicates(["doc_id"]))
+        return pd.concat(outs, ignore_index=True)
+
+    rel = ds.map_batches(rel_part, batch_format="pandas",
+                         batch_size=8192).to_pandas()
+    rows = []
+    for qid in range(len(_BM25_QUERIES)):
+        rq = rel[rel["query_id"] == qid]
+        relmap = dict(zip(rq["doc_id"], rq["rel"]))
+        rdocs = ranked[ranked["query_id"] == qid]["doc_id"].tolist()
+        dcg = float(sum(relmap[d] / np.log2(i + 2)
+                        for i, d in enumerate(rdocs)))
+        ideal = (rq.drop_duplicates(["doc_id"])
+                 .sort_values(["rel", "doc_id"], ascending=[False, True])
+                 .head(10)["rel"].to_numpy(np.int64))
+        idcg = float(sum(r / np.log2(i + 2)
+                         for i, r in enumerate(ideal)))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        rows.append((qid, round(dcg, 6), round(idcg, 6), round(ndcg, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "dcg", "idcg", "ndcg"])
+
+
+def _search_eval_sql() -> str:
+    union = sorted({t for q in _BM25_QUERIES for t in q})
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(l, x -> x = '{t}')) AS tf_{t}" for t in union)
+    df_cols = ",\n         ".join(
+        f"sum((tf_{t} > 0)::INT) AS df_{t}" for t in union)
+    ctes, blocks = [], []
+    for qid, terms in enumerate(_BM25_QUERIES):
+        score = "\n       + ".join(
+            f"tf_{t} * ((n - df_{t} + 1) * 1000000 // (df_{t} + 1)) "
+            f"// (tf_{t} + 1)" for t in terms)
+        rel = " + ".join(f"tf_{t}" for t in terms)
+        ctes.append(f"""rq{qid} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS i
+  FROM (SELECT doc_id, {score} AS score FROM tf, g) s
+  WHERE score > 0 QUALIFY i <= 10
+), iq{qid} AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+  FROM (SELECT doc_id, {rel} AS rel FROM tf) r
+  WHERE rel > 0 QUALIFY i <= 10
+)""")
+        blocks.append(f"""(
+  SELECT {qid}::BIGINT AS query_id,
+         round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+         round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                    ELSE 0.0 END, 6) AS ndcg
+  FROM (SELECT coalesce(sum(({rel}) / log2(r.i + 1)), 0.0) AS dcg
+        FROM rq{qid} r JOIN tf USING (doc_id)) d,
+       (SELECT coalesce(sum(rel / log2(i + 1)), 0.0) AS idcg
+        FROM iq{qid}) i
+)""")
+    return ("\nWITH c AS (\n  SELECT doc_id,\n         "
+            "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+            " AS l\n  FROM documents\n), tf AS (\n  SELECT doc_id,\n"
+            f"         {tf_cols}\n  FROM c\n), g AS (\n  SELECT count(*)"
+            f" AS n,\n         {df_cols}\n  FROM tf\n), "
+            + ", ".join(ctes)
+            + "\n" + "\nUNION ALL\n".join(blocks)
+            + "\nORDER BY query_id\n")
+
+
+SQL_SEARCH_EVAL = _search_eval_sql()
+
+
 def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """Overlapping character chunking (200-char windows, 50 overlap) —
     the embedding/RAG prep step; oracle recomputes every chunk by

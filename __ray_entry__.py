@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_span_counts": q.q_web_span_counts,
         "justext_stats": q.q_justext_stats,
         "cetr_extract": q.q_cetr_extract,
+        "extract_ensemble": q.q_extract_ensemble,
         "nb_langid": q.q_nb_langid,
         "lr_quality": q.q_lr_quality,
         "boost_quality": q.q_boost_quality,

@@ -182,6 +182,50 @@ def cetr_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
                           batch_size=batch_size)
 
 
+def ensemble_stage(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> cross-extractor agreement row: the DOM scorer
+    (htmlx.extract_main_text), jusText good blocks, and CETR each
+    extract the same wrapped page; pairwise word-set Jaccard (permille)
+    between their outputs is the per-doc confidence signal — high
+    three-way agreement means the page's content boundary is
+    unambiguous, divergence flags pages worth auditing. One fused
+    per-doc map, no shuffle."""
+    from ..functions.cetr import extract_main_text_cetr
+    from ..functions.htmlx import (extract_main_text, justext_classify,
+                                   segment_blocks)
+
+    def jac_pm(a: set, b_: set) -> int:
+        u = len(a | b_)
+        return 1000 * len(a & b_) // u if u else 1000
+
+    rows = {k: [] for k in ("doc_id", "dom_chars", "justext_chars",
+                            "cetr_chars", "agree_dom_justext",
+                            "agree_dom_cetr", "agree_justext_cetr")}
+    for i, t in zip(b["doc_id"], b["text"]):
+        html = wrap_html(int(i), t if isinstance(t, str) else "")
+        dom = extract_main_text(html)
+        blocks = segment_blocks(html)
+        good = [blk for blk, cls in zip(blocks, justext_classify(blocks))
+                if cls == "good"]
+        jt = " ".join(blk["text"] for blk in good)
+        ce = extract_main_text_cetr(html)
+        sd, sj, sc = set(dom.split()), set(jt.split()), set(ce.split())
+        rows["doc_id"].append(int(i))
+        rows["dom_chars"].append(len(dom))
+        rows["justext_chars"].append(len(jt))
+        rows["cetr_chars"].append(len(ce))
+        rows["agree_dom_justext"].append(jac_pm(sd, sj))
+        rows["agree_dom_cetr"].append(jac_pm(sd, sc))
+        rows["agree_justext_cetr"].append(jac_pm(sj, sc))
+    return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                         for k, v in rows.items()})
+
+
+def ensemble_table(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(ensemble_stage, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 # ------------------------------------------------------------- PDF leg
 
 

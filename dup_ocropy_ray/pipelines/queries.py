@@ -1613,13 +1613,16 @@ def q_readability(sf_dir: str) -> pd.DataFrame:
             n_words > 0,
             0.39 * (n_words / n_sent) + 11.8 * (n_syll / w) - 15.59,
             0.0)
+        # floor-scaled integers, NOT round(): the formula lands exactly
+        # on half-boundaries (43/32 is a dyadic rational), where numpy's
+        # half-even and DuckDB's half-away disagree — floor is rule-free
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64"),
             "n_sentences": pd.Series(n_sent, dtype="int64"),
             "n_words": pd.Series(n_words, dtype="int64"),
             "n_syllables": pd.Series(n_syll, dtype="int64"),
-            "flesch": np.round(flesch, 4),
-            "fk_grade": np.round(fk, 4)})
+            "flesch_e4": np.floor(flesch * 10000.0).astype("int64"),
+            "fk_grade_e4": np.floor(fk * 10000.0).astype("int64")})
 
     out = ds.map_batches(stats, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1637,13 +1640,14 @@ WITH c AS (
 )
 SELECT doc_id, n_sentences, n_words, n_syllables,
        CASE WHEN n_words > 0 THEN
-         round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-               - 84.6 * (n_syllables::DOUBLE / n_words), 4)
-       ELSE 0.0 END AS flesch,
+         floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                - 84.6 * (n_syllables::DOUBLE / n_words)) * 10000.0)::BIGINT
+       ELSE 0 END AS flesch_e4,
        CASE WHEN n_words > 0 THEN
-         round(0.39 * (n_words::DOUBLE / n_sentences)
-               + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4)
-       ELSE 0.0 END AS fk_grade
+         floor((0.39 * (n_words::DOUBLE / n_sentences)
+                + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59)
+               * 10000.0)::BIGINT
+       ELSE 0 END AS fk_grade_e4
 FROM c ORDER BY doc_id
 """
 
@@ -1696,7 +1700,7 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
 
 SQL_BLOOM_JOIN = """
 SELECT o.o_orderpriority, count(*) AS n_orders,
-       sum(floor(o.o_totalprice * 100)::BIGINT) AS revenue_cents
+       sum(floor(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -2845,6 +2849,19 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def q_extract_ensemble(sf_dir: str) -> pd.DataFrame:
+    """Three-extractor ensemble audit (extract.ensemble_table): DOM
+    scorer vs jusText vs CETR over the same wrapped pages, pairwise
+    word-set agreement in permille — the disagreement signal that
+    flags ambiguous content boundaries at scale. Rows-only; agreement
+    floors pinned in tests/test_cetr.py."""
+    from .extract import ensemble_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ensemble_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_cetr_extract(sf_dir: str) -> pd.DataFrame:

@@ -128,3 +128,20 @@ def test_cetr_table_matches_local(ray_session):
     pd.testing.assert_frame_equal(out, local)
     assert (out["recall_permille"] == 1000).all()
     assert (out["precision_permille"] >= 500).all()
+
+
+def test_extract_ensemble_agreement(ray_session):
+    """The three families must agree substantially on unambiguous
+    synthetic pages (DOM vs CETR especially: CETR keeps every main
+    word, the DOM scorer keeps exactly the main words)."""
+    from dup_ocropy_ray.pipelines.extract import ensemble_table
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype="int64"),
+        "text": [f"doc {i} " + ARTICLE for i in range(12)],
+    })
+    out = ensemble_table(rd.from_pandas(df), batch_size=5).to_pandas()
+    assert (out["agree_dom_cetr"] >= 500).all()
+    assert out["agree_dom_cetr"].mean() >= 700
+    assert (out["dom_chars"] > 0).all()
+    assert (out["cetr_chars"] >= out["dom_chars"]).all()  # CETR recalls all

@@ -191,7 +191,8 @@ def ensemble_stage(b: pd.DataFrame) -> pd.DataFrame:
     unambiguous, divergence flags pages worth auditing. One fused
     per-doc map, no shuffle."""
     from ..functions.cetr import extract_main_text_cetr
-    from ..functions.htmlx import (extract_main_text, justext_classify,
+    from ..functions.htmlx import (classify_context_free,
+                                   extract_main_text, justext_classify,
                                    segment_blocks)
 
     def jac_pm(a: set, b_: set) -> int:
@@ -205,9 +206,14 @@ def ensemble_stage(b: pd.DataFrame) -> pd.DataFrame:
         html = wrap_html(int(i), t if isinstance(t, str) else "")
         dom = extract_main_text(html)
         blocks = segment_blocks(html)
-        good = [blk for blk, cls in zip(blocks, justext_classify(blocks))
-                if cls == "good"]
-        jt = " ".join(blk["text"] for blk in good)
+        # jusText content = final good UNION context-free neargood: in
+        # language-independent mode short-paragraph pages have no
+        # anchoring good block, so neargood is the content signal there
+        fin = justext_classify(blocks)
+        cf = classify_context_free(blocks)
+        jt = " ".join(
+            blk["text"] for blk, f, c in zip(blocks, fin, cf)
+            if f == "good" or c == "neargood")
         ce = extract_main_text_cetr(html)
         sd, sj, sc = set(dom.split()), set(jt.split()), set(ce.split())
         rows["doc_id"].append(int(i))

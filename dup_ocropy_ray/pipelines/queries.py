@@ -4605,6 +4605,93 @@ def q_text_knn(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_frequent_pairs(sf_dir: str) -> pd.DataFrame:
+    """A-Priori frequent 2-itemsets (Agrawal-Srikant '94, the
+    distributed first passes): pass 1 counts singleton support
+    (token-hash keyed combine) and BROADCASTS the frequent set —
+    the A-Priori prune that keeps pass 2's per-doc pair generation
+    quadratic only in the (small) frequent vocabulary, not the doc's
+    token count; pass 2 counts candidate-pair support through a
+    pair-keyed combine and applies the support threshold. minsup=150
+    docs (30% at sf0.01)."""
+    import ray
+
+    from ..functions import hashing
+    from .relational import keyed_combine
+
+    MINSUP = 150
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def singles(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in b["text"]:
+            toks.extend(set((t if isinstance(t, str) else "").split()))
+        a = np.asarray(toks, dtype=object)
+        return pd.DataFrame({
+            "tk": pd.Series(hashing.hash_strings(a).view(np.int64)
+                            if len(a) else np.empty(0, np.int64),
+                            dtype="int64"),
+            "tok": a, "n": np.ones(len(a), dtype=np.int64)})
+
+    freq = keyed_combine(ds.map_batches(singles, batch_format="pandas"),
+                         ["tk", "tok"], ["n"], "sum", 32).to_pandas()
+    fset = sorted(freq.loc[freq["n"] >= MINSUP, "tok"])
+    f_ref = ray.put(set(fset))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(f_ref)
+        cnt: dict = {}
+        for t in b["text"]:
+            items = sorted(set((t if isinstance(t, str) else "").split())
+                           & fs)
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    k = (items[i], items[j])
+                    cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return pd.DataFrame({
+                "pk": pd.Series(dtype="int64"),
+                "item_a": pd.Series(dtype=object),
+                "item_b": pd.Series(dtype=object),
+                "support": pd.Series(dtype="int64")})
+        ka = np.asarray([k[0] for k in cnt], dtype=object)
+        kb = np.asarray([k[1] for k in cnt], dtype=object)
+        ph = (hashing.hash_strings(ka)
+              ^ (hashing.hash_strings(kb) * np.uint64(0x9E3779B9)))
+        return pd.DataFrame({
+            "pk": pd.Series(ph.view(np.int64), dtype="int64"),
+            "item_a": ka, "item_b": kb,
+            "support": pd.Series(list(cnt.values()), dtype="int64")})
+
+    out = keyed_combine(ds.map_batches(pairs, batch_format="pandas"),
+                        ["pk", "item_a", "item_b"], ["support"], "sum",
+                        32).to_pandas()
+    out = out.loc[out["support"] >= MINSUP,
+                  ["item_a", "item_b", "support"]]
+    return (out.astype({"support": "int64"})
+            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+
+
+SQL_FREQUENT_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(list_distinct(
+      regexp_split_to_array(trim(coalesce(text, '')), '\s+')),
+      w -> w <> '')) AS tok
+  FROM documents
+), f AS (
+  SELECT tok FROM t GROUP BY tok HAVING count(*) >= 150
+), ft AS (
+  SELECT doc_id, tok FROM t JOIN f USING (tok)
+), p AS (
+  SELECT a.tok AS item_a, b.tok AS item_b, count(*) AS support
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT item_a, item_b, support FROM p WHERE support >= 150
+ORDER BY item_a, item_b
+"""
+
+
 def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
     """Top-20 bigram collocations by pointwise mutual information
     (one gram-hash shuffle + broadcast unigram counts)."""

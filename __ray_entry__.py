@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "asof_forward": q.q_asof_forward,
         "order_ntile": q.q_order_ntile,
+        "order_ranks": q.q_order_ranks,
         "events_lag": q.q_events_lag,
         "modal_hour": q.q_modal_hour,
         "range_join": q.q_range_join,
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": q.SQL_ASOF_JOIN,
         "asof_forward": q.SQL_ASOF_FORWARD,
         "order_ntile": q.SQL_ORDER_NTILE,
+        "order_ranks": q.SQL_ORDER_RANKS,
         "events_lag": q.SQL_EVENTS_LAG,
         "modal_hour": q.SQL_MODAL_HOUR,
         "range_join": q.SQL_RANGE_JOIN,

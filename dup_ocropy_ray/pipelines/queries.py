@@ -565,6 +565,62 @@ FROM (
 """
 
 
+def q_order_ranks(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK + CUME_DIST of order totals within each priority:
+    one priority-hash shuffle co-locates each group, then both window
+    functions come from two vectorized searchsorted calls per group
+    (min-rank for ties, count-at-most for cume_dist) — no per-row
+    window loop. Integer cents keep tie groups engine-exact."""
+    from ..functions import hashing
+    from .windows import part_tag
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b["o_orderpriority"].to_numpy(object)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_orderpriority": pr,
+            "cents": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype("int64"),
+            "_p": part_tag(hashing.hash_strings(pr).view(np.int64), 16)})
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pr, gg in g.groupby("o_orderpriority", sort=False):
+            c = gg["cents"].to_numpy(np.int64)
+            order = np.sort(c)
+            n = c.shape[0]
+            rank = np.searchsorted(order, c, side="left") + 1
+            at_most = np.searchsorted(order, c, side="right")
+            pct = ((rank - 1) / (n - 1)) if n > 1 else np.zeros(n)
+            outs.append(pd.DataFrame({
+                "o_orderkey": gg["o_orderkey"].to_numpy(np.int64),
+                "o_orderpriority": pr,
+                "pct_rank": np.round(pct, 6),
+                "cume_dist": np.round(at_most / n, 6)}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = (orders.map_batches(prep, batch_format="pandas")
+           .groupby("_p")
+           .map_groups(lambda g: ranks(g.drop(columns="_p")),
+                       batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDER_RANKS = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM (SELECT o_orderkey, o_orderpriority,
+             floor(o_totalprice * 100)::BIGINT AS cents FROM orders)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)
+ORDER BY o_orderkey
+"""
+
+
 def q_order_ntile(sf_dir: str) -> pd.DataFrame:
     """NTILE(8) over order totals — the global-rank window function:
     per-order totals aggregate distributed (key-hash groupby), the

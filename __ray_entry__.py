@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "pmi_bigrams": q.q_pmi_bigrams,
         "frequent_pairs": q.q_frequent_pairs,
+        "holt_forecast": q.q_holt_forecast,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
         "paragraph_dedup": q.q_paragraph_dedup,
@@ -689,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "frequent_pairs": q.SQL_FREQUENT_PAIRS,
+        "holt_forecast": q.SQL_HOLT_FORECAST,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
         "paragraph_dedup": q.SQL_PARAGRAPH_DEDUP,

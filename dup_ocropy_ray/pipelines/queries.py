@@ -4661,6 +4661,113 @@ def q_text_knn(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_holt_forecast(sf_dir: str) -> pd.DataFrame:
+    """Holt linear-trend exponential smoothing per event type (the
+    classic ops-forecasting recursion, alpha=0.5 beta=0.25 — dyadic so
+    the float recursion is reproducible): per-type DENSE hourly counts
+    on the shared hourly-partials shuffle (global hour grid, zero-fill
+    gaps), then the level/trend recursion runs INSIDE each key's
+    partition (series stays off the driver); output is the final
+    state + 1h/24h forecasts. The twin replays the identical
+    recursion in a recursive CTE — same IEEE op order, so values
+    match bit-for-bit before round(,6)."""
+    from ..functions import hashing
+    from .relational import keyed_combine
+    from .windows import part_tag
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = pd.to_datetime(b["ts"]).dt.floor("h")
+        # cast to seconds explicitly: pandas keeps the parquet's [us]
+        # unit, so a raw int64 view would be unit-dependent
+        ep = (hrs.astype("datetime64[s]").astype("int64")
+              // 3600).astype("int64")
+        t = b["event_type"].to_numpy(object)
+        return pd.DataFrame({
+            "hour": ep, "event_type": t,
+            "n": np.ones(len(b), dtype=np.int64)})
+
+    hourly = keyed_combine(ev.map_batches(prep, batch_format="pandas"),
+                           ["hour", "event_type"], ["n"], "sum",
+                           32).materialize()
+    bounds = hourly.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["hour"].min()],
+                                "hi": [b["hour"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            xs = np.zeros(hi - lo + 1, dtype=np.float64)
+            xs[gg["hour"].to_numpy(np.int64) - lo] = gg["n"].to_numpy(
+                np.int64)
+            level = xs[0]
+            trend = xs[1] - xs[0] if xs.shape[0] > 1 else 0.0
+            for t in range(1, xs.shape[0]):
+                prev = level
+                level = 0.5 * xs[t] + 0.5 * (level + trend)
+                trend = 0.25 * (level - prev) + 0.75 * trend
+            rows.append((et, round(level, 6), round(trend, 6),
+                         round(level + trend, 6),
+                         round(level + 24.0 * trend, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "level",
+                                           "trend", "fc_1h", "fc_24h"])
+
+    out = (hourly.map_batches(
+        lambda b: b.assign(_p=part_tag(
+            hashing.hash_strings(b["event_type"].to_numpy(object))
+            .view(np.int64), 8)),
+        batch_format="pandas")
+        .groupby("_p")
+        .map_groups(lambda g: smooth(g.drop(columns="_p")),
+                    batch_format="pandas")
+        .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HOLT_FORECAST = """
+WITH RECURSIVE b AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT // 3600 AS hour,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM b
+), grid AS (
+  SELECT t.event_type, g.h AS hour
+  FROM (SELECT DISTINCT event_type FROM b) t,
+       bounds, unnest(range(bounds.lo, bounds.hi + 1)) AS g(h)
+), x AS (
+  SELECT grid.event_type, grid.hour - bounds.lo AS i,
+         coalesce(b.n, 0)::DOUBLE AS v
+  FROM grid CROSS JOIN bounds
+  LEFT JOIN b ON b.event_type = grid.event_type
+             AND b.hour = grid.hour
+), init AS (
+  SELECT x0.event_type, 0::BIGINT AS i, x0.v AS level,
+         coalesce(x1.v - x0.v, 0.0) AS trend
+  FROM x x0 LEFT JOIN x x1
+    ON x1.event_type = x0.event_type AND x1.i = 1
+  WHERE x0.i = 0
+), r AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         0.5 * x.v + 0.5 * (r.level + r.trend),
+         0.25 * ((0.5 * x.v + 0.5 * (r.level + r.trend)) - r.level)
+           + 0.75 * r.trend
+  FROM r JOIN x ON x.event_type = r.event_type AND x.i = r.i + 1
+)
+SELECT event_type, round(level, 6) AS level, round(trend, 6) AS trend,
+       round(level + trend, 6) AS fc_1h,
+       round(level + 24.0 * trend, 6) AS fc_24h
+FROM r
+QUALIFY i = max(i) OVER (PARTITION BY event_type)
+ORDER BY event_type
+"""
+
+
 def q_frequent_pairs(sf_dir: str) -> pd.DataFrame:
     """A-Priori frequent 2-itemsets (Agrawal-Srikant '94, the
     distributed first passes): pass 1 counts singleton support

@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_spans": q.q_web_spans,
         "web_interleaved": q.q_web_interleaved,
         "distinct_users_hll": q.q_distinct_users_hll,
+        "kll_quantiles": q.q_kll_quantiles,
         "semantic_dedup": q.q_semantic_dedup,
         "quantiles_sketch": q.q_quantiles_sketch,
         "text_knn": q.q_text_knn,

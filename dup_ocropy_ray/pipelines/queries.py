@@ -3137,6 +3137,20 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Mergeable KLL quantile sketch (Karnin-Lang-Liberty FOCS'16,
+    pipelines/sketches.KLL) over event values: one sketch per block
+    (k*log(n/k) floats), stable-order driver merge, all quantiles from
+    the merged summary — the sketch path beside the exact quickselect
+    (exact_quantiles). Rows-only (an estimate can't hash-match);
+    tests pin rank error < 1% against the exact CDF."""
+    from .sketches import kll_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    out = kll_quantiles(ev, "value")
+    return out.reset_index(drop=True)
+
+
 def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Approximate per-event-type distinct users via mergeable
     HyperLogLog registers (pipelines/sketches.py) — the 100 TB path for

@@ -192,3 +192,118 @@ def cms_word_counts(ds: rd.Dataset, probe_words: list, width: int = 8192
         "word": probe_words,
         "est_count": cms_query(acc, np.array(probe_words, dtype=object)),
     })
+
+
+# ------------------------------------------------- KLL quantile sketch
+
+
+class KLL:
+    """KLL streaming quantile sketch (Karnin-Lang-Liberty, FOCS 2016),
+    compactor form: level i holds items of weight 2^i; an over-capacity
+    level sorts itself and promotes every other element (the parity of
+    a per-level compaction counter picks odd/even — deterministic for a
+    given insertion/merge sequence, no RNG). Mergeable: level-wise
+    concatenation + recompaction, the property that makes it a
+    per-block partial for Ray aggregation. Rank error is O(1/k) with
+    ~k*log(n/k) stored items."""
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[list[float]] = [[]]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _cap(self, i: int) -> int:
+        # geometric capacities, floor 8: top levels get ~k
+        h = len(self.levels)
+        return max(8, int(self.k * (2.0 / 3.0) ** (h - 1 - i)))
+
+    def _compact(self) -> None:
+        while True:
+            total = sum(len(lv) for lv in self.levels)
+            budget = sum(self._cap(i) for i in range(len(self.levels)))
+            if total <= budget:
+                return
+            for i, lv in enumerate(self.levels):
+                if len(lv) > self._cap(i):
+                    lv.sort()
+                    off = self.parity[i] & 1
+                    self.parity[i] += 1
+                    promoted = lv[off::2]
+                    keep: list[float] = []
+                    self.levels[i] = keep
+                    if i + 1 == len(self.levels):
+                        self.levels.append([])
+                        self.parity.append(0)
+                    self.levels[i + 1].extend(promoted)
+                    break
+            else:
+                return
+
+    def update(self, values) -> None:
+        vs = [float(v) for v in np.asarray(values, dtype=np.float64)]
+        self.levels[0].extend(vs)
+        self.n += len(vs)
+        self._compact()
+
+    def merge(self, other: "KLL") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i].extend(lv)
+        self.n += other.n
+        self._compact()
+
+    def to_blob(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.parity, self.levels))
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "KLL":
+        import pickle
+
+        k, n, parity, levels = pickle.loads(blob)
+        s = cls(k)
+        s.n, s.parity, s.levels = n, parity, levels
+        return s
+
+    def quantile(self, q: float) -> float:
+        items: list[tuple[float, int]] = []
+        for i, lv in enumerate(self.levels):
+            w = 1 << i
+            items.extend((v, w) for v in lv)
+        if not items:
+            return float("nan")
+        items.sort()
+        vals = np.array([v for v, _ in items])
+        wts = np.array([w for _, w in items], dtype=np.int64)
+        cum = np.cumsum(wts)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+
+def kll_quantiles(ds, val_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                  k: int = 200) -> "pd.DataFrame":
+    """Distributed quantile estimation by mergeable KLL partials: each
+    block builds one sketch (k*log(n/k) floats — never the data), the
+    driver merges block sketches in stable order and answers all
+    quantiles from the merged summary. The 100 TB path when exact
+    per-key quickselect (exact_quantile) is overkill."""
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        s = KLL(k)
+        s.update(b[val_col].to_numpy(np.float64))
+        return pd.DataFrame({"blob": [s.to_blob()],
+                             "k0": [np.int64(b.index[0]) if len(b)
+                                    else np.int64(0)]})
+
+    parts = ds.map_batches(part, batch_format="pandas",
+                           batch_size=65536).to_pandas().sort_values("k0")
+    agg = KLL(k)
+    for blob in parts["blob"]:
+        agg.merge(KLL.from_blob(blob))
+    return pd.DataFrame({"q": list(qs),
+                         "value": [agg.quantile(q) for q in qs],
+                         "n": np.int64(agg.n)})

@@ -56,3 +56,53 @@ def test_window_one_yields_nothing(ray_session):
     out = sorted_neighborhood_pairs(rd.from_pandas(df),
                                     window=1).to_pandas()
     assert len(out) == 0  # distance must be < window
+
+
+# ------------------------------------------------------ KLL sketch
+
+
+def test_kll_rank_error_and_merge(ray_session):
+    import numpy as np
+
+    from dup_ocropy_ray.pipelines.sketches import KLL
+
+    rng = np.random.RandomState(1)
+    x = rng.lognormal(3, 1, 100_000)
+    xs = np.sort(x)
+    s = KLL(200)
+    for chunk in np.array_split(x, 37):
+        s.update(chunk)
+    for q in (0.01, 0.5, 0.99):
+        rank = np.searchsorted(xs, s.quantile(q)) / len(xs)
+        assert abs(rank - q) < 0.01, q
+    # mergeable: two halves merged give the same error class
+    a, b = KLL(200), KLL(200)
+    a.update(x[:50_000])
+    b.update(x[50_000:])
+    a.merge(b)
+    for q in (0.25, 0.75):
+        rank = np.searchsorted(xs, a.quantile(q)) / len(xs)
+        assert abs(rank - q) < 0.01, q
+    # summary stays sublinear
+    assert sum(len(lv) for lv in a.levels) < 2_000
+    # round-trip
+    c = KLL.from_blob(a.to_blob())
+    assert c.quantile(0.5) == a.quantile(0.5) and c.n == a.n
+
+
+def test_kll_distributed_query(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.sketches import kll_quantiles
+
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0, 1000, 30_000)
+    ds = rd.from_pandas(pd.DataFrame({"value": x}))
+    out = kll_quantiles(ds, "value")
+    assert int(out["n"].iloc[0]) == 30_000
+    xs = np.sort(x)
+    for q, v in zip(out["q"], out["value"]):
+        rank = np.searchsorted(xs, v) / len(xs)
+        assert abs(rank - q) < 0.015, (q, v)

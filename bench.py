@@ -75,6 +75,12 @@ QUERY_SUBSET = [
     "phrase_search",
     "blocklist_scan",
     "stream_windows",
+    "snm_pairs",
+    "trigram_search",
+    "frequent_pairs",
+    "bootstrap_ci",
+    "cetr_extract",
+    "holt_forecast",
 ]
 
 

@@ -972,7 +972,13 @@ def q_ppjoin(sf_dir: str) -> pd.DataFrame:
     LSH approximation — completeness is a theorem of the prefix cut.
     The SQL twin implements the same prefix-filter candidate join
     (ordered by true df, token tie-break) with a list_intersect
-    verify, so both sides are exact and value-comparable."""
+    verify, so both sides are exact and value-comparable.
+
+    Corpus note: the synthetic documents share a small vocabulary, so
+    the TRUE answer at t=0.5 is pair-dense (~70% of all pairs at
+    sf0.01) — output size here is a property of the data, not a
+    failure of the prefix filter, whose pruning power grows with both
+    threshold and vocabulary size on real web text."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.ppjoin_pairs(ds, threshold=0.5).to_pandas()
     return (out.astype({"doc_a": "int64", "doc_b": "int64"})

@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q.q_pmi_bigrams,
         "frequent_pairs": q.q_frequent_pairs,
         "holt_forecast": q.q_holt_forecast,
+        "dedup_eval": q.q_dedup_eval,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
         "paragraph_dedup": q.q_paragraph_dedup,

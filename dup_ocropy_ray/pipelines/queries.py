@@ -4681,6 +4681,59 @@ def q_text_knn(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
+    """Near-dup DETECTOR CALIBRATION: a deterministic planted-duplicate
+    benchmark run through three of the engine's detector families —
+    MinHash-LSH (shingle Jaccard), SimHash banding (Hamming<=3), and
+    the EXACT prefix-filter join (ppjoin) as the ceiling — reporting
+    per-method predicted/true-positive counts and precision/recall in
+    permille. The eval corpus gives every doc a DISJOINT synthetic
+    vocabulary keyed by its sf doc_id (so only planted mutant pairs
+    can be similar and precision is exactly measurable); every fourth
+    doc gets a tail-cropped mutant (last 10 of 50 tokens removed:
+    token-set Jaccard 0.8, shingle Jaccard ~0.77 — similar at BOTH
+    granularities, so every family is on its home turf). Rows-only
+    (LSH detectors); recall floors pinned in tests/test_snm.py."""
+    import ray.data as rd_
+
+    base = _read_pd(sf_dir, "documents", ["doc_id"]).head(200)
+    ids, texts = [], []
+    for i in base["doc_id"].astype(int):
+        toks = [f"w{i}_{j}" for j in range(50)]
+        ids.append(int(i))
+        texts.append(" ".join(toks))
+        if i % 4 == 0:
+            ids.append(int(i) + 1_000_000)
+            texts.append(" ".join(toks[:40]))
+    truth = {(int(i), int(i) + 1_000_000)
+             for i in base["doc_id"].astype(int) if i % 4 == 0}
+    corpus = rd_.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"), "text": texts}))
+
+    def score(name: str, pairs: pd.DataFrame) -> tuple:
+        pred = (set() if "doc_a" not in pairs.columns else
+                {(min(int(a), int(b)), max(int(a), int(b)))
+                 for a, b in zip(pairs["doc_a"], pairs["doc_b"])})
+        tp = len(pred & truth)
+        prec = 1000 * tp // max(1, len(pred))
+        rec = 1000 * tp // max(1, len(truth))
+        return (name, len(pred), len(truth), tp, prec, rec)
+
+    mh = dedup.minhash_dup_pairs_ds(corpus, threshold=0.5).to_pandas()
+    sh3 = dedup.simhash_dup_pairs(corpus, max_hamming=3)
+    sh10 = dedup.simhash_dup_pairs(corpus, max_hamming=10)
+    pp = dedup.ppjoin_pairs(corpus, threshold=0.5).to_pandas()
+    # simhash at BOTH thresholds is the calibration lesson: 4x16-bit
+    # banding is built for tiny Hamming radii (true near-identity);
+    # at J=0.8 it recalls only partially even with a loose verify —
+    # the right tool there is MinHash or the exact prefix filter
+    rows = [score("minhash_lsh", mh), score("simhash_h3", sh3),
+            score("simhash_h10", sh10), score("ppjoin_exact", pp)]
+    return pd.DataFrame(rows, columns=[
+        "method", "n_pred", "n_true", "tp",
+        "precision_permille", "recall_permille"])
+
+
 def q_holt_forecast(sf_dir: str) -> pd.DataFrame:
     """Holt linear-trend exponential smoothing per event type (the
     classic ops-forecasting recursion, alpha=0.5 beta=0.25 — dyadic so

@@ -106,3 +106,16 @@ def test_kll_distributed_query(ray_session):
     for q, v in zip(out["q"], out["value"]):
         rank = np.searchsorted(xs, v) / len(xs)
         assert abs(rank - q) < 0.015, (q, v)
+
+
+def test_dedup_eval_calibration(ray_session):
+    from dup_ocropy_ray.pipelines.queries import q_dedup_eval
+
+    out = q_dedup_eval("/root/testdata/sf0.001").set_index("method")
+    assert out.loc["minhash_lsh", "recall_permille"] == 1000
+    assert out.loc["minhash_lsh", "precision_permille"] == 1000
+    assert out.loc["ppjoin_exact", "recall_permille"] == 1000
+    assert out.loc["ppjoin_exact", "precision_permille"] == 1000
+    # simhash banding targets near-identity; at J=0.8 recall is partial
+    assert out.loc["simhash_h10", "recall_permille"] < 1000
+    assert (out["n_pred"] >= out["tp"]).all()

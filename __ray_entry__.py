@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": q.q_frequent_pairs,
         "holt_forecast": q.q_holt_forecast,
         "dedup_eval": q.q_dedup_eval,
+        "purge_user": q.q_purge_user,
         "quality_percentile": q.q_quality_percentile,
         "dedup_corpus": q.q_dedup_corpus,
         "paragraph_dedup": q.q_paragraph_dedup,
@@ -693,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "frequent_pairs": q.SQL_FREQUENT_PAIRS,
         "holt_forecast": q.SQL_HOLT_FORECAST,
+        "purge_user": q.SQL_PURGE_USER,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,
         "paragraph_dedup": q.SQL_PARAGRAPH_DEDUP,

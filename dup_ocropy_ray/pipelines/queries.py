@@ -4681,6 +4681,63 @@ def q_text_knn(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_purge_user(sf_dir: str) -> pd.DataFrame:
+    """GDPR-style targeted deletion (relational.purge_rows): the events
+    table is rewritten file-by-file WITHOUT the requested users
+    (user_id %% 29 == 3 — a data-independent request set), resumable
+    with a per-file deletion-lineage manifest; the purged table is then
+    re-read and aggregated per type. The oracle filters the same
+    predicate directly, so the hash compare pins the whole
+    rewrite-audit-reread loop."""
+    import shutil
+    import tempfile
+
+    from ..functions import hashing
+    from .relational import keyed_combine, purge_rows
+
+    keys = [u for u in range(2000) if u % 29 == 3]
+    src = tempfile.mkdtemp(prefix="purge_in_", dir="/tmp")
+    out = tempfile.mkdtemp(prefix="purge_out_", dir="/tmp")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events.parquet"))
+        man = purge_rows(src, out, "user_id", keys)
+        purged = rd.read_parquet(
+            [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".parquet")],
+            columns=["event_type"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            t = b["event_type"].to_numpy(object)
+            return pd.DataFrame({
+                "tk": pd.Series(hashing.hash_strings(t).view(np.int64),
+                                dtype="int64"),
+                "event_type": t,
+                "n": np.ones(len(b), dtype=np.int64)})
+
+        outdf = keyed_combine(purged.map_batches(prep,
+                                                 batch_format="pandas"),
+                              ["tk", "event_type"], ["n"], "sum",
+                              8).to_pandas()
+        outdf = outdf[["event_type", "n"]].astype({"n": "int64"})
+        outdf["rows_removed"] = np.int64(man["rows_removed"])
+        return outdf.sort_values("event_type").reset_index(drop=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_PURGE_USER = """
+WITH kept AS (
+  SELECT * FROM events WHERE user_id % 29 <> 3
+)
+SELECT event_type, count(*) AS n,
+       (SELECT count(*) FROM events WHERE user_id % 29 = 3)
+         AS rows_removed
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
     """Near-dup DETECTOR CALIBRATION: a deterministic planted-duplicate
     benchmark run through three of the engine's detector families —

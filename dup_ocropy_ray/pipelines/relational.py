@@ -1138,3 +1138,110 @@ def bloom_semi_filter(
         return b[ok]
 
     return left.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------- targeted purge (GDPR)
+
+
+def purge_rows(in_dir: str, out_dir: str, key_col: str,
+               keys) -> dict:
+    """Targeted row DELETION across a parquet table directory (the
+    right-to-be-forgotten / retention-enforcement rewrite): every input
+    file is rewritten WITHOUT rows whose ``key_col`` is in ``keys``,
+    one independent Ray task per file — resumable (a rerun skips files
+    whose output exists), guarded (a resume refuses a directory
+    planned over a different input set or key set), and audited (the
+    ``_purge.json`` manifest, written last, carries per-file rows_in /
+    rows_removed lineage — the deletion evidence a compliance review
+    asks for).
+
+    100 TB shape: the key set is broadcast ONCE via ray.put (ids are
+    request-scale, not corpus-scale); each task reads only its own
+    file; the driver holds file names and count rows only."""
+    import glob as _glob
+    import hashlib
+    import json
+    import os
+    import time as _t
+
+    import ray
+
+    manifest_path = os.path.join(out_dir, "_purge.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise FileNotFoundError(f"purge_rows: no parquet under {in_dir}")
+    key_list = sorted(int(k) for k in keys)
+    plan_key = hashlib.md5(json.dumps(
+        {"files": files, "key_col": key_col, "keys": key_list},
+        sort_keys=True).encode()).hexdigest()
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            if json.load(f).get("plan_key") != plan_key:
+                raise RuntimeError(
+                    "purge_rows: existing partial output was planned "
+                    "over a different input or key set; purge to a "
+                    "fresh directory")
+    else:
+        tmp = plan_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"plan_key": plan_key, "in_dir": in_dir,
+                       "key_col": key_col, "n_keys": len(key_list)}, f)
+        os.replace(tmp, plan_path)
+
+    keys_ref = ray.put(np.asarray(key_list, dtype=np.int64))
+
+    @ray.remote
+    def _purge_file(src: str, dst: str) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
+
+        t0 = _t.time()
+        t = pq_.read_table(src)
+        ks = ray.get(keys_ref)
+        drop = pc.is_in(t.column(key_col),
+                        value_set=pa.array(ks, pa.int64()))
+        keep = pc.invert(pc.fill_null(drop, False))
+        out = t.filter(keep)
+        tmp_dst = dst + f".tmp.{os.getpid()}"
+        pq_.write_table(out, tmp_dst)
+        os.replace(tmp_dst, dst)
+        return {"rows_in": t.num_rows,
+                "rows_removed": t.num_rows - out.num_rows,
+                "wall_sec": round(_t.time() - t0, 3)}
+
+    outs = [os.path.join(out_dir, f"part-{i:05d}.parquet")
+            for i in range(len(files))]
+    pending = [(s, d) for s, d in zip(files, outs)
+               if not os.path.exists(d)]
+    stats = ray.get([_purge_file.remote(s, d) for s, d in pending])
+    done = {d: st for (_, d), st in zip(pending, stats)}
+
+    import pyarrow.parquet as pq_
+
+    per_file = []
+    for i, (src, dst) in enumerate(zip(files, outs)):
+        st = done.get(dst) or {
+            "rows_in": pq_.read_metadata(src).num_rows,
+            "rows_removed": (pq_.read_metadata(src).num_rows
+                             - pq_.read_metadata(dst).num_rows),
+            "wall_sec": 0.0}
+        per_file.append({"part": i, "src": os.path.basename(src), **st})
+    manifest = {"plan_key": plan_key, "key_col": key_col,
+                "n_keys": len(key_list),
+                "rows_in": int(sum(f["rows_in"] for f in per_file)),
+                "rows_removed": int(sum(f["rows_removed"]
+                                        for f in per_file)),
+                "files": per_file}
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return manifest

@@ -106,3 +106,53 @@ def test_compact_schema_mismatch_raises(tmp_path, ray_session):
     with pytest.raises(Exception, match="schema mismatch"):
         compact_parquet(str(src), str(tmp_path / "out"),
                         target_bytes=1 << 20)
+
+
+# --------------------------------------------------- purge_rows
+
+
+def test_purge_rows_resume_and_guard(ray_session, tmp_path):
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dup_ocropy_ray.pipelines.relational import purge_rows
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({
+            "user_id": pa.array(np.arange(i * 100, i * 100 + 100,
+                                          dtype=np.int64)),
+            "v": pa.array(np.arange(100, dtype=np.int64))}),
+            str(src / f"f{i}.parquet"))
+    out = tmp_path / "out"
+    man = purge_rows(str(src), str(out), "user_id", [5, 150, 299, 999])
+    assert man["rows_removed"] == 3  # 999 not present
+    assert man["rows_in"] == 300
+    # every output file exists and holds no purged key
+    kept = pq.read_table(str(out / "part-00000.parquet"))
+    assert 5 not in kept.column("user_id").to_pylist()
+    # resume: delete one output, rerun -> same manifest totals
+    os.remove(str(out / "_purge.json"))
+    os.remove(str(out / "part-00001.parquet"))
+    man2 = purge_rows(str(src), str(out), "user_id", [5, 150, 299, 999])
+    assert man2["rows_removed"] == 3
+    # guard: a different key set refuses the directory
+    os.remove(str(out / "_purge.json"))
+    with pytest.raises(RuntimeError, match="different input or key"):
+        purge_rows(str(src), str(out), "user_id", [1])
+    # idempotent: manifest present -> returned as-is
+    man3 = purge_rows(str(src), str(out), "user_id", [5, 150, 299, 999])
+
+    def strip(m):
+        return {**m, "files": [{k: v for k, v in f.items()
+                                if k != "wall_sec"} for f in m["files"]]}
+
+    assert json.dumps(strip(man3), sort_keys=True) == json.dumps(
+        strip(man2), sort_keys=True)

@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": q.q_cluster_size_hist,
         "dedup_embedding": q.q_dedup_embedding,
         "knn": q.q_knn,
+        "mmr_select": q.q_mmr_select,
         "knn_multi": q.q_knn_multi,
         "knn_ivf_exact": q.q_knn_ivf_exact,
         "token_stats": q.q_token_stats,

@@ -1402,6 +1402,18 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # --------------------------------------------------------------- similarity
 
 
+def q_mmr_select(sf_dir: str) -> pd.DataFrame:
+    """Diversity-aware retrieval by Maximal Marginal Relevance
+    (similarity.mmr_select, Carbonell-Goldstein '98): relevance
+    top-100 pool fetched distributed, greedy lam=0.7 rerank on the
+    pool. Rows-only (greedy sequential selection has no SQL twin);
+    pinned by the serial-parity + diversity tests in
+    tests/test_snm.py."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _read_pd(sf_dir, "embeddings").set_index("vec_id").loc[0, "embedding"]
+    return similarity.mmr_select(ds, np.asarray(q), k=10)
+
+
 def q_knn(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 to the vec_id=0 embedding."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -1005,3 +1005,58 @@ def knn_ivfpq(index_dir: str, query: np.ndarray, k: int = 10,
                             ascending=[False, True]).head(k)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out.reset_index(drop=True)
+
+
+def mmr_select(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+               pool: int = 100, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """Diversity-aware top-k by MAXIMAL MARGINAL RELEVANCE (Carbonell &
+    Goldstein, SIGIR 1998): the distributed leg fetches a relevance
+    top-``pool`` candidate set (per-block top-k partials, same shape as
+    knn_brute — the corpus never leaves the cluster), then the greedy
+    MMR rerank runs on the pool x dim matrix: each step picks
+    argmax(lam * sim(q, d) - (1 - lam) * max sim(d, selected)),
+    relevance-then-id tie-break, so selection is deterministic.
+    Returns (rank, id, cos_sim, mmr_score)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        M = _normalize(_stack(batch[vec_col]))
+        cos = M @ qv
+        out = pd.DataFrame({id_col: batch[id_col].values, "cos_sim": cos,
+                            "_v": list(M)})
+        return out.sort_values(["cos_sim", id_col],
+                               ascending=[False, True]).head(pool)
+
+    parts = ds.map_batches(score, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    cand = (parts.sort_values(["cos_sim", id_col],
+                              ascending=[False, True]).head(pool)
+            .reset_index(drop=True))
+    V = np.stack(cand["_v"].to_list())
+    rel = cand["cos_sim"].to_numpy(np.float64)
+    ids = cand[id_col].to_numpy(np.int64)
+    n = V.shape[0]
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    rows = []
+    for rank in range(min(k, n)):
+        if selected:
+            mmr = lam * rel - (1.0 - lam) * max_sim
+        else:
+            mmr = lam * rel
+        mmr[selected] = -np.inf
+        # deterministic: best mmr, then higher relevance, then lower id
+        order = np.lexsort((ids, -rel, -mmr))
+        pick = int(order[0])
+        selected.append(pick)
+        rows.append((rank, int(ids[pick]),
+                     round(float(rel[pick]), 6),
+                     round(float(mmr[pick]), 6)))
+        max_sim = np.maximum(max_sim, V @ V[pick])
+    return pd.DataFrame(rows, columns=["rank", id_col, "cos_sim",
+                                       "mmr_score"])

@@ -119,3 +119,40 @@ def test_dedup_eval_calibration(ray_session):
     # simhash banding targets near-identity; at J=0.8 recall is partial
     assert out.loc["simhash_h10", "recall_permille"] < 1000
     assert (out["n_pred"] >= out["tp"]).all()
+
+
+# ------------------------------------------------------ MMR select
+
+
+def test_mmr_select_diversity_and_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.similarity import knn_brute, mmr_select
+
+    rng = np.random.RandomState(5)
+    # two tight clusters near the query + diffuse background: pure
+    # relevance ranking fills top-4 from cluster A; MMR must mix in B
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    A = q + 0.05 * rng.randn(6, 4)            # very close to q
+    B = np.array([0.7, 0.7, 0.0, 0.0]) + 0.05 * rng.randn(6, 4)
+    C = rng.randn(30, 4)
+    V = np.vstack([A, B, C])
+    df = pd.DataFrame({"vec_id": pd.Series(range(len(V)), dtype="int64"),
+                       "embedding": [list(map(float, v)) for v in V]})
+    ds = rd.from_pandas(df)
+    top = knn_brute(ds, q, k=6)
+    sel = mmr_select(ds, q, k=6, pool=20, lam=0.3)
+    # rank 0 is the pure-relevance winner in both
+    assert sel["vec_id"].iloc[0] == top["vec_id"].iloc[0]
+    # pure relevance stays inside tight cluster A; diversity-weighted
+    # MMR escapes it (background + cluster B are more marginal)
+    assert set(top["vec_id"]) <= set(range(6))
+    assert sum(v >= 6 for v in sel["vec_id"]) >= 3
+    # deterministic
+    sel2 = mmr_select(ds, q, k=6, pool=20, lam=0.3)
+    pd.testing.assert_frame_equal(sel, sel2)
+    # lam=1.0 degenerates to pure relevance order
+    rel = mmr_select(ds, q, k=6, pool=20, lam=1.0)
+    assert rel["vec_id"].tolist() == top["vec_id"].tolist()

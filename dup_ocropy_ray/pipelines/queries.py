@@ -3518,12 +3518,10 @@ def q_trigram_search(sf_dir: str) -> pd.DataFrame:
     idx = tempfile.mkdtemp(prefix="trgmidx_", dir="/tmp")
     try:
         textstats.build_trigram_index(ds, idx, num_buckets=32)
-        outs = []
-        for needle in _TRIGRAM_NEEDLES:
-            hits = textstats.search_trigram_index(idx, needle, ds)
-            hits.insert(0, "needle", needle)
-            outs.append(hits)
-        out = pd.concat(outs, ignore_index=True)
+        # ONE probe + ONE verify serves all three needles (the
+        # single-needle search_trigram_index stays as the unit API)
+        out = textstats.search_trigram_index_multi(
+            idx, _TRIGRAM_NEEDLES, ds)
         return (out.sort_values(["needle", "doc_id"])
                 .reset_index(drop=True))
     finally:

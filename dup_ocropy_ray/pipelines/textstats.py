@@ -2272,3 +2272,106 @@ def boost_quality(ds: rd.Dataset, train_mod: int = 5, rounds: int = 8
            .size().rename(columns={"size": "n"}))
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "pred"]).reset_index(drop=True)
+
+
+def search_trigram_index_multi(index_dir: str, needles: list[str],
+                               docs: rd.Dataset,
+                               num_partitions: int = 8) -> pd.DataFrame:
+    """Batched substring search: ONE index probe + ONE verify pass
+    serves every needle (the multi-query serving shape — per-needle
+    passes would multiply bucket reads). Per needle the AND-semantics
+    candidate rule and exact substring verify are identical to
+    search_trigram_index; needles shorter than 3 bytes raise. Returns
+    (needle, doc_id) sorted."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from .relational import bucket_join, keyed_combine
+
+    needles = sorted(set(needles))
+    codes = {n: _trigram_codes(n) for n in needles}
+    if any(c.shape[0] == 0 for c in codes.values()):
+        raise ValueError("search_trigram_index_multi: needles must be "
+                         ">= 3 bytes")
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        num_buckets = int(json.load(f)["num_buckets"])
+    buckets = sorted({int(c) % num_buckets
+                      for cs in codes.values() for c in cs})
+    files = [f for c in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={c}", "*.parquet")))]
+    empty = pd.DataFrame({"needle": pd.Series(dtype=object),
+                          "doc_id": pd.Series(dtype="int64")})
+    if not files:
+        return empty
+
+    # tri code -> list of needle ids wanting it
+    tri2needles: dict = {}
+    for ni, n in enumerate(needles):
+        for c in codes[n]:
+            tri2needles.setdefault(int(c), []).append(ni)
+    need_counts = np.array([codes[n].shape[0] for n in needles],
+                           dtype=np.int64)
+    t2n_ref = ray.put(tri2needles)
+
+    def prune(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t2n = ray.get(t2n_ref)
+        keep = pc.is_in(t.column("tri"),
+                        value_set=pa.array(sorted(t2n), pa.int64()))
+        f = t.filter(keep)
+        tri = f.column("tri").to_numpy(zero_copy_only=False)
+        did = f.column("doc_id").to_numpy(zero_copy_only=False)
+        nids, dids = [], []
+        for tr, d in zip(tri, did):
+            for ni in t2n[int(tr)]:
+                nids.append(ni)
+                dids.append(int(d))
+        return pd.DataFrame({
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "nid": pd.Series(nids, dtype="int64"),
+            "hits": np.ones(len(dids), dtype=np.int64)})
+
+    posts = rd.read_parquet(files, columns=["tri", "doc_id"]).map_batches(
+        prune, batch_format="pyarrow", batch_size=65536)
+    cand = keyed_combine(posts, ["doc_id", "nid"], ["hits"], "sum",
+                         num_partitions)
+    nc_ref = ray.put(need_counts)
+
+    def full(b: pd.DataFrame) -> pd.DataFrame:
+        nc = ray.get(nc_ref)
+        keep = (b["hits"].to_numpy(np.int64)
+                >= nc[b["nid"].to_numpy(np.int64)])
+        return b[keep]
+
+    cand = cand.map_batches(full, batch_format="pandas")
+    cand_schema = pa.schema([("doc_id", pa.int64()), ("nid", pa.int64()),
+                             ("hits", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j = bucket_join(cand, docs.select_columns(["doc_id", "text"]),
+                    "doc_id", "doc_id", num_partitions=num_partitions,
+                    left_schema=cand_schema, right_schema=doc_schema)
+    needles_ref = ray.put(list(needles))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(needles_ref)
+        keep = np.fromiter(
+            (ns[int(ni)] in (t if isinstance(t, str) else "")
+             for ni, t in zip(b["nid"], b["text"])),
+            dtype=bool, count=len(b))
+        return pd.DataFrame({
+            "needle": pd.Series(
+                [ns[int(ni)] for ni in b["nid"].to_numpy(np.int64)[keep]],
+                dtype=object),
+            "doc_id": b["doc_id"].to_numpy(np.int64)[keep]})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    return (out.sort_values(["needle", "doc_id"])
+            .reset_index(drop=True))

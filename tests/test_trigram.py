@@ -45,3 +45,24 @@ def test_short_needle_raises(ray_session, tmp_path):
     build_trigram_index(ds, idx, num_buckets=4)
     with pytest.raises(ValueError, match="needle"):
         search_trigram_index(idx, "ab", ds)
+
+
+def test_multi_needle_matches_single(ray_session, tmp_path):
+    from dup_ocropy_ray.pipelines.textstats import (
+        search_trigram_index_multi)
+
+    texts = ["the quick brown fox", "a quick one", "nothing here",
+             "brown paper bag", None, ""]
+    df = pd.DataFrame({"doc_id": pd.Series(range(6), dtype="int64"),
+                       "text": texts})
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "trgm3")
+    build_trigram_index(ds, idx, num_buckets=8)
+    needles = ["quick", "brown", "zzz"]
+    multi = search_trigram_index_multi(idx, needles, ds)
+    for n in needles:
+        got = multi.loc[multi.needle == n, "doc_id"].tolist()
+        want = search_trigram_index(idx, n, ds)["doc_id"].tolist()
+        assert got == want, n
+    with pytest.raises(ValueError, match="needle"):
+        search_trigram_index_multi(idx, ["ok", "ab"], ds)

@@ -321,7 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": q.q_cluster_size_hist,
         "dedup_embedding": q.q_dedup_embedding,
         "knn": q.q_knn,
-        "mmr_select": q.q_mmr_select,
         "knn_multi": q.q_knn_multi,
         "knn_ivf_exact": q.q_knn_ivf_exact,
         "token_stats": q.q_token_stats,
@@ -532,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_interleaved": q.q_web_interleaved,
         "distinct_users_hll": q.q_distinct_users_hll,
         "kll_quantiles": q.q_kll_quantiles,
+        "mmr_select": q.q_mmr_select,
         "semantic_dedup": q.q_semantic_dedup,
         "quantiles_sketch": q.q_quantiles_sketch,
         "text_knn": q.q_text_knn,

@@ -6232,6 +6232,18 @@ def q_boost_quality(sf_dir: str) -> pd.DataFrame:
     return boost_quality(ds)
 
 
+def q_calibration(sf_dir: str) -> pd.DataFrame:
+    """Isotonic probability calibration of the quality classifier
+    (textstats.isotonic_calibration): held-out probs binned through
+    one distributed combine, exact pool-adjacent-violators over the
+    bin table. Rows-only; monotonicity / mass preservation /
+    quadratic-reference parity pinned in tests/test_nb_classifier.py."""
+    from .textstats import isotonic_calibration
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return isotonic_calibration(ds)
+
+
 def q_nb_langid(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language-ID (fastText-classifier shape):
     add-one-smoothed per-class unigram models trained distributed on

@@ -2375,3 +2375,91 @@ def search_trigram_index_multi(index_dir: str, needles: list[str],
         return empty
     return (out.sort_values(["needle", "doc_id"])
             .reset_index(drop=True))
+
+
+# --------------------------------------- isotonic calibration (PAV)
+
+
+def pav_fit(n: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Pool-Adjacent-Violators over ordered bins: returns the monotone
+    non-decreasing rate per bin that minimizes weighted squared error
+    (the classic stack algorithm — exact, O(bins))."""
+    stack: list[list[float]] = []  # [weight, sum_pos]
+    for w, p in zip(n.astype(np.float64), pos.astype(np.float64)):
+        if w == 0:
+            continue
+        stack.append([w, p])
+        while (len(stack) > 1 and
+               stack[-2][1] * stack[-1][0]
+               >= stack[-1][1] * stack[-2][0]):
+            w2, p2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += p2
+    out = np.zeros(n.shape[0], dtype=np.float64)
+    i = 0
+    for w, p in stack:
+        rate = p / w
+        used = 0.0
+        while used < w - 1e-9 and i < n.shape[0]:
+            if n[i] > 0:
+                used += n[i]
+            out[i] = rate
+            i += 1
+    while i < n.shape[0]:
+        out[i] = out[i - 1] if i else 0.0
+        i += 1
+    return out
+
+
+def isotonic_calibration(ds: rd.Dataset, train_mod: int = 5,
+                         bins: int = 64, steps: int = 8) -> pd.DataFrame:
+    """Probability CALIBRATION of the quality classifier by isotonic
+    regression (PAV) — the standard post-hoc fix when a model's raw
+    scores are over/under-confident: train LR on the doc_id%mod != 0
+    split, score the held-out rest, bucket held-out probs into
+    ``bins`` equal-width bins via one distributed (bin -> n, positives)
+    combine, and run exact PAV over the (tiny) bin table on the
+    driver. Output per non-empty bin: n, positives, raw mean prob and
+    the isotonic rate (permille, monotone by construction). Rows-only
+    (iterative model + PAV); monotonicity / mass-preservation /
+    serial-parity pinned in tests."""
+    from .relational import keyed_combine
+
+    feat = lr_features(ds)
+
+    def split(b: pd.DataFrame, keep_train: bool) -> pd.DataFrame:
+        m = (b["doc_id"] % train_mod != 0)
+        return b[m if keep_train else ~m]
+
+    w = lr_train(feat.map_batches(lambda b: split(b, True),
+                                  batch_format="pandas"), steps=steps)
+    scored = lr_score(feat.map_batches(lambda b: split(b, False),
+                                       batch_format="pandas"), w)
+
+    def binned(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["prob"].to_numpy(np.float64)
+        bi = np.minimum((p * bins).astype(np.int64), bins - 1)
+        y = b["label"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bin": pd.Series(bi, dtype="int64"),
+            "n": np.ones(len(b), dtype=np.int64),
+            "pos": y,
+            # integer micro-prob partial sums keep the combine exact
+            "p_micro": (p * 1_000_000).astype(np.int64)})
+
+    agg = keyed_combine(scored.map_batches(binned, batch_format="pandas"),
+                        "bin", ["n", "pos", "p_micro"], "sum",
+                        8).to_pandas().sort_values("bin")
+    full = pd.DataFrame({"bin": np.arange(bins, dtype=np.int64)})
+    agg = full.merge(agg, on="bin", how="left").fillna(0)
+    n = agg["n"].to_numpy(np.int64)
+    pos = agg["pos"].to_numpy(np.int64)
+    iso = pav_fit(n, pos)
+    keep = n > 0
+    return pd.DataFrame({
+        "bin": agg["bin"].to_numpy(np.int64)[keep],
+        "n": n[keep],
+        "positives": pos[keep],
+        "raw_permille": (agg["p_micro"].to_numpy(np.int64)[keep]
+                         // np.maximum(n[keep], 1) // 1000),
+        "iso_permille": (iso[keep] * 1000).astype(np.int64)})

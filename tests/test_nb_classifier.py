@@ -257,3 +257,61 @@ def test_adaboost_serial_parity_and_accuracy(ray_session):
     acc = conf[conf.label == conf.pred].n.sum() / conf.n.sum()
     assert acc >= 0.9
     assert conf.equals(boost_quality(ds, rounds=6))  # deterministic
+
+
+# ------------------------------------------- isotonic calibration
+
+
+def test_pav_properties_and_reference():
+    import numpy as np
+
+    from dup_ocropy_ray.pipelines.textstats import pav_fit
+
+    rng = np.random.RandomState(9)
+    for _ in range(20):
+        bins = rng.randint(3, 40)
+        n = rng.randint(0, 20, bins).astype(np.int64)
+        pos = np.array([rng.randint(0, k + 1) for k in n], dtype=np.int64)
+        iso = pav_fit(n, pos)
+        m = n > 0
+        r = iso[m]
+        # monotone non-decreasing over populated bins
+        assert (np.diff(r) >= -1e-12).all()
+        # weighted mass preserved
+        np.testing.assert_allclose((iso * n).sum(), pos.sum(), rtol=1e-9)
+        # quadratic reference: repeatedly average adjacent violators
+        rates = [(float(w), float(p)) for w, p in zip(n, pos) if w > 0]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(rates) - 1):
+                (w1, p1), (w2, p2) = rates[i], rates[i + 1]
+                if p1 * w2 >= p2 * w1 and not (w1 == 0 or w2 == 0):
+                    rates[i:i + 2] = [(w1 + w2, p1 + p2)]
+                    changed = True
+                    break
+        ref = []
+        for w, p in rates:
+            ref.extend([p / w] * int(round(w / 1)))  # expand by weight
+        # compare segment rates through cumulative weights
+        flat = np.repeat(r, n[m])
+        flat_ref = np.concatenate(
+            [np.full(int(w), p / w) for w, p in rates])
+        np.testing.assert_allclose(flat, flat_ref, rtol=1e-9)
+
+
+def test_isotonic_calibration_query(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.textstats import isotonic_calibration
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    out = isotonic_calibration(rd.from_arrow(t))
+    assert (np.diff(out["iso_permille"].to_numpy()) >= 0).all()
+    assert out["n"].sum() > 0
+    # deterministic
+    out2 = isotonic_calibration(rd.from_arrow(t))
+    assert out.equals(out2)

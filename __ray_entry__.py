@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": q.q_bootstrap_ci,
         "dp_counts": q.q_dp_counts,
         "profile_table": q.q_profile_table,
+        "encoding_advisor": q.q_encoding_advisor,
         "funnel": q.q_funnel,
         "rolling_distinct": q.q_rolling_distinct,
         "retention": q.q_retention,
@@ -616,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": q.SQL_BOOTSTRAP_CI,
         "dp_counts": q.SQL_DP_COUNTS,
         "profile_table": q.SQL_PROFILE_TABLE,
+        "encoding_advisor": q.SQL_ENCODING_ADVISOR,
         "funnel": q.SQL_FUNNEL,
         "rolling_distinct": q.SQL_ROLLING_DISTINCT,
         "retention": q.SQL_RETENTION,

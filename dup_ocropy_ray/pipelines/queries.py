@@ -6184,6 +6184,102 @@ _PROFILE_COLS = ["l_linestatus", "l_orderkey", "l_partkey",
                  "l_returnflag", "l_suppkey"]
 
 
+def q_encoding_advisor(sf_dir: str) -> pd.DataFrame:
+    """Columnar ENCODING ADVISOR (the lakehouse layout question "which
+    lightweight encoding fits each column"): for each int64 column of
+    events, exact stats in event_id order — distinct count, RLE run
+    count, max adjacent delta — and the implied bits/value for
+    dictionary (ceil log2 distinct), delta (bit length of max delta),
+    and RLE. Order-aware stats distribute as per-block partials over
+    the event_id sort plus driver-side BOUNDARY STITCHING: each block
+    reports (first/last value, runs within, max delta within), the
+    driver sorts the block summaries and folds the cross-boundary
+    run/delta terms — block-count rows, never the column."""
+    from .relational import keyed_combine  # noqa: F401  (pattern ref)
+
+    cols = ["event_id", "user_id"]
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    s = ev.sort("event_id").materialize()
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame()
+        row = {"k": [np.int64(b["event_id"].iloc[0])]}
+        for c in cols:
+            v = b[c].to_numpy(np.int64)
+            d = np.abs(np.diff(v))
+            row[f"first_{c}"] = [np.int64(v[0])]
+            row[f"last_{c}"] = [np.int64(v[-1])]
+            row[f"runs_{c}"] = [np.int64(1 + int((np.diff(v) != 0).sum()))]
+            row[f"maxd_{c}"] = [np.int64(d.max()) if d.shape[0] else
+                                np.int64(0)]
+        row["n"] = [np.int64(len(b))]
+        return pd.DataFrame(row)
+
+    sums = (s.map_batches(part, batch_format="pandas", batch_size=None)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def distinct_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for c in cols:
+            u = np.unique(b[c].to_numpy(np.int64))
+            out[c] = [u]
+        return pd.DataFrame(out)
+
+    uparts = ev.map_batches(distinct_part, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    rows = []
+    n_total = int(sums["n"].sum())
+    for c in cols:
+        runs = int(sums[f"runs_{c}"].sum())
+        maxd = int(sums[f"maxd_{c}"].max())
+        # cross-boundary terms between consecutive blocks
+        for i in range(1, len(sums)):
+            prev_last = int(sums[f"last_{c}"].iloc[i - 1])
+            cur_first = int(sums[f"first_{c}"].iloc[i])
+            if prev_last == cur_first:
+                runs -= 1  # the run continues across the boundary
+            maxd = max(maxd, abs(cur_first - prev_last))
+        n_distinct = int(np.unique(np.concatenate(
+            uparts[c].to_list())).shape[0])
+        dict_bits = max(1, int(n_distinct - 1).bit_length())
+        delta_bits = max(1, int(maxd).bit_length())
+        rows.append((c, n_total, n_distinct, runs, maxd,
+                     dict_bits, delta_bits))
+    return pd.DataFrame(rows, columns=[
+        "column", "n", "n_distinct", "n_runs", "max_delta",
+        "dict_bits", "delta_bits"])
+
+
+SQL_ENCODING_ADVISOR = """
+WITH s AS (
+  SELECT event_id, user_id,
+         lag(event_id) OVER w AS pe, lag(user_id) OVER w AS pu
+  FROM events WINDOW w AS (ORDER BY event_id)
+), stats AS (
+  SELECT 'event_id' AS col, count(*) AS n,
+         count(DISTINCT event_id) AS n_distinct,
+         1 + count(*) FILTER (WHERE pe IS NOT NULL
+                              AND event_id <> pe) AS n_runs,
+         max(abs(event_id - pe)) AS max_delta
+  FROM s
+  UNION ALL
+  SELECT 'user_id', count(*), count(DISTINCT user_id),
+         1 + count(*) FILTER (WHERE pu IS NOT NULL AND user_id <> pu),
+         max(abs(user_id - pu))
+  FROM s
+)
+SELECT col AS "column", n, n_distinct, n_runs, max_delta,
+       CASE WHEN n_distinct <= 1 THEN 1
+            ELSE floor(log2((n_distinct - 1)::DOUBLE))::BIGINT + 1
+       END AS dict_bits,
+       CASE WHEN max_delta <= 0 THEN 1
+            ELSE floor(log2(max_delta::DOUBLE))::BIGINT + 1
+       END AS delta_bits
+FROM stats ORDER BY col
+"""
+
+
 def q_profile_table(sf_dir: str) -> pd.DataFrame:
     """Column-level data profiling of lineitem (ingest quality gate):
     per column — rows, nulls, EXACT distinct count (one value-hash

@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q.q_span_corruption,
         "rate_limit": q.q_rate_limit,
         "winsorize_stats": q.q_winsorize_stats,
+        "conformal_bounds": q.q_conformal_bounds,
         "ab_cuped": q.q_ab_cuped,
         "bootstrap_ci": q.q_bootstrap_ci,
         "dp_counts": q.q_dp_counts,
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": q.SQL_NB_LANGID,
         "rate_limit": q.SQL_RATE_LIMIT,
         "winsorize_stats": q.SQL_WINSORIZE_STATS,
+        "conformal_bounds": q.SQL_CONFORMAL_BOUNDS,
         "ab_cuped": q.SQL_AB_CUPED,
         "bootstrap_ci": q.SQL_BOOTSTRAP_CI,
         "dp_counts": q.SQL_DP_COUNTS,

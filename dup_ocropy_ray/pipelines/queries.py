@@ -6109,6 +6109,123 @@ FROM v, th ORDER BY v.variant
 """
 
 
+def q_conformal_bounds(sf_dir: str) -> pd.DataFrame:
+    """Split-conformal prediction intervals per event type (the
+    distribution-free uncertainty wrapper): calibration split =
+    event_id %% 2 == 0 fits the per-type mean (integer cents) and the
+    90th-percentile absolute residual (quantile_disc rule over the
+    calibration residuals); the interval [mean - qhat, mean + qhat]
+    is then scored on the OTHER split for empirical coverage
+    (permille). Two grouped combines + one grouped quantile — all
+    integer-exact, so the twin hashes."""
+    from ..functions import hashing
+    from .relational import grouped_quantiles, keyed_combine
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy(object)
+        return pd.DataFrame({
+            "tk": pd.Series(hashing.hash_strings(t).view(np.int64),
+                            dtype="int64"),
+            "event_type": t,
+            "cal": (b["event_id"].to_numpy(np.int64) % 2 == 0),
+            "cents": np.floor(b["value"].to_numpy(np.float64) * 100
+                              ).astype("int64")})
+
+    base = ev.map_batches(prep, batch_format="pandas").materialize()
+
+    cal_mean = keyed_combine(
+        base.map_batches(
+            lambda b: b[b["cal"]].assign(n=np.int64(1))[
+                ["tk", "event_type", "n", "cents"]],
+            batch_format="pandas"),
+        ["tk", "event_type"], ["n", "cents"], "sum", 8).to_pandas()
+    cal_mean["mean_cents"] = (cal_mean["cents"]
+                              // cal_mean["n"]).astype("int64")
+    mean_map = dict(zip(cal_mean["event_type"], cal_mean["mean_cents"]))
+
+    import ray
+
+    mref = ray.put(mean_map)
+
+    def resid(b: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        b = b[b["cal"]]
+        mu = np.array([mm[t] for t in b["event_type"]], dtype=np.int64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "absr": np.abs(b["cents"].to_numpy(np.int64) - mu)})
+
+    qhat = grouped_quantiles(base.map_batches(resid,
+                                              batch_format="pandas"),
+                             "event_type", "absr", qs=(0.9,))
+    qmap = dict(zip(qhat["event_type"], qhat["value"].astype("int64")))
+    qref = ray.put(qmap)
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        mm, qm = ray.get(mref), ray.get(qref)
+        b = b[~b["cal"]]
+        mu = np.array([mm[t] for t in b["event_type"]], dtype=np.int64)
+        qh = np.array([qm[t] for t in b["event_type"]], dtype=np.int64)
+        inside = (np.abs(b["cents"].to_numpy(np.int64) - mu)
+                  <= qh).astype(np.int64)
+        t = b["event_type"].to_numpy(object)
+        return pd.DataFrame({
+            "tk": pd.Series(hashing.hash_strings(t).view(np.int64),
+                            dtype="int64"),
+            "event_type": t,
+            "n_test": np.ones(len(b), dtype=np.int64),
+            "n_inside": inside})
+
+    cov = keyed_combine(base.map_batches(cover, batch_format="pandas"),
+                        ["tk", "event_type"], ["n_test", "n_inside"],
+                        "sum", 8).to_pandas()
+    out = cov.merge(cal_mean[["event_type", "mean_cents"]],
+                    on="event_type")
+    out["qhat_cents"] = out["event_type"].map(qmap).astype("int64")
+    out["lo_cents"] = out["mean_cents"] - out["qhat_cents"]
+    out["hi_cents"] = out["mean_cents"] + out["qhat_cents"]
+    out["coverage_permille"] = (1000 * out["n_inside"]
+                                // out["n_test"]).astype("int64")
+    out = out[["event_type", "mean_cents", "qhat_cents", "lo_cents",
+               "hi_cents", "n_test", "coverage_permille"]]
+    return (out.astype({c: "int64" for c in out.columns
+                        if c != "event_type"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+SQL_CONFORMAL_BOUNDS = """
+WITH ev AS (
+  SELECT event_type, event_id % 2 = 0 AS cal,
+         floor(value * 100)::BIGINT AS cents
+  FROM events
+), mu AS (
+  SELECT event_type, (sum(cents) // count(*))::BIGINT AS mean_cents
+  FROM ev WHERE cal GROUP BY event_type
+), qh AS (
+  SELECT e.event_type,
+         quantile_disc(abs(e.cents - m.mean_cents), 0.9)::BIGINT
+           AS qhat_cents
+  FROM ev e JOIN mu m USING (event_type)
+  WHERE e.cal GROUP BY e.event_type
+), test AS (
+  SELECT e.event_type, count(*) AS n_test,
+         sum((abs(e.cents - m.mean_cents) <= q.qhat_cents)::INT)
+           AS n_inside
+  FROM ev e JOIN mu m USING (event_type) JOIN qh q USING (event_type)
+  WHERE NOT e.cal GROUP BY e.event_type
+)
+SELECT t.event_type, m.mean_cents, q.qhat_cents,
+       m.mean_cents - q.qhat_cents AS lo_cents,
+       m.mean_cents + q.qhat_cents AS hi_cents,
+       t.n_test,
+       (1000 * t.n_inside // t.n_test)::BIGINT AS coverage_permille
+FROM test t JOIN mu m USING (event_type) JOIN qh q USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 def q_winsorize_stats(sf_dir: str) -> pd.DataFrame:
     """Per-type winsorized value stats: clip each event's value (in
     exact integer cents) to its type's [p05, p95] discrete quantiles,

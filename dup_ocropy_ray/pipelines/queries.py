@@ -6445,6 +6445,20 @@ def q_boost_quality(sf_dir: str) -> pd.DataFrame:
     return boost_quality(ds)
 
 
+def q_textrank(sf_dir: str) -> pd.DataFrame:
+    """Extractive summarization by TextRank (textstats.
+    textrank_sentences — Mihalcea-Tarau 2004): top-2 sentences per
+    document by damped power iteration over the sentence-overlap
+    graph. Per-doc map, no shuffle. Rows-only (iterative ranking);
+    determinism + centrality pinned in tests."""
+    from .textstats import textrank_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textrank_table(ds, k=2).to_pandas()
+    return (out.sort_values(["doc_id", "sent_idx"])
+            .reset_index(drop=True))
+
+
 def q_calibration(sf_dir: str) -> pd.DataFrame:
     """Isotonic probability calibration of the quality classifier
     (textstats.isotonic_calibration): held-out probs binned through

@@ -2463,3 +2463,62 @@ def isotonic_calibration(ds: rd.Dataset, train_mod: int = 5,
         "raw_permille": (agg["p_micro"].to_numpy(np.int64)[keep]
                          // np.maximum(n[keep], 1) // 1000),
         "iso_permille": (iso[keep] * 1000).astype(np.int64)})
+
+
+# ------------------------------------------- TextRank summarization
+
+
+def textrank_sentences(text: str, k: int = 2, damping: float = 0.85,
+                       iters: int = 30) -> list[tuple[int, float, str]]:
+    """Extractive summarization by TextRank (Mihalcea & Tarau, EMNLP
+    2004): sentences are nodes, edge weight = token overlap normalized
+    by log-lengths (the paper's similarity), ranked by a damped power
+    iteration from uniform start — fully deterministic. Returns the
+    top-k sentences as (index, score, text) in ORIGINAL order."""
+    import re as _re
+
+    parts = [p.strip() for p in _re.split(r"(?<=[.!?])\s+", text or "")
+             if p.strip()]
+    n = len(parts)
+    if n == 0:
+        return []
+    if n == 1:
+        return [(0, 1.0, parts[0])]
+    toks = [set(p.lower().split()) for p in parts]
+    W = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            denom = (np.log(max(len(toks[i]), 2))
+                     + np.log(max(len(toks[j]), 2)))
+            w = len(toks[i] & toks[j]) / denom
+            W[i, j] = W[j, i] = w
+    col = W.sum(axis=0)
+    col[col == 0] = 1.0
+    P = W / col  # column-stochastic over weighted out-degree
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (P @ r)
+    order = np.lexsort((np.arange(n), -r))[:k]
+    picked = sorted(int(i) for i in order)
+    return [(i, float(r[i]), parts[i]) for i in picked]
+
+
+def textrank_table(ds: rd.Dataset, k: int = 2) -> rd.Dataset:
+    """documents -> top-k TextRank sentences per doc. Per-doc map only
+    (the graph is sentence-count sized — tens of nodes); no shuffle."""
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, scores, sents = [], [], [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            for idx, sc, s in textrank_sentences(
+                    t if isinstance(t, str) else "", k=k):
+                ids.append(int(i))
+                idxs.append(idx)
+                scores.append(round(sc, 6))
+                sents.append(s)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "sent_idx": pd.Series(idxs, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+            "sentence": pd.Series(sents, dtype=object)})
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=256)

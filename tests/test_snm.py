@@ -156,3 +156,23 @@ def test_mmr_select_diversity_and_parity(ray_session):
     # lam=1.0 degenerates to pure relevance order
     rel = mmr_select(ds, q, k=6, pool=20, lam=1.0)
     assert rel["vec_id"].tolist() == top["vec_id"].tolist()
+
+
+# ------------------------------------------------------ TextRank
+
+
+def test_textrank_picks_central_sentence(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import textrank_sentences
+
+    # the hub sentence shares words with every other; satellites don't
+    # overlap each other
+    text = ("alpha beta gamma delta. alpha red red red. "
+            "beta blue blue blue. gamma green green green. "
+            "unrelated totally disjoint words here.")
+    out = textrank_sentences(text, k=1)
+    assert out[0][0] == 0  # the hub wins
+    assert textrank_sentences("", k=2) == []
+    one = textrank_sentences("just one sentence", k=3)
+    assert len(one) == 1 and one[0][2] == "just one sentence"
+    # deterministic
+    assert textrank_sentences(text, k=2) == textrank_sentences(text, k=2)

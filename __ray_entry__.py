@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts": q.q_dp_counts,
         "profile_table": q.q_profile_table,
         "encoding_advisor": q.q_encoding_advisor,
+        "dataset_card": q.q_dataset_card,
         "funnel": q.q_funnel,
         "rolling_distinct": q.q_rolling_distinct,
         "retention": q.q_retention,
@@ -621,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts": q.SQL_DP_COUNTS,
         "profile_table": q.SQL_PROFILE_TABLE,
         "encoding_advisor": q.SQL_ENCODING_ADVISOR,
+        "dataset_card": q.SQL_DATASET_CARD,
         "funnel": q.SQL_FUNNEL,
         "rolling_distinct": q.SQL_ROLLING_DISTINCT,
         "retention": q.SQL_RETENTION,

@@ -6397,6 +6397,123 @@ FROM stats ORDER BY col
 """
 
 
+def q_dataset_card(sf_dir: str) -> pd.DataFrame:
+    """DATASET CARD summary (the documentation artifact a published
+    corpus ships with): one narrow (metric, value) table spanning the
+    corpus — document counts/emptiness/word mass/exact-distinct
+    texts, event volume/user+type cardinality, order volume/revenue.
+    Every metric is an integer from per-block partials or a
+    hash-distinct combine (the exact-dedup shuffle shape); nothing
+    corpus-scale reaches the driver. Fully oracle-checked."""
+    from ..functions import hashing
+    from .relational import keyed_combine
+
+    rows: list[tuple[str, int]] = []
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame({
+            "n": [np.int64(len(b))],
+            "n_empty": [np.int64((t.str.strip() == "").sum())],
+            "words": [np.int64(t.str.count(r"\S+").sum())]})
+
+    dp = docs.map_batches(doc_part, batch_format="pandas",
+                          batch_size=65536).to_pandas().sum()
+    rows += [("docs_total", int(dp["n"])),
+             ("docs_empty", int(dp["n_empty"])),
+             ("docs_total_words", int(dp["words"]))]
+
+    def text_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = hashing.hash_strings(
+            b["text"].fillna("").to_numpy(object)).view(np.int64)
+        return pd.DataFrame({"th": pd.Series(h, dtype="int64"),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    distinct_texts = int(keyed_combine(
+        docs.map_batches(text_hash, batch_format="pandas"),
+        "th", ["one"], "sum", 16).count())
+    rows.append(("docs_distinct_texts", distinct_texts))
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def ev_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(len(b))]})
+
+    rows.append(("events_total", int(ev.map_batches(
+        ev_part, batch_format="pandas",
+        batch_size=65536).to_pandas()["n"].sum())))
+
+    def uid(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["user_id"].astype("int64"),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    rows.append(("events_distinct_users", int(keyed_combine(
+        ev.map_batches(uid, batch_format="pandas"),
+        "k", ["one"], "sum", 16).count())))
+
+    def tid(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy(object)
+        return pd.DataFrame({
+            "k": pd.Series(hashing.hash_strings(t).view(np.int64),
+                           dtype="int64"),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    rows.append(("events_distinct_types", int(keyed_combine(
+        ev.map_batches(tid, batch_format="pandas"),
+        "k", ["one"], "sum", 8).count())))
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def ord_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [np.int64(len(b))],
+            "cents": [np.int64(np.floor(
+                b["o_totalprice"].to_numpy(np.float64) * 100).sum())]})
+
+    op = orders.map_batches(ord_part, batch_format="pandas",
+                            batch_size=65536).to_pandas().sum()
+    rows += [("orders_total", int(op["n"])),
+             ("orders_revenue_cents", int(op["cents"]))]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    return (out.astype({"value": "int64"})
+            .sort_values("metric").reset_index(drop=True))
+
+
+SQL_DATASET_CARD = r"""
+SELECT metric, value::BIGINT AS value FROM (
+  SELECT 'docs_total' AS metric, count(*)::BIGINT AS value
+  FROM documents
+  UNION ALL
+  SELECT 'docs_empty',
+         count(*) FILTER (WHERE trim(coalesce(text, '')) = '')
+  FROM documents
+  UNION ALL
+  SELECT 'docs_total_words',
+         coalesce(sum(len(regexp_extract_all(coalesce(text, ''),
+                                             '\S+'))), 0)
+  FROM documents
+  UNION ALL
+  SELECT 'docs_distinct_texts',
+         count(DISTINCT coalesce(text, '')) FROM documents
+  UNION ALL
+  SELECT 'events_total', count(*) FROM events
+  UNION ALL
+  SELECT 'events_distinct_users', count(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'events_distinct_types', count(DISTINCT event_type)
+  FROM events
+  UNION ALL
+  SELECT 'orders_total', count(*) FROM orders
+  UNION ALL
+  SELECT 'orders_revenue_cents',
+         sum(floor(o_totalprice * 100)::BIGINT)::BIGINT FROM orders
+) ORDER BY metric
+"""
+
+
 def q_profile_table(sf_dir: str) -> pd.DataFrame:
     """Column-level data profiling of lineitem (ingest quality gate):
     per column — rows, nulls, EXACT distinct count (one value-hash

@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q.q_incremental_dedup,
         "dedup_events_window": q.q_dedup_events_window,
         "stratified_sample": q.q_stratified_sample,
+        "balance_classes": q.q_balance_classes,
         "pmi_bigrams": q.q_pmi_bigrams,
         "frequent_pairs": q.q_frequent_pairs,
         "holt_forecast": q.q_holt_forecast,
@@ -700,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,
         "dedup_events_window": q.SQL_DEDUP_EVENTS_WINDOW,
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
+        "balance_classes": q.SQL_BALANCE_CLASSES,
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "frequent_pairs": q.SQL_FREQUENT_PAIRS,
         "holt_forecast": q.SQL_HOLT_FORECAST,

@@ -4620,6 +4620,73 @@ def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_balance_classes(sf_dir: str) -> pd.DataFrame:
+    """Balanced class downsampling (the class-imbalance fix before
+    training): every lang keeps exactly min-class-count docs, chosen
+    deterministically by (Knuth32(doc_id), doc_id) order — a stable
+    pseudo-random draw both engines can replay. Pass 1 is a tiny
+    class-count combine (broadcast the min); pass 2 is a lang-keyed
+    shuffle with a vectorized per-class rank cut. Output: the kept
+    (doc_id, lang) pairs plus per-class keep counts are implied by
+    the rows themselves — fully oracle-checked via QUALIFY."""
+    from ..functions import hashing
+    from .relational import keyed_combine
+    from .windows import part_tag
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["lang"].to_numpy(object)
+        return pd.DataFrame({
+            "lk": pd.Series(hashing.hash_strings(t).view(np.int64),
+                            dtype="int64"),
+            "lang": t, "n": np.ones(len(b), dtype=np.int64)})
+
+    counts = keyed_combine(ds.map_batches(cnt, batch_format="pandas"),
+                           ["lk", "lang"], ["n"], "sum", 8).to_pandas()
+    kmin = int(counts["n"].min())
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        t = b["lang"].to_numpy(object)
+        return pd.DataFrame({
+            "doc_id": d, "lang": t,
+            "rk": (d * 2654435761) % 4294967296,
+            "_p": part_tag(hashing.hash_strings(t).view(np.int64), 8)})
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lg, gg in g.groupby("lang", sort=False):
+            gg = gg.sort_values(["rk", "doc_id"]).head(kmin)
+            outs.append(gg[["doc_id", "lang"]])
+        return pd.concat(outs, ignore_index=True)
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("_p")
+           .map_groups(lambda g: cut(g.drop(columns="_p")),
+                       batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_BALANCE_CLASSES = """
+WITH m AS (
+  SELECT min(n) AS kmin
+  FROM (SELECT count(*) AS n FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS r
+  FROM documents
+), m
+WHERE r <= m.kmin
+ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Exact-n deterministic sample per source: rank docs by a shared
     Knuth multiplicative hash of doc_id and keep the 10 smallest per

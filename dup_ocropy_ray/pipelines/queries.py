@@ -3155,6 +3155,18 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_hll_overlap(sf_dir: str) -> pd.DataFrame:
+    """Audience overlap between event types by HLL set algebra
+    (sketches.hll_overlap_by_type): lossless register-max union +
+    inclusion-exclusion intersection, exact intersection alongside
+    for the error audit. Rows-only (estimates); error bounds pinned
+    in tests."""
+    from .sketches import hll_overlap_by_type
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_overlap_by_type(ev)
+
+
 def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
     """Mergeable KLL quantile sketch (Karnin-Lang-Liberty FOCS'16,
     pipelines/sketches.KLL) over event values: one sketch per block

@@ -307,3 +307,74 @@ def kll_quantiles(ds, val_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
     return pd.DataFrame({"q": list(qs),
                          "value": [agg.quantile(q) for q in qs],
                          "n": np.int64(agg.n)})
+
+
+def hll_overlap_by_type(ds, type_col: str = "event_type",
+                        val_col: str = "user_id") -> "pd.DataFrame":
+    """Audience-OVERLAP estimation by HLL set algebra: one scan builds
+    a per-type register array (per-block partials, elementwise-max
+    merge — HLL union is lossless, which is the whole trick), then for
+    each type pair |A ∩ B| comes from inclusion-exclusion
+    est(A) + est(B) - est(max(A_regs, B_regs)). The exact intersection
+    rides alongside (per-block (type-pair -> distinct user) partials
+    would be quadratic; instead ONE distinct (type, user) combine is
+    collected at keys x users scale — small here; at web scale drop
+    the exact column and keep the sketches). Returns
+    (type_a, type_b, est_a, est_b, est_union, est_inter, exact_inter,
+    err_permille)."""
+    from .relational import keyed_combine
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in b.groupby(type_col, sort=False):
+            regs = np.zeros(_M, dtype=np.uint8)
+            hll_update(regs, g[val_col].astype(str).to_numpy(object))
+            rows.append((t, regs.tobytes()))
+        return pd.DataFrame(rows, columns=["t", "regs"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged: dict = {}
+    for t, blob in zip(parts["t"], parts["regs"]):
+        r = np.frombuffer(blob, dtype=np.uint8)
+        if t in merged:
+            merged[t] = np.maximum(merged[t], r)
+        else:
+            merged[t] = r.copy()
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[[type_col, val_col]].drop_duplicates()
+        from ..functions.hashing import hash_strings
+
+        t = g[type_col].to_numpy(object)
+        return pd.DataFrame({
+            "k": pd.Series(
+                (hash_strings(t).view(np.int64)
+                 * np.int64(31)) ^ g[val_col].to_numpy(np.int64),
+                dtype="int64"),
+            type_col: t,
+            val_col: g[val_col].to_numpy(np.int64),
+            "one": np.ones(len(g), dtype=np.int64)})
+
+    pairs_tbl = keyed_combine(
+        ds.map_batches(dist, batch_format="pandas"),
+        ["k", type_col, val_col], ["one"], "sum", 16).to_pandas()
+    users_by_type = {t: set(g[val_col])
+                     for t, g in pairs_tbl.groupby(type_col)}
+
+    types = sorted(merged)
+    rows = []
+    for i, a in enumerate(types):
+        for b_ in types[i + 1:]:
+            ea = hll_estimate(merged[a])
+            eb = hll_estimate(merged[b_])
+            eu = hll_estimate(np.maximum(merged[a], merged[b_]))
+            ei = max(0.0, ea + eb - eu)
+            exact = len(users_by_type[a] & users_by_type[b_])
+            err = (abs(ei - exact) / exact * 1000) if exact else 0.0
+            rows.append((a, b_, round(ea, 1), round(eb, 1),
+                         round(eu, 1), round(ei, 1), exact,
+                         int(err)))
+    return pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "est_a", "est_b", "est_union",
+        "est_inter", "exact_inter", "err_permille"])

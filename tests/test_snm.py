@@ -176,3 +176,31 @@ def test_textrank_picks_central_sentence(ray_session):
     assert len(one) == 1 and one[0][2] == "just one sentence"
     # deterministic
     assert textrank_sentences(text, k=2) == textrank_sentences(text, k=2)
+
+
+# --------------------------------------------------- HLL overlap
+
+
+def test_hll_overlap_partial_sets(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.sketches import hll_overlap_by_type
+
+    # A = users 0..3999, B = 2000..5999 -> exact overlap 2000
+    rows = ([("A", u) for u in range(4000)]
+            + [("B", u) for u in range(2000, 6000)])
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    df["user_id"] = df["user_id"].astype("int64")
+    out = hll_overlap_by_type(rd.from_pandas(df))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["exact_inter"] == 2000
+    # HLL p=14: set-size estimates within ~2%, inclusion-exclusion
+    # intersection compounds to a few percent
+    assert abs(r["est_a"] - 4000) / 4000 < 0.03
+    assert abs(r["est_inter"] - 2000) / 2000 < 0.10
+    # determinism
+    out2 = hll_overlap_by_type(rd.from_pandas(df))
+    pd.testing.assert_frame_equal(out, out2)

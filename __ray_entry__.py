@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": q.q_distinct_users_hll,
         "kll_quantiles": q.q_kll_quantiles,
         "hll_overlap": q.q_hll_overlap,
+        "quantile_methods": q.q_quantile_methods,
         "mmr_select": q.q_mmr_select,
         "semantic_dedup": q.q_semantic_dedup,
         "quantiles_sketch": q.q_quantiles_sketch,

@@ -3155,6 +3155,47 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_quantile_methods(sf_dir: str) -> pd.DataFrame:
+    """Quantile-implementation AGREEMENT PANEL: the exact grouped
+    selector (quantile_disc rule), the KLL sketch, and the hash-sampled
+    sketch answer the same global quantiles of event value; the exact
+    value anchors each row and the two sketches report deviation in
+    permille of the exact. A cross-implementation audit the engine can
+    run on itself — divergence beyond the sketches' error class flags
+    a regression in any of the three. Rows-only (two of three are
+    estimates); deviation caps pinned in tests."""
+    from .relational import grouped_quantiles
+    from .sketches import kll_quantiles, sampled_quantiles
+
+    qs = (0.25, 0.5, 0.9, 0.99)
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def one_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.zeros(len(b), dtype=np.int64),
+            "value": b["value"].to_numpy(np.float64)})
+
+    flat = ev.map_batches(one_key, batch_format="pandas")
+    exact = grouped_quantiles(flat, "k", "value", qs=qs)
+    exact_map = dict(zip(exact["q"], exact["value"]))
+    kll = kll_quantiles(ev, "value", qs=qs)
+    kll_map = dict(zip(kll["q"], kll["value"]))
+    samp = sampled_quantiles(ev, "value", "event_id", qs=tuple(qs),
+                             rate=0.2)
+    samp_map = dict(zip(samp["q"], samp["value"]))
+    rows = []
+    for q in qs:
+        ex = float(exact_map[q])
+        kl = float(kll_map[q])
+        sp = float(samp_map[q])
+        rows.append((q, round(ex, 6), round(kl, 6), round(sp, 6),
+                     int(abs(kl - ex) / max(abs(ex), 1e-9) * 1000),
+                     int(abs(sp - ex) / max(abs(ex), 1e-9) * 1000)))
+    return pd.DataFrame(rows, columns=[
+        "q", "exact", "kll", "sampled", "kll_dev_permille",
+        "sampled_dev_permille"])
+
+
 def q_hll_overlap(sf_dir: str) -> pd.DataFrame:
     """Audience overlap between event types by HLL set algebra
     (sketches.hll_overlap_by_type): lossless register-max union +

@@ -204,3 +204,13 @@ def test_hll_overlap_partial_sets(ray_session):
     # determinism
     out2 = hll_overlap_by_type(rd.from_pandas(df))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_quantile_methods_panel(ray_session):
+    from dup_ocropy_ray.pipelines.queries import q_quantile_methods
+
+    out = q_quantile_methods("/root/testdata/sf0.001")
+    # sketches stay inside their error class of the exact answer
+    assert (out["kll_dev_permille"] <= 50).all()
+    assert (out["sampled_dev_permille"] <= 150).all()
+    assert (out["exact"] > 0).all()

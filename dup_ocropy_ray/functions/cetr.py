@@ -104,6 +104,9 @@ def kmeans1d_content_mask(values: np.ndarray, max_iter: int = 64) -> np.ndarray:
         if np.allclose(new, c):
             break
         c = new
+    # re-assign against the FINAL centroids: on a max_iter exit the
+    # loop's last `assign` reflects the previous iterate's centroids
+    assign = np.abs(values[:, None] - c[None, :]).argmin(axis=1)
     return assign == int(c.argmax())
 
 

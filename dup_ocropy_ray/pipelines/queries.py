@@ -4825,7 +4825,13 @@ def q_purge_user(sf_dir: str) -> pd.DataFrame:
     from ..functions import hashing
     from .relational import keyed_combine, purge_rows
 
-    keys = [u for u in range(2000) if u % 29 == 3]
+    # the request set is the %29==3 predicate; purge_rows wants explicit
+    # ids, so enumerate them up to the table's actual user-id bound
+    # (metadata-scale single-column read) — keeps engine/SQL parity at
+    # any scale factor
+    max_user = int(_read_pd(sf_dir, "events", ["user_id"])
+                   ["user_id"].max())
+    keys = [u for u in range(max_user + 1) if u % 29 == 3]
     src = tempfile.mkdtemp(prefix="purge_in_", dir="/tmp")
     out = tempfile.mkdtemp(prefix="purge_out_", dir="/tmp")
     try:
@@ -6017,7 +6023,7 @@ def q_dp_counts(sf_dir: str) -> pd.DataFrame:
 def _dp_case_sql() -> str:
     u = "((rank * 2654435761) % 4294967296) / 4294967296.0"
     branches = "".join(
-        f" WHEN {u} < {thr!r} THEN {k - _DP_TRUNC}"
+        f" WHEN {u} < {float(thr)!r} THEN {k - _DP_TRUNC}"
         for k, thr in enumerate(_DP_CDF))
     return f"CASE{branches} ELSE {_DP_TRUNC} END"
 
@@ -6107,7 +6113,7 @@ def _boot_case_sql() -> str:
     u = ("((e.event_id * 64 + r.b) * 2654435761 % 4294967296)"
          " / 4294967296.0")
     branches = "".join(
-        f" WHEN {u} < {thr!r} THEN {k}"
+        f" WHEN {u} < {float(thr)!r} THEN {k}"
         for k, thr in enumerate(_BOOT_CDF))
     return f"CASE WHEN r.b = -1 THEN 1 ELSE (CASE{branches} ELSE 9 END) END"
 
@@ -6272,6 +6278,7 @@ def q_conformal_bounds(sf_dir: str) -> pd.DataFrame:
     def resid(b: pd.DataFrame) -> pd.DataFrame:
         mm = ray.get(mref)
         b = b[b["cal"]]
+        b = b[b["event_type"].isin(mm)]  # inner-join semantics
         mu = np.array([mm[t] for t in b["event_type"]], dtype=np.int64)
         return pd.DataFrame({
             "event_type": b["event_type"].to_numpy(object),
@@ -6286,6 +6293,9 @@ def q_conformal_bounds(sf_dir: str) -> pd.DataFrame:
     def cover(b: pd.DataFrame) -> pd.DataFrame:
         mm, qm = ray.get(mref), ray.get(qref)
         b = b[~b["cal"]]
+        # inner-join semantics: a type absent from the calibration
+        # split (or its quantile table) is dropped, as in the twin
+        b = b[b["event_type"].isin(mm) & b["event_type"].isin(qm)]
         mu = np.array([mm[t] for t in b["event_type"]], dtype=np.int64)
         qh = np.array([qm[t] for t in b["event_type"]], dtype=np.int64)
         inside = (np.abs(b["cents"].to_numpy(np.int64) - mu)
@@ -6432,8 +6442,6 @@ def q_encoding_advisor(sf_dir: str) -> pd.DataFrame:
     reports (first/last value, runs within, max delta within), the
     driver sorts the block summaries and folds the cross-boundary
     run/delta terms — block-count rows, never the column."""
-    from .relational import keyed_combine  # noqa: F401  (pattern ref)
-
     cols = ["event_id", "user_id"]
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
     s = ev.sort("event_id").materialize()
@@ -6456,15 +6464,18 @@ def q_encoding_advisor(sf_dir: str) -> pd.DataFrame:
     sums = (s.map_batches(part, batch_format="pandas", batch_size=None)
             .to_pandas().sort_values("k").reset_index(drop=True))
 
-    def distinct_part(b: pd.DataFrame) -> pd.DataFrame:
-        out = {}
-        for c in cols:
-            u = np.unique(b[c].to_numpy(np.int64))
-            out[c] = [u]
-        return pd.DataFrame(out)
+    from .relational import keyed_combine
 
-    uparts = ev.map_batches(distinct_part, batch_format="pandas",
-                            batch_size=65536).to_pandas()
+    def distinct_count(c: str) -> int:
+        def kv(b: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(b[c].to_numpy(np.int64))
+            return pd.DataFrame({"k": pd.Series(u, dtype="int64"),
+                                 "one": np.ones(u.shape[0],
+                                                dtype=np.int64)})
+
+        return int(keyed_combine(
+            ev.map_batches(kv, batch_format="pandas"),
+            "k", ["one"], "sum", 16).count())
     rows = []
     n_total = int(sums["n"].sum())
     for c in cols:
@@ -6477,8 +6488,7 @@ def q_encoding_advisor(sf_dir: str) -> pd.DataFrame:
             if prev_last == cur_first:
                 runs -= 1  # the run continues across the boundary
             maxd = max(maxd, abs(cur_first - prev_last))
-        n_distinct = int(np.unique(np.concatenate(
-            uparts[c].to_list())).shape[0])
+        n_distinct = distinct_count(c)
         dict_bits = max(1, int(n_distinct - 1).bit_length())
         delta_bits = max(1, int(maxd).bit_length())
         rows.append((c, n_total, n_distinct, runs, maxd,

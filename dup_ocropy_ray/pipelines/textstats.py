@@ -2318,24 +2318,40 @@ def search_trigram_index_multi(index_dir: str, needles: list[str],
                            dtype=np.int64)
     t2n_ref = ray.put(tri2needles)
 
+    # vectorized expansion tables: sorted tri codes + CSR-style
+    # (offset, flat needle-id) arrays, so prune stays C-level
+    tri_keys = np.array(sorted(tri2needles), dtype=np.int64)
+    tri_counts = np.array([len(tri2needles[int(t)]) for t in tri_keys],
+                          dtype=np.int64)
+    tri_offsets = np.concatenate([[0], np.cumsum(tri_counts)])
+    tri_nids = np.array([ni for t in tri_keys
+                         for ni in tri2needles[int(t)]], dtype=np.int64)
+    exp_ref = ray.put((tri_keys, tri_counts, tri_offsets, tri_nids))
+
     def prune(t: "pa.Table") -> pd.DataFrame:
         import pyarrow.compute as pc
 
-        t2n = ray.get(t2n_ref)
+        keys, counts, offs, flat_nids = ray.get(exp_ref)
         keep = pc.is_in(t.column("tri"),
-                        value_set=pa.array(sorted(t2n), pa.int64()))
+                        value_set=pa.array(keys, pa.int64()))
         f = t.filter(keep)
         tri = f.column("tri").to_numpy(zero_copy_only=False)
         did = f.column("doc_id").to_numpy(zero_copy_only=False)
-        nids, dids = [], []
-        for tr, d in zip(tri, did):
-            for ni in t2n[int(tr)]:
-                nids.append(ni)
-                dids.append(int(d))
+        pos = np.searchsorted(keys, tri)
+        reps = counts[pos]
+        dids = np.repeat(did, reps)
+        # flat needle ids per posting row: starts[row] + within-row
+        # arange, all via the standard ragged-arange identity
+        starts = offs[pos]
+        total = int(reps.sum())
+        ends = np.cumsum(reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - reps, reps)
+        nids = flat_nids[np.repeat(starts, reps) + within]
         return pd.DataFrame({
             "doc_id": pd.Series(dids, dtype="int64"),
             "nid": pd.Series(nids, dtype="int64"),
-            "hits": np.ones(len(dids), dtype=np.int64)})
+            "hits": np.ones(dids.shape[0], dtype=np.int64)})
 
     posts = rd.read_parquet(files, columns=["tri", "doc_id"]).map_batches(
         prune, batch_format="pyarrow", batch_size=65536)

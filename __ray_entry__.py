@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boost_quality": q.q_boost_quality,
         "calibration": q.q_calibration,
         "textrank": q.q_textrank,
+        "texttiling": q.q_texttiling,
         "hard_examples": q.q_hard_examples,
         "span_corruption": q.q_span_corruption,
         "rate_limit": q.q_rate_limit,

@@ -6692,6 +6692,19 @@ def q_boost_quality(sf_dir: str) -> pd.DataFrame:
     return boost_quality(ds)
 
 
+def q_texttiling(sf_dir: str) -> pd.DataFrame:
+    """Topic segmentation by TextTiling (textstats.
+    texttiling_boundaries — Hearst CL'97): block-cosine valley
+    detection with depth scoring, boundaries at local depth maxima.
+    Per-doc map, no shuffle. Rows-only; planted two/three-topic
+    exactness pinned in tests."""
+    from .textstats import texttiling_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = texttiling_table(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_textrank(sf_dir: str) -> pd.DataFrame:
     """Extractive summarization by TextRank (textstats.
     textrank_sentences — Mihalcea-Tarau 2004): top-2 sentences per

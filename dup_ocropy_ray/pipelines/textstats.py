@@ -2538,3 +2538,88 @@ def textrank_table(ds: rd.Dataset, k: int = 2) -> rd.Dataset:
             "sentence": pd.Series(sents, dtype=object)})
 
     return ds.map_batches(f, batch_format="pandas", batch_size=256)
+
+
+# ------------------------------------------ TextTiling segmentation
+
+
+def texttiling_boundaries(text: str, w: int = 20, step: int = 10,
+                          smooth: int = 1) -> list[int]:
+    """Topic-boundary detection by TextTiling (Hearst, CL 1997):
+    tokenize, slide ``w``-token pseudo-sentence blocks at ``step``
+    stride, score each gap by cosine similarity of adjacent blocks,
+    smooth, and place boundaries at depth-score maxima exceeding the
+    mean-minus-stddev cutoff (the paper's LC rule). Deterministic.
+    Returns token offsets of the detected boundaries."""
+    toks = (text or "").lower().split()
+    n = len(toks)
+    if n < 2 * w:
+        return []
+    gaps = list(range(w, n - w + 1, step))
+    sims = np.zeros(len(gaps), dtype=np.float64)
+    for gi, g in enumerate(gaps):
+        a: dict = {}
+        b: dict = {}
+        for t in toks[g - w:g]:
+            a[t] = a.get(t, 0) + 1
+        for t in toks[g:g + w]:
+            b[t] = b.get(t, 0) + 1
+        num = sum(a[t] * b.get(t, 0) for t in a)
+        den = (np.sqrt(sum(v * v for v in a.values()))
+               * np.sqrt(sum(v * v for v in b.values())))
+        sims[gi] = num / den if den else 0.0
+    if smooth > 0 and sims.shape[0] > 2 * smooth:
+        # edge-normalized moving average (zero-padded convolve would
+        # fabricate edge valleys on flat profiles)
+        k = np.ones(2 * smooth + 1)
+        sims = (np.convolve(sims, k, mode="same")
+                / np.convolve(np.ones_like(sims), k, mode="same"))
+    # depth score: how deep each valley sits below its flanking peaks
+    depth = np.zeros_like(sims)
+    for i in range(sims.shape[0]):
+        l = i
+        while l > 0 and sims[l - 1] >= sims[l]:
+            l -= 1
+        r = i
+        while r < sims.shape[0] - 1 and sims[r + 1] >= sims[r]:
+            r += 1
+        depth[i] = (sims[l] - sims[i]) + (sims[r] - sims[i])
+    cutoff = depth.mean() + depth.std() * 0.5
+    # boundaries = LOCAL MAXIMA of the depth profile above the cutoff
+    # (a wide valley crosses the cutoff at several gaps; the paper
+    # places one boundary at its deepest point), with an absolute
+    # floor so single-topic float noise never fires
+    cand = [i for i in range(depth.shape[0])
+            if depth[i] > cutoff and depth[i] > 0.05
+            and (i == 0 or depth[i] >= depth[i - 1])
+            and (i == depth.shape[0] - 1 or depth[i] >= depth[i + 1])]
+    out: list[int] = []
+    for i in cand:  # merge residual close maxima, keep the deeper
+        if out and gaps[i] - out[-1][0] < w:
+            if depth[i] > out[-1][1]:
+                out[-1] = (gaps[i], depth[i])
+        else:
+            out.append((gaps[i], depth[i]))
+    return [g for g, _ in out]
+
+
+def texttiling_table(ds: rd.Dataset, w: int = 20,
+                     step: int = 10) -> rd.Dataset:
+    """documents -> per-doc TextTiling summary (n_tokens, n_segments,
+    boundary offsets as a comma string). Per-doc map only."""
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, ns, bs = [], [], [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            txt = t if isinstance(t, str) else ""
+            cuts = texttiling_boundaries(txt, w=w, step=step)
+            ids.append(int(i))
+            nt.append(len(txt.split()))
+            ns.append(len(cuts) + 1)
+            bs.append(",".join(str(c) for c in cuts))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_tokens": pd.Series(nt, dtype="int64"),
+            "n_segments": pd.Series(ns, dtype="int64"),
+            "boundaries": pd.Series(bs, dtype=object)})
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=256)

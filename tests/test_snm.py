@@ -217,3 +217,24 @@ def test_quantile_methods_panel(ray_session):
     assert (out["kll_dev_permille"] <= 50).all()
     assert (out["sampled_dev_permille"] <= 400).all()
     assert (out["exact"] > 0).all()
+
+
+# ----------------------------------------------------- TextTiling
+
+
+def test_texttiling_planted_topics(ray_session):
+    from dup_ocropy_ray.pipelines.textstats import texttiling_boundaries
+
+    t1 = " ".join(["apple", "fruit", "orchard", "tree", "juice",
+                   "ripe"] * 10)
+    t2 = " ".join(["engine", "piston", "torque", "diesel", "gear",
+                   "clutch"] * 10)
+    t3 = " ".join(["river", "delta", "salmon", "current", "bank",
+                   "flow"] * 10)
+    assert texttiling_boundaries(t1 + " " + t2) == [60]
+    assert texttiling_boundaries(t1 + " " + t2 + " " + t3) == [60, 120]
+    assert texttiling_boundaries(t1) == []       # single topic
+    assert texttiling_boundaries("too short") == []
+    # deterministic
+    assert (texttiling_boundaries(t1 + " " + t2)
+            == texttiling_boundaries(t1 + " " + t2))

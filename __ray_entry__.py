@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_overlap": q.q_hll_overlap,
         "quantile_methods": q.q_quantile_methods,
         "mmr_select": q.q_mmr_select,
+        "rp_recall": q.q_rp_recall,
         "semantic_dedup": q.q_semantic_dedup,
         "quantiles_sketch": q.q_quantiles_sketch,
         "text_knn": q.q_text_knn,

@@ -1402,6 +1402,23 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # --------------------------------------------------------------- similarity
 
 
+def q_rp_recall(sf_dir: str) -> pd.DataFrame:
+    """JL random-projection dimensionality-reduction audit
+    (similarity.rp_knn_recall — Achlioptas sparse projection,
+    deterministic hash-derived matrix): knn recall@10 at 8/16/32 dims
+    vs full-dim brute force over three corpus queries. Rows-only.
+    Corpus note: the synthetic embeddings are near-uniform (neighbors
+    sit barely above the background cosine), so recall here is
+    intrinsically low at any compression — the planted-cluster test
+    in tests/test_snm.py shows the >=0.9 recall JL delivers when
+    neighborhoods actually exist."""
+    emb = _read_pd(sf_dir, "embeddings").set_index("vec_id")
+    Q = np.stack([np.asarray(emb.loc[i, "embedding"])
+                  for i in (0, 1, 2)])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.rp_knn_recall(ds, Q)
+
+
 def q_mmr_select(sf_dir: str) -> pd.DataFrame:
     """Diversity-aware retrieval by Maximal Marginal Relevance
     (similarity.mmr_select, Carbonell-Goldstein '98): relevance

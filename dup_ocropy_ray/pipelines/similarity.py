@@ -1060,3 +1060,62 @@ def mmr_select(ds: rd.Dataset, query: np.ndarray, k: int = 10,
         max_sim = np.maximum(max_sim, V @ V[pick])
     return pd.DataFrame(rows, columns=["rank", id_col, "cos_sim",
                                        "mmr_score"])
+
+
+def _jl_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic sparse JL projection (Achlioptas 2003): entries
+    in {+1, 0, -1} with prob {1/6, 2/3, 1/6}, scaled sqrt(3/out_dim),
+    derived from a counter hash — no RNG state, reproducible on any
+    worker."""
+    idx = np.arange(in_dim * out_dim, dtype=np.int64) + seed * 1_000_003
+    h = (idx * 2654435761 % 4294967296) / 4294967296.0
+    R = np.zeros(in_dim * out_dim, dtype=np.float64)
+    R[h < 1.0 / 6.0] = 1.0
+    R[h >= 5.0 / 6.0] = -1.0
+    return (R * np.sqrt(3.0 / out_dim)).reshape(in_dim, out_dim)
+
+
+def rp_knn_recall(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+                  out_dims: tuple = (8, 16, 32),
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> pd.DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION quality report: project
+    corpus + queries through the deterministic Achlioptas matrix at
+    several target dims and measure knn recall@k against full-dim
+    brute force — the cheap-at-any-scale reduction (one broadcast
+    in_dim x out_dim matmul per block; contrast pca_embeddings, which
+    needs a moments pass). Returns (out_dim, recall_permille) averaged
+    over the query set."""
+    Q = np.asarray(queries, dtype=np.float64)
+    in_dim = Q.shape[1]
+    truth = [set(knn_brute(ds, q, k=k, vec_col=vec_col,
+                           id_col=id_col)[id_col]) for q in Q]
+    rows = []
+    for od in out_dims:
+        R = _jl_matrix(in_dim, od)
+        Rref = ray.put(R)
+
+        def score(batch: pd.DataFrame, q_low=None) -> pd.DataFrame:
+            Rm = ray.get(Rref)
+            M = _normalize(_stack(batch[vec_col]) @ Rm)
+            cos = M @ q_low
+            out = pd.DataFrame({id_col: batch[id_col].values,
+                                "cos_sim": cos})
+            return out.sort_values(["cos_sim", id_col],
+                                   ascending=[False, True]).head(k)
+
+        hits = 0
+        for qi, q in enumerate(Q):
+            ql = q @ R
+            ql = ql / (np.linalg.norm(ql) or 1.0)
+            import functools
+
+            parts = ds.map_batches(
+                functools.partial(score, q_low=ql),
+                batch_format="pandas", batch_size=65536).to_pandas()
+            top = set(parts.sort_values(
+                ["cos_sim", id_col],
+                ascending=[False, True]).head(k)[id_col])
+            hits += len(top & truth[qi])
+        rows.append((int(od), int(1000 * hits // (k * len(Q)))))
+    return pd.DataFrame(rows, columns=["out_dim", "recall_permille"])

@@ -238,3 +238,32 @@ def test_texttiling_planted_topics(ray_session):
     # deterministic
     assert (texttiling_boundaries(t1 + " " + t2)
             == texttiling_boundaries(t1 + " " + t2))
+
+
+# --------------------------------------------- JL random projection
+
+
+def test_rp_recall_on_clustered_data(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.similarity import rp_knn_recall
+
+    rng = np.random.RandomState(13)
+    # 50 well-separated clusters of EXACTLY k=10 points: the true
+    # top-10 is the point's own cluster, so recall measures cluster
+    # preservation (not hairline intra-cluster ordering, which no
+    # compression preserves)
+    centers = rng.randn(50, 64) * 4.0
+    V = np.vstack([c + rng.randn(10, 64) * 0.3 for c in centers])
+    df = pd.DataFrame({"vec_id": pd.Series(range(len(V)), dtype="int64"),
+                       "embedding": [list(map(float, v)) for v in V]})
+    ds = rd.from_pandas(df)
+    out = rp_knn_recall(ds, V[:2], k=10, out_dims=(8, 32))
+    r = dict(zip(out["out_dim"], out["recall_permille"]))
+    assert r[32] >= 900      # JL preserves real neighborhoods
+    assert r[8] <= r[32] + 100  # roughly monotone in target dim
+    # deterministic
+    out2 = rp_knn_recall(ds, V[:2], k=10, out_dims=(8, 32))
+    pd.testing.assert_frame_equal(out, out2)

@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q.q_hybrid_search,
         "cust_order_outer": q.q_cust_order_outer,
         "pagerank": _pagerank,
+        "graph_agg": q.q_graph_agg,
         "indegree_hist": _indegree_hist,
         "triangle_count": _triangle_count,
         "bfs_levels": _bfs_levels,
@@ -730,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": q.SQL_HYBRID_SEARCH,
         "cust_order_outer": q.SQL_CUST_ORDER_OUTER,
         "pagerank": _graph_sql("pagerank"),
+        "graph_agg": q.SQL_GRAPH_AGG,
         "indegree_hist": _graph_sql("indegree_hist"),
         "triangle_count": _graph_sql("triangle_count"),
         "bfs_levels": _graph_sql("bfs_levels"),

@@ -5051,6 +5051,71 @@ ORDER BY event_type
 """
 
 
+def q_graph_agg(sf_dir: str) -> pd.DataFrame:
+    """One-hop NEIGHBOR FEATURE AGGREGATION (the GraphSAGE/GNN message
+    pass, one round): every node averages and maxes its out-neighbors'
+    n_chars over the synthetic k-out link graph — one edge expansion,
+    one dst-keyed bucket_join onto node features, one src-keyed
+    combine. Integer floor mean keeps the twin exact."""
+    from ..pipelines import graph
+    from .relational import bucket_join, keyed_combine
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n_nodes = int(_read_pd(sf_dir, "documents", ["doc_id"]).shape[0])
+    edges = graph.synth_edges(
+        _read(sf_dir, "documents", ["doc_id"]), n_nodes, k=4)
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    feat_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_chars", pa.int64())])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_chars": b["n_chars"].astype("int64")})
+
+    j = bucket_join(edges, docs.map_batches(feat, batch_format="pandas"),
+                    "dst", "doc_id", num_partitions=16,
+                    left_schema=edge_schema, right_schema=feat_schema)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": b["src"].astype("int64"),
+            "deg_out": np.ones(len(b), dtype=np.int64),
+            "sum_chars": b["n_chars"].astype("int64"),
+            "max_chars": b["n_chars"].astype("int64")})
+
+    tagged = j.map_batches(prep, batch_format="pandas").materialize()
+    sums = keyed_combine(tagged, "src", ["deg_out", "sum_chars"],
+                         "sum", 16).to_pandas()
+    maxs = keyed_combine(tagged, "src", ["max_chars"], "max",
+                         16).to_pandas()
+    out = sums.merge(maxs[["src", "max_chars"]], on="src")
+    out["nbr_mean_chars"] = (out["sum_chars"]
+                             // out["deg_out"]).astype("int64")
+    out = out.rename(columns={"src": "doc_id",
+                              "max_chars": "nbr_max_chars"})
+    out = out[["doc_id", "deg_out", "nbr_mean_chars", "nbr_max_chars"]]
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _make_sql_graph_agg() -> str:
+    from ..pipelines.graph import _edges_sql
+
+    return f"""
+WITH {_edges_sql(4)}
+SELECT e.src AS doc_id, count(*) AS deg_out,
+       (sum(d.n_chars) // count(*))::BIGINT AS nbr_mean_chars,
+       max(d.n_chars)::BIGINT AS nbr_max_chars
+FROM edges e JOIN documents d ON d.doc_id = e.dst
+GROUP BY e.src ORDER BY doc_id
+"""
+
+
+SQL_GRAPH_AGG = _make_sql_graph_agg()
+
+
 def q_frequent_pairs(sf_dir: str) -> pd.DataFrame:
     """A-Priori frequent 2-itemsets (Agrawal-Srikant '94, the
     distributed first passes): pass 1 counts singleton support

@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q.q_pmi_bigrams,
         "frequent_pairs": q.q_frequent_pairs,
         "holt_forecast": q.q_holt_forecast,
+        "theilsen_trend": q.q_theilsen_trend,
         "dedup_eval": q.q_dedup_eval,
         "purge_user": q.q_purge_user,
         "quality_percentile": q.q_quality_percentile,
@@ -710,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": q.SQL_PMI_BIGRAMS,
         "frequent_pairs": q.SQL_FREQUENT_PAIRS,
         "holt_forecast": q.SQL_HOLT_FORECAST,
+        "theilsen_trend": q.SQL_THEILSEN_TREND,
         "purge_user": q.SQL_PURGE_USER,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,

@@ -4944,6 +4944,80 @@ def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
         "precision_permille", "recall_permille"])
 
 
+def q_theilsen_trend(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type hourly trend by THEIL-SEN (median of all
+    pairwise slopes — 29%% breakdown point vs OLS's zero): dense
+    hourly counts on the shared hourly-partials shuffle, then the
+    O(T^2) pairwise-slope median runs VECTORIZED inside each type's
+    partition (T = hours; triu index pair generation + one sort —
+    series-scale, never corpus-scale). Median follows the
+    quantile_disc rule, so the self-join twin matches exactly."""
+    import math
+
+    from ..functions import hashing
+    from .relational import keyed_combine
+    from .windows import part_tag
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = pd.to_datetime(b["ts"]).dt.floor("h")
+        ep = (hrs.astype("datetime64[s]").astype("int64")
+              // 3600).astype("int64")
+        return pd.DataFrame({
+            "hour": ep,
+            "event_type": b["event_type"].to_numpy(object),
+            "n": np.ones(len(b), dtype=np.int64)})
+
+    hourly = keyed_combine(ev.map_batches(prep, batch_format="pandas"),
+                           ["hour", "event_type"], ["n"], "sum", 32)
+
+    def slopes(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values("hour")
+            h = gg["hour"].to_numpy(np.float64)
+            c = gg["n"].to_numpy(np.float64)
+            if h.shape[0] < 2:
+                continue
+            iu, ju = np.triu_indices(h.shape[0], 1)
+            sl = np.sort((c[ju] - c[iu]) / (h[ju] - h[iu]))
+            m = sl.shape[0]
+            med = sl[max(math.ceil(0.5 * m) - 1, 0)]
+            rows.append((et, m, round(float(med), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                           "slope_per_hour"])
+
+    out = (hourly.map_batches(
+        lambda b: b.assign(_p=part_tag(
+            hashing.hash_strings(b["event_type"].to_numpy(object))
+            .view(np.int64), 8)),
+        batch_format="pandas")
+        .groupby("_p")
+        .map_groups(lambda g: slopes(g.drop(columns="_p")),
+                    batch_format="pandas")
+        .to_pandas())
+    return (out.astype({"n_pairs": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+SQL_THEILSEN_TREND = """
+WITH h AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT // 3600 AS hour,
+         event_type, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type,
+         (b.n - a.n) / (b.hour - a.hour) AS slope
+  FROM h a JOIN h b
+    ON a.event_type = b.event_type AND b.hour > a.hour
+)
+SELECT event_type, count(*) AS n_pairs,
+       round(quantile_disc(slope, 0.5), 6) AS slope_per_hour
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_holt_forecast(sf_dir: str) -> pd.DataFrame:
     """Holt linear-trend exponential smoothing per event type (the
     classic ops-forecasting recursion, alpha=0.5 beta=0.25 — dyadic so

@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": q.q_frequent_pairs,
         "holt_forecast": q.q_holt_forecast,
         "theilsen_trend": q.q_theilsen_trend,
+        "mannwhitney": q.q_mannwhitney,
         "dedup_eval": q.q_dedup_eval,
         "purge_user": q.q_purge_user,
         "quality_percentile": q.q_quality_percentile,
@@ -712,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": q.SQL_FREQUENT_PAIRS,
         "holt_forecast": q.SQL_HOLT_FORECAST,
         "theilsen_trend": q.SQL_THEILSEN_TREND,
+        "mannwhitney": q.SQL_MANNWHITNEY,
         "purge_user": q.SQL_PURGE_USER,
         "quality_percentile": q.SQL_QUALITY_PERCENTILE,
         "dedup_corpus": q.SQL_DEDUP_CORPUS,

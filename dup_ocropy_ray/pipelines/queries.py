@@ -4944,6 +4944,64 @@ def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
         "precision_permille", "recall_permille"])
 
 
+def q_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U rank test between en and de document lengths
+    (the rank-based two-sample test — robust where ab_cuped's
+    mean-based readout is not): average ranks with tie correction,
+    kept INTEGER by doubling (2*avgrank = 2*count_below + ties + 1),
+    accumulated from a value-histogram combine — n_chars is integer,
+    so the histogram is value-cardinality-bounded regardless of corpus
+    size. Reports n per group and 2*U per group (U_en + U_de =
+    n_en*n_de holds by construction — asserted in tests)."""
+    from .relational import keyed_combine
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lang"].isin(("en", "de"))]
+        return pd.DataFrame({
+            "v": b["n_chars"].astype("int64"),
+            "n_en": (b["lang"] == "en").to_numpy(np.int64),
+            "n_de": (b["lang"] == "de").to_numpy(np.int64)})
+
+    hist = keyed_combine(docs.map_batches(prep, batch_format="pandas"),
+                         "v", ["n_en", "n_de"], "sum",
+                         16).to_pandas().sort_values("v")
+    cnt = (hist["n_en"] + hist["n_de"]).to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    two_avg_rank = 2 * below + cnt + 1  # 2 x average rank per value
+    s_en = int((hist["n_en"].to_numpy(np.int64) * two_avg_rank).sum())
+    s_de = int((hist["n_de"].to_numpy(np.int64) * two_avg_rank).sum())
+    n_en = int(hist["n_en"].sum())
+    n_de = int(hist["n_de"].sum())
+    u2_en = s_en - n_en * (n_en + 1)   # 2 x U statistic
+    u2_de = s_de - n_de * (n_de + 1)
+    return pd.DataFrame({
+        "group": ["de", "en"],
+        "n": pd.Series([n_de, n_en], dtype="int64"),
+        "rank_sum_x2": pd.Series([s_de, s_en], dtype="int64"),
+        "u_x2": pd.Series([u2_de, u2_en], dtype="int64")})
+
+
+SQL_MANNWHITNEY = """
+WITH d AS (
+  SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+), r AS (
+  SELECT lang,
+         2 * rank() OVER (ORDER BY n_chars)
+           + count(*) OVER (PARTITION BY n_chars) - 1 AS two_avg_rank
+  FROM d
+), g AS (
+  SELECT lang AS "group", count(*) AS n,
+         sum(two_avg_rank)::BIGINT AS rank_sum_x2
+  FROM r GROUP BY lang
+)
+SELECT "group", n, rank_sum_x2,
+       (rank_sum_x2 - n * (n + 1))::BIGINT AS u_x2
+FROM g ORDER BY "group"
+"""
+
+
 def q_theilsen_trend(sf_dir: str) -> pd.DataFrame:
     """Robust per-type hourly trend by THEIL-SEN (median of all
     pairwise slopes — 29%% breakdown point vs OLS's zero): dense

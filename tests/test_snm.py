@@ -267,3 +267,14 @@ def test_rp_recall_on_clustered_data(ray_session):
     # deterministic
     out2 = rp_knn_recall(ds, V[:2], k=10, out_dims=(8, 32))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_mannwhitney_identity(ray_session):
+    from dup_ocropy_ray.pipelines.queries import q_mannwhitney
+
+    out = q_mannwhitney("/root/testdata/sf0.001").set_index("group")
+    n_en, n_de = int(out.loc["en", "n"]), int(out.loc["de", "n"])
+    # U_en + U_de == n_en * n_de (doubled on both sides)
+    assert (int(out.loc["en", "u_x2"]) + int(out.loc["de", "u_x2"])
+            == 2 * n_en * n_de)
+    assert (out["u_x2"] >= 0).all()

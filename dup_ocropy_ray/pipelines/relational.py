@@ -363,46 +363,47 @@ def bucket_join(
     rkey = ren[right_on]
     rout = [ren[c] for c in rcols]
 
-    def per_part(g: pa.Table) -> pd.DataFrame:
+    def per_part(g: pa.Table) -> pa.Table:
         side = g.column("_side")
         if how in ("semi", "anti"):
             # membership, not merge: right key duplicates must not
             # multiply left rows, and no right columns are emitted.
-            # Arrow out with an explicit schema: an all-empty pandas
-            # result would otherwise lose the schema entirely (Ray
-            # drops empty schemaless blocks -> 0-column to_pandas).
-            lf = (g.filter(pc.equal(side, 0))
-                   .select(lcols).to_pandas())
-            rkeys = (g.filter(pc.equal(side, 1)).column(rkey))
-            hit = lf[left_on].isin(rkeys.to_pandas().unique())
-            out = lf[hit if how == "semi" else ~hit]
-            lschema = pa.schema([(n, ltypes[n]) for n in lcols])
-            return pa.Table.from_pandas(out, schema=lschema,
-                                        preserve_index=False)
+            # Arrow out with an explicit schema (Ray drops empty
+            # schemaless blocks -> 0-column to_pandas). SQL match
+            # semantics: a NULL key matches nothing, so semi drops
+            # null-key left rows and anti keeps them (NOT EXISTS) —
+            # same rule as the DuckDB oracles.
+            lt = g.filter(pc.equal(side, 0)).select(lcols)
+            rkeys = pc.drop_null(g.filter(pc.equal(side, 1)).column(rkey))
+            if rkeys.type != ltypes[left_on]:
+                rkeys = rkeys.cast(ltypes[left_on])
+            hit = pc.is_in(lt.column(left_on),
+                           value_set=pc.unique(rkeys))
+            if how == "anti":
+                hit = pc.invert(hit)
+            return lt.filter(hit)
         lt = g.filter(pc.equal(side, 0)).select(lcols)
         rt = g.filter(pc.equal(side, 1)).select(rout)
-        # pandas merges ROW INDICES only; values come back via Arrow
+        # Acero joins ROW INDICES only; values come back via Arrow
         # `take` with null indices. A whole-frame pandas merge would
         # NaN-coerce int columns to float64 in any partition holding an
         # unmatched row (left/outer), emitting blocks with INCONSISTENT
         # schemas across partitions and losing int64 exactness past
         # 2^53; index-take keeps every value in its exact Arrow type.
-        ml = pd.DataFrame({"k": lt.column(left_on).to_pandas(),
-                           "_li": np.arange(len(lt), dtype=np.int64)})
-        mr = pd.DataFrame({"k": rt.column(rkey).to_pandas(),
-                           "_ri": np.arange(len(rt), dtype=np.int64)})
-        mg = ml.merge(mr, on="k", how={"left": "left",
-                                       "outer": "outer"}.get(how, "inner"))
-
-        def _idx(v: pd.Series) -> pa.Array:
-            a = v.to_numpy()
-            if a.dtype.kind == "f":  # unmatched side -> NaN -> null index
-                mask = np.isnan(a)
-                return pa.array(np.where(mask, 0, a).astype(np.int64),
-                                pa.int64(), mask=mask)
-            return pa.array(a.astype(np.int64), pa.int64())
-
-        li, ri = _idx(mg["_li"]), _idx(mg["_ri"])
+        # use_threads=False: partitions already run ~num_cpus wide, a
+        # per-task Acero pool would oversubscribe the host.
+        rk = rt.column(rkey)
+        if rk.type != ltypes[left_on]:
+            rk = rk.cast(ltypes[left_on])
+        ml = pa.table({"k": lt.column(left_on),
+                       "_li": np.arange(len(lt), dtype=np.int64)})
+        mr = pa.table({"k": rk,
+                       "_ri": np.arange(len(rt), dtype=np.int64)})
+        mg = ml.join(mr, keys="k",
+                     join_type={"left": "left outer",
+                                "outer": "full outer"}.get(how, "inner"),
+                     use_threads=False)
+        li, ri = mg.column("_li"), mg.column("_ri")
         arrs = ([lt.column(c).take(li) for c in lcols]
                 + [rt.column(c).take(ri) for c in rout])
         return pa.Table.from_arrays(arrs, schema=pa.schema(

@@ -274,6 +274,37 @@ def _bloom_indices(ids, m_bits: int) -> list[np.ndarray]:
         return [(h1 + np.uint64(k) * h2) % m for k in range(_BLOOM_K)]
 
 
+def _bloom_indices_u64(h: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    """Kirsch-Mitzenmacher bit positions for ALREADY-64-bit keys (e.g.
+    window hashes): splitmix64-finalize the key for h1 instead of the
+    object-array pandas hash — fully vectorized on uint64, no object
+    boxing."""
+    x = np.asarray(h, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _B2
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = x ^ (x >> np.uint64(31))
+        h2 = ((h1 ^ _B1) * _B2) | np.uint64(1)
+        m = np.uint64(m_bits)
+        return [(h1 + np.uint64(k) * h2) % m for k in range(_BLOOM_K)]
+
+
+def bloom_add_u64(bits: np.ndarray, h, m_bits: int) -> None:
+    """bloom_add for uint64 key arrays (vectorized double hashing)."""
+    for idx in _bloom_indices_u64(h, m_bits):
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def bloom_contains_u64(bits: np.ndarray, h, m_bits: int) -> np.ndarray:
+    """bloom_contains for uint64 key arrays (no false negatives)."""
+    ok = np.ones(len(np.asarray(h, dtype=np.uint64)), dtype=bool)
+    for idx in _bloom_indices_u64(h, m_bits):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        ok &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) != 0
+    return ok
+
+
 def bloom_add(bits: np.ndarray, ids, m_bits: int) -> None:
     """Set membership bits in-place. ``bits`` is a uint64 word array of
     length m_bits // 64."""

@@ -1166,19 +1166,36 @@ def duplicated_ngrams(
     return rows.groupby("_part").map_groups(agg, batch_format="pandas")
 
 
-def _dup_window_hash_set(
+# Above this many duplicated window hashes the sorted-array broadcast
+# (8 B/hash via ray.put) is swapped for a fixed-size Bloom bitmap + an
+# exact distributed verification join — a 100 TB corpus at a
+# double-digit dup rate produces a probe set in the tens of GB, past
+# ray.put comfort, while the bitmap stays _DUP_BLOOM_BITS/8 bytes.
+_DUP_BROADCAST_MAX = 2_000_000
+_DUP_BLOOM_BITS = 1 << 27  # 16 MiB bitmap, ~4 bits/key at 256M dups
+
+
+def _dup_window_index(
     ds: rd.Dataset,
     text_col: str,
     id_col: str,
     window: int,
     min_docs: int,
-) -> np.ndarray:
-    """Sorted uint64 hashes of every corpus-duplicated W-window,
-    computed WITHOUT materializing gram strings: the shuffle carries
-    only (window_hash, doc_id) and the per-partition dup test is a
-    groupby-nunique on the hash. The broadcast small side for the
-    count/strip passes. At extreme dup rates swap the sorted-array
-    probe for the module's Bloom filter at the same call sites."""
+    max_broadcast: int = _DUP_BROADCAST_MAX,
+    bloom_bits: int = _DUP_BLOOM_BITS,
+):
+    """Index of every corpus-duplicated W-window hash, computed WITHOUT
+    materializing gram strings: the shuffle carries only (window_hash,
+    doc_id) and the per-partition dup test is a groupby-nunique on the
+    hash.
+
+    Returns ``("exact", sorted_hashes, None)`` when the dup set fits a
+    ray.put broadcast (``max_broadcast`` hashes), else ``("bloom",
+    bitmap, dup_ds)``: a fixed-size Bloom bitmap (no false negatives)
+    plus the DISTRIBUTED dup-hash Dataset for the exact verification
+    join — broadcast bytes stay bounded at any dup rate and Bloom
+    false positives are killed downstream by joining candidates
+    against ``dup_ds``."""
 
     def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
         gh, doc_idx, _pos = hashing.batch_window_hashes(
@@ -1196,12 +1213,40 @@ def _dup_window_hash_set(
 
     dup = (ds.map_batches(hash_rows, batch_format="pandas", batch_size=8192)
              .groupby("_part").map_groups(dup_only, batch_format="pandas"))
-    parts = [b["h"].to_numpy(dtype=np.uint64)
-             for b in dup.iter_batches(batch_format="pandas",
-                                       batch_size=65536)]
-    if not parts:
-        return np.empty(0, dtype=np.uint64)
-    return np.sort(np.concatenate(parts))
+    # dup-scale (8 B/window), far below corpus scale; pinning it lets
+    # the count probe and the downstream consumer share one execution
+    dup = dup.materialize()
+    n_dup = dup.count()
+    if n_dup <= max_broadcast:
+        parts = [b["h"].to_numpy(dtype=np.uint64)
+                 for b in dup.iter_batches(batch_format="pandas",
+                                           batch_size=65536)]
+        if not parts:
+            return "exact", np.empty(0, dtype=np.uint64), None
+        return "exact", np.sort(np.concatenate(parts)), None
+    return "bloom", _bloom_over(dup, "h", bloom_bits), dup
+
+
+def _bloom_over(ds: rd.Dataset, col: str, bloom_bits: int) -> np.ndarray:
+    """OR-fold a Bloom bitmap over a uint64 column: one partial bitmap
+    per BLOCK (batch_size=None), OR'd on the driver — driver traffic is
+    n_blocks x bitmap, not key-scale. At extreme block counts tree-
+    reduce the partials; block counts here are partition-scale."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        if len(b):
+            hashing.bloom_add_u64(bits, b[col].to_numpy(np.uint64),
+                                  bloom_bits)
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    acc = np.zeros(bloom_bits // 64, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None).iter_batches(
+                                batch_format="pandas", batch_size=16):
+        for buf in b["bits"]:
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+    return acc
 
 
 def doc_dup_spans(
@@ -1210,35 +1255,146 @@ def doc_dup_spans(
     id_col: str = "doc_id",
     window: int = 8,
     min_docs: int = 2,
+    max_broadcast: int = _DUP_BROADCAST_MAX,
+    bloom_bits: int = _DUP_BLOOM_BITS,
 ) -> rd.Dataset:
     """(doc_id, n_spans, n_dup_spans) per doc with >=1 window: how much
-    of each doc is corpus-duplicated substring mass. Second streaming
-    pass over the corpus probes the broadcast dup-hash set (sorted-array
-    searchsorted, vectorized). Both passes are HASH-ONLY
-    (batch_window_hashes): no gram strings ever materialize or ride the
-    shuffle — only the index query (duplicated_ngrams) pays for text."""
+    of each doc is corpus-duplicated substring mass. Both passes are
+    HASH-ONLY (batch_window_hashes): no gram strings ever materialize or
+    ride a shuffle — only the index query (duplicated_ngrams) pays for
+    text.
+
+    Below ``max_broadcast`` dup hashes the second pass probes a
+    broadcast sorted array (exact, map-only). Above it — the 100 TB
+    double-digit-dup-rate regime — the broadcast is a FIXED-SIZE Bloom
+    bitmap: windows that miss survive on the map path (no false
+    negatives), Bloom-hit candidates are verified EXACTLY against the
+    distributed dup table via one left bucket_join (candidate-scale
+    shuffle), so false positives never reach the output."""
     import ray
 
-    ref = ray.put(_dup_window_hash_set(ds, text_col, id_col, window,
-                                       min_docs))
+    mode, probe, dup_ds = _dup_window_index(
+        ds, text_col, id_col, window, min_docs, max_broadcast, bloom_bits)
+    ref = ray.put(probe)
 
-    def count(b: pd.DataFrame) -> pd.DataFrame:
-        hashes = ray.get(ref)
+    if mode == "exact":
+
+        def count(b: pd.DataFrame) -> pd.DataFrame:
+            hashes = ray.get(ref)
+            gh, doc_idx, _pos = hashing.batch_window_hashes(
+                b[text_col].tolist(), window)
+            n = len(b)
+            n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            idx = np.searchsorted(hashes, gh)
+            hit = (idx < len(hashes)) & (
+                hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+            n_dup = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+            keep = n_spans > 0
+            return pd.DataFrame({
+                id_col: b[id_col].to_numpy()[keep],
+                "n_spans": n_spans[keep],
+                "n_dup_spans": n_dup[keep],
+            })
+
+        return ds.map_batches(count, batch_format="pandas", batch_size=4096)
+
+    from .relational import bucket_join
+
+    id_type = _arrow_id_type(ds, id_col)
+
+    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """kind=0: one (doc, n_spans) row per doc with windows; kind=1:
+        (doc, h, cnt) per DISTINCT Bloom-hit window hash of the doc (cnt
+        = occurrences). kind=0 rows carry h=0 and ignore the join flag."""
+        bits = ray.get(ref)
         gh, doc_idx, _pos = hashing.batch_window_hashes(
             b[text_col].tolist(), window)
         n = len(b)
+        ids = b[id_col].to_numpy()
         n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        idx = np.searchsorted(hashes, gh)
-        hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
-        n_dup = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
         keep = n_spans > 0
-        return pd.DataFrame({
-            id_col: b[id_col].to_numpy()[keep],
-            "n_spans": n_spans[keep],
-            "n_dup_spans": n_dup[keep],
-        })
+        nk = int(keep.sum())
+        doc_rows = pd.DataFrame({
+            id_col: ids[keep], "h": np.zeros(nk, dtype=np.uint64),
+            "cnt": n_spans[keep], "kind": np.zeros(nk, dtype=np.int8)})
+        hit = hashing.bloom_contains_u64(bits, gh, bloom_bits)
+        cand = pd.DataFrame({id_col: ids[doc_idx[hit]], "h": gh[hit]})
+        cand = cand.groupby([id_col, "h"], as_index=False, sort=False
+                            ).agg(cnt=("h", "size"))
+        cand["cnt"] = cand.cnt.astype(np.int64)
+        cand["kind"] = np.int8(1)
+        return pd.concat([doc_rows, cand[doc_rows.columns]],
+                         ignore_index=True)
 
-    return ds.map_batches(count, batch_format="pandas", batch_size=4096)
+    left = ds.map_batches(probe_rows, batch_format="pandas",
+                          batch_size=4096)
+    joined = bucket_join(
+        left, dup_ds, "h", "h", suffix="_r", how="left",
+        left_schema=pa.schema([(id_col, id_type), ("h", pa.uint64()),
+                               ("cnt", pa.int64()), ("kind", pa.int8())]),
+        right_schema=pa.schema([("h", pa.uint64())]))
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        kind = b["kind"].to_numpy()
+        dup = b["h_r"].notna().to_numpy() & (kind == 1)
+        g = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_spans": np.where(kind == 0, b["cnt"].to_numpy(), 0),
+            "n_dup_spans": np.where(dup, b["cnt"].to_numpy(), 0),
+        }).groupby(id_col, as_index=False, sort=False).sum()
+        g["_dc"] = (hashing.hash_strings(g[id_col].to_numpy(dtype=object))
+                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return g
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False, sort=False)[
+            ["n_spans", "n_dup_spans"]].sum()
+        out["n_spans"] = out.n_spans.astype(np.int64)
+        out["n_dup_spans"] = out.n_dup_spans.astype(np.int64)
+        return out
+
+    return (joined.map_batches(part, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("_dc").map_groups(fin, batch_format="pandas"))
+
+
+def _strip_from_hits(ids: np.ndarray, texts: list, hit_doc: np.ndarray,
+                     hit_pos: np.ndarray, window: int,
+                     id_col: str) -> pd.DataFrame:
+    """Strip every word covered by a hit window [pos, pos+window) —
+    shared body of both strip modes. ``hit_doc``/``hit_pos`` index into
+    the batch's docs; coverage is a +1/-1 delta over the flat word
+    stream + one cumsum (windows never cross doc boundaries, so the
+    running sum self-resets at 0 between docs)."""
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    delta = np.zeros(total + window + 1, dtype=np.int64)
+    gstart = tok_off[hit_doc] + hit_pos  # global word index
+    np.add.at(delta, gstart, 1)
+    np.add.at(delta, gstart + window, -1)
+    covered = np.cumsum(delta[:total]) > 0
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    flat = np.empty(total, dtype=object)
+    p = 0
+    for t in tok_lists:
+        if t:
+            flat[p : p + len(t)] = t
+            p += len(t)
+    keep_words = ~covered
+    kept_per_doc = np.bincount(doc_of[keep_words], minlength=len(counts))
+    out_rows = []
+    kept_flat = flat[keep_words]
+    # one join per surviving doc (object strings; C-level join)
+    bounds = np.concatenate([[0], np.cumsum(kept_per_doc)])
+    for i in range(len(counts)):
+        if kept_per_doc[i] > 0:
+            out_rows.append((
+                ids[i],
+                " ".join(kept_flat[bounds[i]:bounds[i + 1]]),
+            ))
+    return pd.DataFrame(out_rows, columns=[id_col, "clean_text"])
 
 
 def strip_dup_spans(
@@ -1247,57 +1403,107 @@ def strip_dup_spans(
     id_col: str = "doc_id",
     window: int = 8,
     min_docs: int = 2,
+    max_broadcast: int = _DUP_BROADCAST_MAX,
+    bloom_bits: int = _DUP_BLOOM_BITS,
 ) -> rd.Dataset:
     """The dedup TRANSFORM: drop every word covered by any
     corpus-duplicated W-window (aggressive variant — all occurrences
-    go; deterministic, so SQL-checkable). Coverage is a +1/-1 delta
-    array over the flat word stream + one cumsum — windows never cross
-    doc boundaries, so the running sum self-resets at 0 between docs.
-    Docs left empty are dropped. Hash-only like doc_dup_spans."""
+    go; deterministic, so SQL-checkable). Docs left empty are dropped.
+    Hash-only like doc_dup_spans.
+
+    Below ``max_broadcast`` dup hashes: broadcast sorted-array probe,
+    map-only second pass. Above it: fixed-size Bloom bitmap broadcast;
+    every doc row plus its Bloom-hit (pos, h) candidates ride one left
+    bucket_join against the distributed dup table (exact — false
+    positives get no match and strip nothing), then one doc-keyed
+    shuffle reunites verified positions with their doc text and the
+    strip runs vectorized per partition. Broadcast bytes stay bounded
+    at any dup rate; the trade is two candidate/corpus-scale shuffles,
+    which is the regime's honest cost once the dup set outgrows
+    ray.put."""
     import ray
 
-    ref = ray.put(_dup_window_hash_set(ds, text_col, id_col, window,
-                                       min_docs))
+    mode, probe, dup_ds = _dup_window_index(
+        ds, text_col, id_col, window, min_docs, max_broadcast, bloom_bits)
+    ref = ray.put(probe)
 
-    def strip(b: pd.DataFrame) -> pd.DataFrame:
-        hashes = ray.get(ref)
+    if mode == "exact":
+
+        def strip(b: pd.DataFrame) -> pd.DataFrame:
+            hashes = ray.get(ref)
+            texts = b[text_col].tolist()
+            gh, doc_idx, pos = hashing.batch_window_hashes(texts, window)
+            idx = np.searchsorted(hashes, gh)
+            hit = (idx < len(hashes)) & (
+                hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+            return _strip_from_hits(b[id_col].to_numpy(), texts,
+                                    doc_idx[hit], pos[hit], window, id_col)
+
+        return ds.map_batches(strip, batch_format="pandas", batch_size=4096)
+
+    from .relational import bucket_join
+
+    id_type = _arrow_id_type(ds, id_col)
+
+    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """kind=0: (doc, text) row per doc with >=1 word; kind=1:
+        (doc, pos, h) per Bloom-hit window."""
+        bits = ray.get(ref)
         texts = b[text_col].tolist()
         gh, doc_idx, pos = hashing.batch_window_hashes(texts, window)
-        tok_lists = [(t or "").split() for t in texts]
-        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        total = int(counts.sum())
-        tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        idx = np.searchsorted(hashes, gh)
-        hit = (idx < len(hashes)) & (hashes[np.minimum(idx, len(hashes) - 1)] == gh)
-        delta = np.zeros(total + 1, dtype=np.int64)
-        gstart = tok_off[doc_idx[hit]] + pos[hit]  # global word index
-        np.add.at(delta, gstart, 1)
-        np.add.at(delta, gstart + window, -1)
-        covered = np.cumsum(delta[:total]) > 0
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        flat = np.empty(total, dtype=object)
-        p = 0
-        for t in tok_lists:
-            if t:
-                flat[p : p + len(t)] = t
-                p += len(t)
-        keep_words = ~covered
-        kept_per_doc = np.bincount(doc_of[keep_words], minlength=len(counts))
-        out_rows = []
         ids = b[id_col].to_numpy()
-        kept_flat = flat[keep_words]
-        kept_doc = doc_of[keep_words]
-        # one join per surviving doc (object strings; C-level join)
-        bounds = np.concatenate([[0], np.cumsum(kept_per_doc)])
-        for i in range(len(counts)):
-            if kept_per_doc[i] > 0:
-                out_rows.append((
-                    ids[i],
-                    " ".join(kept_flat[bounds[i]:bounds[i + 1]]),
-                ))
-        return pd.DataFrame(out_rows, columns=[id_col, "clean_text"])
+        nwords = np.array([len((t or "").split()) for t in texts],
+                          dtype=np.int64)
+        keep = nwords > 0
+        nk = int(keep.sum())
+        doc_rows = pd.DataFrame({
+            id_col: ids[keep],
+            "text": np.asarray(texts, dtype=object)[keep],
+            "pos": np.full(nk, -1, dtype=np.int64),
+            "h": np.zeros(nk, dtype=np.uint64),
+            "kind": np.zeros(nk, dtype=np.int8)})
+        hit = hashing.bloom_contains_u64(bits, gh, bloom_bits)
+        cand = pd.DataFrame({
+            id_col: ids[doc_idx[hit]],
+            "text": np.full(int(hit.sum()), None, dtype=object),
+            "pos": pos[hit].astype(np.int64),
+            "h": gh[hit],
+            "kind": np.ones(int(hit.sum()), dtype=np.int8)})
+        return pd.concat([doc_rows, cand], ignore_index=True)
 
-    return ds.map_batches(strip, batch_format="pandas", batch_size=4096)
+    left = ds.map_batches(probe_rows, batch_format="pandas",
+                          batch_size=4096)
+    joined = bucket_join(
+        left, dup_ds, "h", "h", suffix="_r", how="left",
+        left_schema=pa.schema([(id_col, id_type), ("text", pa.string()),
+                               ("pos", pa.int64()), ("h", pa.uint64()),
+                               ("kind", pa.int8())]),
+        right_schema=pa.schema([("h", pa.uint64())]))
+
+    def tag_doc(b: pd.DataFrame) -> pd.DataFrame:
+        # verified = candidate row whose hash matched the dup table;
+        # doc rows (kind=0) always survive to carry the text
+        kind = b["kind"].to_numpy()
+        keep = (kind == 0) | b["h_r"].notna().to_numpy()
+        b = b[keep][[id_col, "text", "pos", "kind"]].copy()
+        b["_dc"] = (hashing.hash_strings(b[id_col].to_numpy(dtype=object))
+                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return b
+
+    def strip_part(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["kind"].to_numpy() == 0]
+        ids = docs[id_col].to_numpy()
+        texts = docs["text"].tolist()
+        order = pd.Index(ids)
+        ver = g[g["kind"].to_numpy() == 1]
+        didx = order.get_indexer(ver[id_col].to_numpy())
+        ok = didx >= 0  # candidate for a doc outside this partition set
+        return _strip_from_hits(ids, texts, didx[ok],
+                                ver["pos"].to_numpy()[ok], window, id_col)
+
+    return (joined.map_batches(tag_doc, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("_dc").map_groups(strip_part, batch_format="pandas"))
 
 
 # --------------------------------------- checkpointed global exact dedup
@@ -1309,6 +1515,8 @@ def run_dedup_with_checkpoint(
     num_fragments: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast: int = _DUP_BROADCAST_MAX,
+    bloom_bits: int = _DUP_BLOOM_BITS,
 ) -> dict:
     """Resumable corpus-wide exact dedup as a `ray job submit` target
     (same fragment/manifest store as the OCR and extraction flagships),
@@ -1426,19 +1634,42 @@ def run_dedup_with_checkpoint(
         _commit_dir(dup, dup_dir)
 
     # ---------------- phase 3: filtered output per fragment
+    # Below max_broadcast dup rows: broadcast (sorted hashes, keep ids)
+    # and filter map-only. Above it — unbounded dup maps — broadcast a
+    # FIXED-SIZE Bloom bitmap instead: rows that miss survive on the
+    # map path (no false negatives), Bloom-hit candidates resolve
+    # EXACTLY against the distributed dup map via one left bucket_join
+    # (candidate-scale shuffle; false positives get no match and
+    # survive). The trade is a second scan of each fragment for the
+    # candidate leg — the honest cost once the map outgrows ray.put.
     dup_files = sorted(_glob.glob(os.path.join(dup_dir, "*.parquet")))
-    if dup_files:
-        dm = pa.concat_tables(
-            [pq.read_table(f) for f in dup_files]).to_pandas()
-        order = np.argsort(dm["h"].to_numpy(np.uint64))
-        dup_h = dm["h"].to_numpy(np.uint64)[order]
-        dup_keep = dm["keep_id"].to_numpy()[order]
-    else:
-        dup_h = np.empty(0, dtype=np.uint64)
-        dup_keep = np.empty(0, dtype=np.int64)
+    n_dup = sum(pq.read_metadata(f).num_rows for f in dup_files)
     import ray as _ray
 
-    dref = _ray.put((dup_h, dup_keep))
+    from .relational import bucket_join
+
+    use_bloom = n_dup > max_broadcast
+    if not use_bloom:
+        if dup_files:
+            dm = pa.concat_tables(
+                [pq.read_table(f) for f in dup_files]).to_pandas()
+            order = np.argsort(dm["h"].to_numpy(np.uint64))
+            dup_h = dm["h"].to_numpy(np.uint64)[order]
+            dup_keep = dm["keep_id"].to_numpy()[order]
+        else:
+            dup_h = np.empty(0, dtype=np.uint64)
+            dup_keep = np.empty(0, dtype=np.int64)
+        dref = _ray.put((dup_h, dup_keep))
+    else:
+        dup_ds = rd.read_parquet(dup_files)
+        bits = _bloom_over(dup_ds, "h", bloom_bits)
+        dref = _ray.put(bits)
+        in_schema = parquet_schema(
+            files[0] if by_file else docs_path, None)
+        dup_schema = pq.read_schema(dup_files[0])
+        # the join suffixes right columns colliding with input names
+        kname = ("keep_id_r" if "keep_id" in in_schema.names
+                 else "keep_id")
 
     out_data_root = os.path.join(out_root, "output")
     os.makedirs(out_data_root, exist_ok=True)
@@ -1459,8 +1690,43 @@ def run_dedup_with_checkpoint(
             keep = ~dup_hit | (keeps[pos] == b[id_col].to_numpy())
             return b[keep]
 
-        out = rows.map_batches(survivors, batch_format="pandas",
-                               batch_size=65536)
+        def bloom_miss(b: pd.DataFrame) -> pd.DataFrame:
+            bts = _ray.get(dref)
+            h = hashing.hash_strings(
+                b[text_col].to_numpy(dtype=object)).astype(np.uint64)
+            return b[~hashing.bloom_contains_u64(bts, h, bloom_bits)]
+
+        def bloom_hit(b: pd.DataFrame) -> pd.DataFrame:
+            bts = _ray.get(dref)
+            h = hashing.hash_strings(
+                b[text_col].to_numpy(dtype=object)).astype(np.uint64)
+            m = hashing.bloom_contains_u64(bts, h, bloom_bits)
+            out = b[m].copy()
+            out["_dup_h"] = h[m]
+            return out
+
+        if not use_bloom:
+            out = rows.map_batches(survivors, batch_format="pandas",
+                                   batch_size=65536)
+        else:
+            clean = rows.map_batches(bloom_miss, batch_format="pandas",
+                                     batch_size=65536)
+            cand = rows.map_batches(bloom_hit, batch_format="pandas",
+                                    batch_size=65536)
+            lschema = pa.schema(
+                list(in_schema) + [pa.field("_dup_h", pa.uint64())])
+            resolved = bucket_join(
+                cand, rd.read_parquet(dup_files), "_dup_h", "h",
+                suffix="_r", how="left", left_schema=lschema,
+                right_schema=dup_schema)
+
+            def fp_or_keeper(b: pd.DataFrame) -> pd.DataFrame:
+                keep = (b[kname].isna().to_numpy()
+                        | (b[kname] == b[id_col]).to_numpy())
+                return b[keep][[f.name for f in in_schema]]
+
+            out = clean.union(resolved.map_batches(
+                fp_or_keeper, batch_format="pandas", batch_size=65536))
         n = _commit_dir(out, ckpt.fragment_dir(out_data_root, frag))
         wall = _time.time() - frag_t0
         ckpt.commit_fragment(out_data_root, frag, {

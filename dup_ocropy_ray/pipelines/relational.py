@@ -363,7 +363,31 @@ def bucket_join(
     rkey = ren[right_on]
     rout = [ren[c] for c in rcols]
 
+    lonly_schema = pa.schema([(n, ltypes[n]) for n in lcols])
+    join_schema = pa.schema([(n, ltypes[n]) for n in lcols]
+                            + [(n, rtypes[n]) for n in rout])
+
     def per_part(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            # Ray passes empty blocks through without running the _tag
+            # UDF, so an all-empty input block arrives here with its
+            # ORIGINAL (possibly null-typed, pandas-inferred) schema —
+            # emit a correctly-typed empty table instead of joining it
+            return (lonly_schema if how in ("semi", "anti")
+                    else join_schema).empty_table()
+        if g.schema != target:
+            # an empty passthrough block unified into this partition
+            # can degrade column types to null (its pandas-inferred
+            # schema never went through _tag); all such columns hold
+            # only null values here, so casting back is lossless
+            cols = []
+            for name, typ in zip(target.names, target.types):
+                if name in g.column_names:
+                    c = g.column(name)
+                    cols.append(c.cast(typ) if c.type != typ else c)
+                else:
+                    cols.append(pa.nulls(len(g), typ))
+            g = pa.Table.from_arrays(cols, schema=target)
         side = g.column("_side")
         if how in ("semi", "anti"):
             # membership, not merge: right key duplicates must not

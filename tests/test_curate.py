@@ -945,3 +945,83 @@ def test_containment_pairs_planted(ray_session):
 
     g1 = containment_pairs(rd.from_pandas(df), window=5, tau_pct=60)
     assert g1.equals(got.reset_index()[g1.columns.tolist()])
+
+
+def test_span_dedup_bloom_path_matches_exact(ray_session):
+    """Force the Bloom+verify path (max_broadcast=0) with a tiny bitmap
+    (1<<10 bits -> false positives near-certain over ~1500 distinct
+    windows) on a planted high-dup corpus: output must be value-equal
+    to the exact broadcast path — the verification join kills every
+    false positive, and the bitmap is fixed-size by construction."""
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines import dedup
+
+    docs = []
+    shared = ["alpha beta gamma delta", "one two three four",
+              "red green blue white"]
+    for i in range(60):
+        filler = " ".join(f"u{i}_{j}" for j in range(6))
+        if i % 3 == 0:
+            docs.append(f"{shared[0]} {filler}")
+        elif i % 3 == 1:
+            docs.append(f"{filler} {shared[1]} {shared[2]}")
+        else:
+            docs.append(filler)
+    df = pd.DataFrame({"doc_id": range(60), "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+
+    for fn, key in ((dedup.doc_dup_spans, "n_dup_spans"),
+                    (dedup.strip_dup_spans, "clean_text")):
+        exact = (fn(ds, window=4, min_docs=2)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        bloom = (fn(ds, window=4, min_docs=2, max_broadcast=0,
+                    bloom_bits=1 << 10)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            exact, bloom[exact.columns], check_dtype=False)
+        assert len(exact) and key in exact.columns
+
+
+def test_checkpoint_dedup_bloom_filter_phase(ray_session, tmp_path):
+    """run_dedup_with_checkpoint with max_broadcast=0: phase 3 resolves
+    Bloom candidates through the distributed dup-map join instead of the
+    (dup_h, dup_keep) broadcast; survivors identical to the broadcast
+    mode on planted cross-file dups, false positives forced by a tiny
+    bitmap."""
+    import glob
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dup_ocropy_ray.pipelines.dedup import run_dedup_with_checkpoint
+
+    sf = "/root/testdata/sf0.001"
+    full = pq.read_table(f"{sf}/documents.parquet").to_pandas().head(300)
+    full.loc[200, "text"] = full.loc[0, "text"]
+    full.loc[250, "text"] = full.loc[1, "text"]
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    third = len(full) // 3
+    for i in range(3):
+        sl = full.iloc[i * third: (i + 1) * third if i < 2 else len(full)]
+        pq.write_table(pa.Table.from_pandas(sl, preserve_index=False),
+                       os.path.join(docs_dir, f"part-{i}.parquet"))
+
+    def read_out(root):
+        parts = [pq.read_table(f).to_pandas() for f in sorted(
+            glob.glob(os.path.join(root, "output", "fragment=*",
+                                   "*.parquet")))]
+        return (pd.concat(parts).sort_values("doc_id")
+                .reset_index(drop=True))
+
+    r_b = run_dedup_with_checkpoint(
+        docs_dir, str(tmp_path / "out_bloom"), num_fragments=3,
+        max_broadcast=0, bloom_bits=1 << 10)
+    r_x = run_dedup_with_checkpoint(
+        docs_dir, str(tmp_path / "out_exact"), num_fragments=3)
+    got_b = read_out(str(tmp_path / "out_bloom"))
+    got_x = read_out(str(tmp_path / "out_exact"))
+    pd.testing.assert_frame_equal(got_x, got_b[got_x.columns])
+    assert r_b["counters"]["rows_kept"] == r_x["counters"]["rows_kept"]
+    assert {200, 250}.isdisjoint(set(got_b.doc_id))

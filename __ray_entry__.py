@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q.q_dup_ngrams,
         "doc_dup_spans": q.q_doc_dup_spans,
         "strip_dup_spans": q.q_strip_dup_spans,
+        "substring_dedup_exact": q.q_substring_dedup_exact,
         "heavy_hitters": q.q_heavy_hitters,
         "centroid_outliers": q.q_centroid_outliers,
         "incremental_dedup": q.q_incremental_dedup,
@@ -703,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": q.SQL_DUP_NGRAMS,
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,
         "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
+        "substring_dedup_exact": q.SQL_SUBSTRING_DEDUP_EXACT,
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,

@@ -3888,6 +3888,25 @@ GROUP BY u.doc_id
 """
 
 
+def q_substring_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT substring-span dedup via suffix-array prefix doubling
+    (Lee et al. 2022 exact path): same transform as strip_dup_spans
+    but comparing actual tokens through rank equality classes — no
+    hash collisions. Shares strip_dup_spans' gram-string SQL twin,
+    which is exact by construction."""
+    from .suffix import substring_dedup_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = substring_dedup_exact(ds, window=8, min_docs=2).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "clean_text": out.clean_text,
+    })
+
+
+SQL_SUBSTRING_DEDUP_EXACT = SQL_STRIP_DUP_SPANS
+
+
 def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact corpus top-20 words via the two-pass local-top-m +
     recount pattern (no full-vocabulary shuffle)."""

@@ -55,3 +55,42 @@ def test_suffix_array_empty_and_single(ray_session):
     out = ranks.to_pandas()
     assert n == 1 and out["pos"].tolist() == [0]
     assert out["rank"].tolist() == [0]
+
+
+def test_substring_dedup_exact_matches_hash_approx(ray_session):
+    """The suffix-array exact path and the windowed-hash approximation
+    compute the same transform (absent hash collisions): value-equal on
+    a planted corpus with cross-doc duplicated runs, an intra-doc
+    repeated run (NOT duplicated at min_docs=2 — distinct-doc
+    semantics), and short/empty docs."""
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.dedup import strip_dup_spans
+    from dup_ocropy_ray.pipelines.suffix import substring_dedup_exact
+
+    shared = "alpha beta gamma delta"
+    df = pd.DataFrame({
+        "doc_id": range(7),
+        "text": [
+            f"{shared} tail0 one two",
+            f"head1 {shared} tail1",
+            # intra-doc repeat only: must survive at min_docs=2
+            f"rep one rep two {('x y z w ' * 2).strip()} x y z w",
+            "unrelated words entirely here now",
+            "",            # empty doc drops on both paths
+            "tiny",        # shorter than the window
+            f"{shared} {shared}",  # dup run twice in one doc, also x-doc
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    exact = (substring_dedup_exact(ds, window=4, min_docs=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    approx = (strip_dup_spans(ds, window=4, min_docs=2)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, approx[exact.columns])
+    got = exact.set_index("doc_id")["clean_text"]
+    assert got.loc[0] == "tail0 one two"
+    assert got.loc[1] == "head1 tail1"
+    # doc 2: the intra-doc 'x y z w' windows repeat only within doc 2
+    assert "x y z w" in got.loc[2]
+    assert 6 not in got.index  # doc 6 is pure duplicated mass -> dropped

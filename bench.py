@@ -108,7 +108,7 @@ def build_bench_corpus() -> dict:
     return {"docs": docs_path, "media": os.path.join(root, "media.parquet")}
 
 
-def run_extract_leg(repeat: int) -> dict:
+def run_extract_leg(repeat: int, shuffle: bool = False) -> dict:
     """North-rule extraction flagship: documents -> interleaved
     (doc_id, spans) with the body as a kind='html' span -> full
     boilerplate-strip extraction -> span count. ``repeat`` replicates
@@ -146,6 +146,12 @@ def run_extract_leg(repeat: int) -> dict:
     docs = ds.map_batches(to_docs, batch_format="pandas", batch_size=128)
     t0 = time.time()
     out = extract_interleaved(docs)
+    if shuffle:
+        # --big: one all-to-all over the EXTRACTED corpus. AllToAll
+        # operators materialize their input in the object store, so a
+        # store sized below the dataset (GRAFT_OBJ_STORE_MB) forces the
+        # spill regime the 100 TB target lives in.
+        out = out.repartition(max(64, NUM_CPUS * 4))
 
     def count(b: "pa.Table") -> "pa.Table":
         return pa.table({
@@ -167,18 +173,48 @@ def main():
 
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
     if mode == "extract":
+        obj_mb = int(os.environ.get("GRAFT_OBJ_STORE_MB", "0"))
+        kw = {"object_store_memory": obj_mb << 20} if obj_mb else {}
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
+                 logging_level="ERROR", **kw)
         from ray.data import DataContext
 
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
         leg = run_extract_leg(
-            repeat=int(os.environ.get("GRAFT_EXTRACT_REPEAT", "2")))
+            repeat=int(os.environ.get("GRAFT_EXTRACT_REPEAT", "2")),
+            shuffle=os.environ.get("GRAFT_EXTRACT_SHUFFLE") == "1")
         result = {"metric": "extract_e2e_sec",
                   "value": leg["extract_sec"], "unit": "sec",
                   "sf": SF_DIR, "num_cpus": NUM_CPUS, **leg}
+        if obj_mb:
+            # cumulative spill/restore counters from THIS session's
+            # raylet log (the grpc-backed memory_summary API needs the
+            # grpc package, absent here); the raylet logs a running
+            # "Spilled N MiB, M objects" line as it spills
+            import re as _re
+
+            result["object_store_mb"] = obj_mb
+            result["spilled_mb"] = 0
+            result["spilled_objects"] = 0
+            result["restored_mb"] = 0
+            try:
+                import ray._private.worker as _w
+
+                log = os.path.join(
+                    _w._global_node.get_session_dir_path(),
+                    "logs", "raylet.out")
+                txt = open(log, errors="replace").read()
+                sp = _re.findall(r"Spilled (\d+) MiB, (\d+) objects", txt)
+                if sp:
+                    result["spilled_mb"] = int(sp[-1][0])
+                    result["spilled_objects"] = int(sp[-1][1])
+                rs = _re.findall(r"Restored (\d+) MiB", txt)
+                if rs:
+                    result["restored_mb"] = int(rs[-1])
+            except Exception:
+                pass
         ray.shutdown()
         print(json.dumps(result))
         return
@@ -313,6 +349,50 @@ def scaling_extract():
     }))
 
 
+def big():
+    """--big: the spill-regime leg. The extraction flagship over a
+    corpus replicated far past the (deliberately shrunk) object store,
+    with one all-to-all repartition over the extracted output — the
+    AllToAll materialization plus the small store force Ray's disk
+    spill machinery, the regime a 100 TB run on a real cluster lives
+    in. Runs the same job at lo and hi CPU counts in fresh processes
+    and reports throughput under spill, spilled bytes, and scaling
+    efficiency. No-OOM is implicit: an OOM-killed subprocess fails the
+    run."""
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_MODE="extract",
+                   GRAFT_EXTRACT_SHUFFLE="1",
+                   GRAFT_OBJ_STORE_MB=os.environ.get(
+                       "GRAFT_OBJ_STORE_MB", "500"),
+                   GRAFT_EXTRACT_REPEAT=os.environ.get(
+                       "GRAFT_EXTRACT_REPEAT", "128"))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    r_lo, r_hi = run_once(lo), run_once(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "extract_spill_regime",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["extract_docs_per_sec"],
+        "docs_per_sec_hi": r_hi["extract_docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_hi["extract_docs"],
+        "object_store_mb": r_hi["object_store_mb"],
+        "spilled_mb_lo": r_lo["spilled_mb"],
+        "spilled_mb_hi": r_hi["spilled_mb"],
+        "restored_mb_hi": r_hi["restored_mb"],
+        "sf": SF_DIR,
+    }))
+
+
 def scaling():
     def run_once(ncpu: int) -> dict:
         # scaling uses a longer corpus (4x the headline default): at the
@@ -369,5 +449,7 @@ if __name__ == "__main__":
         scaling_extract()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--big" in sys.argv:
+        big()
     else:
         main()

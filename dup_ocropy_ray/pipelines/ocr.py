@@ -184,10 +184,11 @@ def ocr_recognized_lines(
         )
     # the GPU flip for a cluster with accelerator nodes: num_gpus>0
     # schedules each recognizer actor onto a GPU slot (weights load once
-    # per actor either way); the batched-matmul kernel itself is numpy —
-    # swap BiLSTMRecognizer's matmuls for a device backend when one
-    # exists. Kept out of the remote args entirely at 0 so CPU-only
-    # clusters schedule identically to before.
+    # per actor either way); pair it with recognizer_kwargs=
+    # {"backend": "torch"} to run the forward on the device
+    # (nn/torch_backend, parity-pinned vs the numpy kernel). Kept out
+    # of the remote args entirely at 0 so CPU-only clusters schedule
+    # identically to before.
     rec_remote: dict = {"num_cpus": 1}
     if recognizer_num_gpus:
         rec_remote["num_gpus"] = recognizer_num_gpus

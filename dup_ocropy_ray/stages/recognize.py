@@ -47,8 +47,16 @@ class LineRecognizer:
 
     def __init__(self, model_path: str | None = None, pad: int = 16,
                  nocheck: bool = False, bucket_width: int = 32,
-                 keep_png: bool = False, keep_llocs: bool = False):
+                 keep_png: bool = False, keep_llocs: bool = False,
+                 backend: str = "numpy", device: str = "cuda"):
         self.net = _load_model(model_path)
+        if backend == "torch":
+            # once per actor; pairs with ocr.py recognizer_num_gpus
+            # scheduling the pool onto GPUs. ImportError propagates —
+            # a GPU pool silently running numpy would be a config bug.
+            self.net.use_torch(device)
+        elif backend != "numpy":
+            raise ValueError(f"unknown recognizer backend {backend!r}")
         self.pad = pad
         self.nocheck = nocheck
         self.bucket_width = bucket_width

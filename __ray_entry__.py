@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreset": q.q_coreset,
         "ann_recall": q.q_ann_recall,
         "uw3_cer": q.q_uw3_cer,
+        "full_charset_cer": q.q_full_charset_cer,
     }
 
 

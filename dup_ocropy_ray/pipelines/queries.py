@@ -7140,6 +7140,51 @@ def q_uw3_cer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("line_id").reset_index(drop=True)
 
 
+def q_full_charset_cer(sf_dir: str) -> pd.DataFrame:
+    """Recognizer conformance over the reference's FULL default charset
+    (chars.py:7-22: accents + umlauts/ß + symbols + ligature glyphs):
+    held-out synthetic lines from the shared charsetgen corpus (eval
+    seed range, never trained on) through the production LineRecognizer
+    actor pool with the full-charset model. Ground truth follows the
+    reference's normalization (ligature glyph ﬁ -> 'fi' etc.), so a
+    correct transcription proves the wide-codec round trip. Rows-only
+    oracle — the CER gate is pinned in tests/test_charset_model.py.
+    ``sf_dir`` unused: the input is the deterministic synthetic corpus."""
+    import ray.data as rd
+
+    from ..functions import png as _png
+    from ..functions.edist import levenshtein
+    from ..sources.charsetgen import EVAL_SEED_BASE, gen_lines
+    from ..stages.recognize import LineRecognizer
+
+    model = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "full_charset_model.npz")
+    lines = gen_lines(120, EVAL_SEED_BASE + 5)
+    tbl = pa.table({
+        "line_id": pa.array([f"cs-{i}" for i in range(len(lines))],
+                            pa.string()),
+        "gt_text": pa.array([gt for _, gt in lines], pa.string()),
+        "line_png": pa.array([_png.encode_gray(img) for img, _ in lines],
+                             pa.binary()),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    rec = ds.map_batches(
+        LineRecognizer, fn_constructor_kwargs={"model_path": model},
+        batch_size=32, concurrency=(1, 4), batch_format="pyarrow")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dist = [levenshtein(p, g) for p, g in zip(b["text"], b["gt_text"])]
+        return pd.DataFrame({
+            "line_id": b["line_id"],
+            "gt_len": b["gt_text"].str.len().astype("int64"),
+            "dist": pd.Series(dist, dtype="int64"),
+            "rec_status": b["rec_status"],
+        })
+
+    out = rec.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("line_id").reset_index(drop=True)
+
+
 def q_ttf_linegen(sf_dir: str) -> pd.DataFrame:
     """Distributed TTF training-line synthesis (reference
     ocropus-linegen rebuilt on the from-scratch rasterizer +

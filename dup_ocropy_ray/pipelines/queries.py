@@ -2220,10 +2220,8 @@ def q_cer_pairs(sf_dir: str) -> pd.DataFrame:
     joined = _paired_docs(sf_dir)
 
     def dist(b: pd.DataFrame) -> pd.DataFrame:
-        d = [
-            levenshtein((x or "")[:40], (y or "")[:40])
-            for x, y in zip(b["text_a"], b["text_b"])
-        ]
+        d = levenshtein_many([(x or "")[:40] for x in b["text_a"]],
+                             [(y or "")[:40] for y in b["text_b"]])
         return pd.DataFrame({"doc_id": b["doc_id_a"].astype("int64"),
                              "dist": pd.array(d, dtype="int64")})
 

@@ -33,6 +33,21 @@ SYMBOLS = ("€5 ¢99 £20 25° §12 ¶3 ©2026 ®marca †note ‡ref ¡Hola! "
            "¿Qué? «oui» ›x‹ 3÷4 a•b".split())
 LIGS = {"fi": "ﬁ", "fl": "ﬂ", "ffi": "ﬃ", "ffl": "ﬄ", "ff": "ﬀ"}
 
+# the word banks above leave roughly half the codec unseen (rare
+# punctuation, most uppercase, several accents); "soup" words sample
+# the FULL charset directly so every codec class gets training mass
+_SOUP_RATE = 0.25
+
+
+def _soup_pool() -> list[str]:
+    """Renderable charset members (drop blank/space/'~' sentinel)."""
+    return [c for c in default_charset()[3:]]
+
+
+def _soup_word(rng: np.random.Generator, pool: list[str]) -> str:
+    return "".join(pool[int(rng.integers(len(pool)))]
+                   for _ in range(int(rng.integers(2, 6))))
+
 TRAIN_SEED_BASE = 1_000_000  # + user seed; eval range is disjoint
 EVAL_SEED_BASE = 9_000_000
 
@@ -68,6 +83,7 @@ def gen_lines(n: int, seed: int, fonts: "list[str] | None" = None,
     fonts = fonts or [linegen.DEJAVU, SERIF]
     rng = np.random.default_rng(seed)
     banks = [GERMAN, FRENCH, PORTUGUESE, ENGLISH, SYMBOLS]
+    pool = _soup_pool()
     out = []
     k = 0
     while len(out) < n and k < 6 * n:
@@ -75,6 +91,9 @@ def gen_lines(n: int, seed: int, fonts: "list[str] | None" = None,
         nw = int(rng.integers(3, 8))
         words = []
         for _ in range(nw):
+            if rng.random() < _SOUP_RATE:
+                words.append(_soup_word(rng, pool))
+                continue
             bank = banks[int(rng.integers(len(banks)))]
             words.append(bank[int(rng.integers(len(bank)))])
         render = ligaturize(" ".join(words), rng)

@@ -1170,9 +1170,22 @@ def duplicated_ngrams(
 # (8 B/hash via ray.put) is swapped for a fixed-size Bloom bitmap + an
 # exact distributed verification join — a 100 TB corpus at a
 # double-digit dup rate produces a probe set in the tens of GB, past
-# ray.put comfort, while the bitmap stays _DUP_BLOOM_BITS/8 bytes.
+# ray.put comfort, while the bitmap stays bounded (sized from the
+# measured dup count, capped at _DUP_BLOOM_MAX_BITS/8 bytes).
 _DUP_BROADCAST_MAX = 2_000_000
-_DUP_BLOOM_BITS = 1 << 27  # 16 MiB bitmap, ~4 bits/key at 256M dups
+# Bloom bitmap is sized from the MEASURED dup count (~8 bits/key,
+# next power of two): 16 MiB floor, 256 MiB broadcast ceiling (the
+# ceiling covers ~268M dup hashes at 8 bits/key; past it the FP rate
+# degrades gradually but the exact verification join keeps the output
+# correct — only the candidate-shuffle cost grows).
+_DUP_BLOOM_MIN_BITS = 1 << 27
+_DUP_BLOOM_MAX_BITS = 1 << 31
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    """Next power of two >= 8 bits/key, clamped to [MIN, MAX]."""
+    want = max(8 * max(int(n_keys), 1), _DUP_BLOOM_MIN_BITS)
+    return min(1 << int(np.ceil(np.log2(want))), _DUP_BLOOM_MAX_BITS)
 
 
 def _dup_window_index(
@@ -1182,7 +1195,7 @@ def _dup_window_index(
     window: int,
     min_docs: int,
     max_broadcast: int = _DUP_BROADCAST_MAX,
-    bloom_bits: int = _DUP_BLOOM_BITS,
+    bloom_bits: "int | None" = None,
 ):
     """Index of every corpus-duplicated W-window hash, computed WITHOUT
     materializing gram strings: the shuffle carries only (window_hash,
@@ -1224,6 +1237,8 @@ def _dup_window_index(
         if not parts:
             return "exact", np.empty(0, dtype=np.uint64), None
         return "exact", np.sort(np.concatenate(parts)), None
+    if bloom_bits is None:
+        bloom_bits = _bloom_bits_for(n_dup)
     return "bloom", _bloom_over(dup, "h", bloom_bits), dup
 
 
@@ -1256,7 +1271,7 @@ def doc_dup_spans(
     window: int = 8,
     min_docs: int = 2,
     max_broadcast: int = _DUP_BROADCAST_MAX,
-    bloom_bits: int = _DUP_BLOOM_BITS,
+    bloom_bits: "int | None" = None,
 ) -> rd.Dataset:
     """(doc_id, n_spans, n_dup_spans) per doc with >=1 window: how much
     of each doc is corpus-duplicated substring mass. Both passes are
@@ -1301,50 +1316,56 @@ def doc_dup_spans(
     from .relational import bucket_join
 
     id_type = _arrow_id_type(ds, id_col)
+    nbits = int(probe.size) * 64  # actual (adaptively sized) bitmap
 
-    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
-        """kind=0: one (doc, n_spans) row per doc with windows; kind=1:
-        (doc, h, cnt) per DISTINCT Bloom-hit window hash of the doc (cnt
-        = occurrences). kind=0 rows carry h=0 and ignore the join flag."""
+    def _with_dc(g: pd.DataFrame) -> pd.DataFrame:
+        g["_dc"] = (hashing.hash_strings(g[id_col].to_numpy(dtype=object))
+                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return g
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """One (doc, n_spans) row per doc with >=1 window, routed
+        STRAIGHT to the doc-keyed shuffle — doc rows need no
+        verification, so funneling them through the h-keyed join would
+        put the whole corpus on hash(h=0)'s single partition. Window
+        count needs only word counts (windows never cross docs)."""
+        nw = np.array([len((t or "").split()) for t in b[text_col]],
+                      dtype=np.int64)
+        n_spans = np.maximum(nw - window + 1, 0)
+        keep = n_spans > 0
+        return _with_dc(pd.DataFrame({
+            id_col: b[id_col].to_numpy()[keep],
+            "n_spans": n_spans[keep],
+            "n_dup_spans": np.zeros(int(keep.sum()), dtype=np.int64)}))
+
+    def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """(doc, h, cnt) per DISTINCT Bloom-hit window hash (cnt =
+        occurrences) — candidate-scale, hash-only."""
         bits = ray.get(ref)
         gh, doc_idx, _pos = hashing.batch_window_hashes(
             b[text_col].tolist(), window)
-        n = len(b)
         ids = b[id_col].to_numpy()
-        n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        keep = n_spans > 0
-        nk = int(keep.sum())
-        doc_rows = pd.DataFrame({
-            id_col: ids[keep], "h": np.zeros(nk, dtype=np.uint64),
-            "cnt": n_spans[keep], "kind": np.zeros(nk, dtype=np.int8)})
-        hit = hashing.bloom_contains_u64(bits, gh, bloom_bits)
+        hit = hashing.bloom_contains_u64(bits, gh, nbits)
         cand = pd.DataFrame({id_col: ids[doc_idx[hit]], "h": gh[hit]})
         cand = cand.groupby([id_col, "h"], as_index=False, sort=False
                             ).agg(cnt=("h", "size"))
         cand["cnt"] = cand.cnt.astype(np.int64)
-        cand["kind"] = np.int8(1)
-        return pd.concat([doc_rows, cand[doc_rows.columns]],
-                         ignore_index=True)
+        return cand
 
-    left = ds.map_batches(probe_rows, batch_format="pandas",
-                          batch_size=4096)
-    joined = bucket_join(
-        left, dup_ds, "h", "h", suffix="_r", how="left",
+    # exact verification: semi join keeps candidates whose hash is in
+    # the distributed dup table; Bloom false positives vanish here
+    ver = bucket_join(
+        ds.map_batches(cand_rows, batch_format="pandas", batch_size=4096),
+        dup_ds, "h", "h", how="semi",
         left_schema=pa.schema([(id_col, id_type), ("h", pa.uint64()),
-                               ("cnt", pa.int64()), ("kind", pa.int8())]),
+                               ("cnt", pa.int64())]),
         right_schema=pa.schema([("h", pa.uint64())]))
 
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        kind = b["kind"].to_numpy()
-        dup = b["h_r"].notna().to_numpy() & (kind == 1)
-        g = pd.DataFrame({
+    def v_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return _with_dc(pd.DataFrame({
             id_col: b[id_col].to_numpy(),
-            "n_spans": np.where(kind == 0, b["cnt"].to_numpy(), 0),
-            "n_dup_spans": np.where(dup, b["cnt"].to_numpy(), 0),
-        }).groupby(id_col, as_index=False, sort=False).sum()
-        g["_dc"] = (hashing.hash_strings(g[id_col].to_numpy(dtype=object))
-                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
-        return g
+            "n_spans": np.zeros(len(b), dtype=np.int64),
+            "n_dup_spans": b["cnt"].to_numpy(np.int64)}))
 
     def fin(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(id_col, as_index=False, sort=False)[
@@ -1353,8 +1374,11 @@ def doc_dup_spans(
         out["n_dup_spans"] = out.n_dup_spans.astype(np.int64)
         return out
 
-    return (joined.map_batches(part, batch_format="pandas",
-                               batch_size=65536)
+    docs_tagged = ds.map_batches(doc_rows, batch_format="pandas",
+                                 batch_size=4096)
+    return (docs_tagged
+            .union(ver.map_batches(v_rows, batch_format="pandas",
+                                   batch_size=65536))
             .groupby("_dc").map_groups(fin, batch_format="pandas"))
 
 
@@ -1404,7 +1428,7 @@ def strip_dup_spans(
     window: int = 8,
     min_docs: int = 2,
     max_broadcast: int = _DUP_BROADCAST_MAX,
-    bloom_bits: int = _DUP_BLOOM_BITS,
+    bloom_bits: "int | None" = None,
 ) -> rd.Dataset:
     """The dedup TRANSFORM: drop every word covered by any
     corpus-duplicated W-window (aggressive variant — all occurrences
@@ -1444,51 +1468,56 @@ def strip_dup_spans(
     from .relational import bucket_join
 
     id_type = _arrow_id_type(ds, id_col)
+    nbits = int(probe.size) * 64  # actual (adaptively sized) bitmap
 
-    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
-        """kind=0: (doc, text) row per doc with >=1 word; kind=1:
-        (doc, pos, h) per Bloom-hit window."""
-        bits = ray.get(ref)
+    def _with_dc(b: pd.DataFrame) -> pd.DataFrame:
+        b["_dc"] = (hashing.hash_strings(b[id_col].to_numpy(dtype=object))
+                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return b
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """(doc, text) row per doc with >=1 word, routed STRAIGHT to
+        the doc-keyed strip shuffle — doc rows need no verification,
+        and funneling them through the h-keyed join would put the whole
+        corpus text on hash(h=0)'s single partition."""
         texts = b[text_col].tolist()
-        gh, doc_idx, pos = hashing.batch_window_hashes(texts, window)
-        ids = b[id_col].to_numpy()
         nwords = np.array([len((t or "").split()) for t in texts],
                           dtype=np.int64)
         keep = nwords > 0
         nk = int(keep.sum())
-        doc_rows = pd.DataFrame({
-            id_col: ids[keep],
+        return _with_dc(pd.DataFrame({
+            id_col: b[id_col].to_numpy()[keep],
             "text": np.asarray(texts, dtype=object)[keep],
             "pos": np.full(nk, -1, dtype=np.int64),
-            "h": np.zeros(nk, dtype=np.uint64),
-            "kind": np.zeros(nk, dtype=np.int8)})
-        hit = hashing.bloom_contains_u64(bits, gh, bloom_bits)
-        cand = pd.DataFrame({
-            id_col: ids[doc_idx[hit]],
-            "text": np.full(int(hit.sum()), None, dtype=object),
-            "pos": pos[hit].astype(np.int64),
-            "h": gh[hit],
-            "kind": np.ones(int(hit.sum()), dtype=np.int8)})
-        return pd.concat([doc_rows, cand], ignore_index=True)
+            "kind": np.zeros(nk, dtype=np.int8)}))
 
-    left = ds.map_batches(probe_rows, batch_format="pandas",
-                          batch_size=4096)
-    joined = bucket_join(
-        left, dup_ds, "h", "h", suffix="_r", how="left",
-        left_schema=pa.schema([(id_col, id_type), ("text", pa.string()),
-                               ("pos", pa.int64()), ("h", pa.uint64()),
-                               ("kind", pa.int8())]),
+    def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """(doc, pos, h) per Bloom-hit window — candidate-scale."""
+        bits = ray.get(ref)
+        gh, doc_idx, pos = hashing.batch_window_hashes(
+            b[text_col].tolist(), window)
+        ids = b[id_col].to_numpy()
+        hit = hashing.bloom_contains_u64(bits, gh, nbits)
+        return pd.DataFrame({
+            id_col: ids[doc_idx[hit]],
+            "pos": pos[hit].astype(np.int64),
+            "h": gh[hit]})
+
+    # exact verification: semi join keeps Bloom-hit windows whose hash
+    # is really duplicated; false positives strip nothing
+    ver = bucket_join(
+        ds.map_batches(cand_rows, batch_format="pandas", batch_size=4096),
+        dup_ds, "h", "h", how="semi",
+        left_schema=pa.schema([(id_col, id_type), ("pos", pa.int64()),
+                               ("h", pa.uint64())]),
         right_schema=pa.schema([("h", pa.uint64())]))
 
-    def tag_doc(b: pd.DataFrame) -> pd.DataFrame:
-        # verified = candidate row whose hash matched the dup table;
-        # doc rows (kind=0) always survive to carry the text
-        kind = b["kind"].to_numpy()
-        keep = (kind == 0) | b["h_r"].notna().to_numpy()
-        b = b[keep][[id_col, "text", "pos", "kind"]].copy()
-        b["_dc"] = (hashing.hash_strings(b[id_col].to_numpy(dtype=object))
-                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
-        return b
+    def v_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return _with_dc(pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "text": np.full(len(b), None, dtype=object),
+            "pos": b["pos"].to_numpy(np.int64),
+            "kind": np.ones(len(b), dtype=np.int8)}))
 
     def strip_part(g: pd.DataFrame) -> pd.DataFrame:
         docs = g[g["kind"].to_numpy() == 0]
@@ -1501,8 +1530,10 @@ def strip_dup_spans(
         return _strip_from_hits(ids, texts, didx[ok],
                                 ver["pos"].to_numpy()[ok], window, id_col)
 
-    return (joined.map_batches(tag_doc, batch_format="pandas",
-                               batch_size=65536)
+    return (ds.map_batches(doc_rows, batch_format="pandas",
+                           batch_size=4096)
+            .union(ver.map_batches(v_rows, batch_format="pandas",
+                                   batch_size=65536))
             .groupby("_dc").map_groups(strip_part, batch_format="pandas"))
 
 
@@ -1516,7 +1547,7 @@ def run_dedup_with_checkpoint(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_broadcast: int = _DUP_BROADCAST_MAX,
-    bloom_bits: int = _DUP_BLOOM_BITS,
+    bloom_bits: "int | None" = None,
 ) -> dict:
     """Resumable corpus-wide exact dedup as a `ray job submit` target
     (same fragment/manifest store as the OCR and extraction flagships),
@@ -1649,6 +1680,8 @@ def run_dedup_with_checkpoint(
     from .relational import bucket_join
 
     use_bloom = n_dup > max_broadcast
+    if bloom_bits is None:
+        bloom_bits = _bloom_bits_for(n_dup)
     if not use_bloom:
         if dup_files:
             dm = pa.concat_tables(

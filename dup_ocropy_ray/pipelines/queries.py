@@ -7144,8 +7144,9 @@ def q_uw3_cer(sf_dir: str) -> pd.DataFrame:
 def q_full_charset_cer(sf_dir: str) -> pd.DataFrame:
     """Recognizer conformance over the reference's FULL default charset
     (chars.py:7-22: accents + umlauts/ß + symbols + ligature glyphs):
-    held-out synthetic lines from the shared charsetgen corpus (eval
-    seed range, never trained on) through the production LineRecognizer
+    held-out synthetic lines from the shared charsetgen corpus (a
+    seed range disjoint from training AND from the trainer's
+    checkpoint-selection eval) through the production LineRecognizer
     actor pool with the full-charset model. Ground truth follows the
     reference's normalization (ligature glyph ﬁ -> 'fi' etc.), so a
     correct transcription proves the wide-codec round trip. Rows-only
@@ -7155,12 +7156,14 @@ def q_full_charset_cer(sf_dir: str) -> pd.DataFrame:
 
     from ..functions import png as _png
     from ..functions.edist import levenshtein
-    from ..sources.charsetgen import EVAL_SEED_BASE, gen_lines
+    from ..sources.charsetgen import QUERY_SEED_BASE, gen_lines
     from ..stages.recognize import LineRecognizer
 
     model = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "models", "full_charset_model.npz")
-    lines = gen_lines(120, EVAL_SEED_BASE + 5)
+    # disjoint from BOTH the training stream and the trainer's
+    # checkpoint-selection eval stream (code-review finding r4)
+    lines = gen_lines(120, QUERY_SEED_BASE + 5)
     tbl = pa.table({
         "line_id": pa.array([f"cs-{i}" for i in range(len(lines))],
                             pa.string()),

@@ -42,6 +42,20 @@ from .windows import ordered_scan
 __all__ = ["corpus_tokens", "suffix_array", "suffix_array_ref"]
 
 
+def _doc_surrogate(arr) -> np.ndarray:
+    """int64 doc key for the window machinery: integer ids pass
+    through unchanged; any other id type rides a 64-bit string hash.
+    A hash collision can only merge two docs' IDENTITY (ordering /
+    hit attribution), never window contents — probability ~m^2/2^64
+    over m docs, negligible under this module's own 3e9-token cap."""
+    a = np.asarray(arr)
+    if a.dtype != object and np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.int64)
+    from ..functions import hashing
+    return hashing.hash_strings(
+        np.asarray(arr, dtype=object)).astype(np.int64)
+
+
 def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id",
                   with_doc: bool = False) -> "tuple[rd.Dataset, int]":
@@ -50,7 +64,8 @@ def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
     doc offsets come from one ordered_scan prefix sum over doc_id —
     per-block partials + a blocks-sized driver reduce, never a
     corpus-scale driver table. ``with_doc`` adds (doc, lpos, nw): the
-    token's doc id, local word index, and doc word count — the columns
+    token's int64 surrogate doc key (_doc_surrogate; equals the id for
+    integer ids), local word index, and doc word count — the columns
     substring_dedup_exact needs to bound valid window starts and map
     duplicated windows back to documents."""
 
@@ -74,7 +89,7 @@ def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
                      [np.zeros(1, np.int64), np.cumsum(lens)])[:-1], lens))
         out = pd.DataFrame({"pos": starts + local, "word": words})
         if with_doc:
-            out["doc"] = np.repeat(b[id_col].to_numpy(np.int64), lens)
+            out["doc"] = np.repeat(b["_sk"].to_numpy(np.int64), lens)
             out["lpos"] = local
             out["nw"] = np.repeat(lens, lens)
         return out
@@ -82,12 +97,12 @@ def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
     # carry the text through the scan: ordered_scan preserves columns
     cts = docs.map_batches(
         lambda b: pd.DataFrame({
-            id_col: b[id_col].astype(np.int64),
+            "_sk": _doc_surrogate(b[id_col].to_numpy()),
             text_col: b[text_col].fillna(""),
             "n_tokens": b[text_col].fillna("").str.split().map(len)
             .astype(np.int64)}),
         batch_format="pandas")
-    scanned = ordered_scan(cts, id_col,
+    scanned = ordered_scan(cts, "_sk",
                            sum_cols=("n_tokens",)).materialize()
     total = int(scanned.max("run_n_tokens") or 0)
     toks = scanned.map_batches(explode, batch_format="pandas",
@@ -263,11 +278,14 @@ def substring_dedup_exact(
     from .dedup import _DEDUP_PARTITIONS, _strip_from_hits
     from ..functions import hashing
 
+    from .dedup import _arrow_id_type
+
+    id_type = _arrow_id_type(docs, id_col)
     toks, n = corpus_tokens(docs, text_col, id_col, with_doc=True)
     if n == 0:
-        return rd.from_pandas(pd.DataFrame({
-            id_col: pd.Series([], dtype="int64"),
-            "clean_text": pd.Series([], dtype=object)}))
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "clean_text": pa.array([], pa.string())}))
     if (n + 2) ** 2 >= 2 ** 63:
         raise ValueError("substring_dedup_exact: corpus too large for "
                          "the composed int64 dup key; shard the job")
@@ -308,7 +326,10 @@ def substring_dedup_exact(
                              "doc": b["doc"].to_numpy(np.int64),
                              "lpos": b["lpos"].to_numpy(np.int64)})
 
-    wkeys = j2.map_batches(mk_wkey, batch_format="pandas")
+    # window-key-scale (24 B/window); pin it so the dup-key groupby and
+    # the semi join below share ONE execution of the doubling lineage
+    # instead of re-running j1+j2+starts twice (spills past memory)
+    wkeys = j2.map_batches(mk_wkey, batch_format="pandas").materialize()
 
     # duplicated keys: >= min_docs distinct docs (same semantics as the
     # windowed-hash family) on one (key,doc)-distinct partial + one
@@ -342,8 +363,11 @@ def substring_dedup_exact(
         nwords = np.array([len(t.split()) for t in texts], dtype=np.int64)
         keep = nwords > 0
         nk = int(keep.sum())
+        ids = b[id_col].to_numpy()[keep]
         return pd.DataFrame({
-            "doc": b[id_col].to_numpy(np.int64)[keep],
+            "doc": _doc_surrogate(ids),
+            # object dtype: block schemas must match hit_rows' None col
+            "orig": pd.Series(ids, dtype=object),
             "text": np.asarray(texts, dtype=object)[keep],
             "lpos": np.full(nk, -1, dtype=np.int64),
             "kind": np.zeros(nk, dtype=np.int8)})
@@ -351,6 +375,7 @@ def substring_dedup_exact(
     def hit_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc": b["doc"].to_numpy(np.int64),
+            "orig": np.full(len(b), None, dtype=object),
             "text": np.full(len(b), None, dtype=object),
             "lpos": b["lpos"].to_numpy(np.int64),
             "kind": np.ones(len(b), dtype=np.int8)})
@@ -374,7 +399,8 @@ def substring_dedup_exact(
         ver = g[g["kind"].to_numpy() == 1]
         didx = order.get_indexer(ver["doc"].to_numpy(np.int64))
         ok = didx >= 0
-        out = _strip_from_hits(ids, texts, didx[ok],
+        # output carries the ORIGINAL ids (doc is the int64 surrogate)
+        out = _strip_from_hits(dr["orig"].to_numpy(), texts, didx[ok],
                                ver["lpos"].to_numpy(np.int64)[ok],
                                window, id_col)
         return out

@@ -48,8 +48,12 @@ def _soup_word(rng: np.random.Generator, pool: list[str]) -> str:
     return "".join(pool[int(rng.integers(len(pool)))]
                    for _ in range(int(rng.integers(2, 6))))
 
-TRAIN_SEED_BASE = 1_000_000  # + user seed; eval range is disjoint
-EVAL_SEED_BASE = 9_000_000
+TRAIN_SEED_BASE = 1_000_000  # + user seed; other ranges disjoint
+EVAL_SEED_BASE = 9_000_000   # trainer's model-SELECTION eval stream
+# the conformance query/test draws from a THIRD stream, disjoint from
+# both training data and the checkpoint-selection eval — otherwise the
+# gate would score the model on the very lines used to pick it
+QUERY_SEED_BASE = 5_000_000
 
 
 def default_charset() -> list[str]:

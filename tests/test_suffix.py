@@ -94,3 +94,35 @@ def test_substring_dedup_exact_matches_hash_approx(ray_session):
     # doc 2: the intra-doc 'x y z w' windows repeat only within doc 2
     assert "x y z w" in got.loc[2]
     assert 6 not in got.index  # doc 6 is pure duplicated mass -> dropped
+
+
+def test_substring_dedup_exact_string_doc_ids(ray_session):
+    """Non-integer doc ids ride the int64 surrogate key (corpus_tokens
+    _doc_surrogate) but the OUTPUT carries the original ids — parity
+    with strip_dup_spans on the same string-id corpus."""
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.dedup import strip_dup_spans
+    from dup_ocropy_ray.pipelines.suffix import substring_dedup_exact
+
+    shared = "lorem ipsum dolor sit amet"
+    df = pd.DataFrame({
+        "doc_id": [f"doc-{i}" for i in range(5)],
+        "text": [
+            f"{shared} unique0 endings",
+            f"start1 {shared}",
+            "totally different content here now",
+            "",
+            f"{shared}",
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    exact = (substring_dedup_exact(ds, window=5, min_docs=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    approx = (strip_dup_spans(ds, window=5, min_docs=2)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, approx[exact.columns])
+    got = exact.set_index("doc_id")["clean_text"]
+    assert got.loc["doc-0"] == "unique0 endings"
+    assert got.loc["doc-1"] == "start1"
+    assert "doc-4" not in got.index  # pure duplicated mass -> dropped

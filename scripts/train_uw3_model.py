@@ -161,12 +161,19 @@ def main():
         from dup_ocropy_ray.sources import linegen
 
         texts = [t for _, _, t in tr]
+        # alternate faces and degradation presets deterministically —
+        # font/noise DIVERSITY is the point of this pool
+        fonts = [linegen.DEJAVU,
+                 "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"]
+        degs = ["lo", "med", "med", "hi"]
         k = 0
         aug = []
         while len(aug) < args.ttf_augment:
             t = texts[k % len(texts)]
             try:
-                img = linegen.genline(t, 10_000 + k, degradations="med")
+                img = linegen.genline(t, 10_000 + k,
+                                      font=fonts[k % len(fonts)],
+                                      degradations=degs[k % len(degs)])
                 if min(img.shape) >= 10 and (img < 0.5).any():
                     aug.append((f"ttf-{k}", prepare_line(normalize_line(img)),
                                 t))

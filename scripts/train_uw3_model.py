@@ -115,6 +115,11 @@ def main():
                          "distribution, unlike --ttf-augment)")
     ap.add_argument("--ttf-augment", type=int, default=0,
                     help="add N TTF-degraded renders of train texts")
+    ap.add_argument("--ttf-shuffle", type=float, default=0.0,
+                    help="fraction of --ttf-augment lines rendered from "
+                         "NOVEL word sequences resampled from the train "
+                         "vocabulary (kills line-level memorization; "
+                         "word tokens keep their real punctuation/case)")
     ap.add_argument("--time-budget", type=float, default=0,
                     help="stop after this many seconds (0 = no limit)")
     ap.add_argument("--out", default=os.path.join(
@@ -166,10 +171,18 @@ def main():
         fonts = [linegen.DEJAVU,
                  "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"]
         degs = ["lo", "med", "med", "hi"]
+        vocab = sorted({w for t in texts for w in t.split()})
+        srng = np.random.default_rng(4242)
         k = 0
         aug = []
         while len(aug) < args.ttf_augment:
-            t = texts[k % len(texts)]
+            if vocab and srng.random() < args.ttf_shuffle:
+                # novel word sequence from the real train vocabulary
+                nw = int(srng.integers(4, 11))
+                t = " ".join(vocab[int(srng.integers(len(vocab)))]
+                             for _ in range(nw))
+            else:
+                t = texts[k % len(texts)]
             try:
                 img = linegen.genline(t, 10_000 + k,
                                       font=fonts[k % len(fonts)],

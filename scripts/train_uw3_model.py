@@ -104,7 +104,7 @@ def main():
     ap.add_argument("--lr-hold", type=int, default=800,
                     help="steps at full lr before the half-life decay")
     ap.add_argument("--curriculum", type=int, default=600,
-                    help="steps to open the length cap from 25% to 100%")
+                    help="steps to open the length cap from 25%% to 100%%")
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--init", default=None)

@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import ray
 
 from dup_ocropy_ray.functions.edist import levenshtein
-from dup_ocropy_ray.nn.lstm import BiLSTMRecognizer, prepare_line
+from dup_ocropy_ray.functions.text import normalize_text
+from dup_ocropy_ray.nn.lstm import (BiLSTMRecognizer, prepare_line,
+                                    translate_back)
 from dup_ocropy_ray.sources import linegen  # noqa: F401
 from dup_ocropy_ray.stages.lineest import normalize_line
 
@@ -62,11 +64,14 @@ class Trainer:
         return self.net.collect_grads(), err, len(batch)
 
     def eval_cer(self, weights, prepped_eval):
+        # production decode: region-argmax CTC + normalize_text, the
+        # exact LineRecognizer path (see train_uw3_model.eval_cer)
         self.net.set_weights(weights)
         dist = 0
         total = 0
         for x, txt in prepped_eval:
-            pred = self.net.predict_string(x)
+            y = self.net.forward(x)
+            pred = normalize_text(self.net.codec.decode(translate_back(y)))
             dist += levenshtein(pred, txt)
             total += len(txt)
         return dist, total

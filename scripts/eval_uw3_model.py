@@ -51,12 +51,18 @@ def main():
         LineRecognizer, fn_constructor_kwargs={"model_path": args.model},
         batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
     out = rec.to_pandas()
-    dist = sum(levenshtein(p, g) for p, g in zip(out["text"],
-                                                 out["gt_text"]))
-    total = int(out["gt_text"].str.len().sum())
-    cer = dist / max(1, total)
-    print(json.dumps({"model": args.model, "lines": len(out),
-                      "cer": round(cer, 5)}))
+    out["dist"] = [levenshtein(p, g) for p, g in zip(out["text"],
+                                                     out["gt_text"])]
+    out["glen"] = out["gt_text"].str.len()
+    ok = out[out.rec_status == "ok"]
+    # cer_ok is bench.py's uw3_heldout_cer convention (rec_status=="ok"
+    # lines only); cer_all also charges check_line rejects as
+    # full-length misses
+    print(json.dumps({
+        "model": args.model, "lines": len(out), "lines_ok": len(ok),
+        "cer_ok": round(float(ok.dist.sum() / max(1, ok.glen.sum())), 5),
+        "cer_all": round(float(out.dist.sum() / max(1, out.glen.sum())), 5),
+    }))
     ray.shutdown()
 
 

@@ -128,6 +128,11 @@ def main():
                          "NOVEL word sequences resampled from the train "
                          "vocabulary (kills line-level memorization; "
                          "word tokens keep their real punctuation/case)")
+    ap.add_argument("--aug-seed", type=int, default=0,
+                    help="offset for the augmentation streams — a warm "
+                         "continuation with a fresh offset trains on NEW "
+                         "degraded copies / renders instead of the same "
+                         "pool the previous run already fit")
     ap.add_argument("--time-budget", type=float, default=0,
                     help="stop after this many seconds (0 = no limit)")
     ap.add_argument("--out", default=os.path.join(
@@ -157,7 +162,7 @@ def main():
             _, img, txt = raw[k % len(raw)]
             if txt:
                 try:
-                    d = linegen.degrade_real(img, 20_000 + k)
+                    d = linegen.degrade_real(img, 20_000 + args.aug_seed + k)
                     if (min(d.shape) >= 10 and (d < 0.5).any()
                             and not check_line(1.0 - d)):
                         aug.append((f"real-{k}",
@@ -180,7 +185,7 @@ def main():
                  "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"]
         degs = ["lo", "med", "med", "hi"]
         vocab = sorted({w for t in texts for w in t.split()})
-        srng = np.random.default_rng(4242)
+        srng = np.random.default_rng(4242 + args.aug_seed)
         k = 0
         aug = []
         while len(aug) < args.ttf_augment:
@@ -192,7 +197,7 @@ def main():
             else:
                 t = texts[k % len(texts)]
             try:
-                img = linegen.genline(t, 10_000 + k,
+                img = linegen.genline(t, 10_000 + args.aug_seed + k,
                                       font=fonts[k % len(fonts)],
                                       degradations=degs[k % len(degs)])
                 if min(img.shape) >= 10 and (img < 0.5).any():

@@ -132,7 +132,11 @@ def main():
                     help="offset for the augmentation streams — a warm "
                          "continuation with a fresh offset trains on NEW "
                          "degraded copies / renders instead of the same "
-                         "pool the previous run already fit")
+                         "pool the previous run already fit. The offset "
+                         "is additive to per-line seeds, so it must "
+                         "exceed the pool size (use >= 4*(real-augment"
+                         "+ttf-augment), e.g. 50000, 100000) or the new "
+                         "pool largely overlaps the previous one")
     ap.add_argument("--time-budget", type=float, default=0,
                     help="stop after this many seconds (0 = no limit)")
     ap.add_argument("--out", default=os.path.join(

@@ -57,7 +57,7 @@ def _model_trained_to_gate() -> bool:
         import json
 
         with open(MODEL + ".json") as f:
-            return float(json.load(f)["cer"]) <= 0.05
+            return float(json.load(f)["cer"]) <= 0.035
     except Exception:
         return True
 
@@ -67,12 +67,14 @@ def _model_trained_to_gate() -> bool:
 def test_full_charset_heldout_cer_gate(ray_session):
     """Held-out synthetic lines (QUERY seed stream — disjoint from
     training AND from the trainer's checkpoint-selection eval) through
-    the production actor pool: CER <= 0.06 (arm threshold 0.05 on the
-    trainer's own stream + cross-stream margin)."""
+    the production actor pool: CER <= 0.04 (recorded cross-stream CER
+    0.0284; arm threshold 0.035 on the trainer's own stream + margin —
+    a regression back to the round-3 interrupted-checkpoint state lands
+    far above this)."""
     from dup_ocropy_ray.pipelines.queries import q_full_charset_cer
 
     out = q_full_charset_cer("/root/testdata/sf0.001")
     ok = out[out.rec_status == "ok"]
     assert len(ok) >= 80
     cer = float(ok.dist.sum() / max(1, ok.gt_len.sum()))
-    assert cer <= 0.06, f"full-charset held-out CER {cer:.4f}"
+    assert cer <= 0.04, f"full-charset held-out CER {cer:.4f}"

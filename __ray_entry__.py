@@ -467,6 +467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": q.q_doc_dup_spans,
         "strip_dup_spans": q.q_strip_dup_spans,
         "substring_dedup_exact": q.q_substring_dedup_exact,
+        "substring_dedup_maximal": q.q_substring_dedup_maximal,
+        "dup_spans_maximal": q.q_dup_spans_maximal,
         "heavy_hitters": q.q_heavy_hitters,
         "centroid_outliers": q.q_centroid_outliers,
         "incremental_dedup": q.q_incremental_dedup,
@@ -728,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": q.SQL_DOC_DUP_SPANS,
         "strip_dup_spans": q.SQL_STRIP_DUP_SPANS,
         "substring_dedup_exact": q.SQL_SUBSTRING_DEDUP_EXACT,
+        "substring_dedup_maximal": q.SQL_SUBSTRING_DEDUP_MAXIMAL,
+        "dup_spans_maximal": q.SQL_DUP_SPANS_MAXIMAL,
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
         "centroid_outliers": q.SQL_CENTROID_OUTLIERS,
         "incremental_dedup": q.SQL_INCREMENTAL_DEDUP,

@@ -1300,9 +1300,12 @@ def doc_dup_spans(
                 b[text_col].tolist(), window)
             n = len(b)
             n_spans = np.bincount(doc_idx, minlength=n).astype(np.int64)
-            idx = np.searchsorted(hashes, gh)
-            hit = (idx < len(hashes)) & (
-                hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+            if len(hashes) == 0:  # no duplicated windows anywhere
+                hit = np.zeros(len(gh), dtype=bool)
+            else:
+                idx = np.searchsorted(hashes, gh)
+                hit = (idx < len(hashes)) & (
+                    hashes[np.minimum(idx, len(hashes) - 1)] == gh)
             n_dup = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
             keep = n_spans > 0
             return pd.DataFrame({
@@ -1457,9 +1460,12 @@ def strip_dup_spans(
             hashes = ray.get(ref)
             texts = b[text_col].tolist()
             gh, doc_idx, pos = hashing.batch_window_hashes(texts, window)
-            idx = np.searchsorted(hashes, gh)
-            hit = (idx < len(hashes)) & (
-                hashes[np.minimum(idx, len(hashes) - 1)] == gh)
+            if len(hashes) == 0:  # no duplicated windows anywhere
+                hit = np.zeros(len(gh), dtype=bool)
+            else:
+                idx = np.searchsorted(hashes, gh)
+                hit = (idx < len(hashes)) & (
+                    hashes[np.minimum(idx, len(hashes) - 1)] == gh)
             return _strip_from_hits(b[id_col].to_numpy(), texts,
                                     doc_idx[hit], pos[hit], window, id_col)
 

@@ -3908,6 +3908,94 @@ def q_substring_dedup_exact(sf_dir: str) -> pd.DataFrame:
 SQL_SUBSTRING_DEDUP_EXACT = SQL_STRIP_DUP_SPANS
 
 
+def q_substring_dedup_maximal(sf_dir: str) -> pd.DataFrame:
+    """MAXIMAL duplicated-span dedup (Lee et al. 2022 ExactSubstr
+    semantics): strip tokens covered by any duplicated substring of
+    >= 8 tokens under OCCURRENCE counting (>= 2 corpus positions,
+    within-doc repeats included — the min_docs windowed family cannot
+    see those). The removed token set provably equals the union of
+    duplicated 8-windows under occurrence counting, which is what the
+    SQL twin computes — exact by construction."""
+    from .suffix import substring_dedup_maximal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # reindex: a fully-empty result loses its schema in to_pandas()
+    out = (substring_dedup_maximal(ds, min_len=8).to_pandas()
+           .reindex(columns=["doc_id", "clean_text"]))
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "clean_text": out.clean_text,
+    })
+
+
+SQL_SUBSTRING_DEDUP_MAXIMAL = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+), dup AS (
+  -- occurrence counting (>= 2 positions anywhere), NOT distinct docs
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.k AS p
+  FROM grams g JOIN dup d USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS k) o
+), uw AS (
+  SELECT w.doc_id, t.i AS p, w.w[t.i] AS word
+  FROM words w, LATERAL (SELECT unnest(generate_series(1, len(w.w))) AS i) t
+)
+SELECT u.doc_id, string_agg(u.word, ' ' ORDER BY u.p) AS clean_text
+FROM uw u LEFT JOIN cov c ON u.doc_id = c.doc_id AND u.p = c.p
+WHERE c.p IS NULL
+GROUP BY u.doc_id
+"""
+
+
+def q_dup_spans_maximal(sf_dir: str) -> pd.DataFrame:
+    """Maximal duplicated spans per doc as (start, length) token
+    intervals — the variable-length span REPORT no fixed-W window path
+    can produce (a 20-token duplicate is one 20-token span here, not a
+    smear of 8-token windows). SQL twin: gaps-and-islands over the
+    8-window coverage set, equal to the maximal-span union by the
+    window-coverage equivalence (see q_substring_dedup_maximal)."""
+    from .suffix import dup_spans_maximal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # reindex: a fully-empty result loses its schema in to_pandas()
+    out = (dup_spans_maximal(ds, min_len=8).to_pandas()
+           .reindex(columns=["doc_id", "start", "length"]))
+    return pd.DataFrame({
+        "doc_id": out.doc_id.astype("int64"),
+        "start": out.start.astype("int64"),
+        "length": out.length.astype("int64"),
+    })
+
+
+SQL_DUP_SPANS_MAXIMAL = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.k AS p
+  FROM grams g JOIN dup d USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS k) o
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+)
+SELECT doc_id, (min(p) - 1)::BIGINT AS start, count(*)::BIGINT AS length
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact corpus top-20 words via the two-pass local-top-m +
     recount pattern (no full-vocabulary shuffle)."""

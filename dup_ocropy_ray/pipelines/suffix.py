@@ -39,7 +39,9 @@ import ray.data as rd
 from .relational import bucket_join
 from .windows import ordered_scan
 
-__all__ = ["corpus_tokens", "suffix_array", "suffix_array_ref"]
+__all__ = ["corpus_tokens", "suffix_array", "suffix_array_ref",
+           "substring_dedup_maximal", "dup_spans_maximal",
+           "maximal_cover_ref"]
 
 
 def _doc_surrogate(arr) -> np.ndarray:
@@ -407,6 +409,433 @@ def substring_dedup_exact(
 
     return union.groupby("_dc").map_groups(strip_part,
                                            batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# MAXIMAL duplicated spans (Lee et al. 2022's actual ExactSubstr
+# semantics): remove every token covered by a duplicated substring of
+# length >= min_len, where "duplicated" means the substring occurs at
+# >= 2 distinct positions ANYWHERE in the corpus — including twice
+# inside the SAME document, which the windowed min_docs>=2 family
+# (strip_dup_spans / substring_dedup_exact) structurally cannot see.
+# The removed region per position is [pos, pos + dup_len(pos)) with
+# dup_len(pos) = the longest prefix of suffix(pos) occurring elsewhere,
+# i.e. genuinely variable-length MAXIMAL spans, not fixed-W windows.
+#
+# Machinery: per-doc unique sentinel tokens stop matches at doc
+# boundaries (Lee et al. concatenate with separators the same way);
+# the full prefix-doubling suffix array keeps every power-of-two rank
+# level; dup_len comes from the classic SA property
+#     dup_len(pos) = max(LCP(pos, SA-prev), LCP(pos, SA-next))
+# with each LCP computed by greedy descent over the rank levels
+# (rank_h(p) == rank_h(q)  <=>  the two h-prefixes are equal): ~log n
+# bulk-synchronous rounds of ONE adjacency join + two lookup joins,
+# driver state stays at _dense_rank's per-block summary scale.
+# Adjacent pairs are prefiltered at level 2^floor(log2 min_len) — only
+# pairs that can reach LCP >= min_len enter the descent, so the
+# per-round join work after the prefilter is dup-candidate scale.
+
+
+_PAIR_SCHEMA = pa.schema([("oa", pa.int64()), ("ob", pa.int64()),
+                          ("a", pa.int64()), ("b", pa.int64()),
+                          ("lcp", pa.int64())])
+_HIT_SCHEMA = pa.schema([("pos", pa.int64()), ("dlen", pa.int64())])
+_TOKDOC_SCHEMA = pa.schema([("pos", pa.int64()), ("doc", pa.int64()),
+                            ("lpos", pa.int64()), ("nw", pa.int64())])
+
+
+def _suffix_array_levels(toks: rd.Dataset, n: int, num_partitions: int):
+    """Full prefix-doubling loop keeping EVERY intermediate rank table:
+    returns (final (pos, rank) suffix ranks, {h: rank_h Dataset}).
+    rank_h is the dense equality class of the h-token prefix (clipped
+    at corpus end; two clipped suffixes can never share a class, see
+    suffix_array). Storage is n x 16 B per level, log2(n) levels —
+    the premium exact path's price, same as Lee et al.'s on-disk SA."""
+    ranks, distinct = _dense_rank(toks, "word")
+    ranks = ranks.materialize()
+    levels = {1: ranks}
+    h = 1
+    while distinct < n:
+        if h > 2 * n:
+            raise RuntimeError("suffix_array: prefix doubling failed "
+                               "to separate ranks — rank table corrupt")
+        ranks, distinct = _doubling_round(ranks, h, n, num_partitions)
+        h *= 2
+        levels[h] = ranks
+    return ranks, levels
+
+
+def _rank_lookup(pairs: rd.Dataset, lvl: rd.Dataset, col: str,
+                 out: str, num_partitions: int,
+                 pair_schema: pa.Schema) -> rd.Dataset:
+    """LEFT-join rank_h at ``pairs[col]`` into column ``out`` (null when
+    the position is past corpus end — never matches)."""
+    probe = lvl.map_batches(
+        lambda b, _o=out: pd.DataFrame({
+            "pos": b["pos"].to_numpy(np.int64),
+            _o: b["rank"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return bucket_join(
+        pairs, probe, col, "pos",
+        num_partitions=num_partitions, how="left",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("pos", pa.int64()), (out, pa.int64())]),
+        suffix="_rl")
+
+
+def _maximal_hits(docs: rd.Dataset, text_col: str, id_col: str,
+                  min_len: int, num_partitions: int):
+    """(doc, lpos, dlen) hit table of maximal duplicated prefixes with
+    dlen >= min_len, plus the (possibly empty) short-circuit flag."""
+    if min_len < 2:
+        raise ValueError("substring_dedup_maximal: min_len must be >= 2")
+
+    def add_sentinel(b: pd.DataFrame) -> pd.DataFrame:
+        sk = _doc_surrogate(b[id_col].to_numpy())
+        txt = b[text_col].fillna("")
+        sent = pd.Series(["\x00" + str(s) for s in sk], index=txt.index)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            text_col: (txt + " " + sent).str.strip()})
+
+    docs2 = docs.map_batches(add_sentinel, batch_format="pandas")
+    toks, n = corpus_tokens(docs2, text_col, id_col, with_doc=True)
+    if n == 0:
+        return None, None
+    if (n + 2) ** 2 >= 2 ** 63:
+        raise ValueError("substring_dedup_maximal: corpus too large for "
+                         "the int64 doubling key; shard the job")
+    sa, levels = _suffix_array_levels(toks, n, num_partitions)
+
+    h_l = 1
+    while h_l * 2 <= min_len:
+        h_l *= 2
+    if h_l not in levels:
+        # ranks separated below h_l: every LCP < h_l <= min_len
+        return None, toks
+
+    # adjacent suffix pairs in lexicographic order: pos at rank r+1
+    # probes rank r — ONE n-scale join
+    probe = sa.map_batches(
+        lambda b: pd.DataFrame({
+            "rank": b["rank"].to_numpy(np.int64) - 1,
+            "hi": b["pos"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    adj = bucket_join(
+        sa, probe, "rank", "rank",
+        num_partitions=num_partitions, how="inner",
+        left_schema=_RANK_SCHEMA,
+        right_schema=pa.schema([("rank", pa.int64()),
+                                ("hi", pa.int64())]))
+    pairs = adj.map_batches(
+        lambda b: pd.DataFrame({
+            "oa": b["pos"].to_numpy(np.int64),
+            "ob": b["hi"].to_numpy(np.int64),
+            "a": b["pos"].to_numpy(np.int64),
+            "b": b["hi"].to_numpy(np.int64),
+            "lcp": np.zeros(len(b), np.int64)}),
+        batch_format="pandas")
+
+    # prefilter: only pairs sharing the h_l-prefix class can reach
+    # LCP >= min_len (two n-scale lookup joins; survivors are
+    # dup-candidate scale)
+    pf = _rank_lookup(pairs, levels[h_l], "a", "ra", num_partitions,
+                      _PAIR_SCHEMA)
+    pf = _rank_lookup(
+        pf, levels[h_l], "b", "rb", num_partitions,
+        pa.schema(list(_PAIR_SCHEMA) + [pa.field("ra", pa.int64())]))
+
+    def keep_eq(b: pd.DataFrame) -> pd.DataFrame:
+        ra = pd.to_numeric(b["ra"], errors="coerce")
+        rb = pd.to_numeric(b["rb"], errors="coerce")
+        m = (ra.notna() & rb.notna() & (ra == rb)).to_numpy()
+        return b.loc[m, ["oa", "ob", "a", "b", "lcp"]].reset_index(
+            drop=True)
+
+    pairs = pf.map_batches(keep_eq, batch_format="pandas").materialize()
+
+    # greedy LCP descent over rank levels, highest first: equality of
+    # rank_h at the advanced offsets adds h to the LCP and advances
+    # both cursors (LCP < max level because the top level separated)
+    for h in sorted(levels, reverse=True):
+        pairs = _rank_lookup(pairs, levels[h], "a", "ra",
+                             num_partitions, _PAIR_SCHEMA)
+        pairs = _rank_lookup(
+            pairs, levels[h], "b", "rb", num_partitions,
+            pa.schema(list(_PAIR_SCHEMA) + [pa.field("ra", pa.int64())]))
+
+        def step(b: pd.DataFrame, _h=h) -> pd.DataFrame:
+            ra = pd.to_numeric(b["ra"], errors="coerce")
+            rb = pd.to_numeric(b["rb"], errors="coerce")
+            eq = (ra.notna() & rb.notna() & (ra == rb)).to_numpy()
+            adv = np.where(eq, np.int64(_h), np.int64(0))
+            return pd.DataFrame({
+                "oa": b["oa"].to_numpy(np.int64),
+                "ob": b["ob"].to_numpy(np.int64),
+                "a": b["a"].to_numpy(np.int64) + adv,
+                "b": b["b"].to_numpy(np.int64) + adv,
+                "lcp": b["lcp"].to_numpy(np.int64) + adv})
+
+        pairs = pairs.map_batches(step,
+                                  batch_format="pandas").materialize()
+
+    # dup_len(pos) = max over the <=2 adjacent pairs touching pos
+    def emit_sides(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["lcp"].to_numpy(np.int64) >= min_len
+        oa = b["oa"].to_numpy(np.int64)[m]
+        ob = b["ob"].to_numpy(np.int64)[m]
+        lc = b["lcp"].to_numpy(np.int64)[m]
+        out = pd.DataFrame({
+            "pos": np.concatenate([oa, ob]),
+            "dlen": np.concatenate([lc, lc])})
+        out["_kp"] = out["pos"].to_numpy(np.int64) % np.int64(
+            _DEDUP_PARTITIONS_MAX)
+        return out
+
+    def max_per_pos(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby("pos", sort=False)["dlen"].max()
+        return pd.DataFrame({"pos": mx.index.to_numpy(np.int64),
+                             "dlen": mx.to_numpy(np.int64)})
+
+    hits_pos = (pairs.map_batches(emit_sides, batch_format="pandas")
+                .groupby("_kp").map_groups(max_per_pos,
+                                           batch_format="pandas"))
+
+    # map positions back to (doc, lpos) — one n-scale inner join; clip
+    # dlen at the REAL doc end (the sentinel occupies lpos == nw - 1)
+    tokmap = toks.map_batches(
+        lambda b: b[["pos", "doc", "lpos", "nw"]],
+        batch_format="pandas")
+    j = bucket_join(tokmap, hits_pos, "pos", "pos",
+                    num_partitions=num_partitions, how="inner",
+                    left_schema=_TOKDOC_SCHEMA,
+                    right_schema=_HIT_SCHEMA, suffix="_h")
+
+    def to_hits(b: pd.DataFrame) -> pd.DataFrame:
+        lpos = b["lpos"].to_numpy(np.int64)
+        real_rem = (b["nw"].to_numpy(np.int64) - 1) - lpos
+        dlen = np.minimum(b["dlen"].to_numpy(np.int64), real_rem)
+        m = dlen >= min_len
+        return pd.DataFrame({"doc": b["doc"].to_numpy(np.int64)[m],
+                             "lpos": lpos[m], "dlen": dlen[m]})
+
+    return j.map_batches(to_hits, batch_format="pandas"), toks
+
+
+_DEDUP_PARTITIONS_MAX = 64
+
+
+def _cover_islands(counts: np.ndarray, hit_doc: np.ndarray,
+                   hit_pos: np.ndarray, hit_len: np.ndarray):
+    """Per-group coverage of variable-length hits over the flat token
+    stream: returns (covered bool[n], tok_off). Hits never cross doc
+    boundaries (clipped upstream)."""
+    total = int(counts.sum())
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    delta = np.zeros(total + 1, dtype=np.int64)
+    g = tok_off[hit_doc] + hit_pos
+    np.add.at(delta, g, 1)
+    np.add.at(delta, g + hit_len, -1)
+    covered = np.cumsum(delta[:total]) > 0
+    return covered, tok_off
+
+
+def _maximal_grouped(docs: rd.Dataset, text_col: str, id_col: str,
+                     min_len: int, num_partitions: int, emit: str,
+                     id_type: pa.DataType) -> rd.Dataset:
+    """Doc-keyed shuffle joining doc rows (kind 0: id + text) with hit
+    rows (kind 1: lpos + dlen), then per-doc ``emit``: "clean" strips
+    covered tokens, "spans" reports the maximal covered intervals."""
+    from .dedup import _DEDUP_PARTITIONS
+    from ..functions import hashing
+
+    empty = (pa.table({id_col: pa.array([], id_type),
+                       "clean_text": pa.array([], pa.string())})
+             if emit == "clean" else
+             pa.table({id_col: pa.array([], id_type),
+                       "start": pa.array([], pa.int64()),
+                       "length": pa.array([], pa.int64())}))
+    hits, _ = _maximal_hits(docs, text_col, id_col, min_len,
+                            num_partitions)
+    if hits is None:
+        if emit == "spans":
+            return rd.from_arrow(empty)
+        # no duplicated spans anywhere: clean_text == original text
+        return docs.map_batches(
+            lambda b: pd.DataFrame(
+                {id_col: b[id_col].to_numpy(),
+                 "clean_text": b[text_col].fillna("")})
+            .loc[lambda d: d["clean_text"].str.split().map(len) > 0]
+            .reset_index(drop=True),
+            batch_format="pandas")
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").tolist()
+        nwords = np.array([len(t.split()) for t in texts],
+                          dtype=np.int64)
+        keep = nwords > 0
+        nk = int(keep.sum())
+        ids = b[id_col].to_numpy()[keep]
+        return pd.DataFrame({
+            "doc": _doc_surrogate(ids),
+            "orig": pd.Series(ids, dtype=object),
+            "text": np.asarray(texts, dtype=object)[keep],
+            "lpos": np.full(nk, -1, dtype=np.int64),
+            "dlen": np.zeros(nk, dtype=np.int64),
+            "kind": np.zeros(nk, dtype=np.int8)})
+
+    def hit_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": b["doc"].to_numpy(np.int64),
+            "orig": np.full(len(b), None, dtype=object),
+            "text": np.full(len(b), None, dtype=object),
+            "lpos": b["lpos"].to_numpy(np.int64),
+            "dlen": b["dlen"].to_numpy(np.int64),
+            "kind": np.ones(len(b), dtype=np.int8)})
+
+    def add_dc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_dc"] = (hashing.hash_strings(b["doc"].to_numpy(dtype=object))
+                    % np.uint64(_DEDUP_PARTITIONS)).astype(np.int64)
+        return b
+
+    union = (docs.map_batches(doc_rows, batch_format="pandas",
+                              batch_size=4096)
+             .union(hits.map_batches(hit_rows, batch_format="pandas"))
+             .map_batches(add_dc, batch_format="pandas"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        dr = g[g["kind"].to_numpy() == 0]
+        ids = dr["orig"].to_numpy()
+        tok_lists = [(t or "").split() for t in dr["text"].tolist()]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        order = pd.Index(dr["doc"].to_numpy(np.int64))
+        ver = g[g["kind"].to_numpy() == 1]
+        didx = order.get_indexer(ver["doc"].to_numpy(np.int64))
+        ok = didx >= 0
+        covered, tok_off = _cover_islands(
+            counts, didx[ok], ver["lpos"].to_numpy(np.int64)[ok],
+            ver["dlen"].to_numpy(np.int64)[ok])
+        total = int(counts.sum())
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        if emit == "spans":
+            if total == 0 or not covered.any():
+                return empty.to_pandas()
+            is_start = np.zeros(total, bool)
+            is_start[tok_off[:-1][counts > 0]] = True
+            prev = np.concatenate([[False], covered[:-1]])
+            nxt = np.concatenate([covered[1:], [False]])
+            is_end = np.zeros(total, bool)
+            is_end[tok_off[1:][counts > 0] - 1] = True
+            s = np.flatnonzero(covered & (~prev | is_start))
+            e = np.flatnonzero(covered & (~nxt | is_end))
+            d = doc_of[s]
+            return pd.DataFrame({
+                # list(): re-infer the natural dtype (int64 for integer
+                # ids) instead of carrying the shuffle's object column
+                id_col: pd.Series(list(ids[d])),
+                "start": (s - tok_off[d]).astype(np.int64),
+                "length": (e - s + 1).astype(np.int64)})
+        flat = np.empty(total, dtype=object)
+        p = 0
+        for t in tok_lists:
+            if t:
+                flat[p : p + len(t)] = t
+                p += len(t)
+        keep_words = ~covered
+        kept_per_doc = np.bincount(doc_of[keep_words],
+                                   minlength=len(counts))
+        kept_flat = flat[keep_words]
+        bounds = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        rows = [(ids[i],
+                 " ".join(kept_flat[bounds[i]:bounds[i + 1]]))
+                for i in range(len(counts)) if kept_per_doc[i] > 0]
+        return pd.DataFrame(rows, columns=[id_col, "clean_text"])
+
+    return union.groupby("_dc").map_groups(per_part,
+                                           batch_format="pandas")
+
+
+def substring_dedup_maximal(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Lee et al. 2022 ExactSubstr semantics: strip every token covered
+    by a MAXIMAL duplicated substring of >= ``min_len`` tokens, where
+    duplicated = occurs at >= 2 distinct corpus positions (within OR
+    across docs — within-doc repeats are removed, unlike the
+    min_docs-based windowed family). Output (id_col, clean_text), empty
+    docs dropped. The removed token SET provably equals the union of
+    duplicated min_len-windows under occurrence counting, which is the
+    SQL oracle's formulation; the spans variant below additionally
+    reports the variable-length maximal intervals no fixed-W path can
+    produce."""
+    from .dedup import _arrow_id_type
+
+    return _maximal_grouped(docs, text_col, id_col, min_len,
+                            num_partitions, "clean",
+                            _arrow_id_type(docs, id_col))
+
+
+def dup_spans_maximal(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Maximal duplicated-span report: (id_col, start, length) of each
+    maximal run of tokens covered by >= min_len-token duplicated
+    substrings (occurrence semantics, see substring_dedup_maximal).
+    ``start``/``length`` are in token units within the doc."""
+    from .dedup import _arrow_id_type
+
+    return _maximal_grouped(docs, text_col, id_col, min_len,
+                            num_partitions, "spans",
+                            _arrow_id_type(docs, id_col))
+
+
+def maximal_cover_ref(records: "list[tuple]", min_len: int):
+    """Serial O(n^2 * len) reference (test oracle): for (id, text)
+    pairs returns ({id: covered bool array}, {id: [(start, len)]})
+    under occurrence-counting maximal-span semantics."""
+    toks = [(i, (t or "").split()) for i, t in records]
+    allpos = [(di, wi) for di, (_, w) in enumerate(toks)
+              for wi in range(len(w))]
+    cover = {i: np.zeros(len(w), bool) for i, w in toks}
+    for di, wi in allpos:
+        w = toks[di][1]
+        best = 0
+        for dj, wj in allpos:
+            if (di, wi) == (dj, wj):
+                continue
+            v = toks[dj][1]
+            m = 0
+            while (wi + m < len(w) and wj + m < len(v)
+                   and w[wi + m] == v[wj + m]):
+                m += 1
+            best = max(best, m)
+        if best >= min_len:
+            cover[toks[di][0]][wi : wi + best] = True
+    spans = {}
+    for i, w in toks:
+        c = cover[i]
+        out = []
+        j = 0
+        while j < len(c):
+            if c[j]:
+                k = j
+                while k < len(c) and c[k]:
+                    k += 1
+                out.append((j, k - j))
+                j = k
+            else:
+                j += 1
+        spans[i] = out
+    return cover, spans
 
 
 def suffix_array_ref(words: "list[str]") -> np.ndarray:

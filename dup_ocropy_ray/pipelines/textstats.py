@@ -773,6 +773,9 @@ def heavy_hitters(ds: rd.Dataset, k: int = 20, counters: int = 512
         c = ray.get(ref)
         words = (b["text"].fillna("").str.split().explode().dropna()
                  .to_numpy(object))
+        if len(c) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
         idx = np.searchsorted(c, words)
         ok = (idx < len(c)) & (c[np.minimum(idx, len(c) - 1)] == words)
         cnt = np.bincount(idx[ok], minlength=len(c))

@@ -108,6 +108,114 @@ def build_bench_corpus() -> dict:
     return {"docs": docs_path, "media": os.path.join(root, "media.parquet")}
 
 
+def build_uw3_big_corpus(n_lines: int = 2000) -> str:
+    """Cached parquet of degrade_real-amplified REAL uw3 train lines
+    (blur/noise/affine on the scans themselves — stays in the uw3 glyph
+    distribution). Gives the recognition leg a steady-state denominator:
+    the 94-line held-out leg is ~40% actor-pool startup."""
+    import hashlib
+
+    key = hashlib.md5(f"uw3big:{n_lines}:v1".encode()).hexdigest()[:10]
+    path = f"/tmp/uw3_big_{key}.parquet"
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dup_ocropy_ray.functions import png as _png
+    from dup_ocropy_ray.sources import linegen
+    from dup_ocropy_ray.sources.uw3 import load_uw3_cached, split_uw3
+
+    train, _ = split_uw3(load_uw3_cached())
+    ids, pngs = [], []
+    k = 0
+    # 900_000 offset: disjoint from every training augmentation stream
+    while len(ids) < n_lines and k < 4 * n_lines:
+        rec = train[k % len(train)]
+        try:
+            img = linegen.degrade_real(rec["image"], 900_000 + k)
+            if min(img.shape) >= 10 and (img < 0.5).any():
+                ids.append(f"big-{k}")
+                pngs.append(_png.encode_gray(img))
+        except Exception:
+            pass
+        k += 1
+    pq.write_table(pa.table({
+        "line_id": pa.array(ids, pa.string()),
+        "line_png": pa.array(pngs, pa.binary())}), path)
+    return path
+
+
+def run_uw3_big_leg() -> dict:
+    """Steady-state recognition throughput: >= 2000 real-derived lines
+    through the production LineRecognizer actor pool (same pool shape
+    as the OCR flagship's recognize stage)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.stages.recognize import LineRecognizer
+
+    model = os.path.join(REPO, "dup_ocropy_ray", "models",
+                         "uw3_model.npz")
+    path = build_uw3_big_corpus(
+        int(os.environ.get("GRAFT_UW3_BIG_LINES", "2000")))
+    ds = rd.read_parquet(path).repartition(NUM_CPUS)
+    t0 = time.time()
+    rec = ds.map_batches(
+        LineRecognizer, fn_constructor_kwargs={"model_path": model},
+        batch_size=32,
+        concurrency=(max(1, NUM_CPUS // 8), max(2, NUM_CPUS // 2)),
+        batch_format="pyarrow")
+    n = rec.count()
+    sec = time.time() - t0
+    return {"uw3_big_lines": int(n), "uw3_big_sec": round(sec, 3),
+            "uw3_big_lines_per_sec": round(n / sec, 2)}
+
+
+def run_span_dedup_leg(repeat: int, max_broadcast: int) -> dict:
+    """Span-dedup at the Bloom design point: the documents table
+    replicated ``repeat``x under DISTINCT doc ids (every window becomes
+    corpus-duplicated, so the dup table outgrows any sane broadcast),
+    with ``max_broadcast`` forced low so the Bloom bitmap + semi-join
+    verification path — not the sorted-array broadcast — carries the
+    run. Reports throughput plus the actual broadcast bytes (must stay
+    at the adaptive bitmap size, <= the 256 MiB cap)."""
+    import ray.data as rd
+
+    from dup_ocropy_ray.pipelines.dedup import strip_dup_spans
+    from dup_ocropy_ray.tuning import parquet_schema
+
+    path = os.path.join(SF_DIR, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                         schema=parquet_schema(path, ["doc_id", "text"]))
+    ds = ds.repartition(NUM_CPUS * 4)
+
+    def rep(b):
+        import pandas as pd
+
+        out = []
+        for r in range(repeat):
+            out.append(pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy() + r * 10_000_000,
+                "text": b["text"]}))
+        return pd.concat(out, ignore_index=True)
+
+    docs = ds.map_batches(rep, batch_format="pandas", batch_size=512)
+    stats: dict = {}
+    t0 = time.time()
+    clean = strip_dup_spans(docs, window=8, min_docs=2,
+                            max_broadcast=max_broadcast, stats=stats)
+    kept = clean.count()
+    sec = time.time() - t0
+    n_docs = repeat * ds.count()
+    return {"span_dedup_sec": round(sec, 3),
+            "span_dedup_docs": int(n_docs),
+            "span_dedup_docs_per_sec": round(n_docs / sec, 2),
+            "span_dedup_kept_docs": int(kept),
+            "span_dedup_mode": stats.get("mode"),
+            "span_dedup_broadcast_mb": round(
+                stats.get("broadcast_bytes", 0) / 2**20, 1)}
+
+
 def run_extract_leg(repeat: int, shuffle: bool = False) -> dict:
     """North-rule extraction flagship: documents -> interleaved
     (doc_id, spans) with the body as a kind='html' span -> full
@@ -172,6 +280,27 @@ def main():
     import ray
 
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    if mode == "spandedup":
+        obj_mb = int(os.environ.get("GRAFT_OBJ_STORE_MB", "0"))
+        kw = {"object_store_memory": obj_mb << 20} if obj_mb else {}
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR", **kw)
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        leg = run_span_dedup_leg(
+            repeat=int(os.environ.get("GRAFT_SPANDEDUP_REPEAT", "8")),
+            max_broadcast=int(os.environ.get(
+                "GRAFT_SPANDEDUP_MAX_BROADCAST", "100000")))
+        result = {"metric": "span_dedup_sec",
+                  "value": leg["span_dedup_sec"], "unit": "sec",
+                  "sf": SF_DIR, "num_cpus": NUM_CPUS, **leg}
+        if obj_mb:
+            result["object_store_mb"] = obj_mb
+        ray.shutdown()
+        print(json.dumps(result))
+        return
     if mode == "extract":
         obj_mb = int(os.environ.get("GRAFT_OBJ_STORE_MB", "0"))
         kw = {"object_store_memory": obj_mb << 20} if obj_mb else {}
@@ -304,6 +433,13 @@ def main():
         result["uw3_heldout_cer"] = round(
             float(ok.dist.sum() / max(1, ok.gt_len.sum())), 4)
 
+    # steady-state recognition leg: >= 2000 real-derived lines so
+    # actor-pool startup is amortized (the 94-line held-out leg is
+    # ~40% startup)
+    if subset and os.path.exists(uw3_model) and os.path.exists(
+            "/root/reference/tests/uw3-500.tgz"):
+        result.update(run_uw3_big_leg())
+
     # extraction-flagship leg (the round-3 north rule's named pipeline):
     # one repeat at the headline CPU count, docs/sec alongside pages/sec
     if subset:
@@ -377,6 +513,21 @@ def big():
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = run_once(lo), run_once(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    # span-dedup leg at the Bloom design point, same shrunk store: the
+    # Bloom bitmap + semi-join path (not the sorted-array broadcast)
+    # carries a full-scale dedup run under spill pressure
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(hi),
+               GRAFT_BENCH_MODE="spandedup",
+               GRAFT_OBJ_STORE_MB=os.environ.get(
+                   "GRAFT_OBJ_STORE_MB", "500"),
+               GRAFT_SPANDEDUP_REPEAT=os.environ.get(
+                   "GRAFT_SPANDEDUP_REPEAT", "8"))
+    sd = json.loads(subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1])
+
     print(json.dumps({
         "metric": "extract_spill_regime",
         "num_cpus_lo": lo, "num_cpus_hi": hi,
@@ -389,6 +540,11 @@ def big():
         "spilled_mb_lo": r_lo["spilled_mb"],
         "spilled_mb_hi": r_hi["spilled_mb"],
         "restored_mb_hi": r_hi["restored_mb"],
+        "span_dedup_sec": sd["span_dedup_sec"],
+        "span_dedup_docs": sd["span_dedup_docs"],
+        "span_dedup_docs_per_sec": sd["span_dedup_docs_per_sec"],
+        "span_dedup_mode": sd["span_dedup_mode"],
+        "span_dedup_broadcast_mb": sd["span_dedup_broadcast_mb"],
         "sf": SF_DIR,
     }))
 

@@ -1432,11 +1432,14 @@ def strip_dup_spans(
     min_docs: int = 2,
     max_broadcast: int = _DUP_BROADCAST_MAX,
     bloom_bits: "int | None" = None,
+    stats: "dict | None" = None,
 ) -> rd.Dataset:
     """The dedup TRANSFORM: drop every word covered by any
     corpus-duplicated W-window (aggressive variant — all occurrences
     go; deterministic, so SQL-checkable). Docs left empty are dropped.
-    Hash-only like doc_dup_spans.
+    Hash-only like doc_dup_spans. ``stats``, when given, receives the
+    chosen probe mode ("exact"/"bloom") and the broadcast byte count —
+    the bench's evidence that the Bloom path keeps broadcast bounded.
 
     Below ``max_broadcast`` dup hashes: broadcast sorted-array probe,
     map-only second pass. Above it: fixed-size Bloom bitmap broadcast;
@@ -1452,6 +1455,9 @@ def strip_dup_spans(
 
     mode, probe, dup_ds = _dup_window_index(
         ds, text_col, id_col, window, min_docs, max_broadcast, bloom_bits)
+    if stats is not None:
+        stats["mode"] = mode
+        stats["broadcast_bytes"] = int(probe.nbytes)
     ref = ray.put(probe)
 
     if mode == "exact":

@@ -54,9 +54,17 @@ def _doc_html(g: pd.DataFrame, store=None) -> str:
                 "<img class='thumb' src='data:image/png;base64,"
                 f"{_thumb_b64(store[ref])}'/><br/>"
             )
-        for _, r in page.iterrows():
-            if r.get("line_order", 0) < 0:  # page marker row
-                st = r.get("page_status") or ""
+        # columns once per page (no per-row Series boxing); absent
+        # columns fall back to the same defaults r.get() used
+        n = len(page)
+        col = lambda c, d: (page[c].tolist() if c in page.columns
+                            else [d] * n)
+        for order, st, t, lp, x0, x1 in zip(
+                col("line_order", 0), col("page_status", ""),
+                col("text", ""), col("line_png", None),
+                col("x0", 0), col("x1", 0)):
+            if (order if order is not None else 0) < 0:  # page marker
+                st = st or ""
                 if st and st != "ok":
                     parts.append(
                         f"<font color='red'>[{_html.escape(str(st))}]</font><br/>"
@@ -64,12 +72,11 @@ def _doc_html(g: pd.DataFrame, store=None) -> str:
                 continue
             parts.append(
                 "<font color='#000066'><b>"
-                f"{_html.escape(str(r.get('text') or ''))}</b></font><br/>"
+                f"{_html.escape(str(t or ''))}</b></font><br/>"
             )
-            lp = r.get("line_png")
             if lp is not None:
                 b64 = base64.b64encode(lp).decode("ascii")
-                w = max(10, (int(r["x1"]) - int(r["x0"])) // 2)
+                w = max(10, (int(x1) - int(x0)) // 2)
                 parts.append(
                     f"<img width='{w}' src='data:image/png;base64,{b64}'/><br/>"
                 )

@@ -15,6 +15,7 @@ import base64
 import html as _html
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -40,16 +41,18 @@ _LINE_RE = re.compile(
 
 def _doc_html(g: pd.DataFrame) -> str:
     g = g.sort_values(["span_offset", "line_order"])
-    parts = []
-    for _, r in g.iterrows():
-        lid = f"{r['media_ref']}#{int(r['line_order'])}"
-        b64 = base64.b64encode(r["line_png"]).decode("ascii")
-        parts.append(
-            f"<div class='line' data-line='{_html.escape(lid)}'>\n"
-            f"<img src='data:image/png;base64,{b64}'/>\n"
-            f"<p contenteditable='true'>{_html.escape(r['text'] or '')}</p>\n"
-            "</div>"
-        )
+    # columns once (no per-row Series boxing); the b64 encode dominates
+    parts = [
+        f"<div class='line' data-line='{_html.escape(f'{ref}#{order}')}'>\n"
+        f"<img src='data:image/png;base64,"
+        f"{base64.b64encode(lp).decode('ascii')}'/>\n"
+        f"<p contenteditable='true'>{_html.escape(t or '')}</p>\n"
+        "</div>"
+        for ref, order, lp, t in zip(
+            g["media_ref"].tolist(),
+            g["line_order"].to_numpy(np.int64).tolist(),
+            g["line_png"].tolist(), g["text"].tolist())
+    ]
     return _HEADER + "\n".join(parts) + "\n" + _FOOTER
 
 

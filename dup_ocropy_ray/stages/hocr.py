@@ -53,16 +53,20 @@ def _doc_html(g: pd.DataFrame) -> str:
         ref = page["media_ref"].iloc[0]
         parts.append(f"<div class='ocr_page' title='image {_html.escape(str(ref))}'>")
         parts.append("<p class='ocr_par'>")
-        prev_y1 = None
-        for _, r in page.iterrows():
-            if prev_y1 is not None and (r["y0"] - prev_y1) > xheight:
+        # columns once per page (no per-row Series boxing)
+        y0 = page["y0"].to_numpy(np.float64)
+        y1 = page["y1"].to_numpy(np.float64)
+        brk = np.zeros(len(page), bool)
+        brk[1:] = (y0[1:] - y1[:-1]) > xheight
+        coords = page[["x0", "y0", "x1", "y1"]].to_numpy(np.int64)
+        for b, (x0, cy0, x1, cy1), t in zip(
+                brk, coords.tolist(), page["text"].tolist()):
+            if b:
                 parts.append("</p>\n<p class='ocr_par'>")
-            bbox = f"bbox {int(r['x0'])} {int(r['y0'])} {int(r['x1'])} {int(r['y1'])}"
             parts.append(
-                f"<span class='ocr_line' title='{bbox}'>"
-                f"{_html.escape(r['text'] or '')}</span><br/>"
+                f"<span class='ocr_line' title='bbox {x0} {cy0} {x1} {cy1}'>"
+                f"{_html.escape(t or '')}</span><br/>"
             )
-            prev_y1 = r["y1"]
         parts.append("</p>\n</div>")
     return _HEADER + "\n".join(parts) + "\n" + _FOOTER
 

@@ -195,7 +195,9 @@ def run_span_dedup_leg(repeat: int, max_broadcast: int) -> dict:
         out = []
         for r in range(repeat):
             out.append(pd.DataFrame({
-                "doc_id": b["doc_id"].to_numpy() + r * 10_000_000,
+                # 1e12 stride: no replica-id collision for any source
+                # table with doc_id < 1e12 (int64-safe to repeat ~9e6)
+                "doc_id": b["doc_id"].to_numpy() + r * 10 ** 12,
                 "text": b["text"]}))
         return pd.concat(out, ignore_index=True)
 

@@ -279,6 +279,8 @@ def _eval_window_hash_set(docs: rd.Dataset, every: int,
         return pd.DataFrame({"h": np.unique(gh)})
 
     parts = docs.map_batches(hs, batch_format="pandas").to_pandas()
+    if "h" not in parts.columns:  # all-empty result loses its schema
+        return np.empty(0, np.uint64)
     return np.unique(parts["h"].to_numpy().astype(np.uint64))
 
 
@@ -304,9 +306,12 @@ def decontaminate_overlap(docs: rd.Dataset, every: int = 29,
             sel["text"].tolist(), window)
         n = len(sel)
         n_win = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        idx = np.searchsorted(hashes, gh)
-        hit = (idx < len(hashes)) & (
-            hashes[np.minimum(idx, max(len(hashes) - 1, 0))] == gh)
+        if len(hashes) == 0:  # no eval windows anywhere
+            hit = np.zeros(len(gh), dtype=bool)
+        else:
+            idx = np.searchsorted(hashes, gh)
+            hit = (idx < len(hashes)) & (
+                hashes[np.minimum(idx, len(hashes) - 1)] == gh)
         n_hit = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
         keep = n_hit > 0
         return pd.DataFrame({
@@ -316,8 +321,11 @@ def decontaminate_overlap(docs: rd.Dataset, every: int = 29,
             "overlap_permille": n_hit[keep] * 1000 // n_win[keep],
         })
 
-    out = docs.map_batches(scan, batch_format="pandas",
-                           batch_size=4096).to_pandas()
+    out = (docs.map_batches(scan, batch_format="pandas",
+                            batch_size=4096).to_pandas()
+           # reindex: an all-empty result loses its schema in to_pandas
+           .reindex(columns=["doc_id", "n_windows", "n_hit",
+                             "overlap_permille"]))
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -58,9 +58,30 @@ def _doc_surrogate(arr) -> np.ndarray:
         np.asarray(arr, dtype=object)).astype(np.int64)
 
 
+def _escape_series(txt: "pd.Series") -> "pd.Series":
+    """Injective NUL-escape for sort keys: Ray's string sort compares
+    with C-string (truncate-at-NUL) semantics, so tokens that differ
+    only past a NUL byte land in ONE arbitrary-ordered tie group and
+    equal tokens can end up NON-contiguous — corrupting _dense_rank's
+    equality classes. Escaping (\\x01 -> \\x01\\x02, \\x00 ->
+    \\x01\\x03) keeps token equality exactly (injective, introduces no
+    whitespace, so token counts and lpos mapping are unchanged) and
+    removes NULs from every sort key. Identity for NUL/SOH-free text
+    (the overwhelmingly common case — the contains check keeps it one
+    C-level scan)."""
+    m = (txt.str.contains("\x00", regex=False)
+         | txt.str.contains("\x01", regex=False))
+    if m.any():
+        txt = txt.copy()
+        txt[m] = (txt[m].str.replace("\x01", "\x01\x02", regex=False)
+                  .str.replace("\x00", "\x01\x03", regex=False))
+    return txt
+
+
 def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id",
-                  with_doc: bool = False) -> "tuple[rd.Dataset, int]":
+                  with_doc: bool = False,
+                  escape: bool = True) -> "tuple[rd.Dataset, int]":
     """(pos, word) token stream of the corpus in (doc_id, token-index)
     order with GLOBAL positions, plus the total token count. Global
     doc offsets come from one ordered_scan prefix sum over doc_id —
@@ -96,14 +117,23 @@ def corpus_tokens(docs: rd.Dataset, text_col: str = "text",
             out["nw"] = np.repeat(lens, lens)
         return out
 
-    # carry the text through the scan: ordered_scan preserves columns
-    cts = docs.map_batches(
-        lambda b: pd.DataFrame({
+    # carry the text through the scan: ordered_scan preserves columns.
+    # ``escape`` (default) NUL-escapes the text so the word-level sort
+    # in _dense_rank is class-exact even for NUL-bearing tokens (see
+    # _escape_series); equality structure — all the dedup paths use —
+    # is preserved exactly, while the suffix ORDER of such rare tokens
+    # follows the escaped bytes. Pass escape=False only for text that
+    # is already escaped (substring_dedup_maximal's sentinel stream).
+    def to_cts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        if escape:
+            t = _escape_series(t)
+        return pd.DataFrame({
             "_sk": _doc_surrogate(b[id_col].to_numpy()),
-            text_col: b[text_col].fillna(""),
-            "n_tokens": b[text_col].fillna("").str.split().map(len)
-            .astype(np.int64)}),
-        batch_format="pandas")
+            text_col: t,
+            "n_tokens": t.str.split().map(len).astype(np.int64)})
+
+    cts = docs.map_batches(to_cts, batch_format="pandas")
     scanned = ordered_scan(cts, "_sk",
                            sum_cols=("n_tokens",)).materialize()
     total = int(scanned.max("run_n_tokens") or 0)
@@ -491,15 +521,23 @@ def _maximal_hits(docs: rd.Dataset, text_col: str, id_col: str,
         raise ValueError("substring_dedup_maximal: min_len must be >= 2")
 
     def add_sentinel(b: pd.DataFrame) -> pd.DataFrame:
+        # escape FIRST: afterwards no real token contains \x00, so a
+        # "\x00<sk>" sentinel can never equal any token. Sentinels are
+        # pairwise distinct (unique surrogate keys), and _dense_rank
+        # only needs DISTINCT keys to stay distinct — the C-compare tie
+        # group all sentinels share is harmless. corpus_tokens below
+        # must not re-escape (it would mangle the sentinel back into
+        # the escaped-token image, recreating the collision).
         sk = _doc_surrogate(b[id_col].to_numpy())
-        txt = b[text_col].fillna("")
+        txt = _escape_series(b[text_col].fillna(""))
         sent = pd.Series(["\x00" + str(s) for s in sk], index=txt.index)
         return pd.DataFrame({
             id_col: b[id_col].to_numpy(),
             text_col: (txt + " " + sent).str.strip()})
 
     docs2 = docs.map_batches(add_sentinel, batch_format="pandas")
-    toks, n = corpus_tokens(docs2, text_col, id_col, with_doc=True)
+    toks, n = corpus_tokens(docs2, text_col, id_col, with_doc=True,
+                            escape=False)
     if n == 0:
         return None, None
     if (n + 2) ** 2 >= 2 ** 63:
@@ -553,6 +591,10 @@ def _maximal_hits(docs: rd.Dataset, text_col: str, id_col: str,
             drop=True)
 
     pairs = pf.map_batches(keep_eq, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        # no pair can reach LCP >= min_len: skip the descent's
+        # 2*log(n) corpus-scale lookup joins entirely
+        return None, toks
 
     # greedy LCP descent over rank levels, highest first: equality of
     # rank_h at the advanced offsets adds h to the LCP and advances
@@ -660,14 +702,20 @@ def _maximal_grouped(docs: rd.Dataset, text_col: str, id_col: str,
     if hits is None:
         if emit == "spans":
             return rd.from_arrow(empty)
-        # no duplicated spans anywhere: clean_text == original text
-        return docs.map_batches(
-            lambda b: pd.DataFrame(
-                {id_col: b[id_col].to_numpy(),
-                 "clean_text": b[text_col].fillna("")})
-            .loc[lambda d: d["clean_text"].str.split().map(len) > 0]
-            .reset_index(drop=True),
-            batch_format="pandas")
+
+        # no duplicated spans anywhere: clean_text == the tokens
+        # rejoined with single spaces — the SAME normalization the
+        # strip path (and the SQL twin's string_agg) produces, NOT the
+        # raw text
+        def passthrough(b: pd.DataFrame) -> pd.DataFrame:
+            toks = b[text_col].fillna("").str.split()
+            keep = toks.map(len) > 0
+            return pd.DataFrame({
+                id_col: b[id_col].to_numpy()[keep.to_numpy()],
+                "clean_text": toks[keep].str.join(" ")}).reset_index(
+                drop=True)
+
+        return docs.map_batches(passthrough, batch_format="pandas")
 
     def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
         texts = b[text_col].fillna("").tolist()

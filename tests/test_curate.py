@@ -1025,3 +1025,21 @@ def test_checkpoint_dedup_bloom_filter_phase(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got_x, got_b[got_x.columns])
     assert r_b["counters"]["rows_kept"] == r_x["counters"]["rows_kept"]
     assert {200, 250}.isdisjoint(set(got_b.doc_id))
+
+
+def test_decontaminate_overlap_no_eval_windows(ray_session):
+    """Empty eval-window hash set (no doc_id % every == 0 doc yields a
+    window) must not crash the probe (same empty-sorted-array class as
+    the dedup.py round-5 fix)."""
+    import pandas as pd
+    import ray.data as rd
+    from dup_ocropy_ray.pipelines.curate import decontaminate_overlap
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "alpha beta gamma delta epsilon zeta",
+                 "short"],
+    })
+    out = decontaminate_overlap(rd.from_pandas(df), every=29, window=5)
+    assert len(out) == 0

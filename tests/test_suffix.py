@@ -269,3 +269,38 @@ def test_maximal_string_ids_and_no_dups(ray_session):
     assert (clean.sort_values("doc_id").clean_text.tolist()
             == ["one two three four", "five six seven eight"])
     assert len(dup_spans_maximal(ds, min_len=3).to_pandas()) == 0
+
+
+def test_maximal_nul_tokens_and_whitespace(ray_session):
+    """Reviewer repro: NUL-bearing tokens collide with Ray sort's
+    truncate-at-NUL string comparison (and previously with the \\x00
+    sentinel scheme); the injective escape keeps rank classes exact.
+    Also: the no-dups early exit must emit whitespace-NORMALIZED text
+    (the strip path's / SQL twin's string_agg convention), not raw."""
+    df = pd.DataFrame({
+        "doc_id": ["1", "2"],
+        "text": ["p q \x00z k l", "m n p q \x00z j"],
+    })
+    clean, spans = _mx(df, 3)
+    ref_clean, ref_spans = _ref_clean_spans(df, 3)
+    pd.testing.assert_frame_equal(clean, ref_clean)
+    pd.testing.assert_frame_equal(spans, ref_spans)
+    assert spans[["start", "length"]].values.tolist() == [[0, 3], [2, 3]]
+
+    # \x01 (the escape lead byte) round-trips too, incl. self-repeats
+    df2 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a \x01b \x00c d a \x01b \x00c e",
+                 "x a \x01b \x00c y"],
+    })
+    clean2, spans2 = _mx(df2, 3)
+    ref_clean2, ref_spans2 = _ref_clean_spans(df2, 3)
+    pd.testing.assert_frame_equal(clean2, ref_clean2)
+    pd.testing.assert_frame_equal(spans2, ref_spans2)
+
+    # no-dups early exit: normalized rejoin, empty docs dropped
+    df3 = pd.DataFrame({"doc_id": [0, 1],
+                        "text": ["foo  bar   baz", "   "]})
+    clean3, spans3 = _mx(df3, 3)
+    assert clean3.clean_text.tolist() == ["foo bar baz"]
+    assert len(spans3) == 0

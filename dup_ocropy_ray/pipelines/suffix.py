@@ -480,7 +480,12 @@ def _suffix_array_levels(toks: rd.Dataset, n: int, num_partitions: int):
     rank_h is the dense equality class of the h-token prefix (clipped
     at corpus end; two clipped suffixes can never share a class, see
     suffix_array). Storage is n x 16 B per level, log2(n) levels —
-    the premium exact path's price, same as Lee et al.'s on-disk SA."""
+    the premium exact path's price, same as Lee et al.'s on-disk SA.
+
+    Deliberately NOT merged with suffix_array's loop: that one drops
+    each round's rank table so the object store can GC it — pinning
+    all levels (what the LCP descent needs) would silently multiply
+    plain suffix_array's memory footprint by log2(n)."""
     ranks, distinct = _dense_rank(toks, "word")
     ranks = ranks.materialize()
     levels = {1: ranks}
